@@ -1,38 +1,65 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash). Queries and oracles live next to their operators inside
+``propensity_spark`` and are aggregated here.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _registry():
+    from propensity_spark.operators import relational
+
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
+    modules = [relational]
+    for optional in (
+        "propensity_spark.operators.features",
+        "propensity_spark.operators.labels_scoring",
+        "propensity_spark.text.analysis",
+        "propensity_spark.text.dedup",
+        "propensity_spark.vector.similarity",
+        "propensity_spark.streaming.windows",
+        "propensity_spark.multimodal.media",
+        "propensity_spark.ml.training",
+        "propensity_spark.feature_store",
+    ):
+        try:
+            module = __import__(optional, fromlist=["QUERIES", "ORACLES"])
+        except ImportError:
+            continue
+        modules.append(module)
+    for module in modules:
+        queries.update(getattr(module, "QUERIES", {}))
+        oracles.update({k: v for k, v in getattr(module, "ORACLES", {}).items() if v})
+    return queries, oracles
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: top-k commodity
+    selection (02_Initialize_Solution.py:38-47) — scan -> join ->
+    broadcast dim join -> countDistinct agg -> TakeOrderedAndProject."""
+    from propensity_spark.operators.relational import q_topk_commodities
+
+    return q_topk_commodities(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry()[1]

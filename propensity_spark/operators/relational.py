@@ -1,0 +1,778 @@
+"""Relational operator library (SURVEY.md §2.2-2.8).
+
+Each public ``q_*`` function is one correctness-checked query: it takes
+``(spark, sf_dir)`` and returns a DataFrame whose column names/values
+match the DuckDB oracle in ``ORACLES``. The reference concepts map onto
+the synthetic star schema per FIXTURES.md §C:
+
+    transactions_adj  -> lineitem JOIN orders   (the "silver" fact)
+    products          -> part (p_brand plays commodity_desc)
+    households        -> customer
+    commodities_to_score -> top-k p_brand by countDistinct(basket)
+
+Scale notes (these run at sf0.01 for the gate but are designed for
+100 TB): dimension joins are broadcast (part/customer are small
+relative to the fact at any SF); aggregates are partial+final hash
+aggs; top-k plans as TakeOrderedAndProject; the cross-join universe is
+|households| x k with k<=10, so it broadcasts the k-row side.
+
+All monetary aggregate outputs are rounded to 2 decimals and ratio
+outputs to 6 in BOTH engines: Spark and DuckDB sum doubles in
+different orders, and rounding makes the value-hash comparison stable
+without changing semantics at any meaningful precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from propensity_spark.io import load_table
+
+TOP_K = 10
+
+
+def _round(col: Column | str, scale: int) -> Column:
+    """Round with a sub-precision epsilon nudge, mirrored in the DuckDB
+    oracles. The fixture's monetary values sit on an exact .xx5 grid
+    where Spark (BigDecimal HALF_UP) and DuckDB (C double rounding)
+    disagree; shifting the boundary by 1e-6 (2dp) / 1e-9 (6dp) makes
+    both engines agree without changing any meaningful digit."""
+    if isinstance(col, str):
+        col = F.col(col)
+    eps = 1e-6 if scale <= 2 else 1e-9
+    return F.round(col + F.lit(eps), scale)
+
+# ---------------------------------------------------------------------------
+# Silver transform: the discount-unpacking projection (P2/P3/F2,
+# 01_Data_Prep.py:121-166) re-expressed over lineitem x orders. The
+# CASE/COALESCE placement mirrors the reference exactly — null->0.0 at
+# ingest, sign conventions per column (SURVEY.md §7 "null-vs-zero
+# parity").
+# ---------------------------------------------------------------------------
+
+# Shared with the DuckDB oracle: keep both engines' expressions textually
+# identical (the dialects agree on this subset of SQL).
+_SILVER_COLS = [
+    "o_custkey AS household_key",
+    "l_orderkey AS basket_id",
+    "CAST(l_shipdate AS DATE) AS day",
+    "l_partkey AS product_id",
+    "COALESCE(l_extendedprice, 0.0) AS amount_list",
+    "CASE WHEN l_linenumber % 3 = 0 THEN COALESCE(l_extendedprice * l_tax * 0.5, 0.0) "
+    "ELSE 0.0 END AS campaign_coupon_discount",
+    "CASE WHEN l_linenumber % 3 <> 0 THEN COALESCE(l_extendedprice * l_tax * 0.5, 0.0) "
+    "ELSE 0.0 END AS manuf_coupon_discount",
+    "COALESCE(l_extendedprice * l_tax * 0.25, 0.0) AS manuf_coupon_match_discount",
+    "COALESCE(l_extendedprice * l_tax * 0.5, 0.0) AS total_coupon_discount",
+    "COALESCE(l_extendedprice * l_discount, 0.0) AS instore_discount",
+    "COALESCE(l_extendedprice * (1 - l_discount - l_tax * 0.5), 0.0) AS amount_paid",
+    "l_quantity AS units",
+]
+
+SILVER_SQL = (
+    "SELECT "
+    + ", ".join(_SILVER_COLS)
+    + " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+)
+
+
+def silver_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transactions_adj equivalent (01_Data_Prep.py:121-166): fact
+    join + discount unpacking. The orders side carries the customer
+    key; Catalyst broadcasts neither (both scale with SF) and plans a
+    shuffle join on l_orderkey/o_orderkey — at 100 TB this is the one
+    unavoidable fact-to-fact shuffle, mitigated in production by
+    bucketing both tables on the order key."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    joined = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")
+    return joined.selectExpr(*_SILVER_COLS)
+
+
+def brand_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """products-dimension equivalent: product_id -> commodity label
+    (J1's broadcast side, 04a_Task__Feature_Engineering.py:77-81)."""
+    return (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("product_id"), F.col("p_brand").alias("commodity_desc"))
+    )
+
+
+def top_commodities(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """commodities_to_score derivation (02_Initialize_Solution.py:38-47):
+    top-k commodities by countDistinct(basket_id), with the
+    identifier-sanitizing rename (F4, 02:61-62). Deterministic
+    tie-break on the name so LIMIT is reproducible."""
+    silver = silver_transactions(spark, sf_dir)
+    dim = brand_dim(spark, sf_dir)
+    return (
+        silver.join(F.broadcast(dim), "product_id", "inner")
+        .groupBy("commodity_desc")
+        .agg(F.countDistinct("basket_id").alias("baskets"))
+        .orderBy(F.desc("baskets"), F.asc("commodity_desc"))
+        .limit(k)
+        .withColumn(
+            "commodity_clean",
+            F.regexp_replace(F.regexp_replace("commodity_desc", r"[-\|\\/:;,.'\" ]", "_"), "#", "_"),
+        )
+    )
+
+
+# DuckDB twin of top_commodities (reused as a CTE by several oracles).
+TOPK_SQL = f"""
+SELECT commodity_desc,
+       count(DISTINCT basket_id) AS baskets,
+       regexp_replace(regexp_replace(commodity_desc, '[-|\\/:;,.''" ]', '_', 'g'), '#', '_', 'g')
+           AS commodity_clean
+FROM ({SILVER_SQL}) s
+JOIN (SELECT p_partkey AS product_id, p_brand AS commodity_desc FROM part) p USING (product_id)
+GROUP BY commodity_desc
+ORDER BY baskets DESC, commodity_desc ASC
+LIMIT {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+def q_topk_commodities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (S2+J1+A2+A8+O1+F4). Plan: parquet scan -> shuffle join
+    -> broadcast dim join -> partial/final distinct agg ->
+    TakeOrderedAndProject."""
+    return top_commodities(spark, sf_dir)
+
+
+def q_silver_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2+P3+F2: the discount-unpacking silver projection, row
+    level. No rounding: scalar IEEE expressions evaluate bit-identical
+    in both engines, so raw doubles compare exactly."""
+    return silver_transactions(spark, sf_dir)
+
+
+def q_date_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4+P5: date-range predicates pushed to the parquet scan
+    (04a:82, 04a:185). The BETWEEN bounds are derived from the data's
+    own max day (reference computes them driver-side, C4; we keep the
+    whole thing in-plan via a broadcast scalar join)."""
+    silver = silver_transactions(spark, sf_dir)
+    bounds = silver.agg(
+        F.date_sub(F.max("day"), 89).alias("w_start"), F.max("day").alias("w_end")
+    )
+    return (
+        silver.join(F.broadcast(bounds))
+        .where(F.col("day").between(F.col("w_start"), F.col("w_end")))
+        .groupBy("household_key")
+        .agg(
+            F.count(F.lit(1)).alias("line_items"),
+            _round(F.sum("amount_list"), 2).alias("amount_list"),
+        )
+    )
+
+
+def q_agg_minmax_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: global no-key min/max of the dataset day span
+    (04a_Task__Feature_Engineering.py:138-146)."""
+    silver = silver_transactions(spark, sf_dir)
+    return silver.agg(
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+        F.countDistinct("day").alias("n_days"),
+    )
+
+
+def q_summary_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+A3+A4: the per-entity summary aggregate block
+    (04a:183-199) at household grain — distinct days/baskets, product
+    and line counts, six monetary sums, in one hash-agg pass."""
+    silver = silver_transactions(spark, sf_dir)
+    return silver.groupBy("household_key").agg(
+        F.countDistinct("day").alias("days"),
+        F.countDistinct("basket_id").alias("baskets"),
+        F.count("product_id").alias("products"),
+        F.count(F.lit(1)).alias("line_items"),
+        _round(F.sum("amount_list"), 2).alias("amount_list"),
+        _round(F.sum("instore_discount"), 2).alias("instore_discount"),
+        _round(F.sum("campaign_coupon_discount"), 2).alias("campaign_coupon_discount"),
+        _round(F.sum("manuf_coupon_discount"), 2).alias("manuf_coupon_discount"),
+        _round(F.sum("total_coupon_discount"), 2).alias("total_coupon_discount"),
+        _round(F.sum("amount_paid"), 2).alias("amount_paid"),
+    )
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+A6: "with activity" conditional aggregates
+    (04a:202-255) — countDistinct over a CASE and count-if sums."""
+    silver = silver_transactions(spark, sf_dir)
+    has_instore = F.col("instore_discount") > 0
+    has_coupon = F.col("total_coupon_discount") > 0
+    return silver.groupBy("household_key").agg(
+        F.countDistinct(F.when(has_instore, F.col("day"))).alias("days_with_instore_discount"),
+        F.countDistinct(F.when(has_instore, F.col("basket_id"))).alias(
+            "baskets_with_instore_discount"
+        ),
+        F.countDistinct(F.when(has_coupon, F.col("day"))).alias("days_with_coupon_discount"),
+        F.sum(F.when(has_instore, 1)).alias("line_items_with_instore_discount"),
+        F.sum(F.when(has_coupon, 1)).alias("line_items_with_coupon_discount"),
+    )
+
+
+def q_days_since(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: days-since-last-activity (04a:528-546) — min over a
+    conditional date-diff; entities with no qualifying activity fall
+    back to the dataset span. Constants come from a broadcast 1-row
+    agg instead of a driver collect (anti-pattern row, SURVEY.md §4)."""
+    silver = silver_transactions(spark, sf_dir)
+    bounds = silver.agg(F.min("day").alias("min_day"), F.max("day").alias("max_day"))
+    with_b = silver.join(F.broadcast(bounds))
+    since = lambda cond: F.min(  # noqa: E731
+        F.datediff(F.col("max_day"), F.when(cond, F.col("day")).otherwise(F.col("min_day")))
+    )
+    return with_b.groupBy("household_key").agg(
+        F.min(F.datediff(F.col("max_day"), F.col("day"))).alias("days_since_purchase"),
+        since(F.col("instore_discount") > 0).alias("days_since_instore_discount"),
+        since(F.col("total_coupon_discount") > 0).alias("days_since_coupon_discount"),
+    )
+
+
+def q_ratio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3+P8+P10: derived ratio features (04a:258-524) with the
+    reference's exact null algebra — x/0 -> NULL, then fillna(0.0)
+    (04a:595) — and the all-DOUBLE cast (04a:556-558)."""
+    silver = silver_transactions(spark, sf_dir)
+    agg = silver.groupBy("household_key").agg(
+        F.countDistinct("day").alias("days"),
+        F.countDistinct("basket_id").alias("baskets"),
+        F.count(F.lit(1)).alias("line_items"),
+        F.sum("amount_list").alias("amount_list"),
+        F.sum("amount_paid").alias("amount_paid"),
+        F.sum(F.when(F.col("instore_discount") > 0, 1)).alias("discount_lines"),
+    )
+    ratios = agg.select(
+        "household_key",
+        _round(F.expr("amount_list / days"), 6).alias("amount_list_per_day"),
+        _round(F.expr("amount_list / baskets"), 6).alias("amount_list_per_basket"),
+        _round(F.expr("amount_list / line_items"), 6).alias("amount_list_per_line_item"),
+        _round(F.expr("amount_paid / amount_list"), 6).alias("amount_paid_share"),
+        _round(F.expr("discount_lines / line_items"), 6).alias("discount_line_share"),
+    )
+    out_cols = [c for c in ratios.columns if c != "household_key"]
+    casted = ratios.select(
+        "household_key", *[F.col(c).cast("double").alias(c) for c in out_cols]
+    )
+    return casted.fillna(0.0, subset=out_cols)
+
+
+def q_distinct_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: distinct entity universe (04a:102, 04b:141) — all
+    households seen in the fact table."""
+    silver = silver_transactions(spark, sf_dir)
+    return silver.select("household_key").distinct()
+
+
+def q_cross_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: households x commodities_to_score cross join (04a:105,
+    04b:144, 04c:107-111). The k-row side broadcasts, so the "cross
+    join" is a flat-map — no shuffle even at 10^9 households."""
+    households = q_distinct_entities(spark, sf_dir)
+    commodities = top_commodities(spark, sf_dir).select("commodity_desc")
+    return households.crossJoin(F.broadcast(commodities))
+
+
+def q_left_join_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+J4+P8: anchor LEFT OUTER summary, nulls -> 0.0
+    (04a:549-553, 04a:584-595). Anchor = full household universe from
+    customer; households with no transactions keep zeros."""
+    anchors = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("household_key"))
+        .distinct()
+    )
+    silver = silver_transactions(spark, sf_dir)
+    summary = silver.groupBy("household_key").agg(
+        _round(F.sum("amount_list"), 2).alias("amount_list"),
+        F.countDistinct("basket_id").alias("baskets"),
+    )
+    joined = anchors.join(summary, "household_key", "leftouter")
+    return joined.select(
+        "household_key",
+        F.coalesce(F.col("amount_list"), F.lit(0.0)).alias("amount_list"),
+        F.coalesce(F.col("baskets"), F.lit(0)).cast("bigint").alias("baskets"),
+    )
+
+
+def q_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5+J6+F2+F6: label assembly (04b_Task__Model_Training.py:106-163).
+    Universe cross join LEFT JOIN distinct positive pairs in the label
+    window (last 30 days), coalesce(purchased, 0)."""
+    silver = silver_transactions(spark, sf_dir)
+    dim = brand_dim(spark, sf_dir)
+    commodities = top_commodities(spark, sf_dir).select("commodity_desc")
+    bounds = silver.agg(F.date_sub(F.max("day"), 29).alias("label_start"))
+    positives = (
+        silver.join(F.broadcast(bounds))
+        .where(F.col("day") >= F.col("label_start"))
+        .join(F.broadcast(dim), "product_id", "inner")
+        .join(F.broadcast(commodities), "commodity_desc", "inner")
+        .select("household_key", "commodity_desc")
+        .distinct()
+        .withColumn("purchased", F.lit(1))
+    )
+    universe = q_cross_universe(spark, sf_dir)
+    return universe.join(
+        positives, ["household_key", "commodity_desc"], "leftouter"
+    ).select(
+        "household_key",
+        "commodity_desc",
+        F.coalesce(F.col("purchased"), F.lit(0)).cast("int").alias("purchased"),
+    )
+
+
+def q_class_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9+W1: per-(commodity, class) counts with the unbounded
+    partition-window total (04b:174-182) -> pos_class_ratio."""
+    from pyspark.sql import Window
+
+    labels = q_labels(spark, sf_dir)
+    counts = labels.groupBy("commodity_desc", "purchased").agg(
+        F.count(F.lit(1)).alias("class_rows")
+    )
+    w = Window.partitionBy("commodity_desc")
+    return counts.select(
+        "commodity_desc",
+        "purchased",
+        "class_rows",
+        F.sum("class_rows").over(w).alias("commodity_rows"),
+        _round(F.col("class_rows") / F.sum("class_rows").over(w), 6).alias("class_ratio"),
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-completeness: LEFT SEMI (EXISTS) — customers with at
+    least one urgent order. Not used by the reference (SURVEY §2.3
+    'not present') but part of the engine's join surface."""
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-completeness: LEFT ANTI (NOT EXISTS) — customers with no
+    orders at all (also the parquet-fallback MERGE building block,
+    SURVEY §2.1 S5)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_union_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: the reference's append-per-commodity loop (04c:205-217)
+    re-expressed as a declarative unionByName over per-slice frames."""
+    orders = load_table(spark, sf_dir, "orders")
+    lo = orders.where(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_custkey", F.lit("open").alias("bucket")
+    )
+    hi = orders.where(F.col("o_orderstatus") != "O").select(
+        "o_orderkey", "o_custkey", F.lit("closed").alias("bucket")
+    )
+    return lo.unionByName(hi)
+
+
+# The fixture brand domain is static across scale factors
+# (Brand#1..Brand#25), so the pivot column list is a compile-time
+# constant — Spark skips the distinct-values pre-job AND the oracle SQL
+# can be a static string. At 100 TB a data-dependent pivot would first
+# collect the k-row control table (C4); same plan shape either way.
+BRANDS = [f"Brand#{i}" for i in range(1, 26)]
+BRANDS_CLEAN = sorted(b.replace("#", "_") for b in BRANDS)
+
+
+def _scored_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    silver = silver_transactions(spark, sf_dir)
+    dim = brand_dim(spark, sf_dir).withColumn(
+        "commodity_clean", F.regexp_replace("commodity_desc", "#", "_")
+    )
+    return silver.join(F.broadcast(dim), "product_id", "inner")
+
+
+def q_pivot_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 idiomatic pivot: per-household spend per commodity, pivoted
+    to one column per commodity_clean — replacing the reference's
+    N-MERGE loop (04c:189-202) with ONE shuffle."""
+    pivoted = (
+        _scored_spend(spark, sf_dir)
+        .groupBy("household_key")
+        .pivot("commodity_clean", BRANDS_CLEAN)
+        .agg(_round(F.sum("amount_list"), 2))
+    )
+    return pivoted.fillna(0.0, subset=BRANDS_CLEAN)
+
+
+def q_unpivot_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 inverse (the __UNPIVOTED table shape, 04c:274-282): melt the
+    wide table back to (household_key, commodity_clean, prediction)
+    via the stack generator, dropping the combos the pivot padded."""
+    pivoted = (
+        _scored_spend(spark, sf_dir)
+        .groupBy("household_key")
+        .pivot("commodity_clean", BRANDS_CLEAN)
+        .agg(_round(F.sum("amount_list"), 2))
+    )
+    stack_expr = "stack({n}, {args}) AS (commodity_clean, prediction)".format(
+        n=len(BRANDS_CLEAN), args=", ".join(f"'{c}', `{c}`" for c in BRANDS_CLEAN)
+    )
+    return pivoted.selectExpr("household_key", stack_expr).where(
+        F.col("prediction").isNotNull()
+    )
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F8: the int-day -> DATE epoch conversion
+    (01_Data_Prep.py:68-72) and explicit datediff. l_linenumber plays
+    the 1-based integer day."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_add(F.lit("2018-01-01").cast("date"), F.col("l_linenumber") - 1).alias("day"),
+        F.datediff(F.to_date("l_shipdate"), F.lit("2018-01-01").cast("date")).alias(
+            "days_from_epoch"
+        ),
+    )
+
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4+F5: regexp sanitation (02:61-62) and model-URI concat
+    (04c:94) over the commodity control table."""
+    top = top_commodities(spark, sf_dir)
+    return top.select(
+        "commodity_desc",
+        "commodity_clean",
+        F.concat(
+            F.lit("models:/propensity "), F.col("commodity_clean"), F.lit("/Production")
+        ).alias("model_uri"),
+    )
+
+
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-completeness window functions (§2.5 notes): top-3 orders
+    per customer by totalprice via row_number with deterministic
+    tie-break."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", _round("o_totalprice", 2).alias("o_totalprice"), "rn")
+    )
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-completeness grouping sets (§2.4 notes 'no rollup in
+    reference'): ROLLUP over (returnflag, linestatus)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(_round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-completeness pricing-summary aggregate (the canonical
+    groupBy+8-agg shape every Spark OLAP engine must plan well)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    bounds = lineitem.agg(
+        F.date_sub(F.max(F.to_date("l_shipdate")), 90).alias("cutoff")
+    )
+    return (
+        lineitem.join(F.broadcast(bounds))
+        .where(F.to_date("l_shipdate") <= F.col("cutoff"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _round(F.sum(F.expr("l_extendedprice * (1 - l_discount)")), 2).alias("sum_disc_price"),
+            _round(F.sum(F.expr("l_extendedprice * (1 - l_discount) * (1 + l_tax)")), 2).alias(
+                "sum_charge"
+            ),
+            _round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            _round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            _round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracles (DuckDB SQL). Same aliases, same rounding, same algebra.
+# ---------------------------------------------------------------------------
+
+_SUMMARY_AGG_SQL = f"""
+SELECT household_key,
+       count(DISTINCT day)       AS days,
+       count(DISTINCT basket_id) AS baskets,
+       count(product_id)         AS products,
+       count(*)                  AS line_items,
+       round(1e-6 + sum(amount_list), 2)              AS amount_list,
+       round(1e-6 + sum(instore_discount), 2)         AS instore_discount,
+       round(1e-6 + sum(campaign_coupon_discount), 2) AS campaign_coupon_discount,
+       round(1e-6 + sum(manuf_coupon_discount), 2)    AS manuf_coupon_discount,
+       round(1e-6 + sum(total_coupon_discount), 2)    AS total_coupon_discount,
+       round(1e-6 + sum(amount_paid), 2)              AS amount_paid
+FROM ({SILVER_SQL}) s
+GROUP BY household_key
+"""
+
+ORACLES: dict[str, str] = {
+    "topk_commodities": TOPK_SQL,
+    "silver_projection": SILVER_SQL,
+    "date_range_filter": f"""
+        WITH s AS ({SILVER_SQL}),
+             b AS (SELECT max(day) - 89 AS w_start, max(day) AS w_end FROM s)
+        SELECT household_key, count(*) AS line_items,
+               round(1e-6 + sum(amount_list), 2) AS amount_list
+        FROM s, b
+        WHERE day BETWEEN w_start AND w_end
+        GROUP BY household_key
+    """,
+    "agg_minmax_day": f"""
+        SELECT min(day) AS min_day, max(day) AS max_day,
+               count(DISTINCT day) AS n_days
+        FROM ({SILVER_SQL}) s
+    """,
+    "summary_agg": _SUMMARY_AGG_SQL,
+    "conditional_agg": f"""
+        SELECT household_key,
+               count(DISTINCT CASE WHEN instore_discount > 0 THEN day END)
+                   AS days_with_instore_discount,
+               count(DISTINCT CASE WHEN instore_discount > 0 THEN basket_id END)
+                   AS baskets_with_instore_discount,
+               count(DISTINCT CASE WHEN total_coupon_discount > 0 THEN day END)
+                   AS days_with_coupon_discount,
+               CAST(sum(CASE WHEN instore_discount > 0 THEN 1 END) AS BIGINT)
+                   AS line_items_with_instore_discount,
+               CAST(sum(CASE WHEN total_coupon_discount > 0 THEN 1 END) AS BIGINT)
+                   AS line_items_with_coupon_discount
+        FROM ({SILVER_SQL}) s
+        GROUP BY household_key
+    """,
+    "days_since": f"""
+        WITH s AS ({SILVER_SQL}),
+             b AS (SELECT min(day) AS min_day, max(day) AS max_day FROM s)
+        SELECT household_key,
+               min(date_diff('day', day, max_day)) AS days_since_purchase,
+               min(date_diff('day',
+                   CASE WHEN instore_discount > 0 THEN day ELSE min_day END, max_day))
+                   AS days_since_instore_discount,
+               min(date_diff('day',
+                   CASE WHEN total_coupon_discount > 0 THEN day ELSE min_day END, max_day))
+                   AS days_since_coupon_discount
+        FROM s, b
+        GROUP BY household_key
+    """,
+    "ratio_features": f"""
+        WITH agg AS (
+            SELECT household_key,
+                   count(DISTINCT day) AS days,
+                   count(DISTINCT basket_id) AS baskets,
+                   count(*) AS line_items,
+                   sum(amount_list) AS amount_list,
+                   sum(amount_paid) AS amount_paid,
+                   sum(CASE WHEN instore_discount > 0 THEN 1 END) AS discount_lines
+            FROM ({SILVER_SQL}) s
+            GROUP BY household_key
+        )
+        SELECT household_key,
+               coalesce(round(1e-9 + amount_list / days, 6), 0.0) AS amount_list_per_day,
+               coalesce(round(1e-9 + amount_list / baskets, 6), 0.0) AS amount_list_per_basket,
+               coalesce(round(1e-9 + amount_list / line_items, 6), 0.0) AS amount_list_per_line_item,
+               coalesce(round(1e-9 + amount_paid / amount_list, 6), 0.0) AS amount_paid_share,
+               coalesce(round(1e-9 + CAST(discount_lines AS DOUBLE) / line_items, 6), 0.0)
+                   AS discount_line_share
+        FROM agg
+    """,
+    "distinct_entities": f"""
+        SELECT DISTINCT household_key FROM ({SILVER_SQL}) s
+    """,
+    "cross_universe": f"""
+        SELECT h.household_key, t.commodity_desc
+        FROM (SELECT DISTINCT household_key FROM ({SILVER_SQL}) s) h
+        CROSS JOIN (SELECT commodity_desc FROM ({TOPK_SQL}) tk) t
+    """,
+    "left_join_fillna": f"""
+        WITH summary AS (
+            SELECT household_key,
+                   round(1e-6 + sum(amount_list), 2) AS amount_list,
+                   count(DISTINCT basket_id) AS baskets
+            FROM ({SILVER_SQL}) s GROUP BY household_key
+        )
+        SELECT c.c_custkey AS household_key,
+               coalesce(summary.amount_list, 0.0) AS amount_list,
+               coalesce(summary.baskets, 0) AS baskets
+        FROM (SELECT DISTINCT c_custkey FROM customer) c
+        LEFT JOIN summary ON summary.household_key = c.c_custkey
+    """,
+    "labels": f"""
+        WITH s AS ({SILVER_SQL}),
+             b AS (SELECT max(day) - 29 AS label_start FROM s),
+             tk AS ({TOPK_SQL}),
+             pos AS (
+                 SELECT DISTINCT s.household_key, p.commodity_desc, 1 AS purchased
+                 FROM s
+                 CROSS JOIN b
+                 JOIN (SELECT p_partkey AS product_id, p_brand AS commodity_desc FROM part) p
+                   ON s.product_id = p.product_id
+                 JOIN tk ON tk.commodity_desc = p.commodity_desc
+                 WHERE s.day >= b.label_start
+             ),
+             universe AS (
+                 SELECT h.household_key, t.commodity_desc
+                 FROM (SELECT DISTINCT household_key FROM s) h
+                 CROSS JOIN (SELECT commodity_desc FROM tk) t
+             )
+        SELECT u.household_key, u.commodity_desc,
+               CAST(coalesce(pos.purchased, 0) AS INT) AS purchased
+        FROM universe u
+        LEFT JOIN pos ON pos.household_key = u.household_key
+                     AND pos.commodity_desc = u.commodity_desc
+    """,
+    "class_ratios": None,  # filled below (needs labels CTE)
+    "semi_join": """
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+    "anti_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "union_parts": """
+        SELECT o_orderkey, o_custkey, 'open' AS bucket FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'closed' AS bucket FROM orders WHERE o_orderstatus <> 'O'
+    """,
+    "date_functions": """
+        SELECT l_orderkey, l_linenumber,
+               DATE '2018-01-01' + CAST(l_linenumber - 1 AS INT) AS day,
+               date_diff('day', DATE '2018-01-01', CAST(l_shipdate AS DATE))
+                   AS days_from_epoch
+        FROM lineitem
+    """,
+    "string_functions": f"""
+        SELECT commodity_desc, commodity_clean,
+               concat('models:/propensity ', commodity_clean, '/Production') AS model_uri
+        FROM ({TOPK_SQL}) tk
+    """,
+    "window_topk_per_group": """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders
+        ) t WHERE rn <= 3
+    """,
+    "rollup_agg": """
+        SELECT l_returnflag, l_linestatus,
+               round(1e-6 + sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "tpch_q1": """
+        WITH b AS (SELECT max(CAST(l_shipdate AS DATE)) - 90 AS cutoff FROM lineitem)
+        SELECT l_returnflag, l_linestatus,
+               round(1e-6 + sum(l_quantity), 2) AS sum_qty,
+               round(1e-6 + sum(l_extendedprice), 2) AS sum_base_price,
+               round(1e-6 + sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(1e-6 + sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(1e-9 + avg(l_quantity), 6) AS avg_qty,
+               round(1e-9 + avg(l_extendedprice), 6) AS avg_price,
+               round(1e-9 + avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem, b
+        WHERE CAST(l_shipdate AS DATE) <= b.cutoff
+        GROUP BY l_returnflag, l_linestatus
+    """,
+}
+
+_LABELS_SQL = ORACLES["labels"]
+ORACLES["class_ratios"] = f"""
+    WITH labels AS ({_LABELS_SQL}),
+         counts AS (
+             SELECT commodity_desc, purchased, count(*) AS class_rows
+             FROM labels GROUP BY commodity_desc, purchased
+         )
+    SELECT commodity_desc, purchased, class_rows,
+           CAST(sum(class_rows) OVER (PARTITION BY commodity_desc) AS BIGINT)
+               AS commodity_rows,
+           round(1e-9 + CAST(class_rows AS DOUBLE) /
+                 sum(class_rows) OVER (PARTITION BY commodity_desc), 6) AS class_ratio
+    FROM counts
+"""
+
+QUERIES = {
+    "topk_commodities": q_topk_commodities,
+    "silver_projection": q_silver_projection,
+    "date_range_filter": q_date_range_filter,
+    "agg_minmax_day": q_agg_minmax_day,
+    "summary_agg": q_summary_agg,
+    "conditional_agg": q_conditional_agg,
+    "days_since": q_days_since,
+    "ratio_features": q_ratio_features,
+    "distinct_entities": q_distinct_entities,
+    "cross_universe": q_cross_universe,
+    "left_join_fillna": q_left_join_fillna,
+    "labels": q_labels,
+    "class_ratios": q_class_ratios,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "union_parts": q_union_parts,
+    "pivot_scores": q_pivot_scores,
+    "unpivot_scores": q_unpivot_scores,
+    "date_functions": q_date_functions,
+    "string_functions": q_string_functions,
+    "window_topk_per_group": q_window_topk_per_group,
+    "rollup_agg": q_rollup_agg,
+    "tpch_q1": q_tpch_q1,
+}
+
+# pivot/unpivot oracles: conditional aggregation with the same sanitized
+# column names the Spark pivot produces (static because BRANDS is).
+_SCORED_SQL = f"""
+    SELECT s.household_key, replace(p.commodity_desc, '#', '_') AS commodity_clean,
+           s.amount_list
+    FROM ({SILVER_SQL}) s
+    JOIN (SELECT p_partkey AS product_id, p_brand AS commodity_desc FROM part) p
+      ON s.product_id = p.product_id
+"""
+
+_pivot_cols = ",\n           ".join(
+    f"coalesce(round(1e-6 + sum(CASE WHEN commodity_clean = '{c}' THEN amount_list END), 2), 0.0)"
+    f' AS "{c}"'
+    for c in BRANDS_CLEAN
+)
+ORACLES["pivot_scores"] = f"""
+    SELECT household_key,
+           {_pivot_cols}
+    FROM ({_SCORED_SQL}) scored
+    GROUP BY household_key
+"""
+
+ORACLES["unpivot_scores"] = f"""
+    SELECT household_key, commodity_clean,
+           round(1e-6 + sum(amount_list), 2) AS prediction
+    FROM ({_SCORED_SQL}) scored
+    GROUP BY household_key, commodity_clean
+"""
