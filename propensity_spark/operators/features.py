@@ -1,0 +1,234 @@
+"""The feature engine (04a_Task__Feature_Engineering.py:116-561).
+
+The reference runs `get_features` 12 times — 4 time windows x 3
+grouping grains — and each call re-scans transactions, re-collects
+min/max(day) to the driver, runs a filter->groupBy->agg pass, a second
+days-since agg, and left-joins everything back to a distinct anchor
+(SURVEY.md §3 entry point 1, §4 anti-pattern row). Semantics are
+preserved here but re-architected Spark-first:
+
+* ONE aggregation pass per grain computes all four windows as
+  conditional aggregates: ``sum(CASE WHEN day >= max_day - (w-1) THEN x
+  END)``. 1 shuffle instead of 8 per grain; the anchor left-join
+  disappears because the unfiltered pass already emits every key the
+  anchor would contribute (04a:549-553 + fillna 04a:595 == COALESCE on
+  the conditional aggregates).
+* Window bounds come from a broadcast 1-row min/max agg joined into the
+  plan instead of a driver `collect()` (04a:138-146, C4) — keeps the
+  whole thing lazy and cluster-side.
+* Every feature is cast DOUBLE and null-filled 0.0, matching
+  04a:556-558 and 04a:595 exactly; column names carry the window
+  suffix (`<metric>_<30d|60d|90d|1yr>`, 04a:559). Days-since metrics
+  (04a:528-546) are window-invariant (the reference recomputes the same
+  value once per window) and are emitted once, unsuffixed.
+
+Scale: the per-window `count(DISTINCT CASE ...)` aggregates plan as
+Catalyst expand + two-phase agg — the multiplier is the number of
+distinct-aggregate groups (SURVEY.md §7 hazard). At 100 TB, pre-project
+only the needed columns (done), let AQE coalesce, and if the expand
+dominates, swap `approx_count_distinct` in via ``exact_distinct=False``.
+
+Both the Spark plan and the DuckDB oracle are generated from ONE metric
+spec below, so engine and oracle cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from propensity_spark.operators.relational import (
+    SILVER_SQL,
+    brand_dim,
+    silver_transactions,
+)
+
+WINDOWS: list[tuple[str, int]] = [("30d", 30), ("60d", 60), ("90d", 90), ("1yr", 365)]
+
+_MONEY = [
+    "amount_list",
+    "instore_discount",
+    "campaign_coupon_discount",
+    "manuf_coupon_discount",
+    "total_coupon_discount",
+    "amount_paid",
+]
+
+
+def _base_metrics(inw: str) -> list[tuple[str, str]]:
+    """(name, aggregate SQL) pairs for one window; `inw` is the
+    dialect-specific in-window predicate. Mirrors the reference's
+    summary block (04a:183-255): activity counts, monetary sums, and
+    'with activity' conditional counts."""
+    m: list[tuple[str, str]] = [
+        ("days", f"count(DISTINCT CASE WHEN {inw} THEN day END)"),
+        ("baskets", f"count(DISTINCT CASE WHEN {inw} THEN basket_id END)"),
+        ("products", f"count(CASE WHEN {inw} THEN product_id END)"),
+        ("line_items", f"sum(CASE WHEN {inw} THEN 1 END)"),
+    ]
+    m += [(c, f"sum(CASE WHEN {inw} THEN {c} END)") for c in _MONEY]
+    m += [
+        (
+            "days_with_instore_discount",
+            f"count(DISTINCT CASE WHEN {inw} AND instore_discount > 0 THEN day END)",
+        ),
+        (
+            "baskets_with_instore_discount",
+            f"count(DISTINCT CASE WHEN {inw} AND instore_discount > 0 THEN basket_id END)",
+        ),
+        (
+            "line_items_with_instore_discount",
+            f"sum(CASE WHEN {inw} AND instore_discount > 0 THEN 1 END)",
+        ),
+        (
+            "days_with_coupon_discount",
+            f"count(DISTINCT CASE WHEN {inw} AND total_coupon_discount > 0 THEN day END)",
+        ),
+        (
+            "line_items_with_coupon_discount",
+            f"sum(CASE WHEN {inw} AND total_coupon_discount > 0 THEN 1 END)",
+        ),
+    ]
+    return m
+
+
+def _ratio_metrics(sfx: str, days_in_window: int) -> list[tuple[str, str]]:
+    """Derived ratio features (04a:258-524 families): per-day,
+    per-days-in-set (driver-side constant denominator, 04a:313-368),
+    per-basket, per-line-item, and amount_list shares. Division by
+    zero -> NULL -> 0.0, the reference's exact algebra."""
+    a = f"amount_list_{sfx}"
+    return [
+        (f"amount_list_per_day_{sfx}", f"{a} / days_{sfx}"),
+        (f"amount_list_per_basket_{sfx}", f"{a} / baskets_{sfx}"),
+        (f"amount_list_per_line_item_{sfx}", f"{a} / line_items_{sfx}"),
+        (f"days_per_days_in_set_{sfx}", f"days_{sfx} / {days_in_window}"),
+        (f"line_items_per_day_{sfx}", f"line_items_{sfx} / days_{sfx}"),
+        (f"amount_paid_share_{sfx}", f"amount_paid_{sfx} / {a}"),
+        (f"instore_discount_share_{sfx}", f"instore_discount_{sfx} / {a}"),
+        (f"total_coupon_discount_share_{sfx}", f"total_coupon_discount_{sfx} / {a}"),
+    ]
+
+
+def _days_since_metrics(diff) -> list[tuple[str, str]]:
+    """A7 (04a:528-546): min over conditional date-diff; no-activity
+    keys fall back to the dataset span. `diff(end, start)` renders the
+    dialect's date difference."""
+    def since(cond: str) -> str:
+        return "min({})".format(
+            diff("max_day", f"CASE WHEN {cond} THEN day ELSE min_day END")
+        )
+
+    return [
+        ("days_since_purchase", f"min({diff('max_day', 'day')})"),
+        ("days_since_instore_discount", since("instore_discount > 0")),
+        ("days_since_coupon_discount", since("total_coupon_discount > 0")),
+    ]
+
+
+def _plan(dialect: str, keys: list[str]) -> tuple[list[str], list[str]]:
+    """Returns (inner aggregate select items, outer select items) in the
+    given dialect ('spark' | 'duckdb'). The inner layer is the single
+    hash-agg pass; the outer layer derives ratios, rounds with the
+    epsilon nudge, casts DOUBLE, and COALESCEs to 0.0."""
+    if dialect == "spark":
+        cutoff = lambda w: f"date_sub(max_day, {w - 1})"  # noqa: E731
+        diff = lambda end, start: f"datediff({end}, {start})"  # noqa: E731
+    else:
+        cutoff = lambda w: f"max_day - {w - 1}"  # noqa: E731
+        diff = lambda end, start: f"date_diff('day', {start}, {end})"  # noqa: E731
+
+    inner: list[str] = list(keys)
+    outer: list[str] = list(keys)
+    for sfx, w in WINDOWS:
+        inw = f"day >= {cutoff(w)}"
+        for name, agg in _base_metrics(inw):
+            col = f"{name}_{sfx}"
+            inner.append(f"{agg} AS {col}")
+            if name in _MONEY:
+                expr = f"round(1e-6 + {col}, 2)"
+            else:
+                expr = col
+            outer.append(f"coalesce(CAST({expr} AS DOUBLE), 0.0) AS {col}")
+        for name, expr in _ratio_metrics(sfx, w):
+            outer.append(
+                f"coalesce(CAST(round(1e-9 + {expr}, 6) AS DOUBLE), 0.0) AS {name}"
+            )
+    for name, agg in _days_since_metrics(diff):
+        inner.append(f"{agg} AS {name}")
+        outer.append(f"coalesce(CAST({name} AS DOUBLE), 0.0) AS {name}")
+    return inner, outer
+
+
+def _spark_features(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Run the single-pass plan on a silver-shaped DataFrame."""
+    bounds = df.agg(F.min("day").alias("min_day"), F.max("day").alias("max_day"))
+    inner, outer = _plan("spark", keys)
+    agg_exprs = [F.expr(e) for e in inner[len(keys):]]
+    aggregated = df.join(F.broadcast(bounds)).groupBy(*keys).agg(*agg_exprs)
+    return aggregated.selectExpr(*outer)
+
+
+def _duckdb_features(source_sql: str, keys: list[str]) -> str:
+    inner, outer = _plan("duckdb", keys)
+    key_list = ", ".join(keys)
+    return f"""
+        WITH src AS ({source_sql}),
+             b AS (SELECT min(day) AS min_day, max(day) AS max_day FROM src),
+             agg AS (
+                 SELECT {", ".join(inner)}
+                 FROM src CROSS JOIN b
+                 GROUP BY {key_list}
+             )
+        SELECT {", ".join(outer)} FROM agg
+    """
+
+
+# --- the three grains (04a:573, 04a:655, 04a:729) -----------------------
+
+_COMMODITY_SRC_SQL = f"""
+    SELECT s.*, p.commodity_desc
+    FROM ({SILVER_SQL}) s
+    JOIN (SELECT p_partkey AS product_id, p_brand AS commodity_desc FROM part) p
+      ON s.product_id = p.product_id
+"""
+
+
+def _with_commodity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    silver = silver_transactions(spark, sf_dir)
+    return silver.join(F.broadcast(brand_dim(spark, sf_dir)), "product_id", "inner")
+
+
+def q_household_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Household-grain feature table (04a:573-595): PK household_key
+    (+ day stamp at write time, §2.1 S7)."""
+    return _spark_features(silver_transactions(spark, sf_dir), ["household_key"])
+
+
+def q_commodity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commodity-grain feature table (04a:655-677)."""
+    return _spark_features(_with_commodity(spark, sf_dir), ["commodity_desc"])
+
+
+def q_household_commodity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Household x commodity grain (04a:729-751) — the widest grain;
+    at 100 TB this shuffle is the big one, and it is the ONLY shuffle
+    this plan performs per grain (the reference performs 8)."""
+    return _spark_features(
+        _with_commodity(spark, sf_dir), ["household_key", "commodity_desc"]
+    )
+
+
+QUERIES = {
+    "household_features": q_household_features,
+    "commodity_features": q_commodity_features,
+    "household_commodity_features": q_household_commodity_features,
+}
+
+ORACLES = {
+    "household_features": _duckdb_features(SILVER_SQL, ["household_key"]),
+    "commodity_features": _duckdb_features(_COMMODITY_SRC_SQL, ["commodity_desc"]),
+    "household_commodity_features": _duckdb_features(
+        _COMMODITY_SRC_SQL, ["household_key", "commodity_desc"]
+    ),
+}
