@@ -45,7 +45,22 @@ def _registry():
     for module in modules:
         queries.update(getattr(module, "QUERIES", {}))
         oracles.update({k: v for k, v in getattr(module, "ORACLES", {}).items() if v})
-    return queries, oracles
+    return {k: _pinned(v) for k, v in queries.items()}, oracles
+
+
+def _pinned(fn):
+    """The caller owns the SparkSession; pin the confs the engine's
+    semantics assume (reference behavior: div/0 -> NULL, silent casts;
+    oracle comparison: UTC timestamps)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
 
 
 def entry(spark: SparkSession) -> DataFrame:

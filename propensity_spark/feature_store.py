@@ -1,0 +1,160 @@
+"""Feature store: Delta-backed in spirit, parquet-backed in this image.
+
+The reference uses the Databricks Feature Store (04a:612-630 create +
+merge write, 04b:195-217 FeatureLookup, 04c:181-186 score_batch).
+Open equivalents here (SURVEY.md §1 'Spark mapping'):
+
+* ``FeatureTable.create`` — schema'd parquet table partitioned by the
+  version column ``day`` (point-in-time reads prune to one partition;
+  at 100 TB this is the difference between a partition read and a full
+  scan).
+* ``FeatureTable.merge`` — the S5/S7 MERGE-upsert keyed on the PK
+  (which deliberately includes ``day``, 04a:599). Without Delta on the
+  classpath the upsert is: dynamic-partition overwrite of ONLY the day
+  partitions present in the incoming batch, where each rewritten
+  partition = incoming rows + existing rows anti-joined on the PK.
+  Delta's MERGE does the same thing with a transaction log; semantics
+  match, atomicity is per-partition instead of per-table.
+* ``FeatureTable.lookup`` — J7's exact-key left-outer join with the
+  per-table column-rename prefix (`household__*`, ...) and key/day
+  exclusion (04b:195-217). Exact `day` match is the reference's
+  documented choice over as-of semantics (04a:599); `lookup_asof`
+  offers the range variant the reference lacks.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+DEFAULT_STORE = REPO_ROOT / ".tmp" / "feature_store"
+
+
+class FeatureTable:
+    def __init__(self, spark: SparkSession, name: str, pk: list[str], base: str | None = None):
+        if "day" not in pk:
+            raise ValueError("feature tables are versioned by 'day' in the PK (04a:599)")
+        self.spark = spark
+        self.name = name
+        self.pk = pk
+        self.path = str(Path(base or DEFAULT_STORE) / name)
+
+    def exists(self) -> bool:
+        return Path(self.path).exists() and any(Path(self.path).rglob("*.parquet"))
+
+    def create(self, df: DataFrame) -> None:
+        """Full (re)write, partitioned by day (S3 + partition pruning)."""
+        df.write.mode("overwrite").partitionBy("day").parquet(self.path)
+
+    def read(self, day=None) -> DataFrame:
+        df = self.spark.read.parquet(self.path)
+        if day is not None:
+            df = df.where(F.col("day") == F.lit(day))  # partition-pruned (S8)
+        return df
+
+    def merge(self, batch: DataFrame) -> None:
+        """Upsert on the PK (S5/S7). Only the day partitions present in
+        the batch are rewritten: existing rows in those partitions that
+        don't collide on the PK survive via anti-join, colliding rows
+        are replaced by the batch (whenMatchedUpdateAll semantics)."""
+        if not self.exists():
+            self.create(batch)
+            return
+        days = [r[0] for r in batch.select("day").distinct().collect()]
+        existing = self.read().where(F.col("day").isin(days))
+        survivors = existing.join(F.broadcast(batch.select(*self.pk)), self.pk, "left_anti")
+        merged = survivors.unionByName(batch)
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Rewrites only the touched day partitions; untouched history stays.
+        merged.write.mode("overwrite").partitionBy("day").parquet(self.path)
+
+    def lookup(
+        self,
+        keys_df: DataFrame,
+        prefix: str,
+        day_col: str = "day",
+        exclude: list[str] | None = None,
+    ) -> DataFrame:
+        """J7: exact-key left-outer feature lookup with rename prefix.
+        Key and day columns are excluded from the output, feature
+        columns become `<prefix>__<name>` (04b:210-216)."""
+        feats = self.read()
+        join_keys = [k for k in self.pk if k != "day"] + [day_col]
+        feats = feats.withColumnRenamed("day", day_col) if day_col != "day" else feats
+        keep = [c for c in feats.columns if c not in self.pk and c != day_col]
+        renamed = feats.select(
+            *[F.col(k) for k in join_keys],
+            *[F.col(c).alias(f"{prefix}__{c}") for c in keep if c not in (exclude or [])],
+        )
+        return keys_df.join(renamed, join_keys, "leftouter")
+
+    def lookup_asof(self, keys_df: DataFrame, prefix: str, day_col: str = "day") -> DataFrame:
+        """As-of variant (reference non-goal, SURVEY.md §7): for each key
+        row, the latest feature row with feature.day <= keys.day.
+        Implemented as join + window-max filter, not a range explode —
+        one shuffle on the entity keys."""
+        from pyspark.sql import Window
+
+        entity_keys = [k for k in self.pk if k != "day"]
+        feats = self.read()
+        keep = [c for c in feats.columns if c not in self.pk]
+        joined = keys_df.join(
+            feats.select(
+                *entity_keys,
+                F.col("day").alias("__feat_day"),
+                *[F.col(c).alias(f"{prefix}__{c}") for c in keep],
+            ),
+            entity_keys,
+            "leftouter",
+        ).where((F.col("__feat_day") <= F.col(day_col)) | F.col("__feat_day").isNull())
+        w = Window.partitionBy(*entity_keys, day_col).orderBy(F.desc("__feat_day"))
+        return (
+            joined.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__feat_day")
+        )
+
+
+def q_feature_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (non-SQL-expressible: stateful writes). Exercises
+    create -> merge (overlapping day, changed values) -> merge (new day)
+    -> point-in-time read + lookup. Returns per-day row counts plus a
+    checksum column of the merged state."""
+    import shutil
+    import uuid
+
+    from propensity_spark.operators.features import q_household_features
+
+    base = DEFAULT_STORE / f"roundtrip_{uuid.uuid4().hex[:8]}"
+    feats = q_household_features(spark, sf_dir)
+    d1 = feats.withColumn("day", F.lit("2024-01-01").cast("date"))
+    table = FeatureTable(spark, "household_features", ["household_key", "day"], str(base))
+    try:
+        table.create(d1)
+        # overlapping merge: same day, doubled amounts for half the keys
+        update = d1.where(F.col("household_key") % 2 == 0).withColumn(
+            "amount_list_30d", F.col("amount_list_30d") * 2
+        )
+        table.merge(update)
+        # new-day merge
+        table.merge(d1.withColumn("day", F.lit("2024-01-02").cast("date")))
+        out = (
+            table.read()
+            .groupBy("day")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("amount_list_30d") + 1e-6, 2).alias("amount_checksum"),
+            )
+            .orderBy("day")
+        )
+        rows = out.collect()  # materialize before cleanup
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES = {"feature_store_roundtrip": q_feature_store_roundtrip}
+ORACLES: dict[str, str] = {}

@@ -128,9 +128,19 @@ SCHEMAS: dict[str, T.StructType] = {
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of a fixture table (S2). Columnar read; Catalyst
-    pushes filters and prunes columns at the scan."""
+    pushes filters and prunes columns at the scan.
+
+    `events.ts` is written as TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; we read it as raw nanos (legacy conf) and normalize
+    to a microsecond TIMESTAMP — same truncation DuckDB applies."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,127 @@
+"""Multimodal column handling (extension scope, SURVEY.md §7):
+image/audio/video as opaque BINARY payloads + typed metadata, with
+decode / feature-extract / resize / frame-sample implemented as
+Arrow-batched Pandas functions over ``mapInPandas``.
+
+The container ships no image/audio libraries, so the actual byte
+decoding is STUBBED: ``_decode_stub`` derives deterministic fake
+dimensions from the payload bytes (documented below), and the real
+decoders raise NotImplementedError behind an import-try. Everything
+Spark-side is real and tested: the binary column construction, the
+mapInPandas batch iterator signature, the output schema, and the
+partition-preserving plan (map-only — no shuffle at any scale).
+
+The fixtures carry no binary columns, so payloads are synthesized from
+`documents.text` (utf-8 bytes) — which also makes the whole pipeline
+DuckDB-oracle-checkable: the fake decode is pure arithmetic on
+octet_length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from propensity_spark.io import load_table
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, mime string, byte_len bigint, width int, height int, n_frames int"
+)
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake decode: (width, height, n_frames) from byte
+    length. Replace with PIL/libav decoding where available."""
+    n = len(payload)
+    return 16 + n % 624, 16 + (n * 7) % 464, 1 + n % 24
+
+
+def decode_image(payload: bytes):  # pragma: no cover - real decoder absent
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding requires PIL; container ships none (stub via _decode_stub)"
+        ) from exc
+
+
+def _extract_media_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: one Arrow batch in, one metadata frame out.
+    Vectorized over the batch; no per-row Python beyond the byte ops."""
+    for pdf in batches:
+        lens = pdf["payload"].map(len)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "mime": pdf["mime"],
+                "byte_len": lens,
+                "width": (16 + lens % 624).astype("int32"),
+                "height": (16 + (lens * 7) % 464).astype("int32"),
+                "n_frames": (1 + lens % 24).astype("int32"),
+            }
+        )
+
+
+def with_media_columns(docs: DataFrame) -> DataFrame:
+    """Attach the opaque binary payload + typed metadata columns —
+    the multimodal column convention (payload BINARY, mime STRING)."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.when(F.col("source") == "web", "image/jpeg")
+        .when(F.col("source") == "api", "audio/wav")
+        .otherwise("video/mp4")
+        .alias("mime"),
+    )
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode plumbing end-to-end: build payloads, run the
+    Arrow-batched mapInPandas extractor, emit typed metadata."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_columns(docs)
+    return media.mapInPandas(_extract_media_meta, schema=MEDIA_SCHEMA)
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plumbing: explode a deterministic frame index per
+    media row (every 5th fake frame) — the shape a video pipeline uses
+    before per-frame feature extraction."""
+    meta = q_media_metadata(spark, sf_dir)
+    return meta.select(
+        "doc_id",
+        "n_frames",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(5))).alias("frame_idx"),
+    )
+
+
+ORACLES = {
+    "media_metadata": """
+        SELECT doc_id,
+               CASE WHEN source = 'web' THEN 'image/jpeg'
+                    WHEN source = 'api' THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS mime,
+               octet_length(encode(text)) AS byte_len,
+               CAST(16 + octet_length(encode(text)) % 624 AS INT) AS width,
+               CAST(16 + (octet_length(encode(text)) * 7) % 464 AS INT) AS height,
+               CAST(1 + octet_length(encode(text)) % 24 AS INT) AS n_frames
+        FROM documents
+    """,
+    "frame_sample": """
+        WITH meta AS (
+            SELECT doc_id,
+                   CAST(1 + octet_length(encode(text)) % 24 AS INT) AS n_frames
+            FROM documents
+        )
+        SELECT doc_id, n_frames, CAST(unnest(range(0, n_frames, 5)) AS INT) AS frame_idx
+        FROM meta
+    """,
+}
+
+QUERIES = {
+    "media_metadata": q_media_metadata,
+    "frame_sample": q_frame_sample,
+}

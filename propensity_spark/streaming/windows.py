@@ -1,0 +1,195 @@
+"""Event-time windowing over the `events` table (extension scope,
+SURVEY.md §2.10/§7 — the reference is batch-only; recency there is
+re-running jobs on a schedule, RUNME.py:184-276).
+
+Every window shape is implemented with the REAL Spark operator
+(`F.window`, `F.session_window`) evaluated in batch mode — identical
+semantics to the streaming run — plus one true Structured Streaming
+query (memory sink, complete mode) whose result provably equals the
+batch plan because it shares the tumbling oracle.
+
+Scale: windowed aggregation shuffles on (window, keys); watermarking
+bounds state. Timestamps are exported as epoch seconds (BIGINT) so the
+DuckDB comparison is timezone-proof.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from propensity_spark.io import SCHEMAS, load_table
+
+GAP_MIN = 30
+
+
+def _epoch(col) -> F.Column:
+    return F.unix_timestamp(col).cast("bigint")
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count + value sum."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + 1e-6, 2).alias("sum_value"),
+        )
+        .select(
+            _epoch("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 2-hour length, 1-hour slide — every event lands
+    in exactly two windows."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + 1e-6, 2).alias("sum_value"),
+        )
+        .select(
+            _epoch("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap —
+    Spark's native session_window operator (usable in batch AND
+    streaming). Oracle reproduces it with lag + gap-flag cumsum."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", f"{GAP_MIN} minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + 1e-6, 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            _epoch("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming: readStream over the events parquet,
+    watermark + tumbling window agg, memory sink in complete mode,
+    drained synchronously. Result equals the batch tumbling plan —
+    same oracle — proving batch/stream semantic parity."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            for f in SCHEMAS["events"].fields
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")  # source dirs hold all tables
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 day")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + 1e-6, 2).alias("sum_value"),
+        )
+        .select(
+            _epoch("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.table(name).collect()
+    finally:
+        q.stop()
+    out = spark.createDataFrame(rows, agg.schema)
+    return out
+
+
+_TUMBLING_SQL = """
+    SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(1e-6 + sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+ORACLES = {
+    "tumbling_window": _TUMBLING_SQL,
+    "stream_tumbling": _TUMBLING_SQL,
+    "sliding_window": """
+        WITH assigned AS (
+            SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+                   event_type, value FROM events
+            UNION ALL
+            SELECT CAST(floor(epoch(ts) / 3600) * 3600 - 3600 AS BIGINT) AS window_start,
+                   event_type, value FROM events
+        )
+        SELECT window_start, event_type,
+               count(*) AS n_events,
+               round(1e-6 + sum(value), 2) AS sum_value
+        FROM assigned
+        GROUP BY 1, 2
+    """,
+    "session_window": f"""
+        WITH ordered AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= {GAP_MIN * 60}
+                        OR lag(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+            FROM ordered
+        )
+        SELECT user_id,
+               CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+               count(*) AS n_events,
+               round(1e-6 + sum(value), 2) AS sum_value
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+}
+
+QUERIES = {
+    "tumbling_window": q_tumbling_window,
+    "sliding_window": q_sliding_window,
+    "session_window": q_session_window,
+    "stream_tumbling": q_stream_tumbling,
+}

@@ -1,0 +1,180 @@
+"""Text analysis for LLM training-data pipelines (extension scope,
+SURVEY.md §7 step 8): language-ID, quality scoring, token counting,
+document fingerprinting — over the `documents` fixture table.
+
+Everything stays JVM-side (built-in string/array/lambda functions in
+whole-stage codegen); no Python UDFs. At 100 TB these are pure
+map-side transforms: no shuffle at all, so they scale linearly with
+input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from propensity_spark.io import load_table
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# (A real pipeline ships fastText or CLD3; this is the deterministic,
+# dependency-free heuristic the container permits.)
+LANG_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "les", "et", "des"),
+}
+
+_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def _words(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features: length, word stats, stopword ratio,
+    unique-word ratio, and a composite quality score. All built-ins."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(_words()).alias("word_count"),
+        F.expr("round(1e-9 + n_chars / size(split(text, ' ')), 6)").alias("avg_word_len"),
+        F.expr(
+            f"round(1e-9 + size(filter(split(text, ' '), w -> w IN ({stop_list})))"
+            " / size(split(text, ' ')), 6)"
+        ).alias("stopword_ratio"),
+        F.expr(
+            "round(1e-9 + size(array_distinct(split(text, ' ')))"
+            " / size(split(text, ' ')), 6)"
+        ).alias("uniq_word_ratio"),
+        F.expr(
+            "CASE WHEN size(split(text, ' ')) BETWEEN 10 AND 1000"
+            "      AND size(array_distinct(split(text, ' '))) / size(split(text, ' ')) > 0.2"
+            " THEN 1 ELSE 0 END"
+        ).cast("int").alias("quality_keep"),
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish regex token
+    count (letters / digits / punctuation as separate tokens) and the
+    chars-per-token ratio LLM data work keys on."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_words()).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(_TOKEN_RE)).alias("re_tokens"),
+        F.expr(f"round(1e-9 + n_chars / regexp_count(text, '{_TOKEN_RE}'), 6)").alias(
+            "chars_per_token"
+        ),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID with deterministic tie-break (first
+    language in score order wins via greatest+CASE chain)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = [
+        F.expr(
+            "size(filter(split(text, ' '), w -> w IN ({})))".format(
+                ", ".join(f"'{w}'" for w in words)
+            )
+        ).alias(f"score_{lang}")
+        for lang, words in LANG_STOPWORDS.items()
+    ]
+    scored = docs.select("doc_id", "lang", *scores)
+    langs = list(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.when(best == 0, F.lit("unknown"))
+    for lang in langs:  # fixed order => deterministic tie-break
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        *[F.col(f"score_{lang}") for lang in langs],
+        pred.alias("lang_pred"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: order-insensitive content fingerprint
+    (md5 of the sorted distinct token set) + a positional rolling-style
+    fingerprint (md5 of the raw text) for exact matching."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("exact_fp"),
+        F.expr(
+            "md5(cast(concat_ws(' ', array_sort(array_distinct(split(lower(text), ' '))))"
+            " as binary))"
+        ).alias("bag_fp"),
+    )
+
+
+_EN = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+ORACLES = {
+    "text_quality": f"""
+        SELECT doc_id, n_chars,
+               CAST(len(string_split(text, ' ')) AS INT) AS word_count,
+               round(1e-9 + n_chars / len(string_split(text, ' ')), 6) AS avg_word_len,
+               round(1e-9 + CAST(len(list_filter(string_split(text, ' '),
+                     w -> w IN ({_EN}))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS stopword_ratio,
+               round(1e-9 + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS uniq_word_ratio,
+               CAST(CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
+                          AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                              / len(string_split(text, ' ')) > 0.2
+                    THEN 1 ELSE 0 END AS INT) AS quality_keep
+        FROM documents
+    """,
+    "token_count": f"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS INT) AS re_tokens,
+               round(1e-9 + n_chars / len(regexp_extract_all(text, '{_TOKEN_RE}')), 6)
+                   AS chars_per_token
+        FROM documents
+    """,
+    "lang_id": None,  # generated below
+    "doc_fingerprint": """
+        SELECT doc_id,
+               md5(text) AS exact_fp,
+               md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+                   AS bag_fp
+        FROM documents
+    """,
+}
+
+_score_cols = ",\n               ".join(
+    "len(list_filter(string_split(text, ' '), w -> w IN ({})))::INT AS score_{}".format(
+        ", ".join(f"'{w}'" for w in words), lang
+    )
+    for lang, words in LANG_STOPWORDS.items()
+)
+_langs = list(LANG_STOPWORDS)
+_best = "greatest({})".format(", ".join(f"score_{lang}" for lang in _langs))
+_pred_chain = " ".join(
+    f"WHEN score_{lang} = {_best} THEN '{lang}'" for lang in _langs
+)
+ORACLES["lang_id"] = f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS lang_declared,
+               {_score_cols}
+        FROM documents
+    )
+    SELECT doc_id, lang_declared, {", ".join(f"score_{lang}" for lang in _langs)},
+           CASE WHEN {_best} = 0 THEN 'unknown' {_pred_chain} END AS lang_pred
+    FROM scored
+"""
+
+QUERIES = {
+    "text_quality": q_text_quality,
+    "token_count": q_token_count,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+}

@@ -1,0 +1,285 @@
+"""Deduplication operators for LLM training-data pipelines
+(extension scope, SURVEY.md §7 step 8) over `documents`.
+
+Scale design: the only O(n^2) step anywhere is confined to CANDIDATE
+pairs that already share a band/bucket/shingle — never all-pairs.
+* exact dedup      — hash groupBy on normalized text: one shuffle.
+* MinHash + bands  — signature is a map-side explode + min-agg
+  (shuffle on doc_id), banding joins docs only within equal band
+  values: the classic shingle->minhash->band->bucket-join pipeline.
+* SimHash          — bit votes aggregated per doc; near-dup = equal
+  (or low-Hamming) fingerprints; one shuffle.
+* n-gram Jaccard   — exact verification join, used AFTER banding at
+  scale; here also exposed standalone for the oracle check.
+
+Hash function: 32-bit integer from the first 8 hex chars of md5 —
+chosen because Spark and DuckDB both compute identical md5, making
+every one of these pipelines oracle-checkable end-to-end (Spark's
+murmur `hash()` has no DuckDB twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from propensity_spark.io import load_table
+
+N_HASHES = 8
+BAND_SIZE = 2  # 4 bands x 2 rows
+SIM_BITS = 16
+JACCARD_THRESHOLD = 0.3
+
+# --- dialect fragments ---------------------------------------------------
+# word 3-gram shingles over the space-tokenized text
+_SHINGLES_SPARK = (
+    "CASE WHEN size(split(text, ' ')) >= 3"
+    " THEN transform(sequence(1, size(split(text, ' ')) - 2),"
+    " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    " ELSE array() END"
+)
+_SHINGLES_DUCK = (
+    "[array_to_string(string_split(text, ' ')[i:i+2], ' ')"
+    " FOR i IN range(1, greatest(len(string_split(text, ' ')) - 1, 1))]"
+)
+
+
+def _md5i_spark(expr: str) -> str:
+    return f"cast(conv(substr(md5(cast({expr} as binary)), 1, 8), 16, 10) as bigint)"
+
+
+def _md5i_duck(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+_NORM_SPARK = "lower(trim(regexp_replace(text, ' +', ' ')))"
+_NORM_DUCK = "lower(trim(regexp_replace(text, ' +', ' ', 'g')))"
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 groupBy on whitespace-normalized lowercase
+    text; canonical row = min(doc_id). One hash-shuffle on the digest
+    — the 100 TB plan is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.expr(f"md5(cast({_NORM_SPARK} as binary))").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: explode shingles, N_HASHES seeded md5-derived
+    min-aggregates per doc. Docs too short for a shingle get -1."""
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.explode_outer(F.expr(_SHINGLES_SPARK)).alias("shingle")
+    )
+    aggs = [
+        F.coalesce(
+            F.min(F.expr(_md5i_spark(f"('{i}|' || shingle)"))), F.lit(-1)
+        ).alias(f"mh_{i}")
+        for i in range(N_HASHES)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _signatures(spark, sf_dir)
+
+
+def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: two-row bands over the signature; candidate pair =
+    docs agreeing on at least one band, counted per pair. Join key is
+    the band value, so work scales with bucket sizes, not n^2."""
+    sig = _signatures(spark, sf_dir)
+    bands = sig.selectExpr(
+        "doc_id",
+        *[
+            f"concat_ws('_', '{b}', mh_{BAND_SIZE * b}, mh_{BAND_SIZE * b + 1}) AS band_{b}"
+            for b in range(N_HASHES // BAND_SIZE)
+        ],
+    )
+    stacked = bands.selectExpr(
+        "doc_id",
+        "stack({n}, {args}) AS band_val".format(
+            n=N_HASHES // BAND_SIZE,
+            args=", ".join(f"band_{b}" for b in range(N_HASHES // BAND_SIZE)),
+        ),
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    return (
+        a.join(b, "band_val")
+        .where(F.expr("a.doc_id < b.doc_id"))
+        .groupBy(F.expr("a.doc_id").alias("doc_a"), F.expr("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint: per-bit +/-1 votes from each distinct
+    word's 32-bit hash, sign-aggregated into a SIM_BITS-bit value."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.expr("array_distinct(split(text, ' '))")).alias("word")
+    ).withColumn("h", F.expr(_md5i_spark("word")))
+    votes = words.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"CASE WHEN shiftright(h, {b}) & 1 = 1 THEN 1 ELSE -1 END")).alias(f"v_{b}")
+            for b in range(SIM_BITS)
+        ]
+    )
+    bit_sum = " + ".join(
+        f"(CASE WHEN v_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIM_BITS)
+    )
+    return votes.selectExpr("doc_id", f"CAST({bit_sum} AS BIGINT) AS simhash")
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: distinct-shingle self-join
+    -> |intersection| per pair -> J = c / (|A| + |B| - c). Standalone
+    here; at 100 TB this runs only on band candidates (above)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.expr(f"array_distinct({_SHINGLES_SPARK})")).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .where(F.expr("a.doc_id < b.doc_id"))
+        .groupBy(F.expr("a.doc_id").alias("doc_a"), F.expr("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard", F.round(F.expr("1e-9 + common / (n_a + n_b - common)"), 6)
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "common", "jaccard")
+    )
+
+
+def q_minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib variant (rows-only: hash family is JVM-internal, no DuckDB
+    twin): HashingTF shingle vectors -> MinHashLSH approx self-join.
+    Demonstrates the built-in scale path next to the from-scratch one."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_sh = docs.select("doc_id", F.expr(_SHINGLES_SPARK).alias("shingles")).where(
+        F.size("shingles") > 0
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(with_sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.7, distCol="jaccard_dist")
+    return (
+        pairs.where(F.expr("datasetA.doc_id < datasetB.doc_id"))
+        .select(
+            F.expr("datasetA.doc_id").alias("doc_a"),
+            F.expr("datasetB.doc_id").alias("doc_b"),
+            F.round(F.col("jaccard_dist") + 1e-9, 6).alias("jaccard_dist"),
+        )
+    )
+
+
+# --- oracles -------------------------------------------------------------
+
+# '||' (not concat): DuckDB concat() skips NULLs, Spark propagates them —
+# '||' propagates in both, so empty-shingle docs hash to NULL -> -1.
+_sig_cols = ", ".join(
+    "coalesce(min({h}), -1) AS mh_{i}".format(
+        h=_md5i_duck("('{i}|' || shingle)".format(i=i)), i=i
+    )
+    for i in range(N_HASHES)
+)
+_SIG_SQL = f"""
+    SELECT doc_id, {_sig_cols}
+    FROM (
+        SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents
+        UNION ALL
+        SELECT doc_id, NULL AS shingle FROM documents
+        WHERE len({_SHINGLES_DUCK}) = 0
+    ) t
+    GROUP BY doc_id
+"""
+
+_BANDS = N_HASHES // BAND_SIZE
+_BAND_STACK = " UNION ALL ".join(
+    f"SELECT doc_id, concat_ws('_', '{b}', mh_{BAND_SIZE * b}, mh_{BAND_SIZE * b + 1})"
+    f" AS band_val FROM sig"
+    for b in range(_BANDS)
+)
+
+ORACLES = {
+    "dedup_exact": f"""
+        SELECT md5({_NORM_DUCK}) AS text_hash,
+               min(doc_id) AS canonical_doc_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    "minhash_signatures": _SIG_SQL,
+    "minhash_band_pairs": f"""
+        WITH sig AS ({_SIG_SQL}),
+             stacked AS ({_BAND_STACK})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+        FROM stacked a JOIN stacked b USING (band_val)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """,
+    "simhash": f"""
+        WITH words AS (
+            SELECT doc_id, {_md5i_duck("word")} AS h
+            FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+                  FROM documents) t
+        ),
+        votes AS (
+            SELECT doc_id, {", ".join(
+                f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
+                for b in range(SIM_BITS)
+            )}
+            FROM words GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({" + ".join(
+            f"(CASE WHEN v_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIM_BITS)
+        )} AS BIGINT) AS simhash
+        FROM votes
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH sh AS (
+            SELECT doc_id, unnest(list_distinct({_SHINGLES_DUCK})) AS shingle
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, common,
+               round(1e-9 + CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6)
+                   AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(1e-9 + CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6)
+              >= {JACCARD_THRESHOLD}
+    """,
+}
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_band_pairs": q_minhash_band_pairs,
+    "simhash": q_simhash,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_mllib": q_minhash_lsh_mllib,
+}

@@ -1,0 +1,217 @@
+"""Similarity search over the `embeddings` table (extension scope,
+SURVEY.md §7): brute-force cosine top-k as the exactness baseline,
+LSH-bucketed ANN as the scale path, embedding-cosine near-dup pairs,
+and per-label centroid stats.
+
+Scale design: brute force is O(n*q) with the q query rows broadcast —
+correct baseline, linear in n, no shuffle on the corpus side. The LSH
+variant (BucketedRandomProjectionLSH) buckets the corpus so each probe
+touches a few buckets; that is the 10^9-vector path. Arrays are cast
+float->double (exact) before arithmetic so DuckDB oracles agree
+bit-for-bit; per-element ops run in whole-stage codegen via the
+higher-order functions zip_with/aggregate — no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from propensity_spark.io import load_table
+
+N_QUERIES = 5
+TOP_K = 5
+# Fixture embeddings are near-orthogonal (max pair cosine ~0.51); a real
+# corpus would use ~0.95+. 0.4 keeps the check non-vacuous here.
+DUP_COSINE = 0.4
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+    " (acc, x) -> acc + x)"
+)
+
+
+def _vec(col: str) -> str:
+    return f"transform({col}, x -> cast(x as double))"
+
+
+def _cosine(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the N_QUERIES lowest vec_ids probe the
+    whole corpus; per-query top-k via window rank with vec_id
+    tie-break. Query side broadcasts; corpus side never shuffles until
+    the (tiny) per-query rank."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_vec("embedding")).alias("v")
+    )
+    queries = emb.orderBy("vec_id").limit(N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = emb.crossJoin(F.broadcast(queries)).where(
+        F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.expr(_cosine("qv", "v")).alias("cos_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "vec_id",
+            "rank",
+            F.round(F.col("cos_raw") + 1e-9, 6).alias("cosine"),
+        )
+    )
+
+
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine >= DUP_COSINE). All-pairs
+    here (500 rows); at scale the same predicate runs over LSH-bucket
+    candidates (q_ann_lsh below) instead of the full cross join."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_vec("embedding")).alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_raw", F.expr(_cosine("va", "vb")))
+        .where(F.col("cos_raw") >= DUP_COSINE)
+        .select(
+            "vec_a", "vec_b", F.round(F.col("cos_raw") + 1e-9, 6).alias("cosine")
+        )
+    )
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid stats: element-wise mean via posexplode +
+    two-level agg; reports member count, mean vector norm, centroid
+    norm. The posexplode shuffle is (label, position)-keyed — at 10^9
+    vectors it stays balanced because position fans each row to dim
+    partitions."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr(_vec("embedding")).alias("v")
+    )
+    per_vec = emb.select(
+        "label", F.expr(f"sqrt({_DOT.format(a='v', b='v')})").alias("norm"), "v"
+    )
+    stats = per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("norm") + 1e-9, 6).alias("avg_norm"),
+    )
+    elements = emb.select("label", F.posexplode("v").alias("pos", "val"))
+    centroid = (
+        elements.groupBy("label", "pos")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.expr("m * m"))) + 1e-9, 6).alias("centroid_norm"))
+    )
+    return stats.join(centroid, "label").orderBy("label")
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (rows-only: MLlib's hash family has no DuckDB
+    twin): BucketedRandomProjectionLSH self-join under a euclidean
+    radius, re-ranked exactly. The bucket join IS the 100 TB plan."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.expr(_vec("embedding"))).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
+    )
+    model = lsh.fit(emb)
+    pairs = model.approxSimilarityJoin(emb, emb, 6.0, distCol="euclidean")
+    return (
+        pairs.where(F.expr("datasetA.vec_id < datasetB.vec_id"))
+        .select(
+            F.expr("datasetA.vec_id").alias("vec_a"),
+            F.expr("datasetB.vec_id").alias("vec_b"),
+            F.round(F.col("euclidean") + 1e-9, 6).alias("euclidean"),
+        )
+    )
+
+
+_DOT_DUCK = "list_dot_product({a}, {b})"
+
+
+def _cosine_duck(a: str, b: str) -> str:
+    dot = _DOT_DUCK.format(a=a, b=b)
+    na = _DOT_DUCK.format(a=a, b=a)
+    nb = _DOT_DUCK.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+_EMB = "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+
+ORACLES = {
+    "ann_cosine_topk": f"""
+        WITH emb AS ({_EMB}),
+             q AS (SELECT vec_id AS query_id, v AS qv FROM emb
+                   ORDER BY vec_id LIMIT {N_QUERIES}),
+             scored AS (
+                 SELECT q.query_id, e.vec_id,
+                        {_cosine_duck('q.qv', 'e.v')} AS cos_raw
+                 FROM q CROSS JOIN emb e
+                 WHERE e.vec_id <> q.query_id
+             ),
+             ranked AS (
+                 SELECT query_id, vec_id, cos_raw,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos_raw DESC, vec_id ASC) AS rank
+                 FROM scored
+             )
+        SELECT query_id, vec_id, CAST(rank AS INT) AS rank,
+               round(cos_raw + 1e-9, 6) AS cosine
+        FROM ranked WHERE rank <= {TOP_K}
+    """,
+    "embedding_dup_pairs": f"""
+        WITH emb AS ({_EMB})
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({_cosine_duck('a.v', 'b.v')} + 1e-9, 6) AS cosine
+        FROM emb a CROSS JOIN emb b
+        WHERE a.vec_id < b.vec_id
+          AND {_cosine_duck('a.v', 'b.v')} >= {DUP_COSINE}
+    """,
+    "label_centroids": f"""
+        WITH emb AS ({_EMB}),
+             stats AS (
+                 SELECT label, count(*) AS n_vectors,
+                        round(1e-9 + avg(sqrt(list_dot_product(v, v))), 6) AS avg_norm
+                 FROM emb GROUP BY label
+             ),
+             elements AS (
+                 SELECT label, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS val
+                 FROM emb
+             ),
+             centroid AS (
+                 SELECT label, round(1e-9 + sqrt(sum(m * m)), 6) AS centroid_norm
+                 FROM (SELECT label, pos, avg(val) AS m FROM elements GROUP BY label, pos) t
+                 GROUP BY label
+             )
+        SELECT stats.label, n_vectors, avg_norm, centroid_norm
+        FROM stats JOIN centroid USING (label)
+        ORDER BY label
+    """,
+}
+
+QUERIES = {
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "label_centroids": q_label_centroids,
+    "ann_lsh": q_ann_lsh,
+}

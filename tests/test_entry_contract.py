@@ -1,0 +1,28 @@
+"""The driver contract itself: entry() smoke, registry integrity."""
+
+import __spark_entry__ as e
+
+
+def test_entry_returns_rows(spark):
+    df = e.entry(spark)
+    assert len(df.collect()) > 0
+
+
+def test_every_oracle_has_a_query():
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 40
+
+
+def test_oracles_parse_in_duckdb():
+    import duckdb
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    for name, sql in e.oracle_sql().items():
+        con.execute(sql).fetchall()  # raises on dialect errors

@@ -1,0 +1,72 @@
+"""MERGE-upsert, point-in-time read, and lookup semantics of the
+parquet-backed FeatureTable (SURVEY.md §2.1 S5/S7/S8, §2.3 J7)."""
+
+import shutil
+import uuid
+from datetime import date
+
+import pytest
+from pyspark.sql import functions as F
+
+from propensity_spark.feature_store import FeatureTable
+
+
+@pytest.fixture()
+def store(tmp_path):
+    yield str(tmp_path / f"fs_{uuid.uuid4().hex[:6]}")
+
+
+def _frame(spark, day, keys, val):
+    return spark.createDataFrame(
+        [(k, day, float(val)) for k in keys],
+        "household_key int, day date, amount double",
+    )
+
+
+def test_merge_updates_matched_and_inserts_new(spark, store):
+    t = FeatureTable(spark, "hh", ["household_key", "day"], store)
+    d = date(2024, 1, 1)
+    t.create(_frame(spark, d, [1, 2, 3], 10.0))
+    t.merge(_frame(spark, d, [2, 3, 4], 99.0))  # update 2,3; insert 4
+    got = {r["household_key"]: r["amount"] for r in t.read(d).collect()}
+    assert got == {1: 10.0, 2: 99.0, 3: 99.0, 4: 99.0}
+
+
+def test_merge_leaves_other_days_untouched(spark, store):
+    t = FeatureTable(spark, "hh", ["household_key", "day"], store)
+    d1, d2 = date(2024, 1, 1), date(2024, 1, 2)
+    t.create(_frame(spark, d1, [1, 2], 1.0))
+    t.merge(_frame(spark, d2, [1, 2], 2.0))
+    assert t.read(d1).agg(F.sum("amount")).collect()[0][0] == 2.0
+    assert t.read(d2).agg(F.sum("amount")).collect()[0][0] == 4.0
+    assert t.read().count() == 4
+
+
+def test_lookup_exact_day_match_and_prefix(spark, store):
+    t = FeatureTable(spark, "hh", ["household_key", "day"], store)
+    d1, d2 = date(2024, 1, 1), date(2024, 1, 2)
+    t.create(_frame(spark, d1, [1, 2], 5.0))
+    keys = spark.createDataFrame(
+        [(1, d1), (2, d2)], "household_key int, day date"
+    )
+    out = t.lookup(keys, "household")
+    rows = {(r["household_key"], r["day"]): r["household__amount"] for r in out.collect()}
+    assert rows[(1, d1)] == 5.0
+    assert rows[(2, d2)] is None  # exact-match misses (04a:599 design note)
+
+
+def test_lookup_asof_takes_latest_at_or_before(spark, store):
+    t = FeatureTable(spark, "hh", ["household_key", "day"], store)
+    t.create(_frame(spark, date(2024, 1, 1), [1], 1.0))
+    t.merge(_frame(spark, date(2024, 1, 5), [1], 5.0))
+    keys = spark.createDataFrame(
+        [(1, date(2024, 1, 3)), (1, date(2024, 1, 6))], "household_key int, day date"
+    )
+    out = {r["day"]: r["household__amount"] for r in t.lookup_asof(keys, "household").collect()}
+    assert out[date(2024, 1, 3)] == 1.0
+    assert out[date(2024, 1, 6)] == 5.0
+
+
+def test_pk_requires_day(spark, store):
+    with pytest.raises(ValueError):
+        FeatureTable(spark, "bad", ["household_key"], store)

@@ -1,0 +1,80 @@
+"""Dedup / similarity / text-analysis / multimodal / streaming
+invariants (extension operators, SURVEY.md §7)."""
+
+from pyspark.sql import functions as F
+
+from propensity_spark.multimodal.media import _decode_stub
+from propensity_spark.text import dedup as D
+from propensity_spark.vector import similarity as V
+
+
+def test_exact_dedup_groups_cover_all_docs(spark, sf_dir):
+    from propensity_spark.io import load_table
+
+    groups = D.q_dedup_exact(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    total = groups.agg(F.sum("n_copies")).collect()[0][0]
+    assert total == n_docs
+
+
+def test_minhash_signature_detects_identical_docs(spark, sf_dir):
+    """Two docs with identical text must have identical signatures."""
+    sig = D.q_minhash_signatures(spark, sf_dir)
+    from propensity_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    joined = docs.select("doc_id", "text").join(sig, "doc_id")
+    sig_cols = [c for c in sig.columns if c.startswith("mh_")]
+    per_text = joined.groupBy("text").agg(
+        *[F.countDistinct(c).alias(c) for c in sig_cols]
+    )
+    bad = per_text.where(" OR ".join(f"{c} > 1" for c in sig_cols)).count()
+    assert bad == 0
+
+
+def test_jaccard_pairs_bounded(spark, sf_dir):
+    pairs = D.q_ngram_jaccard_pairs(spark, sf_dir).collect()
+    assert all(0.0 <= r["jaccard"] <= 1.0 + 1e-9 for r in pairs)
+    assert all(r["doc_a"] < r["doc_b"] for r in pairs)
+
+
+def test_simhash_within_bit_range(spark, sf_dir):
+    vals = [r["simhash"] for r in D.q_simhash(spark, sf_dir).collect()]
+    assert all(0 <= v < (1 << D.SIM_BITS) for v in vals)
+
+
+def test_ann_topk_rank_is_dense_and_cosine_sorted(spark, sf_dir):
+    rows = V.q_ann_cosine_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == V.N_QUERIES
+    for grp in by_q.values():
+        grp.sort(key=lambda r: r["rank"])
+        assert [g["rank"] for g in grp] == list(range(1, V.TOP_K + 1))
+        cosines = [g["cosine"] for g in grp]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_decode_stub_deterministic():
+    w, h, f = _decode_stub(b"x" * 1000)
+    assert (w, h, f) == (16 + 1000 % 624, 16 + 7000 % 464, 1 + 1000 % 24)
+
+
+def test_media_metadata_schema_and_batch(spark, sf_dir):
+    from propensity_spark.multimodal.media import q_media_metadata
+
+    out = q_media_metadata(spark, sf_dir)
+    assert out.schema.simpleString() == (
+        "struct<doc_id:bigint,mime:string,byte_len:bigint,"
+        "width:int,height:int,n_frames:int>"
+    )
+    assert out.where(F.col("byte_len") <= 0).count() == 0
+
+
+def test_streaming_equals_batch_tumbling(spark, sf_dir):
+    from propensity_spark.streaming.windows import q_stream_tumbling, q_tumbling_window
+
+    batch = {tuple(r) for r in q_tumbling_window(spark, sf_dir).collect()}
+    stream = {tuple(r) for r in q_stream_tumbling(spark, sf_dir).collect()}
+    assert batch == stream

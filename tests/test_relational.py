@@ -1,0 +1,77 @@
+"""Operator-level invariants for the relational library (the DuckDB
+hash-compare in tools/local_verify.py is the value-level gate; these
+pin semantics that a hash can't explain when it breaks)."""
+
+from pyspark.sql import functions as F
+
+from propensity_spark.operators import relational as R
+
+
+def test_silver_null_to_zero_and_signs(spark, sf_dir):
+    df = R.silver_transactions(spark, sf_dir)
+    row = df.agg(
+        F.count(F.when(F.col("amount_list").isNull(), 1)).alias("nulls"),
+        F.min("amount_list").alias("min_amount"),
+        F.count(F.when(F.col("total_coupon_discount") < 0, 1)).alias("neg_coupon"),
+    ).collect()[0]
+    assert row["nulls"] == 0  # COALESCE(...,0.0) at ingest (01:151-163)
+    assert row["min_amount"] >= 0
+    assert row["neg_coupon"] == 0
+
+
+def test_case_branches_partition_lines(spark, sf_dir):
+    """campaign vs manuf coupon split is exhaustive and exclusive (P3)."""
+    df = R.silver_transactions(spark, sf_dir)
+    both = df.where(
+        (F.col("campaign_coupon_discount") > 0) & (F.col("manuf_coupon_discount") > 0)
+    ).count()
+    assert both == 0
+    total = df.select(
+        F.round(
+            F.sum("campaign_coupon_discount") + F.sum("manuf_coupon_discount"), 2
+        ).alias("split"),
+        F.round(F.sum("total_coupon_discount"), 2).alias("total"),
+    ).collect()[0]
+    assert abs(total["split"] - total["total"]) < 0.05
+
+
+def test_topk_is_deterministic_and_k_rows(spark, sf_dir):
+    a = [r["commodity_desc"] for r in R.top_commodities(spark, sf_dir).collect()]
+    b = [r["commodity_desc"] for r in R.top_commodities(spark, sf_dir).collect()]
+    assert a == b and len(a) == R.TOP_K
+
+
+def test_labels_universe_complete_and_binary(spark, sf_dir):
+    labels = R.q_labels(spark, sf_dir)
+    hh = R.q_distinct_entities(spark, sf_dir).count()
+    assert labels.count() == hh * R.TOP_K  # full cross-join universe (J6)
+    vals = {r[0] for r in labels.select("purchased").distinct().collect()}
+    assert vals <= {0, 1}
+
+
+def test_class_ratios_sum_to_one(spark, sf_dir):
+    ratios = R.q_class_ratios(spark, sf_dir)
+    sums = (
+        ratios.groupBy("commodity_desc")
+        .agg(F.round(F.sum("class_ratio"), 4).alias("s"))
+        .collect()
+    )
+    assert all(abs(r["s"] - 1.0) < 1e-3 for r in sums)
+
+
+def test_pivot_unpivot_roundtrip(spark, sf_dir):
+    wide = R.q_pivot_scores(spark, sf_dir)
+    tall = R.q_unpivot_scores(spark, sf_dir)
+    total_wide = wide.select(
+        sum(F.sum(c) for c in R.BRANDS_CLEAN).alias("t")  # type: ignore[arg-type]
+    ).collect()[0]["t"]
+    total_tall = tall.agg(F.sum("prediction")).collect()[0][0]
+    assert abs(total_wide - total_tall) < 0.5
+
+
+def test_left_join_preserves_all_anchors(spark, sf_dir):
+    out = R.q_left_join_fillna(spark, sf_dir)
+    from propensity_spark.io import load_table
+
+    assert out.count() == load_table(spark, sf_dir, "customer").count()
+    assert out.where(F.col("amount_list").isNull()).count() == 0
