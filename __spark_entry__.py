@@ -28,7 +28,8 @@ def _registry():
     modules = [relational]
     for optional in (
         "propensity_spark.operators.features",
-        "propensity_spark.operators.labels_scoring",
+        "propensity_spark.operators.extended",
+        "propensity_spark.pipeline",
         "propensity_spark.text.analysis",
         "propensity_spark.text.dedup",
         "propensity_spark.vector.similarity",

@@ -1,0 +1,178 @@
+"""Extended operator surface beyond the reference's inventory
+(SURVEY.md §2.3 'not present' / §2.4 notes / §7): as-of join,
+exact-interpolated percentiles, grouping sets, approximate distinct,
+and the explicit-schema CSV ingest round-trip (S1).
+
+These close the gap between "what the reference composes" and "what a
+user of a general Spark analytics engine expects to run".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from propensity_spark.io import SCHEMAS, load_table, read_csv
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (range semantics the reference deliberately lacks,
+    04a:599): each event gets the most recent prior-or-equal 'signup'
+    timestamp of the same user. Implemented as last(ignorenulls) over
+    an ordered window — ONE shuffle on user_id, no range explode; the
+    same plan at 100 TB (contrast pd.merge_asof per group, which would
+    serialize each user through Python)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.unix_timestamp(
+            F.last(F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True).over(w)
+        ).alias("last_signup_epoch"),
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per market segment (the
+    approx_percentile twin is in q_approx_stats, rows-only)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)") + 1e-9, 6).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)") + 1e-9, 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)") + 1e-9, 6).alias("p75"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — finer than the reference's plain groupBy (§2.4
+    'no grouping sets'); Catalyst plans it as a single Expand + agg."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(1e-6 + sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice") + 1e-6, 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (rows-only: HLL/KLL sketches are
+    engine-specific): approx_count_distinct + percentile_approx next
+    to their exact twins — the 100 TB opt-in path for SURVEY.md §7's
+    countDistinct-expand hazard."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("exact_p50"),
+        F.round(F.expr("percentile_approx(l_extendedprice, 0.5, 10000)"), 2).alias(
+            "approx_p50"
+        ),
+    )
+
+
+def q_csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 explicit-schema CSV ingest: export nation+region to CSV,
+    re-read with StructType schemas (no inference), join and aggregate.
+    The oracle reads the original parquet — values match iff the
+    CSV round-trip is faithful."""
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    from propensity_spark.feature_store import DEFAULT_STORE
+
+    base = Path(DEFAULT_STORE).parent / f"csv_{uuid.uuid4().hex[:8]}"
+    try:
+        for name in ("nation", "region"):
+            load_table(spark, sf_dir, name).coalesce(1).write.mode("overwrite").option(
+                "header", True
+            ).csv(str(base / name))
+        nation = read_csv(spark, str(base / "nation"), SCHEMAS["nation"])
+        region = read_csv(spark, str(base / "region"), SCHEMAS["region"])
+        out = (
+            nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.count(F.lit(1)).alias("n_nations"))
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+ORACLES = {
+    "asof_join": """
+        SELECT event_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+               CAST(floor(epoch(
+                   last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               )) AS BIGINT) AS last_signup_epoch
+        FROM events
+    """,
+    "percentiles": """
+        SELECT c_mktsegment,
+               round(1e-9 + quantile_cont(o_totalprice, 0.25), 6) AS p25,
+               round(1e-9 + quantile_cont(o_totalprice, 0.5), 6) AS p50,
+               round(1e-9 + quantile_cont(o_totalprice, 0.75), 6) AS p75,
+               count(*) AS n_orders
+        FROM orders
+        JOIN (SELECT c_custkey, c_mktsegment FROM customer) c
+          ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               round(1e-6 + sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "cube_agg": """
+        SELECT o_orderstatus, o_orderpriority,
+               round(1e-6 + sum(o_totalprice), 2) AS sum_price,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "csv_ingest_roundtrip": """
+        SELECT r_name, count(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+}
+
+QUERIES = {
+    "asof_join": q_asof_join,
+    "percentiles": q_percentiles,
+    "grouping_sets": q_grouping_sets,
+    "cube_agg": q_cube_agg,
+    "approx_stats": q_approx_stats,
+    "csv_ingest_roundtrip": q_csv_ingest_roundtrip,
+}

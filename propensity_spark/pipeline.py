@@ -1,0 +1,149 @@
+"""End-to-end pipeline orchestration (M9).
+
+The reference wires seven notebooks into daily/weekly job DAGs with
+dbutils task values and widgets (00_Intro_and_Config.py:51-55,
+RUNME.py:66-170; prose DAG in 03_Define_Workflow.py). Here the DAG is
+plain Python over explicit parameters — same stages, same order:
+
+    daily : feature engineering -> feature-store MERGE -> scoring ->
+            pivot + unpivot score tables -> promotion
+    weekly: labels -> class ratios -> per-category training -> registry
+
+`run_daily` / `run_weekly` are the two jobs; `run_init` is
+02_Initialize_Solution (control table + backfill + first training).
+Every stage is a DataFrame plan; actions happen only at writes.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from propensity_spark.feature_store import DEFAULT_STORE, FeatureTable
+from propensity_spark.ml.training import build_training_set, score_batch, train_commodity_models
+from propensity_spark.operators.features import (
+    q_commodity_features,
+    q_household_features,
+    q_household_commodity_features,
+)
+from propensity_spark.operators.relational import BRANDS_CLEAN, top_commodities
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession, sf_dir: str, base: str | None = None):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.base = Path(base or (DEFAULT_STORE.parent / "pipeline"))
+        self.store = str(self.base / "feature_store")
+        self.models = str(self.base / "models")
+        self.out = self.base / "out"
+
+    # -- daily ------------------------------------------------------------
+
+    def engineer_features(self, day) -> None:
+        """04a equivalent: build all three grains for `day` and MERGE
+        them into the feature store (PK includes day, 04a:599)."""
+        stamp = F.lit(day).cast("date")
+        specs = [
+            ("household", ["household_key", "day"], q_household_features),
+            ("commodity", ["commodity_desc", "day"], q_commodity_features),
+            (
+                "household_commodity",
+                ["household_key", "commodity_desc", "day"],
+                q_household_commodity_features,
+            ),
+        ]
+        for name, pk, builder in specs:
+            table = FeatureTable(self.spark, name, pk, self.store)
+            table.merge(builder(self.spark, self.sf_dir).withColumn("day", stamp))
+
+    def score(self, manifest: DataFrame, day) -> DataFrame:
+        """04c equivalent: universe x features -> per-model transform."""
+        ts, _ = build_training_set(self.spark, self.sf_dir, str(self.base / "scoring"))
+        return score_batch(self.spark, ts, manifest).withColumn(
+            "day", F.lit(day).cast("date")
+        )
+
+    def publish(self, scores: DataFrame) -> tuple[str, str]:
+        """04c:124-286: stage pivoted + unpivoted score tables, then
+        promote atomically (write temp, then INSERT-OVERWRITE-style
+        swap). Pivot is ONE shuffle (M8) instead of N MERGEs."""
+        unpivoted = scores.select("household_key", "day", "commodity_desc", "prediction")
+        clean = F.regexp_replace("commodity_desc", "#", "_")
+        present = sorted(
+            r[0] for r in scores.select(clean.alias("c")).distinct().collect()
+        )
+        pivoted = (
+            scores.withColumn("commodity_clean", clean)
+            .groupBy("household_key", "day")
+            .pivot("commodity_clean", present)
+            .agg(F.first("prediction"))
+        )
+        paths = (str(self.out / "propensities_unpivoted"), str(self.out / "propensities_pivoted"))
+        for df, path in ((unpivoted, paths[0]), (pivoted, paths[1])):
+            tmp = path + "__TEMP"
+            df.write.mode("overwrite").parquet(tmp)
+            self.spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        return paths
+
+    def run_daily(self, day, manifest: DataFrame) -> tuple[str, str]:
+        self.engineer_features(day)
+        return self.publish(self.score(manifest, day))
+
+    # -- weekly / init ------------------------------------------------------
+
+    def run_weekly(self, n_commodities: int | None = None, tune: bool = False) -> DataFrame:
+        return train_commodity_models(
+            self.spark,
+            self.sf_dir,
+            commodities=n_commodities,
+            tune=tune,
+            store_base=str(self.base / "training"),
+            models_base=self.models,
+        )
+
+    def run_init(self, day, n_commodities: int = 2) -> DataFrame:
+        """02_Initialize_Solution: control table + feature backfill for
+        [day, day-30d] (the reference backfills 2 days, 02:78-101) +
+        first training."""
+        top_commodities(self.spark, self.sf_dir).write.mode("overwrite").parquet(
+            str(self.base / "commodities_to_score")
+        )
+        import datetime
+
+        for d in (day, day - datetime.timedelta(days=30)):
+            self.engineer_features(d)
+        return self.run_weekly(n_commodities)
+
+
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only gate query: init -> daily -> read back the published
+    unpivoted table. Small config (2 commodities) to stay fast."""
+    import datetime
+    import shutil
+    import uuid
+
+    base = DEFAULT_STORE.parent / f"pipeline_{uuid.uuid4().hex[:8]}"
+    day = datetime.date(2024, 2, 1)
+    try:
+        p = Pipeline(spark, sf_dir, str(base))
+        manifest = p.run_init(day, n_commodities=2)
+        unpivoted_path, pivoted_path = p.run_daily(day, manifest)
+        out = (
+            spark.read.parquet(unpivoted_path)
+            .groupBy("commodity_desc", "day")
+            .agg(
+                F.count(F.lit(1)).alias("n_scores"),
+                F.count(F.when(F.col("prediction").between(0, 1), 1)).alias("n_valid"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+QUERIES = {"pipeline_e2e": q_pipeline_e2e}
+ORACLES: dict[str, str] = {}

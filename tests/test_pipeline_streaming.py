@@ -1,0 +1,99 @@
+"""End-to-end pipeline orchestration + stateful streaming + catalog."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+
+def test_pipeline_init_daily_roundtrip(spark, sf_dir, tmp_path):
+    from propensity_spark.pipeline import Pipeline
+
+    p = Pipeline(spark, sf_dir, str(tmp_path / "pipe"))
+    day = datetime.date(2024, 2, 1)
+    manifest = p.run_init(day, n_commodities=2)
+    assert manifest.count() == 2
+    assert {r["stage"] for r in manifest.collect()} == {"Production"}
+    unpivoted_path, pivoted_path = p.run_daily(day, manifest)
+
+    unpivoted = spark.read.parquet(unpivoted_path)
+    assert unpivoted.where(~F.col("prediction").between(0, 1)).count() == 0
+    pivoted = spark.read.parquet(pivoted_path)
+    score_cols = [c for c in pivoted.columns if c not in ("household_key", "day")]
+    assert len(score_cols) == 2  # one column per trained commodity (M8)
+    # unpivoted grain: one row per (household, day, commodity)
+    assert unpivoted.count() == pivoted.count() * 2
+
+
+def test_stateful_streaming_running_count(spark, sf_dir):
+    """applyInPandasWithState: per-user running event count emitted per
+    micro-batch — the custom stateful operator surface (SURVEY.md §7)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from propensity_spark.io import SCHEMAS
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            for f in SCHEMAS["events"].fields
+        ]
+    )
+
+    def running_count(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        import pandas as pd
+
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        running_count,
+        outputStructType="user_id bigint, n_events bigint",
+        stateStructType="n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = out.writeStream.format("memory").queryName("stateful_out").outputMode("update").start()
+    try:
+        q.processAllAvailable()
+        got = {
+            r["user_id"]: r["n_events"]
+            for r in spark.sql(
+                "SELECT user_id, max(n_events) AS n_events FROM stateful_out GROUP BY user_id"
+            ).collect()
+        }
+    finally:
+        q.stop()
+
+    from propensity_spark.io import load_table
+
+    expected = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_catalog_ops(spark, sf_dir, tmp_path):
+    """S12/S13: saveAsTable + SHOW TABLES + DESCRIBE + DROP.
+    (warehouse.dir is static; uses the default ./spark-warehouse)"""
+    from propensity_spark.io import load_table
+
+    load_table(spark, sf_dir, "region").write.mode("overwrite").saveAsTable("t_region")
+    tables = {r["tableName"] for r in spark.sql("SHOW TABLES").collect()}
+    assert "t_region" in tables
+    cols = {r["col_name"] for r in spark.sql("DESCRIBE TABLE t_region").collect()}
+    assert {"r_regionkey", "r_name"} <= cols
+    spark.sql("DROP TABLE t_region")
+    assert "t_region" not in {r["tableName"] for r in spark.sql("SHOW TABLES").collect()}
