@@ -93,21 +93,50 @@ def _base_metrics(inw: str) -> list[tuple[str, str]]:
 
 
 def _ratio_metrics(sfx: str, days_in_window: int) -> list[tuple[str, str]]:
-    """Derived ratio features (04a:258-524 families): per-day,
-    per-days-in-set (driver-side constant denominator, 04a:313-368),
-    per-basket, per-line-item, and amount_list shares. Division by
-    zero -> NULL -> 0.0, the reference's exact algebra."""
+    """Derived ratio features — the reference's five denominator
+    families applied systematically (04a:258-524): per-day
+    (04a:259-310), per-days-in-set with the constant window-length
+    denominator (04a:313-368), per-basket (04a:371-418), per-line-item
+    (04a:467-506), and amount_list shares (04a:509-524), plus activity
+    ratios. Division by zero -> NULL -> 0.0, the reference's exact
+    algebra. ~38 ratios x 4 windows + 15 base metrics x 4 + 3
+    days-since ~= 215 feature columns per grain — same order as the
+    reference's ~90 metrics/window surface."""
     a = f"amount_list_{sfx}"
-    return [
-        (f"amount_list_per_day_{sfx}", f"{a} / days_{sfx}"),
-        (f"amount_list_per_basket_{sfx}", f"{a} / baskets_{sfx}"),
-        (f"amount_list_per_line_item_{sfx}", f"{a} / line_items_{sfx}"),
+    out: list[tuple[str, str]] = []
+    for m in _MONEY:
+        mc = f"{m}_{sfx}"
+        out += [
+            (f"{m}_per_day_{sfx}", f"{mc} / days_{sfx}"),
+            (f"{m}_per_days_in_set_{sfx}", f"{mc} / {days_in_window}"),
+            (f"{m}_per_basket_{sfx}", f"{mc} / baskets_{sfx}"),
+            (f"{m}_per_line_item_{sfx}", f"{mc} / line_items_{sfx}"),
+        ]
+        if m != "amount_list":
+            out.append((f"{m}_share_{sfx}", f"{mc} / {a}"))
+    out += [
         (f"days_per_days_in_set_{sfx}", f"days_{sfx} / {days_in_window}"),
+        (f"baskets_per_day_{sfx}", f"baskets_{sfx} / days_{sfx}"),
+        (f"line_items_per_basket_{sfx}", f"line_items_{sfx} / baskets_{sfx}"),
         (f"line_items_per_day_{sfx}", f"line_items_{sfx} / days_{sfx}"),
-        (f"amount_paid_share_{sfx}", f"amount_paid_{sfx} / {a}"),
-        (f"instore_discount_share_{sfx}", f"instore_discount_{sfx} / {a}"),
-        (f"total_coupon_discount_share_{sfx}", f"total_coupon_discount_{sfx} / {a}"),
+        (
+            f"line_items_with_instore_discount_share_{sfx}",
+            f"line_items_with_instore_discount_{sfx} / line_items_{sfx}",
+        ),
+        (
+            f"line_items_with_coupon_discount_share_{sfx}",
+            f"line_items_with_coupon_discount_{sfx} / line_items_{sfx}",
+        ),
+        (
+            f"days_with_instore_discount_share_{sfx}",
+            f"days_with_instore_discount_{sfx} / days_{sfx}",
+        ),
+        (
+            f"baskets_with_instore_discount_share_{sfx}",
+            f"baskets_with_instore_discount_{sfx} / baskets_{sfx}",
+        ),
     ]
+    return out
 
 
 def _days_since_metrics(diff) -> list[tuple[str, str]]:

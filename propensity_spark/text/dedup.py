@@ -292,3 +292,71 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_mllib": q_minhash_lsh_mllib,
 }
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group assignment: connected components over the
+    LSH band-candidate graph via iterative min-label propagation
+    (each round: every node takes the min component id among itself
+    and its neighbors; converges in <= graph-diameter rounds, each
+    round = one join + one agg shuffle). At web scale the same loop
+    runs with the large-star/small-star optimization; GraphFrames'
+    connectedComponents is the drop-in when its jar is present.
+    Output: (doc_id, component) where component = min doc_id reachable.
+    """
+    pairs = q_minhash_band_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.select("doc_id", F.col("doc_id").alias("component"))
+    for _ in range(20):  # diameter bound; tiny graphs converge in 2-3
+        neighbor_min = (
+            edges.join(labels, edges.doc_a == labels.doc_id)
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "leftouter")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()  # truncate lineage per round
+        changed = (
+            labels.join(new_labels.withColumnRenamed("component", "c2"), "doc_id")
+            .where(F.col("component") != F.col("c2"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+ORACLES["dedup_components"] = f"""
+    WITH RECURSIVE sig AS ({_SIG_SQL}),
+         stacked AS ({_BAND_STACK}),
+         pairs AS (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM stacked a JOIN stacked b USING (band_val)
+             WHERE a.doc_id < b.doc_id
+             GROUP BY 1, 2
+         ),
+         edges AS (
+             SELECT doc_a, doc_b FROM pairs
+             UNION SELECT doc_b, doc_a FROM pairs
+         ),
+         reach(src, dst) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.dst = e.doc_a
+         )
+    SELECT src AS doc_id, min(dst) AS component
+    FROM reach GROUP BY src
+"""
+
+QUERIES["dedup_components"] = q_dedup_components

@@ -215,3 +215,59 @@ QUERIES = {
     "label_centroids": q_label_centroids,
     "ann_lsh": q_ann_lsh,
 }
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (rows-only: k-means init is seed-stable but not
+    SQL-expressible): seeded KMeans coarse quantizer over the corpus,
+    probes scan only the nprobe nearest clusters, exact cosine re-rank
+    inside candidates. At 10^9 vectors the cluster assignment is a
+    broadcast(centroids) map, and each probe reads ~nprobe/k of the
+    corpus — the classic IVF trade."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import Window
+
+    k, nprobe = 16, 8  # fixture vectors are unclustered; real corpora probe ~k/8
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_vec("embedding")).alias("v")
+    )
+    feats = emb.select("vec_id", "v", array_to_vector("v").alias("features"))
+    model = KMeans(k=k, seed=42, maxIter=10).fit(feats)
+    assigned = model.transform(feats).select(
+        "vec_id", "v", F.col("prediction").alias("cluster")
+    )
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, cv array<double>",
+    )
+    queries = assigned.orderBy("vec_id").limit(N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # probe list: nprobe closest centroids per query
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("cluster"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("c_cos", F.expr(_cosine("qv", "cv")))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "cluster")
+    )
+    # candidate scan limited to probed clusters, exact re-rank
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        probes.join(assigned, "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_raw", F.expr(_cosine("qv", "v")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "vec_id",
+            "rank",
+            F.round(F.col("cos_raw") + 1e-9, 6).alias("cosine"),
+        )
+    )
+
+
+QUERIES["ann_ivf"] = q_ann_ivf

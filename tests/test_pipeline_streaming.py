@@ -97,3 +97,61 @@ def test_catalog_ops(spark, sf_dir, tmp_path):
     assert {"r_regionkey", "r_name"} <= cols
     spark.sql("DROP TABLE t_region")
     assert "t_region" not in {r["tableName"] for r in spark.sql("SHOW TABLES").collect()}
+
+
+def test_stream_static_join_and_foreach_batch(spark, sf_dir, tmp_path):
+    """Stream-static broadcast join + foreachBatch exactly-once-style
+    sink (the two remaining streaming surfaces from the guide)."""
+    from pyspark.sql import types as T
+
+    from propensity_spark.io import SCHEMAS, load_table
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            for f in SCHEMAS["events"].fields
+        ]
+    )
+    static_users = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("lifetime_events"))
+    )
+    out_dir = str(tmp_path / "sink")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .join(F.broadcast(static_users), "user_id")  # stream-static join
+    )
+
+    def write_batch(df, epoch_id):
+        df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.max("lifetime_events").alias("max_lifetime")
+        ).write.mode("overwrite").parquet(out_dir)
+
+    q = stream.writeStream.foreachBatch(write_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["event_type"]: r["n"] for r in spark.read.parquet(out_dir).collect()}
+    expected = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_ivf_recall_against_brute_force(spark, sf_dir):
+    """IVF ANN should recover most of the exact top-k (recall check)."""
+    from propensity_spark.vector.similarity import q_ann_cosine_topk, q_ann_ivf
+
+    exact = {(r["query_id"], r["vec_id"]) for r in q_ann_cosine_topk(spark, sf_dir).collect()}
+    approx = {(r["query_id"], r["vec_id"]) for r in q_ann_ivf(spark, sf_dir).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
