@@ -176,3 +176,82 @@ QUERIES = {
     "approx_stats": q_approx_stats,
     "csv_ingest_roundtrip": q_csv_ingest_roundtrip,
 }
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated aggregation: two-stage salted groupBy. Stage 1
+    spreads each hot key over 16 salt buckets (deterministic salt from
+    hash(basket) so re-runs agree), stage 2 merges partials. The oracle
+    is a PLAIN group-by — proving the decomposition is exact. At 100 TB
+    this is the manual fallback when AQE's skew handling can't help
+    (e.g. skewed aggregation rather than join)."""
+    from propensity_spark.operators.relational import silver_transactions
+
+    silver = silver_transactions(spark, sf_dir)
+    salted = silver.withColumn("__salt", F.pmod(F.hash("basket_id"), F.lit(16)))
+    partial = salted.groupBy("household_key", "__salt").agg(
+        F.sum("amount_list").alias("partial_amount"),
+        F.count(F.lit(1)).alias("partial_lines"),
+    )
+    return partial.groupBy("household_key").agg(
+        F.round(F.sum("partial_amount") + 1e-6, 2).alias("amount_list"),
+        F.sum("partial_lines").alias("line_items"),
+    )
+
+
+def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink format coverage beyond parquet+CSV: write supplier
+    to ORC and nation to JSON (explicit schema read back), join, agg.
+    Oracle reads the original parquet — values match iff both
+    round-trips are faithful."""
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    from propensity_spark.feature_store import DEFAULT_STORE
+    from propensity_spark.io import read_json
+
+    base = Path(DEFAULT_STORE).parent / f"fmt_{uuid.uuid4().hex[:8]}"
+    try:
+        load_table(spark, sf_dir, "supplier").write.mode("overwrite").orc(
+            str(base / "supplier")
+        )
+        load_table(spark, sf_dir, "nation").write.mode("overwrite").json(
+            str(base / "nation")
+        )
+        supplier = spark.read.orc(str(base / "supplier"))
+        nation = read_json(spark, str(base / "nation"), SCHEMAS["nation"])
+        out = (
+            supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_suppliers"),
+                F.round(F.sum("s_acctbal") + 1e-6, 2).alias("total_acctbal"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+ORACLES["salted_agg"] = """
+    WITH s AS (
+        SELECT o_custkey AS household_key, COALESCE(l_extendedprice, 0.0) AS amount_list
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT household_key,
+           round(1e-6 + sum(amount_list), 2) AS amount_list,
+           count(*) AS line_items
+    FROM s GROUP BY household_key
+"""
+
+ORACLES["format_roundtrip"] = """
+    SELECT n_name, count(*) AS n_suppliers,
+           round(1e-6 + sum(s_acctbal), 2) AS total_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+QUERIES["salted_agg"] = q_salted_agg
+QUERIES["format_roundtrip"] = q_format_roundtrip
