@@ -178,3 +178,38 @@ QUERIES = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
 }
+
+
+# PII patterns kept dialect-portable (no \d / \b shorthands — Spark SQL
+# string literals and RE2 treat backslashes differently).
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+_PHONE_RE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII filtering for training-data pipelines: count + scrub email
+    and phone patterns; emits the scrubbed-text digest so the oracle
+    can verify the rewrite byte-for-byte. Map-only at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = (
+        f"regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>'),"
+        f" '{_PHONE_RE}', '<PHONE>')"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).alias("n_phones"),
+        F.expr(f"md5(cast({scrubbed} as binary))").alias("scrubbed_fp"),
+    )
+
+
+ORACLES["pii_scrub"] = f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INT) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_fp
+    FROM documents
+"""
+
+QUERIES["pii_scrub"] = q_pii_scrub

@@ -1,0 +1,97 @@
+"""Property-based checks (hypothesis): decomposition and windowing
+semantics must hold for ARBITRARY data, not just the fixtures."""
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # key (few -> collisions)
+            st.integers(min_value=-1000, max_value=1000),  # value
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@SLOW
+def test_salted_agg_equals_plain_agg(spark, rows):
+    """Two-stage salted aggregation == plain aggregation, any input."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "k int, v int")
+    plain = {
+        r["k"]: r["s"]
+        for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()
+    }
+    salted = (
+        df.withColumn("__salt", F.pmod(F.hash("v"), F.lit(8)))
+        .groupBy("k", "__salt")
+        .agg(F.sum("v").alias("p"))
+        .groupBy("k")
+        .agg(F.sum("p").alias("s"))
+    )
+    assert {r["k"]: r["s"] for r in salted.collect()} == plain
+
+
+@given(
+    ts_list=st.lists(
+        st.integers(min_value=0, max_value=10_000),  # seconds
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    gap=st.integers(min_value=60, max_value=1800),
+)
+@SLOW
+def test_session_window_matches_manual_sessionization(spark, ts_list, gap):
+    """Spark's session_window == the lag/cumsum definition, any input."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, t) for t in ts_list], "user_id int, sec int"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    spark_sessions = sorted(
+        r["n"]
+        for r in df.groupBy(F.session_window("ts", f"{gap} seconds"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    manual = []
+    prev = None
+    for t in sorted(ts_list):
+        if prev is None or t - prev >= gap:
+            manual.append(0)
+        manual[-1] += 1
+        prev = t
+    assert spark_sessions == sorted(manual)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=3,
+        max_size=30,
+    )
+)
+@SLOW
+def test_conditional_window_agg_equals_filter_agg(spark, vals):
+    """sum(CASE WHEN in-window) == filter-then-sum — the feature
+    engine's core rewrite (SURVEY §4), for arbitrary values."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "i int, v double"
+    )
+    cutoff = len(vals) // 2
+    cond = F.col("i") >= cutoff
+    a = df.agg(F.sum(F.when(cond, F.col("v")))).collect()[0][0]
+    b = df.where(cond).agg(F.sum("v")).collect()[0][0]
+    assert (a is None and b is None) or abs(a - b) < 1e-6
