@@ -34,6 +34,9 @@ BENCH_QUERIES = [
     "minhash_band_pairs",
     "ann_cosine_topk",
     "session_window",
+    "asof_join",
+    "text_quality",
+    "salted_agg",
 ]
 
 
