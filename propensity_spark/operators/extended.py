@@ -255,3 +255,104 @@ ORACLES["format_roundtrip"] = """
 
 QUERIES["salted_agg"] = q_salted_agg
 QUERIES["format_roundtrip"] = q_format_roundtrip
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority query shape (customer ⋈ orders ⋈ lineitem with
+    selective filters + grouped revenue + top-N): the canonical
+    join-reorder / pushdown exercise."""
+    customer = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"))
+        .agg(
+            F.round(
+                F.sum(F.expr("l_extendedprice * (1 - l_discount)")) + 1e-6, 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier-volume shape: 6-way star join through
+    region/nation on both customer and supplier sides."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.expr("l_extendedprice * (1 - l_discount)")) + 1e-6, 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue-change shape: pure scan + selective predicates
+    + single global agg — the pushdown benchmark."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.where(
+            (F.col("l_discount").between(0.05, 0.07)) & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.expr("l_extendedprice * l_discount")) + 1e-6, 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+ORACLES["tpch_q3"] = """
+    SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           round(1e-6 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+"""
+
+ORACLES["tpch_q5"] = """
+    SELECT n_name,
+           round(1e-6 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name
+"""
+
+ORACLES["tpch_q6"] = """
+    SELECT round(1e-6 + sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+QUERIES["tpch_q3"] = q_tpch_q3
+QUERIES["tpch_q5"] = q_tpch_q5
+QUERIES["tpch_q6"] = q_tpch_q6

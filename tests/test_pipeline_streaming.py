@@ -155,3 +155,27 @@ def test_ivf_recall_against_brute_force(spark, sf_dir):
     approx = {(r["query_id"], r["vec_id"]) for r in q_ann_ivf(spark, sf_dir).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_streaming_feature_merge_equals_batch(spark, sf_dir, tmp_path):
+    """Incremental foreachBatch MERGE of streamed event features must
+    converge to exactly the batch aggregate."""
+    import datetime
+
+    from propensity_spark.io import load_table
+    from propensity_spark.streaming.feature_updates import stream_user_features
+
+    day = datetime.date(2024, 3, 1)
+    table = stream_user_features(spark, sf_dir, str(tmp_path / "stream_fs"), day)
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 4))
+        for r in table.read(day).collect()
+    }
+    expected = {
+        r["user_id"]: (r["n"], round(r["s"], 4))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == expected

@@ -1,0 +1,98 @@
+"""Physical-plan assertions: the scale claims in SCALE.md, pinned.
+
+These tests read `.explain("formatted")` output — if a future change
+regresses a broadcast to a shuffle join, drops column pruning, or
+breaks bucketed co-location, they fail even though results stay right.
+"""
+
+import contextlib
+import io
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_dim_join_is_broadcast(spark, sf_dir):
+    from propensity_spark.operators.relational import q_topk_commodities
+
+    plan = plan_of(q_topk_commodities(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    from propensity_spark.operators.relational import q_topk_commodities
+
+    plan = plan_of(q_topk_commodities(spark, sf_dir))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    lineitem_reads = [s for s in schemas if "l_orderkey" in s]
+    # top-k needs only the join key + partkey from an 11-column table
+    assert any(len(s.split(",")) <= 2 for s in lineitem_reads), schemas
+
+
+def test_literal_filter_pushes_down(spark, sf_dir):
+    from propensity_spark.io import load_table
+
+    df = load_table(spark, sf_dir, "lineitem").where(
+        F.to_date("l_shipdate") >= F.lit("1995-01-01").cast("date")
+    ).select("l_orderkey")
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+
+
+def test_feature_engine_single_aggregation_tree(spark, sf_dir):
+    """One groupBy computes all 4 windows: exactly one Expand (the
+    multi-distinct rewrite), not one aggregation pass per window."""
+    from propensity_spark.operators.features import q_household_features
+
+    plan = plan_of(q_household_features(spark, sf_dir))
+    assert plan.count("Expand") <= 2  # one Expand node + its summary line
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """The SCALE.md claim: bucketing both fact tables on the join key
+    co-locates the join — no Exchange on either side."""
+    from propensity_spark.io import load_table
+
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    load_table(spark, sf_dir, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).mode("overwrite").saveAsTable("b_lineitem")
+    load_table(spark, sf_dir, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).mode("overwrite").saveAsTable("b_orders")
+    prev_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        li, od = spark.table("b_lineitem"), spark.table("b_orders")
+        joined = li.join(od, li.l_orderkey == od.o_orderkey).groupBy("o_custkey").agg(
+            F.sum("l_extendedprice").alias("s")
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        # no shuffle feeding the join: only the post-join agg may exchange
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        # and it returns the right numbers
+        expected = (
+            load_table(spark, sf_dir, "lineitem")
+            .join(
+                load_table(spark, sf_dir, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert joined.count() > 0 and li.join(od, li.l_orderkey == od.o_orderkey).count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
