@@ -63,6 +63,10 @@ class FeatureTable:
         if not self.exists():
             self.create(batch)
             return
+        # A lazily-built batch (e.g. the 200+-column feature aggregation)
+        # would otherwise be recomputed three times below (day-collect,
+        # anti-join key side, union write) — materialize it once.
+        batch = batch.localCheckpoint(eager=True)
         days = [r[0] for r in batch.select("day").distinct().collect()]
         existing = self.read().where(F.col("day").isin(days))
         survivors = existing.join(F.broadcast(batch.select(*self.pk)), self.pk, "left_anti")

@@ -47,21 +47,29 @@ SEED = 42
 
 
 def build_training_set(
-    spark: SparkSession, sf_dir: str, store_base: str
+    spark: SparkSession,
+    sf_dir: str,
+    store_base: str,
+    materialize: bool = True,
+    day=None,
 ) -> tuple[DataFrame, list[str]]:
     """M1: labels + three exact-key feature lookups with rename
     prefixes (04b:195-217, 04b:353-358). Feature tables are written
     (day-stamped) to the feature store first, then looked up — the
-    same round-trip the reference makes through the FS."""
-    day = F.lit("2024-01-01").cast("date")
+    same round-trip the reference makes through the FS. Pass
+    ``materialize=False`` when the store was already populated (the
+    pipeline engineers features ONCE; training and scoring both look
+    up from that store instead of recomputing)."""
+    day = F.lit(str(day or "2024-01-01")).cast("date")
     hh = FeatureTable(spark, "household", ["household_key", "day"], store_base)
     cm = FeatureTable(spark, "commodity", ["commodity_desc", "day"], store_base)
     hc = FeatureTable(
         spark, "household_commodity", ["household_key", "commodity_desc", "day"], store_base
     )
-    hh.create(q_household_features(spark, sf_dir).withColumn("day", day))
-    cm.create(q_commodity_features(spark, sf_dir).withColumn("day", day))
-    hc.create(q_household_commodity_features(spark, sf_dir).withColumn("day", day))
+    if materialize or not hc.exists():
+        hh.create(q_household_features(spark, sf_dir).withColumn("day", day))
+        cm.create(q_commodity_features(spark, sf_dir).withColumn("day", day))
+        hc.create(q_household_commodity_features(spark, sf_dir).withColumn("day", day))
 
     labels = q_labels(spark, sf_dir).withColumn("day", day)
     ts = hh.lookup(labels, "household")
@@ -78,7 +86,7 @@ def make_pipeline(feature_cols: list[str], tune: bool = False):
     TrainValidationSplit grid (M3) when `tune`."""
     assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
     lr = LogisticRegression(
-        labelCol="purchased", weightCol="class_weight", featuresCol="features", maxIter=20
+        labelCol="purchased", weightCol="class_weight", featuresCol="features", maxIter=10
     )
     if not tune:
         return Pipeline(stages=[assembler, lr])
@@ -108,13 +116,17 @@ def train_commodity_models(
     tune: bool = False,
     store_base: str | None = None,
     models_base: str | None = None,
+    materialize_features: bool = True,
+    day=None,
 ) -> DataFrame:
     """Per-commodity training loop (04b:330-338) + manifest registry
     (M6). Returns the manifest DataFrame (commodity, model_path,
     metric_aupr, stage)."""
     store_base = store_base or str(DEFAULT_STORE / "training")
     models_base = models_base or str(Path(store_base).parent / "models")
-    ts, feature_cols = build_training_set(spark, sf_dir, store_base)
+    ts, feature_cols = build_training_set(
+        spark, sf_dir, store_base, materialize=materialize_features, day=day
+    )
 
     ratios = (
         q_class_ratios(spark, sf_dir)
@@ -137,8 +149,14 @@ def train_commodity_models(
     manifest_rows = []
     ts = ts.cache()  # C1: reused per-commodity
     try:
+        n_train = ts.count()  # cached; cheap
+        # Right-size the per-category slice: LR iterations pay per-task
+        # overhead x partitions, so a 10^3-row slice on 32 partitions
+        # spends 5x longer scheduling than computing. ~50k rows/partition;
+        # at 100 TB slices are large and this leaves them distributed.
+        parts = max(1, min(32, n_train // (len(commodities) * 50_000) + 1))
         for commodity in sorted(commodities):
-            slice_df = ts.where(F.col("commodity_desc") == commodity)  # P6
+            slice_df = ts.where(F.col("commodity_desc") == commodity).coalesce(parts)  # P6
             train, test = slice_df.randomSplit([0.8, 0.2], seed=SEED)  # M2
             model = make_pipeline(feature_cols, tune=tune).fit(train)
             pipeline_model = model.bestModel if tune else model
@@ -188,7 +206,9 @@ def q_train_score_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
     store_base = str(DEFAULT_STORE / f"ml_{run}")
     try:
         manifest = train_commodity_models(spark, sf_dir, commodities=2, store_base=store_base)
-        ts, _ = build_training_set(spark, sf_dir, str(Path(store_base) / "scoring"))
+        # scoring reuses the feature tables training just wrote (J8: the
+        # same store round-trip, zero recomputation)
+        ts, _ = build_training_set(spark, sf_dir, store_base, materialize=False)
         scores = score_batch(spark, ts, manifest)
         out = scores.select(
             "household_key",

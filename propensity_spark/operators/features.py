@@ -67,28 +67,31 @@ def _base_metrics(inw: str) -> list[tuple[str, str]]:
         ("line_items", f"sum(CASE WHEN {inw} THEN 1 END)"),
     ]
     m += [(c, f"sum(CASE WHEN {inw} THEN {c} END)") for c in _MONEY]
-    m += [
-        (
-            "days_with_instore_discount",
-            f"count(DISTINCT CASE WHEN {inw} AND instore_discount > 0 THEN day END)",
-        ),
+    # "with activity" conditional aggregates x the reference's four
+    # discount kinds (04a:202-255: campaign / manuf / match=total here /
+    # instore); instore additionally gets the basket-grain distinct.
+    for kind in (
+        "instore_discount",
+        "campaign_coupon_discount",
+        "manuf_coupon_discount",
+        "total_coupon_discount",
+    ):
+        m += [
+            (
+                f"days_with_{kind}",
+                f"count(DISTINCT CASE WHEN {inw} AND {kind} > 0 THEN day END)",
+            ),
+            (
+                f"line_items_with_{kind}",
+                f"sum(CASE WHEN {inw} AND {kind} > 0 THEN 1 END)",
+            ),
+        ]
+    m.append(
         (
             "baskets_with_instore_discount",
             f"count(DISTINCT CASE WHEN {inw} AND instore_discount > 0 THEN basket_id END)",
-        ),
-        (
-            "line_items_with_instore_discount",
-            f"sum(CASE WHEN {inw} AND instore_discount > 0 THEN 1 END)",
-        ),
-        (
-            "days_with_coupon_discount",
-            f"count(DISTINCT CASE WHEN {inw} AND total_coupon_discount > 0 THEN day END)",
-        ),
-        (
-            "line_items_with_coupon_discount",
-            f"sum(CASE WHEN {inw} AND total_coupon_discount > 0 THEN 1 END)",
-        ),
-    ]
+        )
+    )
     return m
 
 
@@ -124,8 +127,8 @@ def _ratio_metrics(sfx: str, days_in_window: int) -> list[tuple[str, str]]:
             f"line_items_with_instore_discount_{sfx} / line_items_{sfx}",
         ),
         (
-            f"line_items_with_coupon_discount_share_{sfx}",
-            f"line_items_with_coupon_discount_{sfx} / line_items_{sfx}",
+            f"line_items_with_total_coupon_discount_share_{sfx}",
+            f"line_items_with_total_coupon_discount_{sfx} / line_items_{sfx}",
         ),
         (
             f"days_with_instore_discount_share_{sfx}",

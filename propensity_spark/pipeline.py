@@ -60,8 +60,13 @@ class Pipeline:
             table.merge(builder(self.spark, self.sf_dir).withColumn("day", stamp))
 
     def score(self, manifest: DataFrame, day) -> DataFrame:
-        """04c equivalent: universe x features -> per-model transform."""
-        ts, _ = build_training_set(self.spark, self.sf_dir, str(self.base / "scoring"))
+        """04c equivalent: universe x features -> per-model transform.
+        Looks up the features engineer_features already merged for
+        `day` — no recomputation (contrast the reference, which routes
+        through fs.score_batch doing the same lookup, 04c:181-186)."""
+        ts, _ = build_training_set(
+            self.spark, self.sf_dir, self.store, materialize=False, day=day
+        )
         return score_batch(self.spark, ts, manifest).withColumn(
             "day", F.lit(day).cast("date")
         )
@@ -94,14 +99,20 @@ class Pipeline:
 
     # -- weekly / init ------------------------------------------------------
 
-    def run_weekly(self, n_commodities: int | None = None, tune: bool = False) -> DataFrame:
+    def run_weekly(
+        self, n_commodities: int | None = None, tune: bool = False, day=None
+    ) -> DataFrame:
+        """Features for `day` must already be in the store (run_init /
+        engineer_features put them there); training only looks up."""
         return train_commodity_models(
             self.spark,
             self.sf_dir,
             commodities=n_commodities,
             tune=tune,
-            store_base=str(self.base / "training"),
+            store_base=self.store,
             models_base=self.models,
+            materialize_features=False,
+            day=day,
         )
 
     def run_init(self, day, n_commodities: int = 2) -> DataFrame:
@@ -115,7 +126,7 @@ class Pipeline:
 
         for d in (day, day - datetime.timedelta(days=30)):
             self.engineer_features(d)
-        return self.run_weekly(n_commodities)
+        return self.run_weekly(n_commodities, day=day)
 
 
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:

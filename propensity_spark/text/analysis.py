@@ -213,3 +213,56 @@ ORACLES["pii_scrub"] = f"""
 """
 
 QUERIES["pii_scrub"] = q_pii_scrub
+
+
+CHUNK_SIZE = 50  # words per chunk
+CHUNK_STRIDE = 40  # 10-word overlap
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for LLM ingestion: fixed-size word windows
+    with overlap (CHUNK_SIZE/CHUNK_STRIDE), emitted as (doc_id,
+    chunk_idx, n_words, chunk_fp). Map-side explode — no shuffle at any
+    scale; short docs yield exactly one chunk. The digest (not the
+    text) is emitted so the oracle pins the exact chunk content without
+    megabyte rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("words"))
+    starts = (
+        f"CASE WHEN size(words) <= {CHUNK_SIZE} THEN array(1) "
+        f"ELSE sequence(1, size(words) - {CHUNK_SIZE - CHUNK_STRIDE}, {CHUNK_STRIDE}) END"
+    )
+    chunks = words.select(
+        "doc_id",
+        "words",
+        F.posexplode(F.expr(starts)).alias("chunk_idx", "start"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.expr(f"size(slice(words, start, {CHUNK_SIZE}))").alias("n_words"),
+        F.expr(
+            f"md5(cast(concat_ws(' ', slice(words, start, {CHUNK_SIZE})) as binary))"
+        ).alias("chunk_fp"),
+    )
+
+
+ORACLES["chunk_documents"] = f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         starts AS (
+             SELECT doc_id, words,
+                    unnest(CASE WHEN len(words) <= {CHUNK_SIZE} THEN [1]
+                           ELSE range(1, len(words) - {CHUNK_SIZE - CHUNK_STRIDE} + 1,
+                                      {CHUNK_STRIDE}) END) AS start,
+                    generate_subscripts(CASE WHEN len(words) <= {CHUNK_SIZE} THEN [1]
+                           ELSE range(1, len(words) - {CHUNK_SIZE - CHUNK_STRIDE} + 1,
+                                      {CHUNK_STRIDE}) END, 1) - 1 AS chunk_idx
+             FROM w
+         )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(words[start:start + {CHUNK_SIZE} - 1]) AS INT) AS n_words,
+           md5(array_to_string(words[start:start + {CHUNK_SIZE} - 1], ' ')) AS chunk_fp
+    FROM starts
+"""
+
+QUERIES["chunk_documents"] = q_chunk_documents
