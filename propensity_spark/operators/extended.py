@@ -322,6 +322,114 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority-checking shape (TPC-H Q4 adapted to the fixture
+    schema): EXISTS correlated subquery decorrelated to a LEFT SEMI
+    join — orders with at least one line shipped after the order date.
+    Catalyst plans the semi join; at scale the probe side streams and
+    only the distinct build keys shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    late = lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            late,
+            (orders.o_orderkey == late.l_orderkey)
+            & (late.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion-effect shape (TPC-H Q14): conditional-aggregate ratio
+    over a fact ⋈ broadcast-dim join — promo revenue share per month.
+    The CASE lives inside the aggregate so one scan + one agg suffice."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rev = "l_extendedprice * (1 - l_discount)"
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("month"))
+        .agg(
+            F.round(
+                (F.lit(100.0) * F.sum(F.expr(f"CASE WHEN p_type = 'PROMO' THEN {rev} ELSE 0.0 END"))
+                 / F.sum(F.expr(rev))) + 1e-6,
+                4,
+            ).alias("promo_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume-customer shape (TPC-H Q18): GROUP BY ... HAVING
+    subquery feeding an IN-list, planned as agg → semi join → join.
+    The HAVING aggregate is partial+final; only qualifying orderkeys
+    (rare) reach the second join, so the plan scales as the selective
+    side."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            F.round(F.col("o_totalprice") + 1e-6, 2).alias("o_totalprice"),
+            F.round(F.col("sum_qty") + 1e-6, 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("sum_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+ORACLES["tpch_q4"] = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o_orderpriority
+"""
+
+ORACLES["tpch_q14"] = """
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+           round(1e-6 + 100.0 *
+                 sum(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+"""
+
+ORACLES["tpch_q18"] = """
+    SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           round(1e-6 + o_totalprice, 2) AS o_totalprice,
+           round(1e-6 + sum_qty, 2) AS sum_qty
+    FROM orders
+    JOIN (
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    ) big ON o_orderkey = big.l_orderkey
+    ORDER BY sum_qty DESC, o_orderkey ASC
+    LIMIT 100
+"""
+
+QUERIES["tpch_q4"] = q_tpch_q4
+QUERIES["tpch_q14"] = q_tpch_q14
+QUERIES["tpch_q18"] = q_tpch_q18
+
+
 ORACLES["tpch_q3"] = """
     SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
            round(1e-6 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -266,3 +266,71 @@ ORACLES["chunk_documents"] = f"""
 """
 
 QUERIES["chunk_documents"] = q_chunk_documents
+
+
+TFIDF_TOP_K = 5
+_MIN_TERM_LEN = 3
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (top-K terms per document): explode ->
+    per-(doc, term) TF -> per-term DF -> score tf*ln(N/df) -> window
+    top-K with term tie-break. Shuffle profile at 100 TB: TF shuffles
+    on (doc_id, term) — high cardinality, balanced; DF shuffles on term
+    with map-side partial distinct; the DF side is vocabulary-sized
+    (<< corpus) so it broadcasts back onto TF. Ranking is rounded
+    before ordering so the result is engine-portable."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ")).alias("term"),
+    ).where(
+        (F.length("term") >= _MIN_TERM_LEN) & ~F.col("term").isin(*LANG_STOPWORDS["en"])
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")) + 1e-9, 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "score", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+ORACLES["tfidf_keywords"] = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    tok2 AS (
+        SELECT * FROM tok
+        WHERE len(term) >= {_MIN_TERM_LEN} AND term NOT IN ({_EN})
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, term, tf, df,
+               round(tf * ln(CAST(n_docs AS DOUBLE) / df) + 1e-9, 6) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score, CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TFIDF_TOP_K}
+"""
+
+QUERIES["tfidf_keywords"] = q_tfidf_keywords

@@ -271,3 +271,58 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_ivf"] = q_ann_ivf
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization — the standard 4x memory cut for
+    billion-scale ANN serving: per-vector scale = max|x|/127, elements
+    -> round-half-up ints in [-127, 127]. Emitted as integer-exact
+    checkables (squared norm, md5 fingerprint of the int sequence) so
+    the oracle compares exactly; floor(x/scale + 0.5) is pure IEEE
+    arithmetic, bit-identical across engines. Map-side only — zero
+    shuffle at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_vec("embedding")).alias("v")
+    )
+    amax = "aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))"
+    q = "transform(v, x -> cast(floor(x / (amax / 127.0) + 0.5) as bigint))"
+    return (
+        emb.withColumn("amax", F.expr(amax))
+        .withColumn("q", F.expr(q))
+        .select(
+            "vec_id",
+            F.size("v").alias("n_dims"),
+            F.round(F.col("amax") / 127.0 + 1e-9, 6).alias("scale"),
+            F.expr(
+                "aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+            ).alias("q_l2sq"),
+            F.expr(
+                "md5(cast(concat_ws(',', transform(q, x -> cast(x as string)))"
+                " as binary))"
+            ).alias("q_fp"),
+        )
+    )
+
+
+ORACLES["embedding_quantize"] = f"""
+    WITH emb AS ({_EMB}),
+         scaled AS (
+             SELECT vec_id, v,
+                    list_aggregate(list_transform(v, x -> abs(x)), 'max') AS amax
+             FROM emb
+         ),
+         quant AS (
+             SELECT vec_id, v, amax,
+                    list_transform(v, x -> CAST(floor(x / (amax / 127.0) + 0.5)
+                                                AS BIGINT)) AS q
+             FROM scaled
+         )
+    SELECT vec_id,
+           CAST(len(v) AS INT) AS n_dims,
+           round(amax / 127.0 + 1e-9, 6) AS scale,
+           CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS q_l2sq,
+           md5(array_to_string(q, ',')) AS q_fp
+    FROM quant
+"""
+
+QUERIES["embedding_quantize"] = q_embedding_quantize
