@@ -119,6 +119,27 @@ def top_commodities(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFra
     )
 
 
+_CONTROL_ROWS: dict = {}
+
+
+def commodities_control(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Materialized commodities_to_score control table. The reference
+    computes the top-k ONCE and stores it as a table every consumer
+    re-reads (02_Initialize_Solution.py:58-68); recomputing the
+    fact-scan aggregate inside every consuming plan would run it twice
+    per query tree (Spark does not dedupe common subtrees). We memo the
+    collected k rows per (session, dir) — a bounded driver-side collect,
+    the same C4 pattern the reference uses for its control loops — and
+    rebuild a broadcastable local relation."""
+    key = (id(spark), sf_dir, k)
+    if key not in _CONTROL_ROWS:
+        _CONTROL_ROWS[key] = top_commodities(spark, sf_dir, k).collect()
+    return spark.createDataFrame(
+        _CONTROL_ROWS[key],
+        "commodity_desc string, baskets bigint, commodity_clean string",
+    )
+
+
 # DuckDB twin of top_commodities (reused as a CTE by several oracles).
 TOPK_SQL = f"""
 SELECT commodity_desc,
@@ -276,7 +297,7 @@ def q_cross_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
     04b:144, 04c:107-111). The k-row side broadcasts, so the "cross
     join" is a flat-map — no shuffle even at 10^9 households."""
     households = q_distinct_entities(spark, sf_dir)
-    commodities = top_commodities(spark, sf_dir).select("commodity_desc")
+    commodities = commodities_control(spark, sf_dir).select("commodity_desc")
     return households.crossJoin(F.broadcast(commodities))
 
 
@@ -308,7 +329,7 @@ def q_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     window (last 30 days), coalesce(purchased, 0)."""
     silver = silver_transactions(spark, sf_dir)
     dim = brand_dim(spark, sf_dir)
-    commodities = top_commodities(spark, sf_dir).select("commodity_desc")
+    commodities = commodities_control(spark, sf_dir).select("commodity_desc")
     bounds = silver.agg(F.date_sub(F.max("day"), 29).alias("label_start"))
     positives = (
         silver.join(F.broadcast(bounds))
@@ -451,7 +472,7 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4+F5: regexp sanitation (02:61-62) and model-URI concat
     (04c:94) over the commodity control table."""
-    top = top_commodities(spark, sf_dir)
+    top = commodities_control(spark, sf_dir)
     return top.select(
         "commodity_desc",
         "commodity_clean",
