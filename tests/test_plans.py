@@ -57,6 +57,19 @@ def test_feature_engine_single_aggregation_tree(spark, sf_dir):
     assert plan.count("Expand") <= 2  # one Expand node + its summary line
 
 
+def test_control_table_is_local_relation(spark, sf_dir):
+    """commodities_control consumers must see a broadcast of a driver-
+    local relation, not a second scan+aggregate+top-k of the fact
+    table: exactly one lineitem scan (the households side), and no
+    TakeOrderedAndProject from a recomputed top-k."""
+    from propensity_spark.operators.relational import q_cross_universe
+
+    plan = plan_of(q_cross_universe(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") <= 1, "control table recomputed from facts"
+    assert "TakeOrderedAndProject" not in plan
+
+
 def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     """The SCALE.md claim: bucketing both fact tables on the join key
     co-locates the join — no Exchange on either side."""
