@@ -18,6 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_SMOKE = "/root/testdata/sf0.001"
+# Guard against an optional module silently dropping out of the gate
+# (e.g. a transitive import typo): the registry must never shrink below
+# the committed surface.
+EXPECTED_MIN_QUERIES = 45
 
 
 def _registry():
@@ -40,12 +44,23 @@ def _registry():
     ):
         try:
             module = __import__(optional, fromlist=["QUERIES", "ORACLES"])
-        except ImportError:
+        except ImportError as exc:
+            # Only a genuinely missing THIRD-PARTY dependency may soft-skip
+            # a module; a broken import inside the package must fail loudly
+            # instead of silently shrinking the verified surface.
+            if (getattr(exc, "name", "") or "").startswith("propensity_spark"):
+                raise
+            print(f"[__spark_entry__] skipping {optional}: {exc}", file=sys.stderr)
             continue
         modules.append(module)
     for module in modules:
         queries.update(getattr(module, "QUERIES", {}))
         oracles.update({k: v for k, v in getattr(module, "ORACLES", {}).items() if v})
+    if len(queries) < EXPECTED_MIN_QUERIES:
+        raise RuntimeError(
+            f"registry shrank to {len(queries)} entries (< {EXPECTED_MIN_QUERIES}): "
+            "an operator module silently dropped out"
+        )
     return {k: _pinned(v) for k, v in queries.items()}, oracles
 
 

@@ -65,15 +65,35 @@ class FeatureTable:
             return
         # A lazily-built batch (e.g. the 200+-column feature aggregation)
         # would otherwise be recomputed three times below (day-collect,
-        # anti-join key side, union write) — materialize it once.
-        batch = batch.localCheckpoint(eager=True)
-        days = [r[0] for r in batch.select("day").distinct().collect()]
+        # anti-join key side, union write) — materialize it once. DISK_ONLY,
+        # not localCheckpoint(eager): an unbounded batch (every household at
+        # 100 TB) must spill, not pin executor memory.
+        from pyspark import StorageLevel
+
+        batch = batch.persist(StorageLevel.DISK_ONLY)
+        try:
+            days = [r[0] for r in batch.select("day").distinct().collect()]
+            merged = self._merge_frame(batch, days)
+            prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                # Rewrites only the touched day partitions; untouched history stays.
+                merged.write.mode("overwrite").partitionBy("day").parquet(self.path)
+            finally:
+                # Scoped: a later plain overwrite in the same session must
+                # remain a full-table replace, not a silent partial one.
+                self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        finally:
+            batch.unpersist()
+
+    def _merge_frame(self, batch: DataFrame, days) -> DataFrame:
+        """Upserted content of the touched day partitions. No broadcast
+        hint on the batch side: it is unbounded (the full per-day feature
+        set at 100 TB), so the join strategy is AQE's call — it broadcasts
+        only when the key side actually fits the budget."""
         existing = self.read().where(F.col("day").isin(days))
-        survivors = existing.join(F.broadcast(batch.select(*self.pk)), self.pk, "left_anti")
-        merged = survivors.unionByName(batch)
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        # Rewrites only the touched day partitions; untouched history stays.
-        merged.write.mode("overwrite").partitionBy("day").parquet(self.path)
+        survivors = existing.join(batch.select(*self.pk), self.pk, "left_anti")
+        return survivors.unionByName(batch)
 
     def lookup(
         self,
@@ -105,16 +125,21 @@ class FeatureTable:
         entity_keys = [k for k in self.pk if k != "day"]
         feats = self.read()
         keep = [c for c in feats.columns if c not in self.pk]
-        joined = keys_df.join(
-            feats.select(
-                *entity_keys,
-                F.col("day").alias("__feat_day"),
-                *[F.col(c).alias(f"{prefix}__{c}") for c in keep],
-            ),
-            entity_keys,
-            "leftouter",
-        ).where((F.col("__feat_day") <= F.col(day_col)) | F.col("__feat_day").isNull())
-        w = Window.partitionBy(*entity_keys, day_col).orderBy(F.desc("__feat_day"))
+        renamed = feats.select(
+            *[F.col(k).alias(f"__fk_{k}") for k in entity_keys],
+            F.col("day").alias("__feat_day"),
+            *[F.col(c).alias(f"{prefix}__{c}") for c in keep],
+        )
+        # The `feat.day <= key.day` predicate lives IN the join condition,
+        # not as a post-join filter: a key whose feature rows are all LATER
+        # than its day must keep its left-outer null row, not vanish.
+        cond = renamed["__feat_day"] <= keys_df[day_col]
+        for k in entity_keys:
+            cond = (keys_df[k] == renamed[f"__fk_{k}"]) & cond
+        joined = keys_df.join(renamed, cond, "leftouter").drop(
+            *[f"__fk_{k}" for k in entity_keys]
+        )
+        w = Window.partitionBy(*entity_keys, day_col).orderBy(F.desc_nulls_last("__feat_day"))
         return (
             joined.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)

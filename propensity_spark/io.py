@@ -136,6 +136,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
+        # Deliberately NOT restored: the returned DataFrame is lazy, and
+        # the conf must still hold when a downstream action executes the
+        # scan. It only widens NANOS (otherwise unreadable) to long.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F

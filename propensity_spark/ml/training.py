@@ -123,7 +123,10 @@ def train_commodity_models(
     (M6). Returns the manifest DataFrame (commodity, model_path,
     metric_aupr, stage)."""
     store_base = store_base or str(DEFAULT_STORE / "training")
-    models_base = models_base or str(Path(store_base).parent / "models")
+    # Models live UNDER the run's store dir: per-run isolation (two
+    # concurrent runs never collide on model paths) and the caller's
+    # cleanup of store_base removes them for free.
+    models_base = models_base or str(Path(store_base) / "models")
     ts, feature_cols = build_training_set(
         spark, sf_dir, store_base, materialize=materialize_features, day=day
     )

@@ -67,6 +67,42 @@ def test_lookup_asof_takes_latest_at_or_before(spark, store):
     assert out[date(2024, 1, 6)] == 5.0
 
 
+def test_lookup_asof_keeps_key_with_only_later_features(spark, store):
+    """A key whose feature rows are all LATER than its day must keep a
+    left-outer null row, not vanish (the as-of contract)."""
+    t = FeatureTable(spark, "hh", ["household_key", "day"], store)
+    t.create(_frame(spark, date(2024, 1, 5), [1], 5.0))
+    keys = spark.createDataFrame(
+        [(1, date(2024, 1, 3)), (2, date(2024, 1, 6))], "household_key int, day date"
+    )
+    out = {
+        (r["household_key"], r["day"]): r["household__amount"]
+        for r in t.lookup_asof(keys, "household").collect()
+    }
+    # key 1 HAS rows, but none at-or-before Jan 3 -> null row survives
+    assert out == {(1, date(2024, 1, 3)): None, (2, date(2024, 1, 6)): None}
+
+
+def test_merge_does_not_broadcast_batch_side(spark, store):
+    """The incoming batch is unbounded at scale — its key side must not
+    carry a broadcast hint (AQE decides at runtime instead)."""
+    t = FeatureTable(spark, "hh", ["household_key", "day"], store)
+    d = date(2024, 1, 1)
+    t.create(_frame(spark, d, [1, 2], 1.0))
+    merged = t._merge_frame(_frame(spark, d, [2, 3], 9.0), [d])
+    analyzed = merged._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "broadcast" not in analyzed.lower()
+
+
+def test_merge_restores_partition_overwrite_mode(spark, store):
+    t = FeatureTable(spark, "hh", ["household_key", "day"], store)
+    d = date(2024, 1, 1)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    t.create(_frame(spark, d, [1], 1.0))
+    t.merge(_frame(spark, d, [2], 2.0))
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+
+
 def test_pk_requires_day(spark, store):
     with pytest.raises(ValueError):
         FeatureTable(spark, "bad", ["household_key"], store)
