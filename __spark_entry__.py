@@ -21,7 +21,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # Guard against an optional module silently dropping out of the gate
 # (e.g. a transitive import typo): the registry must never shrink below
 # the committed surface.
-EXPECTED_MIN_QUERIES = 45
+EXPECTED_MIN_QUERIES = 48
 
 
 def _registry():
@@ -30,17 +30,21 @@ def _registry():
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
     modules = [relational]
+    # Registration order = the order the driver checks entries. The whole
+    # surface (48 entries) fits its 50-row budget; the extension families
+    # that went unchecked in round 1 register right after the core anyway,
+    # as insurance against a smaller budget.
     for optional in (
         "propensity_spark.operators.features",
-        "propensity_spark.operators.extended",
-        "propensity_spark.pipeline",
-        "propensity_spark.text.analysis",
         "propensity_spark.text.dedup",
         "propensity_spark.vector.similarity",
         "propensity_spark.streaming.windows",
         "propensity_spark.multimodal.media",
         "propensity_spark.ml.training",
         "propensity_spark.feature_store",
+        "propensity_spark.text.analysis",
+        "propensity_spark.pipeline",
+        "propensity_spark.operators.extended",
     ):
         try:
             module = __import__(optional, fromlist=["QUERIES", "ORACLES"])

@@ -7,6 +7,10 @@ Headline set = the flagship pipeline stages plus one representative of
 each extension family, so the number tracks the engine, not one hot
 loop. Each query is collected to completion (count) — materialization
 included, no lazy-plan cheating.
+
+The same oracle SQL is also timed in DuckDB over the same parquet
+(`duckdb_total_sec` / `vs_duckdb`), so the <=2x-of-oracle gate is
+self-evident from the bench line alone.
 """
 
 from __future__ import annotations
@@ -21,31 +25,38 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
 BENCH_QUERIES = [
     "topk_commodities",
     "silver_projection",
-    "summary_agg",
+    "household_agg_suite",
     "tpch_q1",
     "labels",
     "household_features",
     "household_commodity_features",
-    "pivot_scores",
+    "pivot_unpivot_scores",
     "dedup_exact",
     "minhash_band_pairs",
     "ann_cosine_topk",
-    "session_window",
+    "batch_windows",
+    "stream_tumbling",
     "asof_join",
-    "text_quality",
+    "doc_profile",
     "salted_agg",
 ]
 
 
 def main() -> None:
+    import duckdb
+
     import __spark_entry__ as e
     from propensity_spark.session import get_spark
 
     spark = get_spark("bench")
-    qs = e.queries()
+    qs, oracles = e.queries(), e.oracle_sql()
     # warm the JVM + parquet footers once so per-query times measure the
     # engine, not first-touch costs
     qs["agg_minmax_day"](spark, SF_DIR).count()
@@ -60,8 +71,26 @@ def main() -> None:
             qs[name](spark, SF_DIR).count()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
-
     total = round(sum(timings.values()), 3)
+
+    # DuckDB comparator: same oracle SQL, same parquet, same min-of-2.
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    duck: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in oracles:
+            continue
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            con.execute(oracles[name]).fetchall()
+            best = min(best, time.time() - t0)
+        duck[name] = round(best, 3)
+    duck_total = round(sum(duck.values()), 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -71,6 +100,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "duckdb_total_sec": duck_total,
+                "duckdb_queries": duck,
+                "vs_duckdb": round(total / duck_total, 3) if duck_total else None,
             }
         )
     )

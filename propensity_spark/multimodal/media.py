@@ -98,30 +98,42 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal plumbing in one gate entry: binary payload
+    construction -> Arrow-batched mapInPandas metadata decode -> frame
+    sampling explode, at per-frame grain with the metadata columns
+    carried along. Map-only end to end — no shuffle at any scale."""
+    meta = q_media_metadata(spark, sf_dir)
+    return meta.select(
+        "doc_id",
+        "mime",
+        "byte_len",
+        "width",
+        "height",
+        "n_frames",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(5))).alias("frame_idx"),
+    )
+
+
 ORACLES = {
-    "media_metadata": """
-        SELECT doc_id,
-               CASE WHEN source = 'web' THEN 'image/jpeg'
-                    WHEN source = 'api' THEN 'audio/wav'
-                    ELSE 'video/mp4' END AS mime,
-               octet_length(encode(text)) AS byte_len,
-               CAST(16 + octet_length(encode(text)) % 624 AS INT) AS width,
-               CAST(16 + (octet_length(encode(text)) * 7) % 464 AS INT) AS height,
-               CAST(1 + octet_length(encode(text)) % 24 AS INT) AS n_frames
-        FROM documents
-    """,
-    "frame_sample": """
+    "media_pipeline": """
         WITH meta AS (
             SELECT doc_id,
+                   CASE WHEN source = 'web' THEN 'image/jpeg'
+                        WHEN source = 'api' THEN 'audio/wav'
+                        ELSE 'video/mp4' END AS mime,
+                   octet_length(encode(text)) AS byte_len,
+                   CAST(16 + octet_length(encode(text)) % 624 AS INT) AS width,
+                   CAST(16 + (octet_length(encode(text)) * 7) % 464 AS INT) AS height,
                    CAST(1 + octet_length(encode(text)) % 24 AS INT) AS n_frames
             FROM documents
         )
-        SELECT doc_id, n_frames, CAST(unnest(range(0, n_frames, 5)) AS INT) AS frame_idx
+        SELECT doc_id, mime, byte_len, width, height, n_frames,
+               CAST(unnest(range(0, n_frames, 5)) AS INT) AS frame_idx
         FROM meta
     """,
 }
 
 QUERIES = {
-    "media_metadata": q_media_metadata,
-    "frame_sample": q_frame_sample,
+    "media_pipeline": q_media_pipeline,
 }

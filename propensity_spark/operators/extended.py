@@ -1,10 +1,14 @@
 """Extended operator surface beyond the reference's inventory
 (SURVEY.md §2.3 'not present' / §2.4 notes / §7): as-of join,
-exact-interpolated percentiles, grouping sets, approximate distinct,
-and the explicit-schema CSV ingest round-trip (S1).
+exact-interpolated percentiles, grouping sets/rollup/cube, approximate
+distinct, the explicit-schema CSV/ORC/JSON ingest round-trips (S1), and
+six TPC-H query shapes.
 
 These close the gap between "what the reference composes" and "what a
-user of a general Spark analytics engine expects to run".
+user of a general Spark analytics engine expects to run". Result sets
+with heterogeneous schemas (the grouping-set family, the TPC-H suites)
+are melted to a shared (q, k, metric, value) shape so each family is
+ONE correctness-gate entry while every underlying value stays checked.
 """
 
 from __future__ import annotations
@@ -55,11 +59,29 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPING SETS — finer than the reference's plain groupBy (§2.4
-    'no grouping sets'); Catalyst plans it as a single Expand + agg."""
+def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouping-set family in one tagged union (§2.4 'no grouping
+    sets in reference'): ROLLUP and GROUPING SETS over lineitem, CUBE
+    over orders — each planned by Catalyst as a single Expand + agg;
+    the union just concatenates the three independent plans."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def norm(df, kind: str, key1: str, key2: str, agg_val: str, n_rows: str) -> DataFrame:
+        return df.select(
+            F.lit(kind).alias("gset_kind"),
+            F.col(key1).alias("key1"),
+            F.col(key2).alias("key2"),
+            F.col(agg_val).alias("agg_val"),
+            F.col(n_rows).alias("n_rows"),
+        )
+
+    rollup = lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity") + 1e-6, 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
-    return spark.sql(
+    gsets = spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
                round(1e-6 + sum(l_quantity), 2) AS sum_qty,
@@ -68,14 +90,18 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
-
-
-def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (orderstatus, orderpriority)."""
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+    cube = orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.round(F.sum("o_totalprice") + 1e-6, 2).alias("sum_price"),
         F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        norm(rollup, "rollup", "l_returnflag", "l_linestatus", "sum_qty", "n_rows")
+        .unionByName(
+            norm(gsets, "grouping_sets", "l_returnflag", "l_linestatus", "sum_qty", "n_rows")
+        )
+        .unionByName(
+            norm(cube, "cube", "o_orderstatus", "o_orderpriority", "sum_price", "n_orders")
+        )
     )
 
 
@@ -95,87 +121,65 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1 explicit-schema CSV ingest: export nation+region to CSV,
-    re-read with StructType schemas (no inference), join and aggregate.
-    The oracle reads the original parquet — values match iff the
-    CSV round-trip is faithful."""
+def q_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S14 source-sink coverage beyond parquet in one tagged union:
+    (a) nation+region exported to CSV and re-read with explicit
+    StructType schemas (no inference), joined and aggregated;
+    (b) supplier to ORC and nation to JSON (explicit-schema read back),
+    joined and aggregated. The oracle reads the original parquet —
+    values match iff every round-trip is byte-faithful."""
     import shutil
     import uuid
     from pathlib import Path
 
     from propensity_spark.feature_store import DEFAULT_STORE
+    from propensity_spark.io import read_json
 
-    base = Path(DEFAULT_STORE).parent / f"csv_{uuid.uuid4().hex[:8]}"
+    base = Path(DEFAULT_STORE).parent / f"ingest_{uuid.uuid4().hex[:8]}"
     try:
         for name in ("nation", "region"):
             load_table(spark, sf_dir, name).coalesce(1).write.mode("overwrite").option(
                 "header", True
-            ).csv(str(base / name))
-        nation = read_csv(spark, str(base / "nation"), SCHEMAS["nation"])
-        region = read_csv(spark, str(base / "region"), SCHEMAS["region"])
-        out = (
-            nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            ).csv(str(base / f"csv_{name}"))
+        nation_csv = read_csv(spark, str(base / "csv_nation"), SCHEMAS["nation"])
+        region_csv = read_csv(spark, str(base / "csv_region"), SCHEMAS["region"])
+        csv_out = (
+            nation_csv.join(
+                F.broadcast(region_csv), nation_csv.n_regionkey == region_csv.r_regionkey
+            )
             .groupBy("r_name")
-            .agg(F.count(F.lit(1)).alias("n_nations"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(
+                F.lit("csv").alias("fmt"),
+                F.col("r_name").alias("k"),
+                "n_rows",
+                F.lit(None).cast("double").alias("checksum"),
+            )
         )
+        load_table(spark, sf_dir, "supplier").write.mode("overwrite").orc(
+            str(base / "supplier")
+        )
+        load_table(spark, sf_dir, "nation").write.mode("overwrite").json(
+            str(base / "nation")
+        )
+        supplier = spark.read.orc(str(base / "supplier"))
+        nation_json = read_json(spark, str(base / "nation"), SCHEMAS["nation"])
+        orc_out = (
+            supplier.join(
+                F.broadcast(nation_json), supplier.s_nationkey == nation_json.n_nationkey
+            )
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("s_acctbal") + 1e-6, 2).alias("checksum"),
+            )
+            .select(F.lit("orc_json").alias("fmt"), F.col("n_name").alias("k"), "n_rows", "checksum")
+        )
+        out = csv_out.unionByName(orc_out)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
-
-
-ORACLES = {
-    "asof_join": """
-        SELECT event_id, user_id,
-               CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
-               CAST(floor(epoch(
-                   last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
-                       OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               )) AS BIGINT) AS last_signup_epoch
-        FROM events
-    """,
-    "percentiles": """
-        SELECT c_mktsegment,
-               round(1e-9 + quantile_cont(o_totalprice, 0.25), 6) AS p25,
-               round(1e-9 + quantile_cont(o_totalprice, 0.5), 6) AS p50,
-               round(1e-9 + quantile_cont(o_totalprice, 0.75), 6) AS p75,
-               count(*) AS n_orders
-        FROM orders
-        JOIN (SELECT c_custkey, c_mktsegment FROM customer) c
-          ON o_custkey = c_custkey
-        GROUP BY c_mktsegment
-    """,
-    "grouping_sets": """
-        SELECT l_returnflag, l_linestatus,
-               round(1e-6 + sum(l_quantity), 2) AS sum_qty,
-               count(*) AS n_rows
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-    """,
-    "cube_agg": """
-        SELECT o_orderstatus, o_orderpriority,
-               round(1e-6 + sum(o_totalprice), 2) AS sum_price,
-               count(*) AS n_orders
-        FROM orders
-        GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-    "csv_ingest_roundtrip": """
-        SELECT r_name, count(*) AS n_nations
-        FROM nation JOIN region ON n_regionkey = r_regionkey
-        GROUP BY r_name
-    """,
-}
-
-QUERIES = {
-    "asof_join": q_asof_join,
-    "percentiles": q_percentiles,
-    "grouping_sets": q_grouping_sets,
-    "cube_agg": q_cube_agg,
-    "approx_stats": q_approx_stats,
-    "csv_ingest_roundtrip": q_csv_ingest_roundtrip,
-}
 
 
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,62 +203,10 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Source/sink format coverage beyond parquet+CSV: write supplier
-    to ORC and nation to JSON (explicit schema read back), join, agg.
-    Oracle reads the original parquet — values match iff both
-    round-trips are faithful."""
-    import shutil
-    import uuid
-    from pathlib import Path
-
-    from propensity_spark.feature_store import DEFAULT_STORE
-    from propensity_spark.io import read_json
-
-    base = Path(DEFAULT_STORE).parent / f"fmt_{uuid.uuid4().hex[:8]}"
-    try:
-        load_table(spark, sf_dir, "supplier").write.mode("overwrite").orc(
-            str(base / "supplier")
-        )
-        load_table(spark, sf_dir, "nation").write.mode("overwrite").json(
-            str(base / "nation")
-        )
-        supplier = spark.read.orc(str(base / "supplier"))
-        nation = read_json(spark, str(base / "nation"), SCHEMAS["nation"])
-        out = (
-            supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
-            .groupBy("n_name")
-            .agg(
-                F.count(F.lit(1)).alias("n_suppliers"),
-                F.round(F.sum("s_acctbal") + 1e-6, 2).alias("total_acctbal"),
-            )
-        )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
-
-
-ORACLES["salted_agg"] = """
-    WITH s AS (
-        SELECT o_custkey AS household_key, COALESCE(l_extendedprice, 0.0) AS amount_list
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    )
-    SELECT household_key,
-           round(1e-6 + sum(amount_list), 2) AS amount_list,
-           count(*) AS line_items
-    FROM s GROUP BY household_key
-"""
-
-ORACLES["format_roundtrip"] = """
-    SELECT n_name, count(*) AS n_suppliers,
-           round(1e-6 + sum(s_acctbal), 2) AS total_acctbal
-    FROM supplier JOIN nation ON s_nationkey = n_nationkey
-    GROUP BY n_name
-"""
-
-QUERIES["salted_agg"] = q_salted_agg
-QUERIES["format_roundtrip"] = q_format_roundtrip
+# ---------------------------------------------------------------------------
+# TPC-H query shapes. Each keeps its own plan; the two suite entries melt
+# the heterogeneous outputs to (q, k, metric, value) for the gate.
+# ---------------------------------------------------------------------------
 
 
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,7 +343,76 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES["tpch_q4"] = """
+def _melted(df: DataFrame, q: str, key_expr: str, metrics: dict[str, str]) -> DataFrame:
+    """Melt a result to (q, k, metric, value DOUBLE) — the shared suite
+    shape. `metrics` maps output metric name -> source SQL expression."""
+    args = ", ".join(f"'{m}', CAST({src} AS DOUBLE)" for m, src in metrics.items())
+    return df.selectExpr(
+        f"'{q}' AS q",
+        f"CAST({key_expr} AS STRING) AS k",
+        f"stack({len(metrics)}, {args}) AS (metric, value)",
+    )
+
+
+def q_tpch_mini_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 (semi join) + Q6 (pushdown scan) + Q14 (broadcast-dim
+    conditional ratio), melted into one gate entry."""
+    q4 = _melted(
+        q_tpch_q4(spark, sf_dir), "q4", "o_orderpriority", {"order_count": "order_count"}
+    )
+    q6 = _melted(
+        q_tpch_q6(spark, sf_dir), "q6", "'all'", {"revenue": "revenue", "n_lines": "n_lines"}
+    )
+    q14 = _melted(
+        q_tpch_q14(spark, sf_dir),
+        "q14",
+        "month",
+        {"promo_share": "promo_share", "n_lines": "n_lines"},
+    )
+    return q4.unionByName(q6).unionByName(q14)
+
+
+def q_tpch_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 (join reorder + top-N) + Q5 (6-way star join) + Q18 (HAVING
+    semi join), melted into one gate entry."""
+    q3 = _melted(
+        q_tpch_q3(spark, sf_dir),
+        "q3",
+        "concat(cast(l_orderkey as string), '|', cast(o_orderdate as string))",
+        {"revenue": "revenue"},
+    )
+    q5 = _melted(q_tpch_q5(spark, sf_dir), "q5", "n_name", {"revenue": "revenue"})
+    q18 = _melted(
+        q_tpch_q18(spark, sf_dir),
+        "q18",
+        "o_orderkey",
+        {
+            "o_custkey": "o_custkey",
+            "orderdate_day": "datediff(o_orderdate, date'1970-01-01')",
+            "o_totalprice": "o_totalprice",
+            "sum_qty": "sum_qty",
+        },
+    )
+    return q3.unionByName(q5).unionByName(q18)
+
+
+# ---------------------------------------------------------------------------
+# Oracles
+# ---------------------------------------------------------------------------
+
+_Q3_SQL = """
+    SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           round(1e-6 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+"""
+
+_Q4_SQL = """
     SELECT o_orderpriority, count(*) AS order_count
     FROM orders o
     WHERE EXISTS (
@@ -401,7 +422,26 @@ ORACLES["tpch_q4"] = """
     GROUP BY o_orderpriority
 """
 
-ORACLES["tpch_q14"] = """
+_Q5_SQL = """
+    SELECT n_name,
+           round(1e-6 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name
+"""
+
+_Q6_SQL = """
+    SELECT round(1e-6 + sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+_Q14_SQL = """
     SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
            round(1e-6 + 100.0 *
                  sum(CASE WHEN p_type = 'PROMO'
@@ -412,7 +452,7 @@ ORACLES["tpch_q14"] = """
     GROUP BY 1
 """
 
-ORACLES["tpch_q18"] = """
+_Q18_SQL = """
     SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate,
            round(1e-6 + o_totalprice, 2) AS o_totalprice,
            round(1e-6 + sum_qty, 2) AS sum_qty
@@ -425,42 +465,111 @@ ORACLES["tpch_q18"] = """
     LIMIT 100
 """
 
-QUERIES["tpch_q4"] = q_tpch_q4
-QUERIES["tpch_q14"] = q_tpch_q14
-QUERIES["tpch_q18"] = q_tpch_q18
+ORACLES = {
+    "asof_join": """
+        SELECT event_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+               CAST(floor(epoch(
+                   last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               )) AS BIGINT) AS last_signup_epoch
+        FROM events
+    """,
+    "percentiles": """
+        SELECT c_mktsegment,
+               round(1e-9 + quantile_cont(o_totalprice, 0.25), 6) AS p25,
+               round(1e-9 + quantile_cont(o_totalprice, 0.5), 6) AS p50,
+               round(1e-9 + quantile_cont(o_totalprice, 0.75), 6) AS p75,
+               count(*) AS n_orders
+        FROM orders
+        JOIN (SELECT c_custkey, c_mktsegment FROM customer) c
+          ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "grouping_analytics": """
+        SELECT 'rollup' AS gset_kind, l_returnflag AS key1, l_linestatus AS key2,
+               round(1e-6 + sum(l_quantity), 2) AS agg_val, count(*) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        UNION ALL
+        SELECT 'grouping_sets', l_returnflag, l_linestatus,
+               round(1e-6 + sum(l_quantity), 2), count(*)
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        UNION ALL
+        SELECT 'cube', o_orderstatus, o_orderpriority,
+               round(1e-6 + sum(o_totalprice), 2), count(*)
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "ingest_roundtrip": """
+        SELECT 'csv' AS fmt, r_name AS k, count(*) AS n_rows,
+               CAST(NULL AS DOUBLE) AS checksum
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        UNION ALL
+        SELECT 'orc_json', n_name, count(*),
+               round(1e-6 + sum(s_acctbal), 2)
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "salted_agg": """
+        WITH s AS (
+            SELECT o_custkey AS household_key, COALESCE(l_extendedprice, 0.0) AS amount_list
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        )
+        SELECT household_key,
+               round(1e-6 + sum(amount_list), 2) AS amount_list,
+               count(*) AS line_items
+        FROM s GROUP BY household_key
+    """,
+    "tpch_mini_suite": f"""
+        SELECT 'q4' AS q, CAST(o_orderpriority AS VARCHAR) AS k,
+               'order_count' AS metric, CAST(order_count AS DOUBLE) AS value
+        FROM ({_Q4_SQL}) q4
+        UNION ALL
+        SELECT 'q6', 'all', 'revenue', CAST(revenue AS DOUBLE) FROM ({_Q6_SQL}) a
+        UNION ALL
+        SELECT 'q6', 'all', 'n_lines', CAST(n_lines AS DOUBLE) FROM ({_Q6_SQL}) b
+        UNION ALL
+        SELECT 'q14', CAST(month AS VARCHAR), 'promo_share', CAST(promo_share AS DOUBLE)
+        FROM ({_Q14_SQL}) c
+        UNION ALL
+        SELECT 'q14', CAST(month AS VARCHAR), 'n_lines', CAST(n_lines AS DOUBLE)
+        FROM ({_Q14_SQL}) d
+    """,
+    "tpch_join_suite": f"""
+        SELECT 'q3' AS q,
+               CAST(l_orderkey AS VARCHAR) || '|' || CAST(o_orderdate AS VARCHAR) AS k,
+               'revenue' AS metric, CAST(revenue AS DOUBLE) AS value
+        FROM ({_Q3_SQL}) q3
+        UNION ALL
+        SELECT 'q5', n_name, 'revenue', CAST(revenue AS DOUBLE) FROM ({_Q5_SQL}) q5
+        UNION ALL
+        SELECT 'q18', CAST(o_orderkey AS VARCHAR), 'o_custkey', CAST(o_custkey AS DOUBLE)
+        FROM ({_Q18_SQL}) a
+        UNION ALL
+        SELECT 'q18', CAST(o_orderkey AS VARCHAR), 'orderdate_day',
+               CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS DOUBLE)
+        FROM ({_Q18_SQL}) b
+        UNION ALL
+        SELECT 'q18', CAST(o_orderkey AS VARCHAR), 'o_totalprice',
+               CAST(o_totalprice AS DOUBLE)
+        FROM ({_Q18_SQL}) c
+        UNION ALL
+        SELECT 'q18', CAST(o_orderkey AS VARCHAR), 'sum_qty', CAST(sum_qty AS DOUBLE)
+        FROM ({_Q18_SQL}) d
+    """,
+}
 
-
-ORACLES["tpch_q3"] = """
-    SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
-           round(1e-6 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-    FROM lineitem
-    JOIN orders ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    WHERE c_mktsegment = 'BUILDING'
-    GROUP BY 1, 2
-    ORDER BY revenue DESC, l_orderkey ASC
-    LIMIT 10
-"""
-
-ORACLES["tpch_q5"] = """
-    SELECT n_name,
-           round(1e-6 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-    FROM lineitem
-    JOIN orders ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-    JOIN nation ON c_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    GROUP BY n_name
-"""
-
-ORACLES["tpch_q6"] = """
-    SELECT round(1e-6 + sum(l_extendedprice * l_discount), 2) AS revenue,
-           count(*) AS n_lines
-    FROM lineitem
-    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
-"""
-
-QUERIES["tpch_q3"] = q_tpch_q3
-QUERIES["tpch_q5"] = q_tpch_q5
-QUERIES["tpch_q6"] = q_tpch_q6
+QUERIES = {
+    "asof_join": q_asof_join,
+    "percentiles": q_percentiles,
+    "grouping_analytics": q_grouping_analytics,
+    "approx_stats": q_approx_stats,
+    "ingest_roundtrip": q_ingest_roundtrip,
+    "salted_agg": q_salted_agg,
+    "tpch_mini_suite": q_tpch_mini_suite,
+    "tpch_join_suite": q_tpch_join_suite,
+}

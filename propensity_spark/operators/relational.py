@@ -159,10 +159,16 @@ LIMIT {TOP_K}
 # ---------------------------------------------------------------------------
 
 def q_topk_commodities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship (S2+J1+A2+A8+O1+F4). Plan: parquet scan -> shuffle join
-    -> broadcast dim join -> partial/final distinct agg ->
-    TakeOrderedAndProject."""
-    return top_commodities(spark, sf_dir)
+    """Flagship (S2+J1+A2+A8+O1+F4+F5). Plan: parquet scan -> shuffle
+    join -> broadcast dim join -> partial/final distinct agg ->
+    TakeOrderedAndProject. The model-URI concat (04c:94) rides along as
+    the string-function evidence (F5)."""
+    return top_commodities(spark, sf_dir).withColumn(
+        "model_uri",
+        F.concat(
+            F.lit("models:/propensity "), F.col("commodity_clean"), F.lit("/Production")
+        ),
+    )
 
 
 def q_silver_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,32 +209,50 @@ def q_agg_minmax_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_summary_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2+A3+A4: the per-entity summary aggregate block
-    (04a:183-199) at household grain — distinct days/baskets, product
-    and line counts, six monetary sums, in one hash-agg pass."""
+_RATIO_COLS = (
+    "amount_list_per_day",
+    "amount_list_per_basket",
+    "amount_list_per_line_item",
+    "amount_paid_share",
+    "discount_line_share",
+)
+
+
+def q_household_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-A7 + F3 + P8 + P10 in ONE hash-agg pass at household grain:
+    the summary block (04a:183-199), the "with activity" conditional
+    distincts and count-ifs (04a:202-255), days-since-last-activity
+    (04a:528-546), and the derived ratios (04a:258-524) with the
+    reference's null algebra — x/0 -> NULL then fillna(0.0) (04a:595)
+    and the all-DOUBLE cast (04a:556-558).
+
+    One shuffle computes all 21 outputs (the reference's shape is one
+    pass per family). The span bounds come from a broadcast 1-row agg,
+    not a driver collect. The multi-countDistinct Expand (5 distinct
+    exprs -> 6x row multiply before partial agg) is the known 100 TB
+    hazard; the approx escape hatch is `exact_distinct=False` in
+    operators/features.py for the wide-grid twin of this query."""
     silver = silver_transactions(spark, sf_dir)
-    return silver.groupBy("household_key").agg(
+    bounds = silver.agg(F.min("day").alias("min_day"), F.max("day").alias("max_day"))
+    with_b = silver.join(F.broadcast(bounds))
+    has_instore = F.col("instore_discount") > 0
+    has_coupon = F.col("total_coupon_discount") > 0
+    since = lambda cond: F.min(  # noqa: E731
+        F.datediff(F.col("max_day"), F.when(cond, F.col("day")).otherwise(F.col("min_day")))
+    )
+    agg = with_b.groupBy("household_key").agg(
+        # A2-A4 summary block (raw sums kept for the ratio algebra below)
         F.countDistinct("day").alias("days"),
         F.countDistinct("basket_id").alias("baskets"),
         F.count("product_id").alias("products"),
         F.count(F.lit(1)).alias("line_items"),
-        _round(F.sum("amount_list"), 2).alias("amount_list"),
-        _round(F.sum("instore_discount"), 2).alias("instore_discount"),
-        _round(F.sum("campaign_coupon_discount"), 2).alias("campaign_coupon_discount"),
-        _round(F.sum("manuf_coupon_discount"), 2).alias("manuf_coupon_discount"),
-        _round(F.sum("total_coupon_discount"), 2).alias("total_coupon_discount"),
-        _round(F.sum("amount_paid"), 2).alias("amount_paid"),
-    )
-
-
-def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5+A6: "with activity" conditional aggregates
-    (04a:202-255) — countDistinct over a CASE and count-if sums."""
-    silver = silver_transactions(spark, sf_dir)
-    has_instore = F.col("instore_discount") > 0
-    has_coupon = F.col("total_coupon_discount") > 0
-    return silver.groupBy("household_key").agg(
+        F.sum("amount_list").alias("_amount_list"),
+        F.sum("instore_discount").alias("_instore_discount"),
+        F.sum("campaign_coupon_discount").alias("_campaign_coupon_discount"),
+        F.sum("manuf_coupon_discount").alias("_manuf_coupon_discount"),
+        F.sum("total_coupon_discount").alias("_total_coupon_discount"),
+        F.sum("amount_paid").alias("_amount_paid"),
+        # A5/A6 conditional block
         F.countDistinct(F.when(has_instore, F.col("day"))).alias("days_with_instore_discount"),
         F.countDistinct(F.when(has_instore, F.col("basket_id"))).alias(
             "baskets_with_instore_discount"
@@ -236,53 +260,47 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.when(has_coupon, F.col("day"))).alias("days_with_coupon_discount"),
         F.sum(F.when(has_instore, 1)).alias("line_items_with_instore_discount"),
         F.sum(F.when(has_coupon, 1)).alias("line_items_with_coupon_discount"),
-    )
-
-
-def q_days_since(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7: days-since-last-activity (04a:528-546) — min over a
-    conditional date-diff; entities with no qualifying activity fall
-    back to the dataset span. Constants come from a broadcast 1-row
-    agg instead of a driver collect (anti-pattern row, SURVEY.md §4)."""
-    silver = silver_transactions(spark, sf_dir)
-    bounds = silver.agg(F.min("day").alias("min_day"), F.max("day").alias("max_day"))
-    with_b = silver.join(F.broadcast(bounds))
-    since = lambda cond: F.min(  # noqa: E731
-        F.datediff(F.col("max_day"), F.when(cond, F.col("day")).otherwise(F.col("min_day")))
-    )
-    return with_b.groupBy("household_key").agg(
+        # A7 days-since block
         F.min(F.datediff(F.col("max_day"), F.col("day"))).alias("days_since_purchase"),
-        since(F.col("instore_discount") > 0).alias("days_since_instore_discount"),
-        since(F.col("total_coupon_discount") > 0).alias("days_since_coupon_discount"),
+        since(has_instore).alias("days_since_instore_discount"),
+        since(has_coupon).alias("days_since_coupon_discount"),
     )
-
-
-def q_ratio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3+P8+P10: derived ratio features (04a:258-524) with the
-    reference's exact null algebra — x/0 -> NULL, then fillna(0.0)
-    (04a:595) — and the all-DOUBLE cast (04a:556-558)."""
-    silver = silver_transactions(spark, sf_dir)
-    agg = silver.groupBy("household_key").agg(
-        F.countDistinct("day").alias("days"),
-        F.countDistinct("basket_id").alias("baskets"),
-        F.count(F.lit(1)).alias("line_items"),
-        F.sum("amount_list").alias("amount_list"),
-        F.sum("amount_paid").alias("amount_paid"),
-        F.sum(F.when(F.col("instore_discount") > 0, 1)).alias("discount_lines"),
-    )
-    ratios = agg.select(
+    out = agg.select(
         "household_key",
-        _round(F.expr("amount_list / days"), 6).alias("amount_list_per_day"),
-        _round(F.expr("amount_list / baskets"), 6).alias("amount_list_per_basket"),
-        _round(F.expr("amount_list / line_items"), 6).alias("amount_list_per_line_item"),
-        _round(F.expr("amount_paid / amount_list"), 6).alias("amount_paid_share"),
-        _round(F.expr("discount_lines / line_items"), 6).alias("discount_line_share"),
+        "days",
+        "baskets",
+        "products",
+        "line_items",
+        _round("_amount_list", 2).alias("amount_list"),
+        _round("_instore_discount", 2).alias("instore_discount"),
+        _round("_campaign_coupon_discount", 2).alias("campaign_coupon_discount"),
+        _round("_manuf_coupon_discount", 2).alias("manuf_coupon_discount"),
+        _round("_total_coupon_discount", 2).alias("total_coupon_discount"),
+        _round("_amount_paid", 2).alias("amount_paid"),
+        "days_with_instore_discount",
+        "baskets_with_instore_discount",
+        "days_with_coupon_discount",
+        "line_items_with_instore_discount",
+        "line_items_with_coupon_discount",
+        "days_since_purchase",
+        "days_since_instore_discount",
+        "days_since_coupon_discount",
+        # F3 ratios over the RAW (unrounded) sums
+        _round(F.expr("_amount_list / days"), 6).cast("double").alias("amount_list_per_day"),
+        _round(F.expr("_amount_list / baskets"), 6)
+        .cast("double")
+        .alias("amount_list_per_basket"),
+        _round(F.expr("_amount_list / line_items"), 6)
+        .cast("double")
+        .alias("amount_list_per_line_item"),
+        _round(F.expr("_amount_paid / _amount_list"), 6)
+        .cast("double")
+        .alias("amount_paid_share"),
+        _round(F.expr("line_items_with_instore_discount / line_items"), 6)
+        .cast("double")
+        .alias("discount_line_share"),
     )
-    out_cols = [c for c in ratios.columns if c != "household_key"]
-    casted = ratios.select(
-        "household_key", *[F.col(c).cast("double").alias(c) for c in out_cols]
-    )
-    return casted.fillna(0.0, subset=out_cols)
+    return out.fillna(0.0, subset=list(_RATIO_COLS))
 
 
 def q_distinct_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,28 +387,25 @@ def q_class_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine-completeness: LEFT SEMI (EXISTS) — customers with at
-    least one urgent order. Not used by the reference (SURVEY §2.3
-    'not present') but part of the engine's join surface."""
-    customer = load_table(spark, sf_dir, "customer")
-    urgent = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderpriority") == "1-URGENT"
-    )
-    return customer.join(
-        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
-    ).select("c_custkey", "c_mktsegment")
-
-
-def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine-completeness: LEFT ANTI (NOT EXISTS) — customers with no
-    orders at all (also the parquet-fallback MERGE building block,
-    SURVEY §2.1 S5)."""
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-completeness: LEFT SEMI (EXISTS) and LEFT ANTI
+    (NOT EXISTS) in one tagged union — customers with at least one
+    urgent order, and customers with no orders at all (the latter is
+    also the parquet-fallback MERGE building block, SURVEY §2.1 S5).
+    Not used by the reference (SURVEY §2.3 'not present') but part of
+    the engine's join surface."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return customer.join(
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    semi = customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select(
+        "c_custkey", F.lit("semi_urgent").alias("side"), F.col("c_mktsegment").alias("attr")
+    )
+    anti = customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name")
+    ).select("c_custkey", F.lit("anti_no_orders").alias("side"), F.col("c_name").alias("attr"))
+    return semi.unionByName(anti)
 
 
 def q_union_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,35 +438,26 @@ def _scored_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return silver.join(F.broadcast(dim), "product_id", "inner")
 
 
-def q_pivot_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8 idiomatic pivot: per-household spend per commodity, pivoted
-    to one column per commodity_clean — replacing the reference's
-    N-MERGE loop (04c:189-202) with ONE shuffle."""
+def q_pivot_unpivot_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 pivot AND its inverse in one checked round-trip: per-household
+    spend per commodity pivoted to one column per commodity_clean —
+    replacing the reference's N-MERGE loop (04c:189-202) with ONE
+    shuffle — fillna(0.0)-padded, then melted back to (household_key,
+    commodity_clean, prediction) via the stack generator (the
+    __UNPIVOTED table shape, 04c:274-282). Keeping the padded zeros in
+    the melt makes the oracle check BOTH the pivot's fill semantics and
+    the unpivot values."""
     pivoted = (
         _scored_spend(spark, sf_dir)
         .groupBy("household_key")
         .pivot("commodity_clean", BRANDS_CLEAN)
         .agg(_round(F.sum("amount_list"), 2))
-    )
-    return pivoted.fillna(0.0, subset=BRANDS_CLEAN)
-
-
-def q_unpivot_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8 inverse (the __UNPIVOTED table shape, 04c:274-282): melt the
-    wide table back to (household_key, commodity_clean, prediction)
-    via the stack generator, dropping the combos the pivot padded."""
-    pivoted = (
-        _scored_spend(spark, sf_dir)
-        .groupBy("household_key")
-        .pivot("commodity_clean", BRANDS_CLEAN)
-        .agg(_round(F.sum("amount_list"), 2))
+        .fillna(0.0, subset=BRANDS_CLEAN)
     )
     stack_expr = "stack({n}, {args}) AS (commodity_clean, prediction)".format(
         n=len(BRANDS_CLEAN), args=", ".join(f"'{c}', `{c}`" for c in BRANDS_CLEAN)
     )
-    return pivoted.selectExpr("household_key", stack_expr).where(
-        F.col("prediction").isNotNull()
-    )
+    return pivoted.selectExpr("household_key", stack_expr)
 
 
 def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,19 +475,6 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F4+F5: regexp sanitation (02:61-62) and model-URI concat
-    (04c:94) over the commodity control table."""
-    top = commodities_control(spark, sf_dir)
-    return top.select(
-        "commodity_desc",
-        "commodity_clean",
-        F.concat(
-            F.lit("models:/propensity "), F.col("commodity_clean"), F.lit("/Production")
-        ).alias("model_uri"),
-    )
-
-
 def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-completeness window functions (§2.5 notes): top-3 orders
     per customer by totalprice via row_number with deterministic
@@ -496,16 +489,6 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", _round("o_totalprice", 2).alias("o_totalprice"), "rn")
-    )
-
-
-def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine-completeness grouping sets (§2.4 notes 'no rollup in
-    reference'): ROLLUP over (returnflag, linestatus)."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    return (
-        lineitem.rollup("l_returnflag", "l_linestatus")
-        .agg(_round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
     )
 
 
@@ -539,24 +522,68 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracles (DuckDB SQL). Same aliases, same rounding, same algebra.
 # ---------------------------------------------------------------------------
 
-_SUMMARY_AGG_SQL = f"""
-SELECT household_key,
-       count(DISTINCT day)       AS days,
-       count(DISTINCT basket_id) AS baskets,
-       count(product_id)         AS products,
-       count(*)                  AS line_items,
-       round(1e-6 + sum(amount_list), 2)              AS amount_list,
-       round(1e-6 + sum(instore_discount), 2)         AS instore_discount,
-       round(1e-6 + sum(campaign_coupon_discount), 2) AS campaign_coupon_discount,
-       round(1e-6 + sum(manuf_coupon_discount), 2)    AS manuf_coupon_discount,
-       round(1e-6 + sum(total_coupon_discount), 2)    AS total_coupon_discount,
-       round(1e-6 + sum(amount_paid), 2)              AS amount_paid
-FROM ({SILVER_SQL}) s
-GROUP BY household_key
+_HOUSEHOLD_SUITE_SQL = f"""
+WITH s AS ({SILVER_SQL}),
+     b AS (SELECT min(day) AS min_day, max(day) AS max_day FROM s),
+     agg AS (
+        SELECT household_key,
+               count(DISTINCT day)       AS days,
+               count(DISTINCT basket_id) AS baskets,
+               count(product_id)         AS products,
+               count(*)                  AS line_items,
+               sum(amount_list)              AS _amount_list,
+               sum(instore_discount)         AS _instore_discount,
+               sum(campaign_coupon_discount) AS _campaign_coupon_discount,
+               sum(manuf_coupon_discount)    AS _manuf_coupon_discount,
+               sum(total_coupon_discount)    AS _total_coupon_discount,
+               sum(amount_paid)              AS _amount_paid,
+               count(DISTINCT CASE WHEN instore_discount > 0 THEN day END)
+                   AS days_with_instore_discount,
+               count(DISTINCT CASE WHEN instore_discount > 0 THEN basket_id END)
+                   AS baskets_with_instore_discount,
+               count(DISTINCT CASE WHEN total_coupon_discount > 0 THEN day END)
+                   AS days_with_coupon_discount,
+               CAST(sum(CASE WHEN instore_discount > 0 THEN 1 END) AS BIGINT)
+                   AS line_items_with_instore_discount,
+               CAST(sum(CASE WHEN total_coupon_discount > 0 THEN 1 END) AS BIGINT)
+                   AS line_items_with_coupon_discount,
+               min(date_diff('day', day, max_day)) AS days_since_purchase,
+               min(date_diff('day',
+                   CASE WHEN instore_discount > 0 THEN day ELSE min_day END, max_day))
+                   AS days_since_instore_discount,
+               min(date_diff('day',
+                   CASE WHEN total_coupon_discount > 0 THEN day ELSE min_day END, max_day))
+                   AS days_since_coupon_discount
+        FROM s, b
+        GROUP BY household_key
+     )
+SELECT household_key, days, baskets, products, line_items,
+       round(1e-6 + _amount_list, 2)              AS amount_list,
+       round(1e-6 + _instore_discount, 2)         AS instore_discount,
+       round(1e-6 + _campaign_coupon_discount, 2) AS campaign_coupon_discount,
+       round(1e-6 + _manuf_coupon_discount, 2)    AS manuf_coupon_discount,
+       round(1e-6 + _total_coupon_discount, 2)    AS total_coupon_discount,
+       round(1e-6 + _amount_paid, 2)              AS amount_paid,
+       days_with_instore_discount, baskets_with_instore_discount,
+       days_with_coupon_discount,
+       line_items_with_instore_discount, line_items_with_coupon_discount,
+       days_since_purchase, days_since_instore_discount, days_since_coupon_discount,
+       coalesce(round(1e-9 + _amount_list / days, 6), 0.0) AS amount_list_per_day,
+       coalesce(round(1e-9 + _amount_list / baskets, 6), 0.0) AS amount_list_per_basket,
+       coalesce(round(1e-9 + _amount_list / line_items, 6), 0.0)
+           AS amount_list_per_line_item,
+       coalesce(round(1e-9 + _amount_paid / _amount_list, 6), 0.0) AS amount_paid_share,
+       coalesce(round(1e-9 + CAST(line_items_with_instore_discount AS DOUBLE)
+                / line_items, 6), 0.0) AS discount_line_share
+FROM agg
 """
 
 ORACLES: dict[str, str] = {
-    "topk_commodities": TOPK_SQL,
+    "topk_commodities": f"""
+        SELECT tk.*,
+               'models:/propensity ' || commodity_clean || '/Production' AS model_uri
+        FROM ({TOPK_SQL}) tk
+    """,
     "silver_projection": SILVER_SQL,
     "date_range_filter": f"""
         WITH s AS ({SILVER_SQL}),
@@ -572,60 +599,7 @@ ORACLES: dict[str, str] = {
                count(DISTINCT day) AS n_days
         FROM ({SILVER_SQL}) s
     """,
-    "summary_agg": _SUMMARY_AGG_SQL,
-    "conditional_agg": f"""
-        SELECT household_key,
-               count(DISTINCT CASE WHEN instore_discount > 0 THEN day END)
-                   AS days_with_instore_discount,
-               count(DISTINCT CASE WHEN instore_discount > 0 THEN basket_id END)
-                   AS baskets_with_instore_discount,
-               count(DISTINCT CASE WHEN total_coupon_discount > 0 THEN day END)
-                   AS days_with_coupon_discount,
-               CAST(sum(CASE WHEN instore_discount > 0 THEN 1 END) AS BIGINT)
-                   AS line_items_with_instore_discount,
-               CAST(sum(CASE WHEN total_coupon_discount > 0 THEN 1 END) AS BIGINT)
-                   AS line_items_with_coupon_discount
-        FROM ({SILVER_SQL}) s
-        GROUP BY household_key
-    """,
-    "days_since": f"""
-        WITH s AS ({SILVER_SQL}),
-             b AS (SELECT min(day) AS min_day, max(day) AS max_day FROM s)
-        SELECT household_key,
-               min(date_diff('day', day, max_day)) AS days_since_purchase,
-               min(date_diff('day',
-                   CASE WHEN instore_discount > 0 THEN day ELSE min_day END, max_day))
-                   AS days_since_instore_discount,
-               min(date_diff('day',
-                   CASE WHEN total_coupon_discount > 0 THEN day ELSE min_day END, max_day))
-                   AS days_since_coupon_discount
-        FROM s, b
-        GROUP BY household_key
-    """,
-    "ratio_features": f"""
-        WITH agg AS (
-            SELECT household_key,
-                   count(DISTINCT day) AS days,
-                   count(DISTINCT basket_id) AS baskets,
-                   count(*) AS line_items,
-                   sum(amount_list) AS amount_list,
-                   sum(amount_paid) AS amount_paid,
-                   sum(CASE WHEN instore_discount > 0 THEN 1 END) AS discount_lines
-            FROM ({SILVER_SQL}) s
-            GROUP BY household_key
-        )
-        SELECT household_key,
-               coalesce(round(1e-9 + amount_list / days, 6), 0.0) AS amount_list_per_day,
-               coalesce(round(1e-9 + amount_list / baskets, 6), 0.0) AS amount_list_per_basket,
-               coalesce(round(1e-9 + amount_list / line_items, 6), 0.0) AS amount_list_per_line_item,
-               coalesce(round(1e-9 + amount_paid / amount_list, 6), 0.0) AS amount_paid_share,
-               coalesce(round(1e-9 + CAST(discount_lines AS DOUBLE) / line_items, 6), 0.0)
-                   AS discount_line_share
-        FROM agg
-    """,
-    "distinct_entities": f"""
-        SELECT DISTINCT household_key FROM ({SILVER_SQL}) s
-    """,
+    "household_agg_suite": _HOUSEHOLD_SUITE_SQL,
     "cross_universe": f"""
         SELECT h.household_key, t.commodity_desc
         FROM (SELECT DISTINCT household_key FROM ({SILVER_SQL}) s) h
@@ -669,14 +643,13 @@ ORACLES: dict[str, str] = {
                      AND pos.commodity_desc = u.commodity_desc
     """,
     "class_ratios": None,  # filled below (needs labels CTE)
-    "semi_join": """
-        SELECT c_custkey, c_mktsegment FROM customer c
+    "semi_anti_join": """
+        SELECT c_custkey, 'semi_urgent' AS side, c_mktsegment AS attr FROM customer c
         WHERE EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderpriority = '1-URGENT')
-    """,
-    "anti_join": """
-        SELECT c_custkey, c_name FROM customer c
+        UNION ALL
+        SELECT c_custkey, 'anti_no_orders' AS side, c_name AS attr FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
     "union_parts": """
@@ -691,11 +664,6 @@ ORACLES: dict[str, str] = {
                    AS days_from_epoch
         FROM lineitem
     """,
-    "string_functions": f"""
-        SELECT commodity_desc, commodity_clean,
-               concat('models:/propensity ', commodity_clean, '/Production') AS model_uri
-        FROM ({TOPK_SQL}) tk
-    """,
     "window_topk_per_group": """
         SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
         FROM (
@@ -704,12 +672,6 @@ ORACLES: dict[str, str] = {
                                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
             FROM orders
         ) t WHERE rn <= 3
-    """,
-    "rollup_agg": """
-        SELECT l_returnflag, l_linestatus,
-               round(1e-6 + sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
-        FROM lineitem
-        GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     "tpch_q1": """
         WITH b AS (SELECT max(CAST(l_shipdate AS DATE)) - 90 AS cutoff FROM lineitem)
@@ -748,29 +710,22 @@ QUERIES = {
     "silver_projection": q_silver_projection,
     "date_range_filter": q_date_range_filter,
     "agg_minmax_day": q_agg_minmax_day,
-    "summary_agg": q_summary_agg,
-    "conditional_agg": q_conditional_agg,
-    "days_since": q_days_since,
-    "ratio_features": q_ratio_features,
-    "distinct_entities": q_distinct_entities,
+    "household_agg_suite": q_household_agg_suite,
     "cross_universe": q_cross_universe,
     "left_join_fillna": q_left_join_fillna,
     "labels": q_labels,
     "class_ratios": q_class_ratios,
-    "semi_join": q_semi_join,
-    "anti_join": q_anti_join,
+    "semi_anti_join": q_semi_anti_join,
     "union_parts": q_union_parts,
-    "pivot_scores": q_pivot_scores,
-    "unpivot_scores": q_unpivot_scores,
+    "pivot_unpivot_scores": q_pivot_unpivot_scores,
     "date_functions": q_date_functions,
-    "string_functions": q_string_functions,
     "window_topk_per_group": q_window_topk_per_group,
-    "rollup_agg": q_rollup_agg,
     "tpch_q1": q_tpch_q1,
 }
 
-# pivot/unpivot oracles: conditional aggregation with the same sanitized
-# column names the Spark pivot produces (static because BRANDS is).
+# pivot/unpivot round-trip oracle: full household x brand grid with the
+# pivot's fillna(0.0) padding, matched via cross join + left join (the
+# column names are static because BRANDS is).
 _SCORED_SQL = f"""
     SELECT s.household_key, replace(p.commodity_desc, '#', '_') AS commodity_clean,
            s.amount_list
@@ -779,21 +734,19 @@ _SCORED_SQL = f"""
       ON s.product_id = p.product_id
 """
 
-_pivot_cols = ",\n           ".join(
-    f"coalesce(round(1e-6 + sum(CASE WHEN commodity_clean = '{c}' THEN amount_list END), 2), 0.0)"
-    f' AS "{c}"'
-    for c in BRANDS_CLEAN
-)
-ORACLES["pivot_scores"] = f"""
-    SELECT household_key,
-           {_pivot_cols}
-    FROM ({_SCORED_SQL}) scored
-    GROUP BY household_key
-"""
-
-ORACLES["unpivot_scores"] = f"""
-    SELECT household_key, commodity_clean,
-           round(1e-6 + sum(amount_list), 2) AS prediction
-    FROM ({_SCORED_SQL}) scored
-    GROUP BY household_key, commodity_clean
+_brand_list = ", ".join(f"'{c}'" for c in BRANDS_CLEAN)
+ORACLES["pivot_unpivot_scores"] = f"""
+    WITH scored AS ({_SCORED_SQL}),
+         hh AS (SELECT DISTINCT household_key FROM scored),
+         brands AS (SELECT unnest([{_brand_list}]) AS commodity_clean),
+         sums AS (
+             SELECT household_key, commodity_clean,
+                    round(1e-6 + sum(amount_list), 2) AS prediction
+             FROM scored GROUP BY 1, 2
+         )
+    SELECT hh.household_key, brands.commodity_clean,
+           coalesce(sums.prediction, 0.0) AS prediction
+    FROM hh CROSS JOIN brands
+    LEFT JOIN sums ON sums.household_key = hh.household_key
+                  AND sums.commodity_clean = brands.commodity_clean
 """

@@ -138,6 +138,34 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_batch_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling + sliding + session windows in one tagged union — each
+    computed by its real Spark operator (`F.window`, `F.session_window`)
+    with its own shuffle; the union concatenates the three independent
+    plans. Normalized shape: (win_kind, window_start, grp, n_events,
+    sum_value) where grp is event_type for time windows and user_id for
+    sessions."""
+
+    def norm(df, kind: str, start_col: str, grp_col) -> DataFrame:
+        return df.select(
+            F.lit(kind).alias("win_kind"),
+            F.col(start_col).alias("window_start"),
+            grp_col.cast("string").alias("grp"),
+            "n_events",
+            "sum_value",
+        )
+
+    return (
+        norm(q_tumbling_window(spark, sf_dir), "tumbling", "window_start", F.col("event_type"))
+        .unionByName(
+            norm(q_sliding_window(spark, sf_dir), "sliding", "window_start", F.col("event_type"))
+        )
+        .unionByName(
+            norm(q_session_window(spark, sf_dir), "session", "session_start", F.col("user_id"))
+        )
+    )
+
+
 _TUMBLING_SQL = """
     SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
            event_type,
@@ -147,49 +175,59 @@ _TUMBLING_SQL = """
     GROUP BY 1, 2
 """
 
+_SLIDING_SQL = """
+    WITH assigned AS (
+        SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+               event_type, value FROM events
+        UNION ALL
+        SELECT CAST(floor(epoch(ts) / 3600) * 3600 - 3600 AS BIGINT) AS window_start,
+               event_type, value FROM events
+    )
+    SELECT window_start, event_type,
+           count(*) AS n_events,
+           round(1e-6 + sum(value), 2) AS sum_value
+    FROM assigned
+    GROUP BY 1, 2
+"""
+
+_SESSION_SQL = f"""
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= {GAP_MIN * 60}
+                    OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+        FROM ordered
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           count(*) AS n_events,
+           round(1e-6 + sum(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+"""
+
 ORACLES = {
-    "tumbling_window": _TUMBLING_SQL,
+    "batch_windows": f"""
+        SELECT 'tumbling' AS win_kind, window_start, event_type AS grp,
+               n_events, sum_value
+        FROM ({_TUMBLING_SQL}) t
+        UNION ALL
+        SELECT 'sliding', window_start, event_type, n_events, sum_value
+        FROM ({_SLIDING_SQL}) sl
+        UNION ALL
+        SELECT 'session', session_start, CAST(user_id AS VARCHAR), n_events, sum_value
+        FROM ({_SESSION_SQL}) se
+    """,
     "stream_tumbling": _TUMBLING_SQL,
-    "sliding_window": """
-        WITH assigned AS (
-            SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
-                   event_type, value FROM events
-            UNION ALL
-            SELECT CAST(floor(epoch(ts) / 3600) * 3600 - 3600 AS BIGINT) AS window_start,
-                   event_type, value FROM events
-        )
-        SELECT window_start, event_type,
-               count(*) AS n_events,
-               round(1e-6 + sum(value), 2) AS sum_value
-        FROM assigned
-        GROUP BY 1, 2
-    """,
-    "session_window": f"""
-        WITH ordered AS (
-            SELECT user_id, ts, value,
-                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= {GAP_MIN * 60}
-                        OR lag(ts) OVER w IS NULL
-                        THEN 1 ELSE 0 END AS new_session
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-        ),
-        sessions AS (
-            SELECT user_id, ts, value,
-                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
-            FROM ordered
-        )
-        SELECT user_id,
-               CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
-               count(*) AS n_events,
-               round(1e-6 + sum(value), 2) AS sum_value
-        FROM sessions
-        GROUP BY user_id, session_id
-    """,
 }
 
 QUERIES = {
-    "tumbling_window": q_tumbling_window,
-    "sliding_window": q_sliding_window,
-    "session_window": q_session_window,
+    "batch_windows": q_batch_windows,
     "stream_tumbling": q_stream_tumbling,
 }

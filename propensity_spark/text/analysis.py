@@ -114,41 +114,20 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EN = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four per-document map-only analyses — quality scoring, token
+    counting, language-ID, fingerprinting — joined at doc_id grain into
+    one gate entry. All four are pure projections of the same row, so
+    the 'join' is a single select: one scan, zero shuffles, identical
+    plan at 100 TB."""
+    quality = q_text_quality(spark, sf_dir)
+    tokens = q_token_count(spark, sf_dir).drop("ws_tokens")  # == word_count
+    lang = q_lang_id(spark, sf_dir)
+    fp = q_doc_fingerprint(spark, sf_dir)
+    return quality.join(tokens, "doc_id").join(lang, "doc_id").join(fp, "doc_id")
 
-ORACLES = {
-    "text_quality": f"""
-        SELECT doc_id, n_chars,
-               CAST(len(string_split(text, ' ')) AS INT) AS word_count,
-               round(1e-9 + n_chars / len(string_split(text, ' ')), 6) AS avg_word_len,
-               round(1e-9 + CAST(len(list_filter(string_split(text, ' '),
-                     w -> w IN ({_EN}))) AS DOUBLE)
-                     / len(string_split(text, ' ')), 6) AS stopword_ratio,
-               round(1e-9 + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                     / len(string_split(text, ' ')), 6) AS uniq_word_ratio,
-               CAST(CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
-                          AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                              / len(string_split(text, ' ')) > 0.2
-                    THEN 1 ELSE 0 END AS INT) AS quality_keep
-        FROM documents
-    """,
-    "token_count": f"""
-        SELECT doc_id,
-               CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
-               CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS INT) AS re_tokens,
-               round(1e-9 + n_chars / len(regexp_extract_all(text, '{_TOKEN_RE}')), 6)
-                   AS chars_per_token
-        FROM documents
-    """,
-    "lang_id": None,  # generated below
-    "doc_fingerprint": """
-        SELECT doc_id,
-               md5(text) AS exact_fp,
-               md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
-                   AS bag_fp
-        FROM documents
-    """,
-}
+
+_EN = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
 
 _score_cols = ",\n               ".join(
     "len(list_filter(string_split(text, ' '), w -> w IN ({})))::INT AS score_{}".format(
@@ -161,22 +140,40 @@ _best = "greatest({})".format(", ".join(f"score_{lang}" for lang in _langs))
 _pred_chain = " ".join(
     f"WHEN score_{lang} = {_best} THEN '{lang}'" for lang in _langs
 )
-ORACLES["lang_id"] = f"""
-    WITH scored AS (
-        SELECT doc_id, lang AS lang_declared,
-               {_score_cols}
-        FROM documents
-    )
-    SELECT doc_id, lang_declared, {", ".join(f"score_{lang}" for lang in _langs)},
-           CASE WHEN {_best} = 0 THEN 'unknown' {_pred_chain} END AS lang_pred
-    FROM scored
-"""
+
+ORACLES = {
+    "doc_profile": f"""
+        WITH scored AS (
+            SELECT doc_id, lang AS lang_declared,
+                   {_score_cols}
+            FROM documents
+        )
+        SELECT d.doc_id, d.n_chars,
+               CAST(len(string_split(text, ' ')) AS INT) AS word_count,
+               round(1e-9 + n_chars / len(string_split(text, ' ')), 6) AS avg_word_len,
+               round(1e-9 + CAST(len(list_filter(string_split(text, ' '),
+                     w -> w IN ({_EN}))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS stopword_ratio,
+               round(1e-9 + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS uniq_word_ratio,
+               CAST(CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
+                          AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                              / len(string_split(text, ' ')) > 0.2
+                    THEN 1 ELSE 0 END AS INT) AS quality_keep,
+               CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS INT) AS re_tokens,
+               round(1e-9 + n_chars / len(regexp_extract_all(text, '{_TOKEN_RE}')), 6)
+                   AS chars_per_token,
+               s.lang_declared, {", ".join(f"s.score_{lang}" for lang in _langs)},
+               CASE WHEN {_best} = 0 THEN 'unknown' {_pred_chain} END AS lang_pred,
+               md5(text) AS exact_fp,
+               md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+                   AS bag_fp
+        FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+    """,
+}
 
 QUERIES = {
-    "text_quality": q_text_quality,
-    "token_count": q_token_count,
-    "lang_id": q_lang_id,
-    "doc_fingerprint": q_doc_fingerprint,
+    "doc_profile": q_doc_profile,
 }
 
 

@@ -99,11 +99,17 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _signatures(spark, sf_dir)
 
 
-def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: two-row bands over the signature; candidate pair =
     docs agreeing on at least one band, counted per pair. Join key is
-    the band value, so work scales with bucket sizes, not n^2."""
-    sig = _signatures(spark, sf_dir)
+    the band value, so work scales with bucket sizes, not n^2.
+
+    Shingle-less docs (signature all -1) are EXCLUDED before banding:
+    they would all share one band value, turning the bucket join
+    quadratic in their count (at 100 TB, millions of tiny docs -> one
+    n^2 bucket) while being semantically meaningless as near-dup
+    candidates."""
+    sig = _signatures(spark, sf_dir).where(F.col("mh_0") != -1)
     bands = sig.selectExpr(
         "doc_id",
         *[
@@ -124,6 +130,39 @@ def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.expr("a.doc_id < b.doc_id"))
         .groupBy(F.expr("a.doc_id").alias("doc_a"), F.expr("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band candidates + exact n-gram Jaccard verification in one gate
+    entry — the REAL scale pipeline: the O(n^2) work is confined to
+    pairs that already share a band, and each candidate is then
+    verified with the exact distinct-shingle Jaccard (array_intersect
+    on the two shingle sets; candidates are rare so the per-pair array
+    work is negligible). `is_dup` applies JACCARD_THRESHOLD."""
+    cand = _band_candidates(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    sets = _with_shingles(docs).select(
+        "doc_id", F.expr("array_distinct(shingles)").alias("sh")
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("common", F.expr("size(array_intersect(sh_a, sh_b))"))
+        .withColumn(
+            "jaccard",
+            F.round(F.expr("1e-9 + common / (size(sh_a) + size(sh_b) - common)"), 6),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            "common",
+            "jaccard",
+            (F.col("jaccard") >= JACCARD_THRESHOLD).cast("int").alias("is_dup"),
+        )
     )
 
 
@@ -220,11 +259,22 @@ _SIG_SQL = f"""
 """
 
 _BANDS = N_HASHES // BAND_SIZE
+# sigf = signatures with the shingle-less (-1) docs excluded, mirroring
+# the engine's skew/semantics filter before banding.
 _BAND_STACK = " UNION ALL ".join(
     f"SELECT doc_id, concat_ws('_', '{b}', mh_{BAND_SIZE * b}, mh_{BAND_SIZE * b + 1})"
-    f" AS band_val FROM sig"
+    f" AS band_val FROM sigf"
     for b in range(_BANDS)
 )
+_CAND_SQL = f"""
+    WITH sig AS ({_SIG_SQL}),
+         sigf AS (SELECT * FROM sig WHERE mh_0 <> -1),
+         stacked AS ({_BAND_STACK})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+    FROM stacked a JOIN stacked b USING (band_val)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+"""
 
 ORACLES = {
     "dedup_exact": f"""
@@ -236,12 +286,22 @@ ORACLES = {
     """,
     "minhash_signatures": _SIG_SQL,
     "minhash_band_pairs": f"""
-        WITH sig AS ({_SIG_SQL}),
-             stacked AS ({_BAND_STACK})
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
-        FROM stacked a JOIN stacked b USING (band_val)
-        WHERE a.doc_id < b.doc_id
-        GROUP BY 1, 2
+        WITH cand AS ({_CAND_SQL}),
+             sets AS (
+                 SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS sh
+                 FROM documents
+             )
+        SELECT doc_a, doc_b, n_shared_bands,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS INT) AS common,
+               round(1e-9 + CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                     / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+                   AS jaccard,
+               CAST(CASE WHEN round(1e-9 + CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                     / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+                     >= {JACCARD_THRESHOLD} THEN 1 ELSE 0 END AS INT) AS is_dup
+        FROM cand
+        JOIN sets sa ON sa.doc_id = doc_a
+        JOIN sets sb ON sb.doc_id = doc_b
     """,
     "simhash": f"""
         WITH words AS (
@@ -261,27 +321,6 @@ ORACLES = {
         )} AS BIGINT) AS simhash
         FROM votes
     """,
-    "ngram_jaccard_pairs": f"""
-        WITH sh AS (
-            SELECT doc_id, unnest(list_distinct({_SHINGLES_DUCK})) AS shingle
-            FROM documents
-        ),
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        common AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-            FROM sh a JOIN sh b USING (shingle)
-            WHERE a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        )
-        SELECT doc_a, doc_b, common,
-               round(1e-9 + CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6)
-                   AS jaccard
-        FROM common
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE round(1e-9 + CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6)
-              >= {JACCARD_THRESHOLD}
-    """,
 }
 
 QUERIES = {
@@ -289,63 +328,83 @@ QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_band_pairs": q_minhash_band_pairs,
     "simhash": q_simhash,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_mllib": q_minhash_lsh_mllib,
 }
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-group assignment: connected components over the
-    LSH band-candidate graph via iterative min-label propagation
-    (each round: every node takes the min component id among itself
-    and its neighbors; converges in <= graph-diameter rounds, each
-    round = one join + one agg shuffle). At web scale the same loop
-    runs with the large-star/small-star optimization; GraphFrames'
-    connectedComponents is the drop-in when its jar is present.
-    Output: (doc_id, component) where component = min doc_id reachable.
+    """Duplicate-group assignment: connected components over the LSH
+    band-candidate graph via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    converges in O(log^2 n) rounds independent of graph diameter,
+    unlike plain min-label propagation (O(diameter) rounds: a 10^6-long
+    dup chain at web scale would need 10^6 rounds).
+
+    Each round = one large-star + one small-star (2 aggs + 2 joins) and
+    exactly ONE driver action: the eager localCheckpoint that truncates
+    lineage. Convergence (edge-set signature: count + key sums) is
+    checked every 3rd round on the already-checkpointed edges instead
+    of per-round. Output: (doc_id, component) where component = min
+    doc_id reachable; isolated docs map to themselves.
     """
-    pairs = q_minhash_band_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).distinct()
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    labels = docs.select("doc_id", F.col("doc_id").alias("component"))
-    for _ in range(20):  # diameter bound; tiny graphs converge in 2-3
-        neighbor_min = (
-            edges.join(labels, edges.doc_a == labels.doc_id)
-            .groupBy(F.col("doc_b").alias("doc_id"))
-            .agg(F.min("component").alias("nmin"))
+    cand = _band_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        cand.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        """For each node u: attach every LARGER neighbor to u's current
+        minimum m = min(N(u) + {u})."""
+        nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            nbrs.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
         )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "leftouter")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("component"),
+
+    def small_star(e: DataFrame) -> DataFrame:
+        """Orient edges toward the smaller id; for each node u attach
+        all its smaller neighbors (and u itself) to the minimum."""
+        directed = (
+            e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        relinked = (
+            directed.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select("u", F.col("m").alias("v")))
+        )
+        return relinked.where(F.col("u") != F.col("v")).distinct()
+
+    prev_sig = None
+    for rnd in range(12):  # O(log^2 n) bound; fixture converges in 2-3
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        if rnd % 3 == 2:
+            sig = tuple(
+                edges.agg(
+                    F.count(F.lit(1)), F.sum("u"), F.sum("v")
+                ).collect()[0]
             )
-        )
-        new_labels = new_labels.localCheckpoint()  # truncate lineage per round
-        changed = (
-            labels.join(new_labels.withColumnRenamed("component", "c2"), "doc_id")
-            .where(F.col("component") != F.col("c2"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+    # After convergence the edge set is a star forest: (node, root).
+    roots = edges.groupBy(F.col("u").alias("doc_id")).agg(F.min("v").alias("component"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(roots, "doc_id", "leftouter").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
 
 
 ORACLES["dedup_components"] = f"""
-    WITH RECURSIVE sig AS ({_SIG_SQL}),
-         stacked AS ({_BAND_STACK}),
-         pairs AS (
-             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM stacked a JOIN stacked b USING (band_val)
-             WHERE a.doc_id < b.doc_id
-             GROUP BY 1, 2
-         ),
+    WITH RECURSIVE pairs AS ({_CAND_SQL}),
          edges AS (
              SELECT doc_a, doc_b FROM pairs
              UNION SELECT doc_b, doc_a FROM pairs

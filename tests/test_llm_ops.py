@@ -38,6 +38,34 @@ def test_jaccard_pairs_bounded(spark, sf_dir):
     assert all(r["doc_a"] < r["doc_b"] for r in pairs)
 
 
+def test_short_docs_never_become_band_candidates(spark, tmp_path):
+    """Docs too short to shingle (signature all -1) must NOT share band
+    buckets: a corpus of many tiny docs yields ZERO candidate pairs
+    among them (the skew/semantics fix for the -1 bucket)."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            # 150 one/two-word docs (no 3-gram shingle) + 50 real docs
+            "text": ["hi"] * 75 + ["two words"] * 75
+            + [f"alpha beta gamma delta {i}" for i in range(50)],
+            "lang": ["en"] * 200,
+            "source": ["web"] * 200,
+            "n_chars": [2] * 75 + [9] * 75 + [25] * 50,
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    pairs = D.q_minhash_band_pairs(spark, str(tmp_path))
+    short_ids = set(range(150))
+    bad = [
+        r
+        for r in pairs.collect()
+        if r["doc_a"] in short_ids or r["doc_b"] in short_ids
+    ]
+    assert bad == []
+
+
 def test_simhash_within_bit_range(spark, sf_dir):
     vals = [r["simhash"] for r in D.q_simhash(spark, sf_dir).collect()]
     assert all(0 <= v < (1 << D.SIM_BITS) for v in vals)

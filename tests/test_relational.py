@@ -60,13 +60,14 @@ def test_class_ratios_sum_to_one(spark, sf_dir):
 
 
 def test_pivot_unpivot_roundtrip(spark, sf_dir):
-    wide = R.q_pivot_scores(spark, sf_dir)
-    tall = R.q_unpivot_scores(spark, sf_dir)
-    total_wide = wide.select(
-        sum(F.sum(c) for c in R.BRANDS_CLEAN).alias("t")  # type: ignore[arg-type]
-    ).collect()[0]["t"]
+    """The melt keeps the pivot's padded zeros: full grid, zero-filled."""
+    tall = R.q_pivot_unpivot_scores(spark, sf_dir)
+    n_hh = R.q_distinct_entities(spark, sf_dir).count()
+    assert tall.count() == n_hh * len(R.BRANDS_CLEAN)
+    assert tall.where(F.col("prediction").isNull()).count() == 0
+    spent = R._scored_spend(spark, sf_dir).agg(F.sum("amount_list")).collect()[0][0]
     total_tall = tall.agg(F.sum("prediction")).collect()[0][0]
-    assert abs(total_wide - total_tall) < 0.5
+    assert abs(spent - total_tall) < 0.5
 
 
 def test_left_join_preserves_all_anchors(spark, sf_dir):
