@@ -50,16 +50,28 @@ _MONEY = [
     "instore_discount",
     "campaign_coupon_discount",
     "manuf_coupon_discount",
+    "manuf_coupon_match_discount",
     "total_coupon_discount",
     "amount_paid",
+]
+
+# The reference's four discount kinds (04a:202-255).
+_KINDS = [
+    "instore_discount",
+    "campaign_coupon_discount",
+    "manuf_coupon_discount",
+    "total_coupon_discount",
 ]
 
 
 def _base_metrics(inw: str) -> list[tuple[str, str]]:
     """(name, aggregate SQL) pairs for one window; `inw` is the
     dialect-specific in-window predicate. Mirrors the reference's
-    summary block (04a:183-255): activity counts, monetary sums, and
-    'with activity' conditional counts."""
+    summary block (04a:183-255) in FULL: activity counts, the seven
+    monetary sums (incl. manuf_coupon_match_discount from the silver
+    unpack, 01:160), and the complete 4-kind x 4-measure 'with
+    activity' conditional grid (days / baskets / products /
+    line_items x instore / campaign / manuf / total, 04a:202-255)."""
     m: list[tuple[str, str]] = [
         ("days", f"count(DISTINCT CASE WHEN {inw} THEN day END)"),
         ("baskets", f"count(DISTINCT CASE WHEN {inw} THEN basket_id END)"),
@@ -67,44 +79,38 @@ def _base_metrics(inw: str) -> list[tuple[str, str]]:
         ("line_items", f"sum(CASE WHEN {inw} THEN 1 END)"),
     ]
     m += [(c, f"sum(CASE WHEN {inw} THEN {c} END)") for c in _MONEY]
-    # "with activity" conditional aggregates x the reference's four
-    # discount kinds (04a:202-255: campaign / manuf / match=total here /
-    # instore); instore additionally gets the basket-grain distinct.
-    for kind in (
-        "instore_discount",
-        "campaign_coupon_discount",
-        "manuf_coupon_discount",
-        "total_coupon_discount",
-    ):
+    for kind in _KINDS:
         m += [
             (
                 f"days_with_{kind}",
                 f"count(DISTINCT CASE WHEN {inw} AND {kind} > 0 THEN day END)",
             ),
             (
+                f"baskets_with_{kind}",
+                f"count(DISTINCT CASE WHEN {inw} AND {kind} > 0 THEN basket_id END)",
+            ),
+            (
+                f"products_with_{kind}",
+                f"count(DISTINCT CASE WHEN {inw} AND {kind} > 0 THEN product_id END)",
+            ),
+            (
                 f"line_items_with_{kind}",
                 f"sum(CASE WHEN {inw} AND {kind} > 0 THEN 1 END)",
             ),
         ]
-    m.append(
-        (
-            "baskets_with_instore_discount",
-            f"count(DISTINCT CASE WHEN {inw} AND instore_discount > 0 THEN basket_id END)",
-        )
-    )
     return m
 
 
 def _ratio_metrics(sfx: str, days_in_window: int) -> list[tuple[str, str]]:
-    """Derived ratio features — the reference's five denominator
-    families applied systematically (04a:258-524): per-day
-    (04a:259-310), per-days-in-set with the constant window-length
-    denominator (04a:313-368), per-basket (04a:371-418), per-line-item
-    (04a:467-506), and amount_list shares (04a:509-524), plus activity
-    ratios. Division by zero -> NULL -> 0.0, the reference's exact
-    algebra. ~38 ratios x 4 windows + 15 base metrics x 4 + 3
-    days-since ~= 215 feature columns per grain — same order as the
-    reference's ~90 metrics/window surface."""
+    """Derived ratio features — the reference's denominator families
+    applied in full (04a:258-524): per-day (04a:259-310),
+    per-days-in-set with the constant window-length denominator
+    (04a:313-368), per-basket (04a:371-418), per-product (04a:421-464),
+    per-line-item (04a:467-506), and amount_list shares (04a:509-524),
+    plus the per-kind activity ratios of each family. Division by zero
+    -> NULL -> 0.0, the reference's exact algebra. ~64 ratios x 4
+    windows + 27 base metrics x 4 + 5 days-since ~= 369 feature columns
+    per grain — the reference's full ~90-metrics-per-window surface."""
     a = f"amount_list_{sfx}"
     out: list[tuple[str, str]] = []
     for m in _MONEY:
@@ -113,6 +119,7 @@ def _ratio_metrics(sfx: str, days_in_window: int) -> list[tuple[str, str]]:
             (f"{m}_per_day_{sfx}", f"{mc} / days_{sfx}"),
             (f"{m}_per_days_in_set_{sfx}", f"{mc} / {days_in_window}"),
             (f"{m}_per_basket_{sfx}", f"{mc} / baskets_{sfx}"),
+            (f"{m}_per_product_{sfx}", f"{mc} / products_{sfx}"),
             (f"{m}_per_line_item_{sfx}", f"{mc} / line_items_{sfx}"),
         ]
         if m != "amount_list":
@@ -120,41 +127,46 @@ def _ratio_metrics(sfx: str, days_in_window: int) -> list[tuple[str, str]]:
     out += [
         (f"days_per_days_in_set_{sfx}", f"days_{sfx} / {days_in_window}"),
         (f"baskets_per_day_{sfx}", f"baskets_{sfx} / days_{sfx}"),
-        (f"line_items_per_basket_{sfx}", f"line_items_{sfx} / baskets_{sfx}"),
+        (f"products_per_day_{sfx}", f"products_{sfx} / days_{sfx}"),
         (f"line_items_per_day_{sfx}", f"line_items_{sfx} / days_{sfx}"),
-        (
-            f"line_items_with_instore_discount_share_{sfx}",
-            f"line_items_with_instore_discount_{sfx} / line_items_{sfx}",
-        ),
-        (
-            f"line_items_with_total_coupon_discount_share_{sfx}",
-            f"line_items_with_total_coupon_discount_{sfx} / line_items_{sfx}",
-        ),
-        (
-            f"days_with_instore_discount_share_{sfx}",
-            f"days_with_instore_discount_{sfx} / days_{sfx}",
-        ),
-        (
-            f"baskets_with_instore_discount_share_{sfx}",
-            f"baskets_with_instore_discount_{sfx} / baskets_{sfx}",
-        ),
+        (f"products_per_basket_{sfx}", f"products_{sfx} / baskets_{sfx}"),
+        (f"line_items_per_basket_{sfx}", f"line_items_{sfx} / baskets_{sfx}"),
+        (f"line_items_per_product_{sfx}", f"line_items_{sfx} / products_{sfx}"),
     ]
+    for kind in _KINDS:
+        out += [
+            (
+                f"days_with_{kind}_per_days_in_set_{sfx}",
+                f"days_with_{kind}_{sfx} / {days_in_window}",
+            ),
+            (
+                f"baskets_with_{kind}_per_baskets_{sfx}",
+                f"baskets_with_{kind}_{sfx} / baskets_{sfx}",
+            ),
+            (
+                f"products_with_{kind}_per_product_{sfx}",
+                f"products_with_{kind}_{sfx} / products_{sfx}",
+            ),
+            (
+                f"line_items_with_{kind}_share_{sfx}",
+                f"line_items_with_{kind}_{sfx} / line_items_{sfx}",
+            ),
+        ]
     return out
 
 
 def _days_since_metrics(diff) -> list[tuple[str, str]]:
-    """A7 (04a:528-546): min over conditional date-diff; no-activity
-    keys fall back to the dataset span. `diff(end, start)` renders the
-    dialect's date difference."""
+    """A7 (04a:528-546): min over conditional date-diff for each of the
+    reference's four discount kinds; no-activity keys fall back to the
+    dataset span. `diff(end, start)` renders the dialect's date
+    difference."""
     def since(cond: str) -> str:
         return "min({})".format(
             diff("max_day", f"CASE WHEN {cond} THEN day ELSE min_day END")
         )
 
-    return [
-        ("days_since_purchase", f"min({diff('max_day', 'day')})"),
-        ("days_since_instore_discount", since("instore_discount > 0")),
-        ("days_since_coupon_discount", since("total_coupon_discount > 0")),
+    return [("days_since_purchase", f"min({diff('max_day', 'day')})")] + [
+        (f"days_since_{kind}", since(f"{kind} > 0")) for kind in _KINDS
     ]
 
 
