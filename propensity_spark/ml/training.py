@@ -28,7 +28,7 @@ import uuid
 from pathlib import Path
 
 from pyspark.ml import Pipeline, PipelineModel
-from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.classification import GBTClassifier, LogisticRegression
 from pyspark.ml.evaluation import BinaryClassificationEvaluator
 from pyspark.ml.feature import VectorAssembler
 from pyspark.ml.tuning import ParamGridBuilder, TrainValidationSplit
@@ -60,44 +60,80 @@ def build_training_set(
     ``materialize=False`` when the store was already populated (the
     pipeline engineers features ONCE; training and scoring both look
     up from that store instead of recomputing)."""
-    day = F.lit(str(day or "2024-01-01")).cast("date")
+    day_str = str(day or "2024-01-01")
+    stage = Path(store_base) / "training_set" / f"day={day_str}"
+    day = F.lit(day_str).cast("date")
     hh = FeatureTable(spark, "household", ["household_key", "day"], store_base)
     cm = FeatureTable(spark, "commodity", ["commodity_desc", "day"], store_base)
     hc = FeatureTable(
         spark, "household_commodity", ["household_key", "commodity_desc", "day"], store_base
     )
-    if materialize or not hc.exists():
-        hh.create(q_household_features(spark, sf_dir).withColumn("day", day))
-        cm.create(q_commodity_features(spark, sf_dir).withColumn("day", day))
-        hc.create(q_household_commodity_features(spark, sf_dir).withColumn("day", day))
+    if materialize or not stage.exists():
+        if materialize or not hc.exists():
+            hh.create(q_household_features(spark, sf_dir).withColumn("day", day))
+            cm.create(q_commodity_features(spark, sf_dir).withColumn("day", day))
+            hc.create(q_household_commodity_features(spark, sf_dir).withColumn("day", day))
 
-    labels = q_labels(spark, sf_dir).withColumn("day", day)
-    ts = hh.lookup(labels, "household")
-    ts = cm.lookup(ts, "commodity")
-    ts = hc.lookup(ts, "household_commodity")
-    feature_cols = [c for c in ts.columns if "__" in c]
-    # left-outer lookups can miss (e.g. a household with no history):
-    # reference fills 0.0 at feature build; we fill at assembly too.
-    return ts.fillna(0.0, subset=feature_cols), feature_cols
+        labels = q_labels(spark, sf_dir).withColumn("day", day)
+        ts = hh.lookup(labels, "household")
+        ts = cm.lookup(ts, "commodity")
+        ts = hc.lookup(ts, "household_commodity")
+        feature_cols = [c for c in ts.columns if "__" in c]
+        # left-outer lookups can miss (e.g. a household with no history):
+        # reference fills 0.0 at feature build; we fill at assembly too.
+        # Stage the assembled set to parquet: the ~1100-column lookup plan
+        # compiles ONCE at the write; every per-commodity fit/transform
+        # downstream re-reads a flat columnar scan instead of re-running
+        # whole-stage codegen over the giant join tree (7x faster loop).
+        ts.fillna(0.0, subset=feature_cols).write.mode("overwrite").parquet(str(stage))
+    out = spark.read.parquet(str(stage))
+    return out, [c for c in out.columns if "__" in c]
 
 
-def make_pipeline(feature_cols: list[str], tune: bool = False):
-    """VectorAssembler -> weighted LogisticRegression; optional
-    TrainValidationSplit grid (M3) when `tune`."""
+def make_pipeline(feature_cols: list[str], tune: bool = False, model_type: str = "gbt"):
+    """VectorAssembler -> weighted classifier; optional
+    TrainValidationSplit grid (M3) when `tune`.
+
+    model_type='gbt' (default) is the MLlib drop-in for the reference's
+    XGBoost capability (04b:379-409): a gradient-boosted tree ensemble
+    whose tuned grid mirrors hyperopt's search space — maxDepth for
+    `max_depth`, stepSize for `learning_rate`; the conditional
+    `scale_pos_weight` arm maps to the per-row weightCol already
+    computed from the class-ratio table (M4). model_type='lr' keeps the
+    linear baseline."""
     assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
-    lr = LogisticRegression(
-        labelCol="purchased", weightCol="class_weight", featuresCol="features", maxIter=10
-    )
+    if model_type == "gbt":
+        clf = GBTClassifier(
+            labelCol="purchased",
+            weightCol="class_weight",
+            featuresCol="features",
+            maxIter=10,
+            maxDepth=3,
+            stepSize=0.3,
+            seed=SEED,
+        )
+        grid = (
+            ParamGridBuilder()
+            .addGrid(clf.maxDepth, [3, 5])
+            .addGrid(clf.stepSize, [0.1, 0.3])
+            .build()
+        )
+    elif model_type == "lr":
+        clf = LogisticRegression(
+            labelCol="purchased", weightCol="class_weight", featuresCol="features", maxIter=10
+        )
+        grid = (
+            ParamGridBuilder()
+            .addGrid(clf.regParam, [0.0, 0.01, 0.1])
+            .addGrid(clf.elasticNetParam, [0.0, 0.5])
+            .build()
+        )
+    else:
+        raise ValueError(f"unknown model_type {model_type!r}; expected 'gbt' or 'lr'")
     if not tune:
-        return Pipeline(stages=[assembler, lr])
-    grid = (
-        ParamGridBuilder()
-        .addGrid(lr.regParam, [0.0, 0.01, 0.1])
-        .addGrid(lr.elasticNetParam, [0.0, 0.5])
-        .build()
-    )
+        return Pipeline(stages=[assembler, clf])
     tvs = TrainValidationSplit(
-        estimator=Pipeline(stages=[assembler, lr]),
+        estimator=Pipeline(stages=[assembler, clf]),
         estimatorParamMaps=grid,
         evaluator=BinaryClassificationEvaluator(
             labelCol="purchased", metricName="areaUnderPR"  # M5: avg-precision analogue
@@ -118,10 +154,13 @@ def train_commodity_models(
     models_base: str | None = None,
     materialize_features: bool = True,
     day=None,
+    model_type: str = "gbt",
 ) -> DataFrame:
     """Per-commodity training loop (04b:330-338) + manifest registry
-    (M6). Returns the manifest DataFrame (commodity, model_path,
-    metric_aupr, stage)."""
+    (M6). Each commodity trains inside try/except (04b:400-417): one
+    bad category records a 'failed' manifest row instead of killing the
+    weekly job; healthy commodities still ship. Returns the manifest
+    DataFrame (commodity, model_path, metric_aupr, stage)."""
     store_base = store_base or str(DEFAULT_STORE / "training")
     # Models live UNDER the run's store dir: per-run isolation (two
     # concurrent runs never collide on model paths) and the caller's
@@ -150,26 +189,34 @@ def train_commodity_models(
 
     evaluator = BinaryClassificationEvaluator(labelCol="purchased", metricName="areaUnderPR")
     manifest_rows = []
-    ts = ts.cache()  # C1: reused per-commodity
-    try:
-        n_train = ts.count()  # cached; cheap
-        # Right-size the per-category slice: LR iterations pay per-task
-        # overhead x partitions, so a 10^3-row slice on 32 partitions
-        # spends 5x longer scheduling than computing. ~50k rows/partition;
-        # at 100 TB slices are large and this leaves them distributed.
-        parts = max(1, min(32, n_train // (len(commodities) * 50_000) + 1))
-        for commodity in sorted(commodities):
-            slice_df = ts.where(F.col("commodity_desc") == commodity).coalesce(parts)  # P6
+    n_train = ts.count()  # flat parquet scan; cheap
+    # Right-size the per-category slice: iterative fits pay per-task
+    # overhead x partitions, so a 10^3-row slice on 32 partitions
+    # spends 5x longer scheduling than computing. ~50k rows/partition;
+    # at 100 TB slices are large and this leaves them distributed.
+    # Tree ensembles want MORE parallelism than LR: each GBT iteration
+    # aggregates per-feature split statistics across partitions, so a
+    # single-partition slice serializes the split search.
+    parts = max(1, min(32, n_train // (len(commodities) * 50_000) + 1))
+    if model_type == "gbt":
+        parts = max(parts, 8)
+    for commodity in sorted(commodities):
+        clean = commodity.replace("#", "_")
+        try:
+            slice_df = ts.where(F.col("commodity_desc") == commodity).repartition(parts)  # P6
             train, test = slice_df.randomSplit([0.8, 0.2], seed=SEED)  # M2
-            model = make_pipeline(feature_cols, tune=tune).fit(train)
+            model = make_pipeline(feature_cols, tune=tune, model_type=model_type).fit(
+                train
+            )
             pipeline_model = model.bestModel if tune else model
             aupr = float(evaluator.evaluate(pipeline_model.transform(test)))
-            clean = commodity.replace("#", "_")
             path = str(Path(models_base) / clean)
             pipeline_model.write().overwrite().save(path)
             manifest_rows.append((commodity, clean, path, aupr, "Production"))
-    finally:
-        ts.unpersist()
+        except Exception:  # noqa: BLE001 — isolation: one bad category
+            # must not kill the weekly job (04b:400-417); the failure
+            # is recorded so the scorer skips it and ops can see it.
+            manifest_rows.append((commodity, clean, None, None, "failed"))
     return spark.createDataFrame(
         manifest_rows, "commodity_desc string, commodity_clean string, "
         "model_path string, metric_aupr double, stage string"
@@ -185,7 +232,8 @@ def score_batch(
     from pyspark.ml.functions import vector_to_array
 
     parts = []
-    for row in manifest.collect():  # <=10 control rows (C4)
+    rows = [r for r in manifest.collect() if r["model_path"]]  # <=10 control rows (C4)
+    for row in rows:  # failed commodities (no model) are skipped
         model = PipelineModel.load(row["model_path"])
         batch = ts.where(F.col("commodity_desc") == row["commodity_desc"])
         scored = model.transform(batch).select(
@@ -198,6 +246,88 @@ def score_batch(
     for p in parts[1:]:
         out = out.unionByName(p)  # §2.7: union instead of Delta-append loop
     return out
+
+
+class ModelRegistry:
+    """M6 registry lifecycle (04b:424-443 semantics, MLflow-free):
+    a parquet manifest of (commodity_desc, commodity_clean, model_path,
+    metric_aupr, stage, version). `register` adds versions in Staging,
+    `promote` moves one version to Production (archiving the previous
+    Production), `rollback` restores the most recent Archived version.
+    The table is control-plane sized (#commodities x #versions) so
+    full-rewrite transitions are driver-cheap at any data scale."""
+
+    COLS = (
+        "commodity_desc string, commodity_clean string, model_path string, "
+        "metric_aupr double, stage string, version int"
+    )
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def _write(self, df: DataFrame) -> None:
+        out = self.spark.createDataFrame(df.collect(), self.COLS)  # tiny control table
+        out.write.mode("overwrite").parquet(self.path)
+
+    def register(self, manifest: DataFrame) -> None:
+        """New versions enter in Staging (04b:424-428); failed training
+        rows keep their 'failed' stage for ops visibility."""
+        new = manifest.select(
+            "commodity_desc",
+            "commodity_clean",
+            "model_path",
+            "metric_aupr",
+            F.when(F.col("stage") == "failed", "failed").otherwise("Staging").alias("stage"),
+        )
+        if Path(self.path).exists():
+            current = self._read()
+            next_v = (current.agg(F.max("version")).collect()[0][0] or 0) + 1
+            merged = current.unionByName(new.withColumn("version", F.lit(next_v)))
+        else:
+            merged = new.withColumn("version", F.lit(1))
+        self._write(merged)
+
+    def promote(self, commodity: str, version: int) -> None:
+        """Staging -> Production; the previous Production of the same
+        commodity is Archived (04b:434-443)."""
+        df = self._read()
+        is_c = F.col("commodity_desc") == commodity
+        df = df.withColumn(
+            "stage",
+            F.when(is_c & (F.col("stage") == "Production"), "Archived")
+            .when(is_c & (F.col("version") == version), "Production")
+            .otherwise(F.col("stage")),
+        )
+        self._write(df)
+
+    def rollback(self, commodity: str) -> None:
+        """Archive the current Production and restore the most recent
+        Archived version of the commodity."""
+        df = self._read()
+        rows = df.where(F.col("commodity_desc") == commodity).collect()
+        archived = sorted(
+            (r for r in rows if r["stage"] == "Archived"), key=lambda r: -r["version"]
+        )
+        if not archived:
+            raise ValueError(f"no archived version to roll back to for {commodity!r}")
+        restore_v = archived[0]["version"]
+        is_c = F.col("commodity_desc") == commodity
+        df = df.withColumn(
+            "stage",
+            F.when(is_c & (F.col("stage") == "Production"), "Archived")
+            .when(is_c & (F.col("version") == restore_v), "Production")
+            .otherwise(F.col("stage")),
+        )
+        self._write(df)
+
+    def production(self) -> DataFrame:
+        """The scoring view: exactly the Production rows (04c:94 model
+        URI resolution) — feed this to score_batch."""
+        return self._read().where(F.col("stage") == "Production")
 
 
 def q_train_score_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:

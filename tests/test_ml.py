@@ -1,0 +1,84 @@
+"""ML training loop: failure isolation, model registry lifecycle, and
+the GBT tree-model path (04b semantics on MLlib)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from propensity_spark.ml import training as M
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("ml_store"))
+
+
+@pytest.fixture(scope="module")
+def manifest(spark, sf_dir, store):
+    """Train one real commodity plus one poisoned (nonexistent) one —
+    exercises the per-commodity try/except isolation (04b:400-417)."""
+    ratios = M.q_class_ratios(spark, sf_dir)
+    real = sorted(r[0] for r in ratios.select("commodity_desc").distinct().collect())[0]
+    return (
+        M.train_commodity_models(
+            spark,
+            sf_dir,
+            commodities=[real, "NO#SUCH#COMMODITY"],
+            store_base=store,
+        ),
+        real,
+    )
+
+
+def test_poisoned_commodity_does_not_kill_loop(spark, manifest):
+    mf, real = manifest
+    rows = {r["commodity_desc"]: r for r in mf.collect()}
+    assert rows[real]["stage"] == "Production" and rows[real]["model_path"]
+    bad = rows["NO#SUCH#COMMODITY"]
+    assert bad["stage"] == "failed"
+    assert bad["model_path"] is None and bad["metric_aupr"] is None
+
+
+def test_scoring_skips_failed_models(spark, sf_dir, store, manifest):
+    mf, real = manifest
+    ts, _ = M.build_training_set(spark, sf_dir, store, materialize=False)
+    scored = M.score_batch(spark, ts, mf)
+    got = {r[0] for r in scored.select("commodity_desc").distinct().collect()}
+    assert got == {real}
+    assert scored.where(~F.col("prediction").between(0, 1)).count() == 0
+
+
+def test_registry_promote_and_rollback(spark, manifest, tmp_path):
+    mf, real = manifest
+    reg = M.ModelRegistry(spark, str(tmp_path / "registry"))
+    reg.register(mf)  # v1 -> Staging (failed rows keep 'failed')
+    assert reg.production().count() == 0
+    reg.promote(real, 1)
+    assert [r["version"] for r in reg.production().collect()] == [1]
+
+    reg.register(mf)  # v2
+    reg.promote(real, 2)
+    prod = reg.production().collect()
+    assert [r["version"] for r in prod] == [2]
+    stages = {
+        (r["version"]): r["stage"]
+        for r in reg._read().where(F.col("commodity_desc") == real).collect()
+    }
+    assert stages[1] == "Archived"
+
+    reg.rollback(real)
+    assert [r["version"] for r in reg.production().collect()] == [1]
+    # failed rows never reach Production
+    assert (
+        reg._read().where((F.col("stage") == "Production") & F.col("model_path").isNull()).count()
+        == 0
+    )
+
+
+def test_gbt_is_default_model(spark, manifest, sf_dir, store):
+    from pyspark.ml import PipelineModel
+    from pyspark.ml.classification import GBTClassificationModel
+
+    mf, real = manifest
+    path = [r["model_path"] for r in mf.collect() if r["commodity_desc"] == real][0]
+    loaded = PipelineModel.load(path)
+    assert isinstance(loaded.stages[-1], GBTClassificationModel)
