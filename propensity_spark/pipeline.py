@@ -93,6 +93,53 @@ class Pipeline:
             self.spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
         return paths
 
+    def publish_incremental(self, scores: DataFrame) -> str:
+        """S6: the reference's per-commodity MERGE with autoMerge schema
+        evolution (04c:156, 189-202) — an 11th commodity EXTENDS the
+        wide table with one new column instead of rebuilding it.
+        Incoming scores pivot to (household_key, day, <commodity cols>),
+        then a single full-outer join on the keys grafts them onto the
+        existing table: new columns are added, overlapping columns take
+        the incoming value (whenMatchedUpdate), untouched columns ride
+        along unchanged. ONE key-shuffle regardless of how many
+        commodities exist — the reference pays one MERGE pass per
+        commodity."""
+        path = str(self.out / "propensities_pivoted")
+        clean = F.regexp_replace("commodity_desc", "#", "_")
+        present = sorted(
+            r[0] for r in scores.select(clean.alias("c")).distinct().collect()
+        )
+        incoming = (
+            scores.withColumn("commodity_clean", clean)
+            .groupBy("household_key", "day")
+            .pivot("commodity_clean", present)
+            .agg(F.first("prediction"))
+        )
+        keys = ["household_key", "day"]
+        if not Path(path).exists():
+            incoming.write.mode("overwrite").parquet(path)
+            return path
+        existing = self.spark.read.parquet(path)
+        joined = existing.alias("e").join(incoming.alias("i"), keys, "full_outer")
+        cols = [F.col(k) for k in keys]
+        for c in existing.columns:
+            if c in keys:
+                continue
+            if c in incoming.columns:
+                cols.append(F.coalesce(incoming[c], existing[c]).alias(c))
+            else:
+                cols.append(existing[c].alias(c))
+        cols += [
+            incoming[c].alias(c)
+            for c in incoming.columns
+            if c not in keys and c not in existing.columns
+        ]
+        out = joined.select(*cols)
+        tmp = path + "__TEMP"
+        out.write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        return path
+
     def run_daily(self, day, manifest: DataFrame) -> tuple[str, str]:
         self.engineer_features(day)
         return self.publish(self.score(manifest, day))

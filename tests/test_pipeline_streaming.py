@@ -24,7 +24,36 @@ def test_pipeline_init_daily_roundtrip(spark, sf_dir, tmp_path):
     assert unpivoted.count() == pivoted.count() * 2
 
 
-def test_stateful_streaming_running_count(spark, sf_dir):
+def test_publish_incremental_adds_commodity_without_rebuild(spark, sf_dir, tmp_path):
+    """S6 schema evolution: a new commodity between two dailies extends
+    the pivoted table with one column; existing scores stay bit-equal
+    and an overlapping commodity takes the incoming value."""
+    from propensity_spark.pipeline import Pipeline
+
+    p = Pipeline(spark, sf_dir, str(tmp_path / "pipe"))
+    day = datetime.date(2024, 2, 1)
+
+    def scores(rows):
+        return spark.createDataFrame(
+            [(hh, day, c, v) for hh, c, v in rows],
+            "household_key int, day date, commodity_desc string, prediction double",
+        )
+
+    # daily #1: two commodities
+    path = p.publish_incremental(
+        scores([(1, "Brand#1", 0.5), (1, "Brand#2", 0.25), (2, "Brand#1", 0.75)])
+    )
+    first = spark.read.parquet(path)
+    assert set(first.columns) == {"household_key", "day", "Brand_1", "Brand_2"}
+
+    # between dailies: an 11th commodity appears + Brand#1 re-scored for hh 1
+    p.publish_incremental(scores([(1, "Brand#3", 0.9), (1, "Brand#1", 0.6)]))
+    got = {
+        r["household_key"]: (r["Brand_1"], r["Brand_2"], r["Brand_3"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got[1] == (0.6, 0.25, 0.9)  # updated, untouched, added
+    assert got[2] == (0.75, None, None)  # never re-scored: rides along
     """applyInPandasWithState: per-user running event count emitted per
     micro-batch — the custom stateful operator surface (SURVEY.md §7)."""
     from pyspark.sql import types as T
