@@ -63,17 +63,24 @@ class FeatureTable:
         if not self.exists():
             self.create(batch)
             return
-        # A lazily-built batch (e.g. the 200+-column feature aggregation)
+        # A lazily-built batch (e.g. the 300+-column feature aggregation)
         # would otherwise be recomputed three times below (day-collect,
-        # anti-join key side, union write) — materialize it once. DISK_ONLY,
-        # not localCheckpoint(eager): an unbounded batch (every household at
-        # 100 TB) must spill, not pin executor memory.
-        from pyspark import StorageLevel
+        # anti-join key side, union write). Stage it to parquet rather
+        # than persist(DISK_ONLY): the staging write truncates the giant
+        # logical plan, so every downstream action is a flat columnar
+        # scan — the day-collect reads one column, the anti-join key side
+        # reads only the PK columns (column pruning a row-oriented persist
+        # can't do), and Catalyst never re-analyzes the feature tree.
+        # Unbounded batch (every household at 100 TB) sits on disk, not
+        # in executor memory.
+        import shutil
 
-        batch = batch.persist(StorageLevel.DISK_ONLY)
+        staging = self.path + "__STAGING"
+        batch.write.mode("overwrite").parquet(staging)
         try:
-            days = [r[0] for r in batch.select("day").distinct().collect()]
-            merged = self._merge_frame(batch, days)
+            staged = self.spark.read.parquet(staging)
+            days = [r[0] for r in staged.select("day").distinct().collect()]
+            merged = self._merge_frame(staged, days)
             prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             try:
@@ -84,7 +91,7 @@ class FeatureTable:
                 # remain a full-table replace, not a silent partial one.
                 self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         finally:
-            batch.unpersist()
+            shutil.rmtree(staging, ignore_errors=True)
 
     def _merge_frame(self, batch: DataFrame, days) -> DataFrame:
         """Upserted content of the touched day partitions. No broadcast

@@ -22,11 +22,19 @@ preserved here but re-architected Spark-first:
   (04a:528-546) are window-invariant (the reference recomputes the same
   value once per window) and are emitted once, unsuffixed.
 
-Scale: the per-window `count(DISTINCT CASE ...)` aggregates plan as
-Catalyst expand + two-phase agg — the multiplier is the number of
-distinct-aggregate groups (SURVEY.md §7 hazard). At 100 TB, pre-project
-only the needed columns (done), let AQE coalesce, and if the expand
-dominates, swap `approx_count_distinct` in via ``exact_distinct=False``.
+Scale: naively the per-window `count(DISTINCT CASE ...)` grid (56
+distinct-aggregate groups) plans as a Catalyst Expand that multiplies
+EVERY input row ~57x before the first shuffle (SURVEY.md §7 hazard) —
+measured 22s/grain at sf0.01 and unbounded at 100 TB. The engine
+instead decomposes each distinct family exactly: pre-aggregate at the
+(keys, entity) grain — entity in {day, basket_id, product_id} — into
+per-window/per-kind existence flags (`max(CASE WHEN inw AND kind>0
+THEN 1 END)`), then `sum(flag)` at the keys grain. `count(DISTINCT x)`
+== number of distinct-entity rows whose flag fired, so values are
+bit-identical to the DuckDB oracle's DISTINCT form, but the plan has
+NO Expand: three pruned-column passes with map-side partial
+aggregation, whose second stages and final joins all share the keys
+hash-partitioning (zero extra exchanges after the pre-aggs).
 
 Both the Spark plan and the DuckDB oracle are generated from ONE metric
 spec below, so engine and oracle cannot drift.
@@ -205,11 +213,56 @@ def _plan(dialect: str, keys: list[str]) -> tuple[list[str], list[str]]:
 
 
 def _spark_features(df: DataFrame, keys: list[str]) -> DataFrame:
-    """Run the single-pass plan on a silver-shaped DataFrame."""
+    """Run the plan on a silver-shaped DataFrame: one non-distinct
+    aggregation pass + three Expand-free distinct decompositions (see
+    module docstring), joined on the shared keys partitioning."""
     bounds = df.agg(F.min("day").alias("min_day"), F.max("day").alias("max_day"))
+    src = df.join(F.broadcast(bounds))
     inner, outer = _plan("spark", keys)
-    agg_exprs = [F.expr(e) for e in inner[len(keys):]]
-    aggregated = df.join(F.broadcast(bounds)).groupBy(*keys).agg(*agg_exprs)
+
+    # Pass 1 — every non-distinct aggregate (counts, the money sums,
+    # conditional line_items grid, days-since): plain hash agg, one
+    # shuffle, map-side combine, no Expand.
+    non_distinct = [F.expr(e) for e in inner[len(keys):] if "DISTINCT" not in e]
+    base = src.groupBy(*keys).agg(*non_distinct)
+
+    # Passes 2-4 — the distinct families, decomposed per entity.
+    # count(DISTINCT CASE WHEN inw [AND kind>0] THEN entity END)
+    #   == sum over distinct-entity rows of max(CASE ... THEN 1 END):
+    # the pre-agg dedupes the entity, the flag records whether ANY line
+    # of that entity fired for the (window, kind) cell.
+    def in_window(sfx: str) -> str:
+        w = dict(WINDOWS)[sfx]
+        return f"day >= date_sub(max_day, {w - 1})"
+
+    def entity_counts(entity: str, with_plain: bool) -> DataFrame:
+        flags, counts = [], []
+        for sfx, _ in WINDOWS:
+            inw = in_window(sfx)
+            cells = [(f"__any_{sfx}", inw)] if with_plain else []
+            cells += [
+                (f"__{kind}_{sfx}", f"{inw} AND {kind} > 0") for kind in _KINDS
+            ]
+            for col, cond in cells:
+                flags.append(F.expr(f"max(CASE WHEN {cond} THEN 1 END)").alias(col))
+        pre = src.groupBy(*keys, entity).agg(*flags)
+        name = {"day": "days", "basket_id": "baskets", "product_id": "products"}[entity]
+        for sfx, _ in WINDOWS:
+            if with_plain:
+                counts.append(F.sum(f"__any_{sfx}").alias(f"{name}_{sfx}"))
+            counts += [
+                F.sum(f"__{kind}_{sfx}").alias(f"{name}_with_{kind}_{sfx}")
+                for kind in _KINDS
+            ]
+        return pre.groupBy(*keys).agg(*counts)
+
+    aggregated = (
+        base.join(entity_counts("day", with_plain=True), keys)
+        .join(entity_counts("basket_id", with_plain=True), keys)
+        # plain `products_*` is a non-distinct count (04a:205) — only the
+        # per-kind distinct grid needs the product-grain pass.
+        .join(entity_counts("product_id", with_plain=False), keys)
+    )
     return aggregated.selectExpr(*outer)
 
 

@@ -147,7 +147,11 @@ class Pipeline:
     # -- weekly / init ------------------------------------------------------
 
     def run_weekly(
-        self, n_commodities: int | None = None, tune: bool = False, day=None
+        self,
+        n_commodities: int | None = None,
+        tune: bool = False,
+        day=None,
+        model_type: str = "gbt",
     ) -> DataFrame:
         """Features for `day` must already be in the store (run_init /
         engineer_features put them there); training only looks up."""
@@ -160,20 +164,24 @@ class Pipeline:
             models_base=self.models,
             materialize_features=False,
             day=day,
+            model_type=model_type,
         )
 
-    def run_init(self, day, n_commodities: int = 2) -> DataFrame:
+    def run_init(
+        self, day, n_commodities: int = 2, backfill_days: int = 1, model_type: str = "gbt"
+    ) -> DataFrame:
         """02_Initialize_Solution: control table + feature backfill for
-        [day, day-30d] (the reference backfills 2 days, 02:78-101) +
-        first training."""
+        `backfill_days` extra historical days at 30d spacing (the
+        reference backfills 2 days total, 02:78-101 — the default here)
+        + first training."""
         top_commodities(self.spark, self.sf_dir).write.mode("overwrite").parquet(
             str(self.base / "commodities_to_score")
         )
         import datetime
 
-        for d in (day, day - datetime.timedelta(days=30)):
-            self.engineer_features(d)
-        return self.run_weekly(n_commodities, day=day)
+        for i in range(backfill_days + 1):
+            self.engineer_features(day - datetime.timedelta(days=30 * i))
+        return self.run_weekly(n_commodities, day=day, model_type=model_type)
 
 
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,7 +195,10 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = datetime.date(2024, 2, 1)
     try:
         p = Pipeline(spark, sf_dir, str(base))
-        manifest = p.run_init(day, n_commodities=2)
+        # Gate config: the linear model keeps this entry about the DAG
+        # (features -> store -> train -> score -> publish), not tree fit
+        # time — GBT is exercised by the `train_score_propensity` gate.
+        manifest = p.run_init(day, n_commodities=2, model_type="lr")
         unpivoted_path, pivoted_path = p.run_daily(day, manifest)
         out = (
             spark.read.parquet(unpivoted_path)

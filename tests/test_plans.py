@@ -48,13 +48,23 @@ def test_literal_filter_pushes_down(spark, sf_dir):
     assert "PushedFilters" in plan
 
 
-def test_feature_engine_single_aggregation_tree(spark, sf_dir):
-    """One groupBy computes all 4 windows: exactly one Expand (the
-    multi-distinct rewrite), not one aggregation pass per window."""
+def test_feature_engine_no_expand(spark, sf_dir):
+    """The distinct grid is decomposed into entity-grain flag pre-aggs
+    (features.py module docstring): NO Catalyst Expand anywhere — the
+    naive multi-distinct rewrite would multiply every input row ~57x
+    before the first shuffle. Also pins the pass count: four
+    aggregation subtrees (base + day/basket/product), not one per
+    window per metric like the reference's 8-pass shape."""
     from propensity_spark.operators.features import q_household_features
 
     plan = plan_of(q_household_features(spark, sf_dir))
-    assert plan.count("Expand") <= 2  # one Expand node + its summary line
+    assert "Expand" not in plan
+    # 4 logical passes (base + 3 two-stage entity decompositions) plus
+    # the 1-row bounds aggs = 22 HashAggregate nodes (explain-formatted
+    # names each twice: tree + detail section); far above means the
+    # decomposition regressed into per-window passes (the reference's
+    # 8-pass shape would be 3x this).
+    assert plan.count("HashAggregate") <= 48
 
 
 def test_control_table_is_local_relation(spark, sf_dir):
