@@ -21,7 +21,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # Guard against an optional module silently dropping out of the gate
 # (e.g. a transitive import typo): the registry must never shrink below
 # the committed surface.
-EXPECTED_MIN_QUERIES = 48
+EXPECTED_MIN_QUERIES = 50
 
 
 def _registry():
@@ -31,7 +31,7 @@ def _registry():
     oracles: dict[str, str] = {}
     modules = [relational]
     # Registration order = the order the driver checks entries. The whole
-    # surface (48 entries) fits its 50-row budget; the extension families
+    # surface (50 entries) fits its 50-row budget; the extension families
     # that went unchecked in round 1 register right after the core anyway,
     # as insurance against a smaller budget.
     for optional in (
@@ -39,6 +39,7 @@ def _registry():
         "propensity_spark.text.dedup",
         "propensity_spark.vector.similarity",
         "propensity_spark.streaming.windows",
+        "propensity_spark.streaming.stateful",
         "propensity_spark.multimodal.media",
         "propensity_spark.ml.training",
         "propensity_spark.feature_store",

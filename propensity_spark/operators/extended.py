@@ -42,6 +42,79 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucketed_range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Range (interval) join as an EQUI-join: point p matches range
+    [start, end). A naive theta-join plans as BroadcastNestedLoopJoin /
+    cartesian — O(|points| x |ranges|) compares, the classic 100 TB
+    killer. Instead both sides are quantized to coarse buckets of
+    `bucket_width`: each range explodes into the (few) buckets it
+    overlaps, each point computes its single bucket, the join runs as a
+    hash join on the bucket key, and the exact [start, end) predicate
+    filters residues after the match. Compare cost drops to
+    O(rows_per_bucket) per bucket; the plan is a shuffled (or broadcast,
+    if `ranges` is small) hash join that scales horizontally. Same idea
+    as the published bin-based range-join optimization in Spark-ecosystem
+    engines. Pick `bucket_width` ~ the typical range length so ranges
+    explode into <= 2 buckets.
+
+    Reference parity: the reference has no range join (SURVEY.md §2.3);
+    this generalizes its date-window predicates (04a:138-156) to
+    arbitrary interval joins."""
+    b = F.lit(bucket_width)
+    pts = points.withColumn("__bucket", F.floor(F.col(point_col) / b))
+    rng = ranges.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / b),
+                F.floor((F.col(end_col) - F.lit(1)) / b),
+            )
+        ),
+    )
+    return pts.join(
+        rng,
+        (pts["__bucket"] == rng["__bucket"])
+        & (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) < F.col(end_col)),
+    ).drop("__bucket")
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events x overlapping campaign windows via bucketed_range_join.
+    The window table derives deterministically from the data: window i
+    (one per nation key, 25 of them) spans [d0 + 2i, d0 + 2i + 5) days
+    where d0 = the first event day — overlapping 5-day windows stepping
+    2 days, so most days match two or three windows. The anchor day d0
+    comes from a broadcast 1-row aggregate (no driver collect)."""
+    events = load_table(spark, sf_dir, "events").select(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        "value",
+    )
+    d0 = events.agg(F.min("day").alias("d0"))
+    windows = (
+        load_table(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").cast("long").alias("window_id"))
+        .crossJoin(F.broadcast(d0))
+        .select(
+            "window_id",
+            (F.col("d0") + F.col("window_id") * 2).alias("start_day"),
+            (F.col("d0") + F.col("window_id") * 2 + 5).alias("end_day"),
+        )
+    )
+    joined = bucketed_range_join(events, windows, "day", "start_day", "end_day", 5)
+    return joined.groupBy("window_id", "start_day", "end_day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value") + 1e-6, 2).alias("sum_value"),
+    )
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per market segment (the
     approx_percentile twin is in q_approx_stats, rows-only)."""
@@ -466,6 +539,25 @@ _Q18_SQL = """
 """
 
 ORACLES = {
+    "range_join": """
+        WITH b AS (
+            SELECT CAST(floor(epoch(min(ts)) / 86400) AS BIGINT) AS d0 FROM events
+        ),
+        w AS (
+            SELECT CAST(n_nationkey AS BIGINT) AS window_id,
+                   d0 + n_nationkey * 2 AS start_day,
+                   d0 + n_nationkey * 2 + 5 AS end_day
+            FROM nation, b
+        ),
+        e AS (
+            SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, value FROM events
+        )
+        SELECT window_id, start_day, end_day,
+               count(*) AS n_events,
+               round(1e-6 + sum(value), 2) AS sum_value
+        FROM w JOIN e ON e.day >= w.start_day AND e.day < w.end_day
+        GROUP BY 1, 2, 3
+    """,
     "asof_join": """
         SELECT event_id, user_id,
                CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
@@ -565,6 +657,7 @@ ORACLES = {
 
 QUERIES = {
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "percentiles": q_percentiles,
     "grouping_analytics": q_grouping_analytics,
     "approx_stats": q_approx_stats,

@@ -119,3 +119,63 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    """bucketed_range_join turns the interval theta-join into an
+    equi-join on the bucket key: with a static window table the plan
+    must be a hash join (broadcast here — the window side is tiny) and
+    must NOT fall back to BroadcastNestedLoopJoin / CartesianProduct,
+    which is what a naive `p >= start AND p < end` join condition plans
+    as. (q_range_join itself carries one intentional 1-row-broadcast
+    nested loop: the d0 anchor cross join — excluded here by passing
+    windows as literals.)"""
+    from pyspark.sql import functions as F
+
+    from propensity_spark.io import load_table
+    from propensity_spark.operators.extended import bucketed_range_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        "event_id",
+    )
+    windows = spark.createDataFrame(
+        [(i, 19700 + 2 * i, 19700 + 2 * i + 5) for i in range(25)],
+        "window_id long, start_day long, end_day long",
+    )
+    plan = plan_of(
+        bucketed_range_join(events, windows, "day", "start_day", "end_day", 5)
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan
+
+
+def test_range_join_matches_naive_theta_join(spark, sf_dir):
+    """Bucketed decomposition is a pure plan rewrite: row-for-row equal
+    to the naive (nested-loop) theta join on the same windows."""
+    from pyspark.sql import functions as F
+
+    from propensity_spark.io import load_table
+    from propensity_spark.operators.extended import bucketed_range_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        "event_id",
+    )
+    d0 = events.agg(F.min("day").alias("d0")).collect()[0]["d0"]
+    windows = spark.createDataFrame(
+        [(i, d0 + 2 * i, d0 + 2 * i + 5) for i in range(25)],
+        "window_id long, start_day long, end_day long",
+    )
+    got = bucketed_range_join(events, windows, "day", "start_day", "end_day", 5)
+    naive = events.join(
+        windows,
+        (F.col("day") >= F.col("start_day")) & (F.col("day") < F.col("end_day")),
+    )
+    assert got.count() == naive.count() > 0
+    assert (
+        got.select("event_id", "window_id")
+        .exceptAll(naive.select("event_id", "window_id"))
+        .count()
+        == 0
+    )
