@@ -333,8 +333,13 @@ class ModelRegistry:
 def q_train_score_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only gate query (ML outputs are seed-stable but not
     SQL-expressible): train 2 commodity models end-to-end through the
-    feature store, score the universe, return (household, commodity,
-    prediction-bucket) so minor float drift can't flake the check."""
+    feature store, score the universe, and return the score HISTOGRAM
+    (commodity, prediction-bucket, n_households). Aggregating before
+    the materializing collect keeps the driver transfer O(buckets) —
+    at 100 TB the per-household scores stay distributed (score_batch
+    writes them table-side); only this bounded summary ever leaves the
+    executors. The collect itself is required: the result must
+    materialize before `finally` deletes the model/feature store."""
     run = uuid.uuid4().hex[:8]
     store_base = str(DEFAULT_STORE / f"ml_{run}")
     try:
@@ -343,12 +348,11 @@ def q_train_score_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # same store round-trip, zero recomputation)
         ts, _ = build_training_set(spark, sf_dir, store_base, materialize=False)
         scores = score_batch(spark, ts, manifest)
-        out = scores.select(
-            "household_key",
+        out = scores.groupBy(
             "commodity_desc",
             F.round(F.col("prediction") + 1e-9, 1).alias("prediction_bucket"),
-        )
-        rows = out.collect()
+        ).agg(F.count(F.lit(1)).alias("n_households"))
+        rows = out.collect()  # O(commodities x 11 buckets), not O(households)
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(store_base, ignore_errors=True)
