@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "batch_windows",
     "stream_tumbling",
     "asof_join",
+    "range_join",
     "doc_profile",
     "salted_agg",
 ]

@@ -106,3 +106,29 @@ def test_merge_restores_partition_overwrite_mode(spark, store):
 def test_pk_requires_day(spark, store):
     with pytest.raises(ValueError):
         FeatureTable(spark, "bad", ["household_key"], store)
+
+
+def test_day_read_is_partition_pruned(spark, store):
+    """S8's 100 TB claim: a point-in-time read touches ONE day
+    partition — the day predicate must appear as a PartitionFilters
+    entry on the scan, not a post-scan Filter over all partitions."""
+    import contextlib
+    import io as _io
+    from datetime import date
+
+    t = FeatureTable(spark, "hh_pp", ["household_key", "day"], store)
+    t.create(
+        _frame(spark, date(2024, 1, 1), [1, 2], 1.0).unionByName(
+            _frame(spark, date(2024, 1, 2), [1, 2], 2.0)
+        )
+    )
+    df = t.read(day=date(2024, 1, 2))
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "day" in pf.group(1), plan
+    assert df.count() == 2 and df.agg(F.sum("amount")).collect()[0][0] == 4.0
