@@ -130,9 +130,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of a fixture table (S2). Columnar read; Catalyst
     pushes filters and prunes columns at the scan.
 
-    `events.ts` is written as TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; we read it as raw nanos (legacy conf) and normalize
-    to a microsecond TIMESTAMP — same truncation DuckDB applies."""
+    `events.ts` may arrive as TIMESTAMP(NANOS) (vectorized reader
+    rejects it — read as raw nanos via the legacy conf and truncate to
+    micros, same as DuckDB), TIMESTAMP_NTZ (micros, no zone — cast to
+    session-zone TIMESTAMP; session TZ is pinned UTC so epoch values are
+    preserved), or plain TIMESTAMP (pass through). Branching on the
+    file-embedded type keeps the engine fixture-generation-proof."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
@@ -143,8 +146,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", _normalize_ts(df.schema["ts"].dataType))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _normalize_ts(dtype: T.DataType):
+    """Expression converting an `events.ts` column of the given physical
+    type to a session-zone microsecond TIMESTAMP."""
+    from pyspark.sql import functions as F
+
+    if isinstance(dtype, T.LongType):  # nanos read as raw long
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    if isinstance(dtype, T.TimestampNTZType):
+        return F.col("ts").cast("timestamp")
+    return F.col("ts")
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

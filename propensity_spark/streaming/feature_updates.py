@@ -25,19 +25,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from propensity_spark.feature_store import FeatureTable
-from propensity_spark.io import SCHEMAS
+from propensity_spark.io import _normalize_ts
 
 PARTIALS_TABLE = "user_stream_features_partials"
 FEATURES_TABLE = "user_stream_features"
 
 
-def _raw_event_schema() -> T.StructType:
-    return T.StructType(
-        [
-            f if f.name != "ts" else T.StructField("ts", T.LongType())
-            for f in SCHEMAS["events"].fields
-        ]
-    )
+def _raw_event_schema(spark, sf_dir: str) -> T.StructType:
+    """File-embedded events schema (nanos→long under the legacy conf,
+    micros→timestamp[_ntz]) so the stream reads whatever resolution the
+    fixture generator produced."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 def read_features(partials: FeatureTable, day=None) -> DataFrame:
@@ -86,12 +85,13 @@ def stream_user_features(
         else:
             partials.merge(partial)  # replay-safe: same epoch -> same PK rows
 
+    raw_schema = _raw_event_schema(spark, sf_dir)
     stream = (
-        spark.readStream.schema(_raw_event_schema())
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", 1)
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", _normalize_ts(raw_schema["ts"].dataType))
     )
     q = (
         stream.writeStream.option("checkpointLocation", f"{store_base}/_checkpoint")

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from propensity_spark.io import SCHEMAS
+
 
 
 def running_totals(key, pdfs, state):
@@ -58,12 +58,10 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"stateful_out_{uuid.uuid4().hex[:8]}"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = T.StructType(
-        [
-            f if f.name != "ts" else T.StructField("ts", T.LongType())
-            for f in SCHEMAS["events"].fields
-        ]
-    )
+    # File-embedded schema: ts arrives as long (nanos) or timestamp
+    # (micros) depending on the fixture generator; this operator never
+    # touches ts, so no normalization is needed.
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")  # source dirs hold all tables

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from propensity_spark.io import SCHEMAS, load_table
+from propensity_spark.io import load_table
 
 GAP_MIN = 30
 
@@ -93,21 +93,19 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     same oracle — proving batch/stream semantic parity."""
     import uuid
 
-    from pyspark.sql import types as T
+    from propensity_spark.io import _normalize_ts
 
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = T.StructType(
-        [
-            f if f.name != "ts" else T.StructField("ts", T.LongType())
-            for f in SCHEMAS["events"].fields
-        ]
-    )
+    # Take the file-embedded schema (nanos→long under the legacy conf,
+    # micros→timestamp[_ntz]) so the stream matches whatever resolution
+    # the fixture generator used, then normalize like the batch reader.
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")  # source dirs hold all tables
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", _normalize_ts(raw_schema["ts"].dataType))
         .withWatermark("ts", "1 day")
     )
     agg = (

@@ -54,20 +54,15 @@ def test_publish_incremental_adds_commodity_without_rebuild(spark, sf_dir, tmp_p
     }
     assert got[1] == (0.6, 0.25, 0.9)  # updated, untouched, added
     assert got[2] == (0.75, None, None)  # never re-scored: rides along
+
+
+def test_apply_in_pandas_with_state(spark, sf_dir):
     """applyInPandasWithState: per-user running event count emitted per
     micro-batch — the custom stateful operator surface (SURVEY.md §7)."""
-    from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from propensity_spark.io import SCHEMAS
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = T.StructType(
-        [
-            f if f.name != "ts" else T.StructField("ts", T.LongType())
-            for f in SCHEMAS["events"].fields
-        ]
-    )
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def running_count(key, pdfs, state: GroupState):
         n = state.get[0] if state.exists else 0
@@ -131,17 +126,10 @@ def test_catalog_ops(spark, sf_dir, tmp_path):
 def test_stream_static_join_and_foreach_batch(spark, sf_dir, tmp_path):
     """Stream-static broadcast join + foreachBatch exactly-once-style
     sink (the two remaining streaming surfaces from the guide)."""
-    from pyspark.sql import types as T
-
-    from propensity_spark.io import SCHEMAS, load_table
+    from propensity_spark.io import load_table
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = T.StructType(
-        [
-            f if f.name != "ts" else T.StructField("ts", T.LongType())
-            for f in SCHEMAS["events"].fields
-        ]
-    )
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     static_users = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
