@@ -387,38 +387,68 @@ def q_class_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine-completeness: LEFT SEMI (EXISTS) and LEFT ANTI
-    (NOT EXISTS) in one tagged union — customers with at least one
-    urgent order, and customers with no orders at all (the latter is
-    also the parquet-fallback MERGE building block, SURVEY §2.1 S5).
-    Not used by the reference (SURVEY §2.3 'not present') but part of
-    the engine's join surface."""
+def q_set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full set-operator surface in one tagged union, normalized to
+    (entity_key, side, attr):
+
+    - LEFT SEMI (EXISTS): customers with >=1 urgent order;
+    - LEFT ANTI (NOT EXISTS): customers with no orders at all (also the
+      parquet-fallback MERGE building block, SURVEY §2.1 S5);
+    - UNION ALL: the reference's append-per-commodity loop
+      (04c:205-217) re-expressed as declarative unionByName over
+      per-slice frames (§2.7), open vs closed orders;
+    - INTERSECT (distinct): customers with both an urgent and an open
+      order;
+    - EXCEPT (distinct): customers with orders but never an urgent one.
+
+    Semi/anti/intersect/except all shuffle on the key with partial
+    distinct map-side; at 100 TB each is one balanced exchange."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
     semi = customer.join(
         urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
     ).select(
-        "c_custkey", F.lit("semi_urgent").alias("side"), F.col("c_mktsegment").alias("attr")
+        F.col("c_custkey").alias("entity_key"),
+        F.lit("semi_urgent").alias("side"),
+        F.col("c_mktsegment").alias("attr"),
     )
     anti = customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey", F.lit("anti_no_orders").alias("side"), F.col("c_name").alias("attr"))
-    return semi.unionByName(anti)
-
-
-def q_union_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.7: the reference's append-per-commodity loop (04c:205-217)
-    re-expressed as a declarative unionByName over per-slice frames."""
-    orders = load_table(spark, sf_dir, "orders")
+    ).select(
+        F.col("c_custkey").alias("entity_key"),
+        F.lit("anti_no_orders").alias("side"),
+        F.col("c_name").alias("attr"),
+    )
     lo = orders.where(F.col("o_orderstatus") == "O").select(
-        "o_orderkey", "o_custkey", F.lit("open").alias("bucket")
+        F.col("o_orderkey").alias("entity_key"),
+        F.lit("union_open").alias("side"),
+        F.col("o_custkey").cast("string").alias("attr"),
     )
     hi = orders.where(F.col("o_orderstatus") != "O").select(
-        "o_orderkey", "o_custkey", F.lit("closed").alias("bucket")
+        F.col("o_orderkey").alias("entity_key"),
+        F.lit("union_closed").alias("side"),
+        F.col("o_custkey").cast("string").alias("attr"),
     )
-    return lo.unionByName(hi)
+    inter = (
+        urgent.select("o_custkey")
+        .intersect(orders.where(F.col("o_orderstatus") == "O").select("o_custkey"))
+        .select(
+            F.col("o_custkey").alias("entity_key"),
+            F.lit("intersect_urgent_open").alias("side"),
+            F.lit("").alias("attr"),
+        )
+    )
+    exc = (
+        orders.select("o_custkey")
+        .subtract(urgent.select("o_custkey"))  # EXCEPT (distinct) semantics
+        .select(
+            F.col("o_custkey").alias("entity_key"),
+            F.lit("except_never_urgent").alias("side"),
+            F.lit("").alias("attr"),
+        )
+    )
+    return semi.unionByName(anti).unionByName(lo).unionByName(hi).unionByName(inter).unionByName(exc)
 
 
 # The fixture brand domain is static across scale factors
@@ -643,19 +673,33 @@ ORACLES: dict[str, str] = {
                      AND pos.commodity_desc = u.commodity_desc
     """,
     "class_ratios": None,  # filled below (needs labels CTE)
-    "semi_anti_join": """
-        SELECT c_custkey, 'semi_urgent' AS side, c_mktsegment AS attr FROM customer c
+    "set_ops_suite": """
+        SELECT c_custkey AS entity_key, 'semi_urgent' AS side, c_mktsegment AS attr
+        FROM customer c
         WHERE EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderpriority = '1-URGENT')
         UNION ALL
-        SELECT c_custkey, 'anti_no_orders' AS side, c_name AS attr FROM customer c
+        SELECT c_custkey, 'anti_no_orders', c_name FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-    "union_parts": """
-        SELECT o_orderkey, o_custkey, 'open' AS bucket FROM orders WHERE o_orderstatus = 'O'
         UNION ALL
-        SELECT o_orderkey, o_custkey, 'closed' AS bucket FROM orders WHERE o_orderstatus <> 'O'
+        SELECT o_orderkey, 'union_open', CAST(o_custkey AS VARCHAR)
+        FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT o_orderkey, 'union_closed', CAST(o_custkey AS VARCHAR)
+        FROM orders WHERE o_orderstatus <> 'O'
+        UNION ALL
+        SELECT entity_key, 'intersect_urgent_open', '' FROM (
+            SELECT o_custkey AS entity_key FROM orders WHERE o_orderpriority = '1-URGENT'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        )
+        UNION ALL
+        SELECT entity_key, 'except_never_urgent', '' FROM (
+            SELECT o_custkey AS entity_key FROM orders
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        )
     """,
     "date_functions": """
         SELECT l_orderkey, l_linenumber,
@@ -715,8 +759,7 @@ QUERIES = {
     "left_join_fillna": q_left_join_fillna,
     "labels": q_labels,
     "class_ratios": q_class_ratios,
-    "semi_anti_join": q_semi_anti_join,
-    "union_parts": q_union_parts,
+    "set_ops_suite": q_set_ops_suite,
     "pivot_unpivot_scores": q_pivot_unpivot_scores,
     "date_functions": q_date_functions,
     "window_topk_per_group": q_window_topk_per_group,

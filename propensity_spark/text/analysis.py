@@ -32,9 +32,22 @@ def _words(col: str = "text"):
     return F.split(F.col(col), " ")
 
 
+# Word-bigram list (map-only). Spark sequence() is DESCENDING when
+# stop < start, so the <2-word case must be guarded explicitly.
+_BIGRAMS_SPARK = (
+    "CASE WHEN size(split(text, ' ')) < 2 THEN array()"
+    " ELSE transform(sequence(1, size(split(text, ' ')) - 1),"
+    " i -> concat(element_at(split(text, ' '), i), ' ',"
+    " element_at(split(text, ' '), i + 1))) END"
+)
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring features: length, word stats, stopword ratio,
-    unique-word ratio, and a composite quality score. All built-ins."""
+    unique-word ratio, Gopher-style repetition signals (duplicate-bigram
+    fraction, symbol-to-word ratio — the published heuristic family from
+    Rae et al. 2021 'Scaling Language Models' §A1.1), and a composite
+    keep flag. All built-ins, map-only."""
     docs = load_table(spark, sf_dir, "documents")
     stop_list = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
     return docs.select(
@@ -50,6 +63,15 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(1e-9 + size(array_distinct(split(text, ' ')))"
             " / size(split(text, ' ')), 6)"
         ).alias("uniq_word_ratio"),
+        F.expr(
+            f"CASE WHEN size({_BIGRAMS_SPARK}) = 0 THEN 0.0"
+            f" ELSE round(1e-9 + 1.0 - size(array_distinct({_BIGRAMS_SPARK}))"
+            f" / size({_BIGRAMS_SPARK}), 6) END"
+        ).alias("dup_bigram_frac"),
+        F.expr(
+            "round(1e-9 + (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '')))"
+            " / size(split(text, ' ')), 6)"
+        ).alias("symbol_word_ratio"),
         F.expr(
             "CASE WHEN size(split(text, ' ')) BETWEEN 10 AND 1000"
             "      AND size(array_distinct(split(text, ' '))) / size(split(text, ' ')) > 0.2"
@@ -129,6 +151,13 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EN = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
 
+# DuckDB twin of _BIGRAMS_SPARK: range(1, n) is end-exclusive and empty
+# when n <= 1, so no explicit short-doc guard is needed.
+_BIGRAMS_DUCK = (
+    "list_transform(range(1, len(string_split(text, ' '))),"
+    " i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])"
+)
+
 _score_cols = ",\n               ".join(
     "len(list_filter(string_split(text, ' '), w -> w IN ({})))::INT AS score_{}".format(
         ", ".join(f"'{w}'" for w in words), lang
@@ -156,6 +185,11 @@ ORACLES = {
                      / len(string_split(text, ' ')), 6) AS stopword_ratio,
                round(1e-9 + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                      / len(string_split(text, ' ')), 6) AS uniq_word_ratio,
+               CASE WHEN len({_BIGRAMS_DUCK}) = 0 THEN 0.0
+                    ELSE round(1e-9 + 1.0 - CAST(len(list_distinct({_BIGRAMS_DUCK})) AS DOUBLE)
+                         / len({_BIGRAMS_DUCK}), 6) END AS dup_bigram_frac,
+               round(1e-9 + CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS symbol_word_ratio,
                CAST(CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
                           AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                               / len(string_split(text, ' ')) > 0.2
@@ -303,6 +337,68 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TFIDF_TOP_K)
         .select("doc_id", "term", "tf", "df", "score", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain mixing: deterministic weighted sampling per source — the data-
+# mixing step of every LLM pretraining pipeline (per-domain rates a la
+# The Pile / DoReMi mixture weights). Sampling must be DETERMINISTIC
+# (reproducible dataset builds, no rand()): a doc is kept iff
+# uniform(md5(doc_id)) < rate(source). Map-side filter + one tiny
+# groupBy(source) shuffle; at 100 TB the filter prunes at the scan and
+# the aggregate is |sources|-sized.
+# ---------------------------------------------------------------------------
+
+# Mixing config: source name -> target sampling rate. Generated, fixed,
+# and embedded in both engines' SQL.
+MIX_RATES = {f"src{i}": round(0.15 + 0.04 * i, 2) for i in range(20)}
+
+_MIX_CASE = "CASE source {} ELSE 0.0 END".format(
+    " ".join(f"WHEN '{s}' THEN {r}" for s, r in MIX_RATES.items())
+)
+# uniform in [0, 1): first 8 md5 hex chars of the doc_id string -> int.
+_U_SPARK = (
+    "(cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 8), 16, 10)"
+    " as bigint) % 1000000) / 1000000.0"
+)
+_U_DUCK = (
+    "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " % 1000000) / 1000000.0"
+)
+
+
+def q_source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted domain-mixing sample: keep each doc iff its md5-uniform
+    < its source's configured rate, then report the per-source audit
+    (docs in/out, sampled whitespace tokens) every dataset build logs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("rate", F.expr(_MIX_CASE))
+        .withColumn("u", F.expr(_U_SPARK))
+        .groupBy("source", "rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("u") < F.col("rate"), 1).otherwise(0)).alias("n_sampled"),
+            F.sum(
+                F.when(F.col("u") < F.col("rate"), F.size(_words())).otherwise(0)
+            ).cast("bigint").alias("sampled_tokens"),
+        )
+    )
+
+
+ORACLES["source_mix_sample"] = f"""
+    SELECT source, {_MIX_CASE} AS rate,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN {_U_DUCK} < {_MIX_CASE} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+           CAST(sum(CASE WHEN {_U_DUCK} < {_MIX_CASE}
+                    THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT)
+               AS sampled_tokens
+    FROM documents
+    GROUP BY source
+"""
+
+QUERIES["source_mix_sample"] = q_source_mix_sample
 
 
 ORACLES["tfidf_keywords"] = f"""
