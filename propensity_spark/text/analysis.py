@@ -401,6 +401,36 @@ ORACLES["source_mix_sample"] = f"""
 QUERIES["source_mix_sample"] = q_source_mix_sample
 
 
+def split_by_hash(
+    df: DataFrame, key: str, fractions: dict[str, float]
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = where the
+    md5-uniform of the key falls in the cumulative fraction ladder.
+    Properties a training pipeline needs that `randomSplit` lacks:
+    stable across runs/partitionings, stable under appends (a doc's
+    split never changes when other docs arrive), and join-free for
+    incremental builds. Map-only — adds a `split` column, no shuffle.
+
+    `fractions` values must sum to 1.0 (e.g. {"train": .9,
+    "val": .05, "test": .05})."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    u_expr = (
+        f"(cast(conv(substr(md5(cast(cast({key} as string) as binary)), 1, 8), 16, 10)"
+        " as bigint) % 1000000) / 1000000.0"
+    )
+    expr = None
+    cum = 0.0
+    last = list(fractions)[-1]
+    u = F.expr(u_expr)
+    for name, frac in fractions.items():
+        cum += frac
+        cond = F.lit(True) if name == last else (u < F.lit(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn("split", expr)
+
+
 ORACLES["tfidf_keywords"] = f"""
     WITH tok AS (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term

@@ -419,3 +419,52 @@ ORACLES["dedup_components"] = f"""
 """
 
 QUERIES["dedup_components"] = q_dedup_components
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: remove training docs that share long
+# n-grams with an evaluation/benchmark set (the published guard against
+# test-set leakage — GPT-3 App. C / PaLM-style 13-gram overlap; n is a
+# parameter because the fixture docs are short).
+# ---------------------------------------------------------------------------
+
+
+def contaminated_doc_ids(
+    docs: DataFrame, benchmark: DataFrame, n: int = 5
+) -> DataFrame:
+    """doc_ids from `docs` sharing at least one word n-gram with any
+    benchmark text. Plan: explode both sides to (ngram) — the benchmark
+    side is tiny (eval sets are ~10^3-10^5 rows) so its distinct ngram
+    set BROADCASTS; the docs side is a map-side explode feeding a
+    broadcast LEFT SEMI join + distinct on doc_id. At 100 TB the corpus
+    is never shuffled by ngram — only the per-doc id distinct shuffles,
+    bounded by |contaminated docs|."""
+    grams = (
+        "CASE WHEN size(words) >= {n}"
+        " THEN transform(sequence(1, size(words) - {n} + 1),"
+        " i -> concat_ws(' ', slice(words, i, {n})))"
+        " ELSE array() END"
+    ).format(n=n)
+
+    def explode_ngrams(df: DataFrame) -> DataFrame:
+        return (
+            df.select("doc_id", F.split("text", " ").alias("words"))
+            .select("doc_id", F.explode(F.expr(grams)).alias("ngram"))
+        )
+
+    bench_grams = explode_ngrams(benchmark).select("ngram").distinct()
+    return (
+        explode_ngrams(docs)
+        .join(F.broadcast(bench_grams), "ngram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 5) -> DataFrame:
+    """`docs` minus contaminated rows (LEFT ANTI on the contaminated id
+    set). Composes with the dedup family: run AFTER near-dup removal so
+    a contaminated near-duplicate cannot re-enter via its surviving
+    twin."""
+    bad = contaminated_doc_ids(docs, benchmark, n)
+    return docs.join(bad, "doc_id", "left_anti")

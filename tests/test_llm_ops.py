@@ -106,3 +106,56 @@ def test_streaming_equals_batch_tumbling(spark, sf_dir):
     batch = {tuple(r) for r in q_tumbling_window(spark, sf_dir).collect()}
     stream = {tuple(r) for r in q_stream_tumbling(spark, sf_dir).collect()}
     assert batch == stream
+
+
+def test_decontaminate_removes_exactly_overlapping_docs(spark, sf_dir):
+    """Docs sharing an n-gram with the benchmark are dropped; the rest
+    survive untouched; anti-join never invents rows."""
+    from propensity_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # benchmark = the texts of 5 real docs => those docs (and any doc
+    # sharing a 5-gram with them) must be flagged
+    bench = docs.orderBy("doc_id").limit(5).select("doc_id", "text")
+    bad = {r["doc_id"] for r in D.contaminated_doc_ids(docs, bench, n=5).collect()}
+    bench_ids = {r["doc_id"] for r in bench.collect()}
+    assert bench_ids <= bad  # every benchmark doc is self-contaminated
+    clean = D.decontaminate(docs, bench, n=5)
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert kept.isdisjoint(bad)
+    assert kept | bad == {r["doc_id"] for r in docs.select("doc_id").collect()}
+    # disjoint benchmark -> nothing removed
+    foreign = spark.createDataFrame(
+        [(1, "zz qq xx yy ww vv uu tt ss rr")], "doc_id long, text string"
+    )
+    assert D.decontaminate(docs, foreign, n=5).count() == docs.count()
+
+
+def test_split_by_hash_deterministic_and_proportional(spark, sf_dir):
+    from propensity_spark.io import load_table
+    from propensity_spark.text.analysis import split_by_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in split_by_hash(docs, "doc_id", fr).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in split_by_hash(docs.repartition(7), "doc_id", fr).collect()
+    }
+    assert a == b  # stable under repartitioning
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) <= set(fr)
+    assert 0.7 <= c["train"] / n <= 0.9  # proportional-ish at n=500
+    # append-stability: a subset assigns identically
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in split_by_hash(docs.limit(100), "doc_id", fr).collect()
+    }
+    assert all(a[k] == v for k, v in sub.items())
+    import pytest
+
+    with pytest.raises(ValueError):
+        split_by_hash(docs, "doc_id", {"train": 0.5})
