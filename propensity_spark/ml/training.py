@@ -242,6 +242,10 @@ def score_batch(
             vector_to_array("probability")[1].alias("prediction"),
         )
         parts.append(scored)
+    if not parts:  # every commodity failed: empty scores, stable schema
+        return spark.createDataFrame(
+            [], "household_key bigint, commodity_desc string, prediction double"
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)  # §2.7: union instead of Delta-append loop

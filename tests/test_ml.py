@@ -82,3 +82,12 @@ def test_gbt_is_default_model(spark, manifest, sf_dir, store):
     path = [r["model_path"] for r in mf.collect() if r["commodity_desc"] == real][0]
     loaded = PipelineModel.load(path)
     assert isinstance(loaded.stages[-1], GBTClassificationModel)
+
+
+def test_scoring_all_failed_returns_empty_with_schema(spark, sf_dir, store, manifest):
+    mf, real = manifest
+    all_failed = mf.withColumn("model_path", F.lit(None).cast("string"))
+    ts, _ = M.build_training_set(spark, sf_dir, store, materialize=False)
+    scored = M.score_batch(spark, ts, all_failed)
+    assert scored.count() == 0
+    assert scored.columns == ["household_key", "commodity_desc", "prediction"]
