@@ -115,6 +115,41 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_DIM = 16
+
+
+def _extract_embeddings(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: payload bytes -> L2-normalized byte-histogram
+    embedding (EMB_DIM buckets over byte values). Stands in for a real
+    image/audio encoder (CLIP/wav2vec): deterministic, vectorized with
+    numpy over the whole Arrow batch, and exactly the array<float>
+    shape a learned encoder would emit — so the downstream ANN/dedup
+    operators run unchanged when a real model replaces it."""
+    import numpy as np
+
+    for pdf in batches:
+        mats = np.zeros((len(pdf), EMB_DIM), dtype="float32")
+        for i, payload in enumerate(pdf["payload"]):  # per-doc histogram
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            hist = np.bincount(arr // (256 // EMB_DIM), minlength=EMB_DIM)
+            mats[i] = hist
+        norms = np.linalg.norm(mats, axis=1, keepdims=True)
+        mats = mats / np.where(norms == 0, 1.0, norms)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": list(mats)})
+
+
+def extract_embeddings(media: DataFrame) -> DataFrame:
+    """The multimodal -> vector bridge: (doc_id, payload) -> (doc_id,
+    embedding array<float>) via Arrow-batched mapInPandas. Map-only —
+    no shuffle at any scale; executor memory is bounded by the Arrow
+    batch size. The output is join-compatible with every operator in
+    `vector/similarity.py` (brute-force top-k, LSH buckets, IVF,
+    quantization)."""
+    return media.mapInPandas(
+        _extract_embeddings, schema="doc_id bigint, embedding array<float>"
+    )
+
+
 ORACLES = {
     "media_pipeline": """
         WITH meta AS (

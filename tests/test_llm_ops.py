@@ -159,3 +159,39 @@ def test_split_by_hash_deterministic_and_proportional(spark, sf_dir):
 
     with pytest.raises(ValueError):
         split_by_hash(docs, "doc_id", {"train": 0.5})
+
+
+def test_media_embedding_bridge_feeds_ann(spark, sf_dir):
+    """multimodal -> vector bridge: payload-derived embeddings are unit
+    vectors of the ANN-compatible shape, deterministic across runs, and
+    the similarity operators run on them unchanged."""
+    from propensity_spark.multimodal.media import (
+        EMB_DIM,
+        extract_embeddings,
+        with_media_columns,
+    )
+    from propensity_spark.io import load_table
+
+    media = with_media_columns(load_table(spark, sf_dir, "documents"))
+    emb = extract_embeddings(media)
+    rows = emb.orderBy("doc_id").limit(50).collect()
+    assert all(len(r["embedding"]) == EMB_DIM for r in rows)
+    for r in rows:  # unit-normalized (text payloads are never empty)
+        assert abs(sum(x * x for x in r["embedding"]) - 1.0) < 1e-5
+    again = emb.orderBy("doc_id").limit(50).collect()
+    assert [r["embedding"] for r in rows] == [r["embedding"] for r in again]
+
+    # plugs into the cosine machinery from vector/similarity.py
+    pair = (
+        emb.orderBy("doc_id")
+        .limit(2)
+        .groupBy()
+        .agg(F.collect_list("embedding").alias("vs"))
+        .selectExpr(
+            "aggregate(zip_with(transform(vs[0], x -> cast(x as double)),"
+            " transform(vs[1], x -> cast(x as double)), (x, y) -> x * y),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS cos"
+        )
+        .collect()[0]["cos"]
+    )
+    assert -1.0 <= pair <= 1.0
