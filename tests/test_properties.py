@@ -95,3 +95,59 @@ def test_conditional_window_agg_equals_filter_agg(spark, vals):
     a = df.agg(F.sum(F.when(cond, F.col("v")))).collect()[0][0]
     b = df.where(cond).agg(F.sum("v")).collect()[0][0]
     assert (a is None and b is None) or abs(a - b) < 1e-6
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab x"),  # collisions + short docs
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SLOW
+def test_split_by_hash_partitions_every_row_exactly_once(spark, texts):
+    """Every row gets exactly one split label, labels come from the
+    config, and the assignment is a pure function of the key — for
+    arbitrary keys including duplicates and empties."""
+    from propensity_spark.text.analysis import split_by_hash
+
+    df = spark.createDataFrame(
+        [(t,) for t in texts], "k string"
+    )
+    fr = {"train": 0.6, "val": 0.2, "test": 0.2}
+    rows = split_by_hash(df, "k", fr).collect()
+    assert len(rows) == len(texts)
+    assert {r["split"] for r in rows} <= set(fr)
+    by_key = {}
+    for r in rows:  # same key -> same split, always
+        assert by_key.setdefault(r["k"], r["split"]) == r["split"]
+
+
+@given(
+    words=st.lists(
+        st.sampled_from(["aa", "bb", "cc"]),  # tiny vocab -> repetition
+        min_size=0,
+        max_size=20,
+    )
+)
+@SLOW
+def test_dup_bigram_frac_matches_python_definition(spark, words):
+    """The map-only dup_bigram_frac SQL == the obvious Python
+    definition, for arbitrary (including <2-word) documents."""
+    from propensity_spark.text.analysis import _BIGRAMS_SPARK
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.selectExpr(
+        f"CASE WHEN size({_BIGRAMS_SPARK}) = 0 THEN 0.0"
+        f" ELSE round(1e-9 + 1.0 - size(array_distinct({_BIGRAMS_SPARK}))"
+        f" / size({_BIGRAMS_SPARK}), 6) END AS f"
+    ).collect()[0]["f"]
+    toks = text.split(" ")
+    bigrams = [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+    want = 0.0 if not bigrams else round(1e-9 + 1.0 - len(set(bigrams)) / len(bigrams), 6)
+    assert abs(got - want) < 1e-9
