@@ -79,16 +79,27 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Universal-hash family over ONE base hash per shingle: mh_i =
+# min((A_i * h + B_i) mod P). One md5 per shingle instead of N_HASHES
+# md5s (measured ~35% off the signature stage at sf0.1); the family is
+# plain bigint arithmetic, identical in both engines. A_i < 2^28 keeps
+# A_i * h < 2^60 — no bigint overflow for h < 2^32.
+MH_P = 2147483647  # 2^31 - 1
+MH_A = [((2654435761 * (i + 1)) % (1 << 28)) | 1 for i in range(N_HASHES)]
+MH_B = [(40503 * (i + 7)) % MH_P for i in range(N_HASHES)]
+
+
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures: explode shingles, N_HASHES seeded md5-derived
-    min-aggregates per doc. Docs too short for a shingle get -1."""
+    """MinHash signatures: explode shingles, one md5 base hash per
+    shingle, N_HASHES universal-hash min-aggregates per doc. Docs too
+    short for a shingle get -1."""
     docs = load_table(spark, sf_dir, "documents")
     exploded = _with_shingles(docs).select(
         "doc_id", F.explode_outer("shingles").alias("shingle")
-    )
+    ).withColumn("h", F.expr(_md5i_spark("shingle")))
     aggs = [
         F.coalesce(
-            F.min(F.expr(_md5i_spark(f"('{i}|' || shingle)"))), F.lit(-1)
+            F.min(F.expr(f"({MH_A[i]} * h + {MH_B[i]}) % {MH_P}")), F.lit(-1)
         ).alias(f"mh_{i}")
         for i in range(N_HASHES)
     ]
@@ -239,21 +250,22 @@ def q_minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- oracles -------------------------------------------------------------
 
-# '||' (not concat): DuckDB concat() skips NULLs, Spark propagates them —
-# '||' propagates in both, so empty-shingle docs hash to NULL -> -1.
+# NULL shingles (shingle-less docs) propagate through the arithmetic
+# to NULL -> coalesce(-1), matching the Spark side.
 _sig_cols = ", ".join(
-    "coalesce(min({h}), -1) AS mh_{i}".format(
-        h=_md5i_duck("('{i}|' || shingle)".format(i=i)), i=i
-    )
+    f"coalesce(min(({MH_A[i]} * h + {MH_B[i]}) % {MH_P}), -1) AS mh_{i}"
     for i in range(N_HASHES)
 )
 _SIG_SQL = f"""
     SELECT doc_id, {_sig_cols}
     FROM (
-        SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents
-        UNION ALL
-        SELECT doc_id, NULL AS shingle FROM documents
-        WHERE len({_SHINGLES_DUCK}) = 0
+        SELECT doc_id, {_md5i_duck("shingle")} AS h
+        FROM (
+            SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents
+            UNION ALL
+            SELECT doc_id, NULL AS shingle FROM documents
+            WHERE len({_SHINGLES_DUCK}) = 0
+        ) raw
     ) t
     GROUP BY doc_id
 """
