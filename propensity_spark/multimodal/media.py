@@ -115,6 +115,38 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: (doc_id, payload, mime) -> same schema plus the
+    target dims, payload rewritten by the (stubbed) resampler. The real
+    implementation decodes, resamples, re-encodes inside the same
+    mapInPandas worker (PIL/libav absent in this container — the stub
+    truncates/pads bytes to a deterministic target length so byte_len
+    tracks the requested resolution). Map-only; Arrow batch size bounds
+    executor memory exactly as in the metadata extractor."""
+    target_len = width * height // 8  # stub: fake compressed size
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                (p[:target_len] if len(p) >= target_len else p.ljust(target_len, b"\0"))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": pdf["mime"],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(
+        _resize,
+        schema="doc_id bigint, payload binary, mime string, width int, height int",
+    )
+
+
 EMB_DIM = 16
 
 

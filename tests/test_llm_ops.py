@@ -195,3 +195,15 @@ def test_media_embedding_bridge_feeds_ann(spark, sf_dir):
         .collect()[0]["cos"]
     )
     assert -1.0 <= pair <= 1.0
+
+
+def test_resize_media_plumbing(spark, sf_dir):
+    from propensity_spark.multimodal.media import resize_media, with_media_columns
+    from propensity_spark.io import load_table
+
+    media = with_media_columns(load_table(spark, sf_dir, "documents"))
+    out = resize_media(media, 64, 32)
+    rows = out.limit(20).collect()
+    assert all(len(r["payload"]) == 64 * 32 // 8 for r in rows)
+    assert all((r["width"], r["height"]) == (64, 32) for r in rows)
+    assert out.columns == ["doc_id", "payload", "mime", "width", "height"]
