@@ -229,3 +229,86 @@ QUERIES = {
     "batch_windows": q_batch_windows,
     "stream_tumbling": q_stream_tumbling,
 }
+
+
+def _event_stream(spark: SparkSession, sf_dir: str):
+    """Shared readStream over the events fixture with normalized ts —
+    the same type-adaptive read as q_stream_tumbling."""
+    from propensity_spark.io import _normalize_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", _normalize_ts(raw_schema["ts"].dataType))
+    )
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: dropDuplicatesWithinWatermark on the
+    event id — the streaming ingestion guard against at-least-once
+    sources replaying events. State holds one entry per id inside the
+    watermark horizon and is evicted beyond it, so state size is
+    bounded by the id arrival rate x watermark, not the stream length.
+    Drained to completion and returned as a batch frame for assertion."""
+    import uuid
+
+    name = f"dedup_out_{uuid.uuid4().hex[:8]}"
+    deduped = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    q = deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        rows = spark.table(name).collect()
+    finally:
+        q.stop()
+    return spark.createDataFrame(rows, deduped.schema)
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str, within: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each user's
+    events joined to their LATER events within `within` (the
+    click->conversion attribution shape). Both sides carry watermarks
+    and the join has a time-range predicate, so Spark can evict state
+    for rows past the horizon — the only way a stream-stream join is
+    bounded at scale. Returns the drained result as a batch frame."""
+    import uuid
+
+    name = f"ssj_out_{uuid.uuid4().hex[:8]}"
+    left = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("l_event"),
+            F.col("ts").alias("l_ts"),
+        )
+    )
+    right = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("r_event"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            f"l_user = r_user AND r_ts > l_ts AND r_ts <= l_ts + INTERVAL {within}"
+        ),
+    ).select("l_user", "l_event", "r_event", "l_ts", "r_ts")
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        rows = spark.table(name).collect()
+    finally:
+        q.stop()
+    return spark.createDataFrame(rows, joined.schema)

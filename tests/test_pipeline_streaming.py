@@ -196,3 +196,49 @@ def test_streaming_feature_merge_equals_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_stream_dedup_drops_replayed_ids(spark, sf_dir):
+    """dropDuplicatesWithinWatermark: unique fixture ids pass through
+    1:1 (the fixture has no dup event_ids, so count == distinct count
+    == batch count)."""
+    from propensity_spark.io import load_table
+    from propensity_spark.streaming.windows import stream_dedup
+
+    out = stream_dedup(spark, sf_dir)
+    n_batch = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert out.count() == n_batch
+    assert out.select("event_id").distinct().count() == n_batch
+
+
+def test_stream_stream_join_matches_batch_self_join(spark, sf_dir):
+    """Watermarked stream-stream interval join == the batch theta self
+    join with identical predicates."""
+    from propensity_spark.io import load_table
+    from propensity_spark.streaming.windows import stream_stream_join
+
+    got = {
+        (r["l_event"], r["r_event"])
+        for r in stream_stream_join(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    a = ev.select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("l_event"),
+        F.col("ts").alias("l_ts"),
+    )
+    b = ev.select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_event"),
+        F.col("ts").alias("r_ts"),
+    )
+    want = {
+        (r["l_event"], r["r_event"])
+        for r in a.join(
+            b,
+            F.expr(
+                "l_user = r_user AND r_ts > l_ts AND r_ts <= l_ts + INTERVAL 1 HOUR"
+            ),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
