@@ -342,29 +342,40 @@ def q_left_join_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5+J6+F2+F6: label assembly (04b_Task__Model_Training.py:106-163).
-    Universe cross join LEFT JOIN distinct positive pairs in the label
-    window (last 30 days), coalesce(purchased, 0)."""
+    """J5+J6+F2+F6: label assembly (04b_Task__Model_Training.py:106-163)
+    — universe x top-k commodities with purchased = seen-in-window.
+
+    Single-pass plan: the reference (and the naive translation) builds
+    DISTINCT positive pairs and LEFT-joins them onto the household x
+    commodity universe — two fact aggregations plus a (hh, commodity)
+    shuffle join. Here ONE groupBy(household) collects the <= k-element
+    set of in-window top-k commodities per household (collect_set skips
+    the NULLs from off-window/off-list rows, and its size is bounded by
+    k, not activity); the universe then flat-maps against the broadcast
+    k-row control table with array_contains. One fact scan, one
+    shuffle, no outer join — at 100 TB the (hh, commodity) pair shuffle
+    this removes is the dominant cost."""
     silver = silver_transactions(spark, sf_dir)
     dim = brand_dim(spark, sf_dir)
     commodities = commodities_control(spark, sf_dir).select("commodity_desc")
     bounds = silver.agg(F.date_sub(F.max("day"), 29).alias("label_start"))
-    positives = (
+    dim_topk = dim.join(F.broadcast(commodities), "commodity_desc", "left_semi")
+    per_hh = (
         silver.join(F.broadcast(bounds))
-        .where(F.col("day") >= F.col("label_start"))
-        .join(F.broadcast(dim), "product_id", "inner")
-        .join(F.broadcast(commodities), "commodity_desc", "inner")
-        .select("household_key", "commodity_desc")
-        .distinct()
-        .withColumn("purchased", F.lit(1))
+        .join(F.broadcast(dim_topk), "product_id", "leftouter")
+        .groupBy("household_key")
+        .agg(
+            F.collect_set(
+                F.when(F.col("day") >= F.col("label_start"), F.col("commodity_desc"))
+            ).alias("purchased_set")
+        )
     )
-    universe = q_cross_universe(spark, sf_dir)
-    return universe.join(
-        positives, ["household_key", "commodity_desc"], "leftouter"
-    ).select(
+    return per_hh.crossJoin(F.broadcast(commodities)).select(
         "household_key",
         "commodity_desc",
-        F.coalesce(F.col("purchased"), F.lit(0)).cast("int").alias("purchased"),
+        F.array_contains("purchased_set", F.col("commodity_desc"))
+        .cast("int")
+        .alias("purchased"),
     )
 
 
