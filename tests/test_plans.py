@@ -222,3 +222,17 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_labels_single_pass_plan(spark, sf_dir):
+    """q_labels docstring claim, pinned: ONE fact aggregation pass (the
+    collect_set groupBy) — no (household, commodity) pair-distinct, no
+    outer shuffle join. Only broadcast joins appear, and exactly one
+    hashpartitioning exchange (the household groupBy; the 1-row bounds
+    agg adds a SinglePartition exchange, which is fine)."""
+    from propensity_spark.operators.relational import q_labels
+
+    plan = plan_of(q_labels(spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    hash_exchanges = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert hash_exchanges == ["household_key"], plan
