@@ -45,6 +45,12 @@ class FeatureTable:
     def exists(self) -> bool:
         return Path(self.path).exists() and any(Path(self.path).rglob("*.parquet"))
 
+    def has_day(self, day) -> bool:
+        """True if the day partition is already materialized — a
+        metadata (directory) check, no scan."""
+        part = Path(self.path) / f"day={day}"
+        return part.exists() and any(part.glob("*.parquet"))
+
     def create(self, df: DataFrame) -> None:
         """Full (re)write, partitioned by day (S3 + partition pruning)."""
         df.write.mode("overwrite").partitionBy("day").parquet(self.path)

@@ -42,9 +42,14 @@ class Pipeline:
 
     # -- daily ------------------------------------------------------------
 
-    def engineer_features(self, day) -> None:
+    def engineer_features(self, day, force: bool = False) -> None:
         """04a equivalent: build all three grains for `day` and MERGE
-        them into the feature store (PK includes day, 04a:599)."""
+        them into the feature store (PK includes day, 04a:599).
+
+        Idempotent per day: a day whose partition is already
+        materialized is skipped (metadata check, no scan) — so
+        init-backfill followed by the daily job computes each grid
+        exactly once. `force=True` recomputes (source-data revision)."""
         stamp = F.lit(day).cast("date")
         specs = [
             ("household", ["household_key", "day"], q_household_features),
@@ -57,6 +62,8 @@ class Pipeline:
         ]
         for name, pk, builder in specs:
             table = FeatureTable(self.spark, name, pk, self.store)
+            if not force and table.has_day(day):
+                continue
             table.merge(builder(self.spark, self.sf_dir).withColumn("day", stamp))
 
     def score(self, manifest: DataFrame, day) -> DataFrame:
