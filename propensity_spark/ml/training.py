@@ -252,6 +252,36 @@ def score_batch(
     return out
 
 
+def classification_metrics(scored: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """M5 parity: the reference's sklearn metric set (04b:253-269 —
+    average_precision via evaluator above, plus balanced_accuracy and
+    matthews_corrcoef here) computed DISTRIBUTED from one confusion-
+    matrix aggregation — no toPandas, one pass, O(1) result row.
+    `scored` needs a `purchased` label and a `prediction` probability."""
+    yhat = (F.col("prediction") >= threshold).cast("int")
+    y = F.col("purchased")
+    cm = scored.agg(
+        F.sum(F.when((y == 1) & (yhat == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((y == 0) & (yhat == 1), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((y == 0) & (yhat == 0), 1).otherwise(0)).alias("tn"),
+        F.sum(F.when((y == 1) & (yhat == 0), 1).otherwise(0)).alias("fn"),
+    )
+    tp, fp, tn, fn = (F.col(c).cast("double") for c in ("tp", "fp", "tn", "fn"))
+    tpr = tp / F.greatest(tp + fn, F.lit(1.0))
+    tnr = tn / F.greatest(tn + fp, F.lit(1.0))
+    mcc_den = F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    return cm.select(
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.round((tpr + tnr) / 2, 6).alias("balanced_accuracy"),
+        F.round(
+            F.when(mcc_den > 0, (tp * tn - fp * fn) / mcc_den).otherwise(0.0), 6
+        ).alias("mcc"),
+    )
+
+
 class ModelRegistry:
     """M6 registry lifecycle (04b:424-443 semantics, MLflow-free):
     a parquet manifest of (commodity_desc, commodity_clean, model_path,

@@ -91,3 +91,24 @@ def test_scoring_all_failed_returns_empty_with_schema(spark, sf_dir, store, mani
     scored = M.score_batch(spark, ts, all_failed)
     assert scored.count() == 0
     assert scored.columns == ["household_key", "commodity_desc", "prediction"]
+
+
+def test_classification_metrics_match_sklearn_definitions(spark):
+    # hand-checkable confusion matrix: tp=2 fp=1 tn=2 fn=1
+    rows = [
+        (1, 0.9), (1, 0.8), (1, 0.2),   # two TP, one FN
+        (0, 0.7), (0, 0.1), (0, 0.3),   # one FP, two TN
+    ]
+    df = spark.createDataFrame(rows, "purchased int, prediction double")
+    m = M.classification_metrics(df).collect()[0]
+    assert (m["tp"], m["fp"], m["tn"], m["fn"]) == (2, 1, 2, 1)
+    import math
+
+    tpr, tnr = 2 / 3, 2 / 3
+    assert abs(m["balanced_accuracy"] - round((tpr + tnr) / 2, 6)) < 1e-9
+    want_mcc = (2 * 2 - 1 * 1) / math.sqrt(3 * 3 * 3 * 3)
+    assert abs(m["mcc"] - round(want_mcc, 6)) < 1e-9
+    # degenerate single-class input must not divide by zero
+    one = spark.createDataFrame([(1, 0.9)], "purchased int, prediction double")
+    d = M.classification_metrics(one).collect()[0]
+    assert d["mcc"] == 0.0 and d["balanced_accuracy"] == 0.5
