@@ -76,3 +76,20 @@ def test_left_join_preserves_all_anchors(spark, sf_dir):
 
     assert out.count() == load_table(spark, sf_dir, "customer").count()
     assert out.where(F.col("amount_list").isNull()).count() == 0
+
+
+def test_spark_sql_api_matches_dataframe_plans(spark, sf_dir):
+    """The engine's SQL surface: registered views + the dialect-portable
+    oracle texts run through spark.sql itself must equal the DataFrame
+    plans (a reference user can keep writing SQL)."""
+    from propensity_spark.io import register_views
+    from propensity_spark.operators.relational import ORACLES, q_tpch_q1, q_set_ops_suite
+
+    register_views(spark, sf_dir)
+    for q_fn, sql in [
+        (q_tpch_q1, ORACLES["tpch_q1"]),
+        (q_set_ops_suite, ORACLES["set_ops_suite"]),
+    ]:
+        via_sql = {tuple(r) for r in spark.sql(sql.replace("VARCHAR", "STRING")).collect()}
+        via_df = {tuple(r) for r in q_fn(spark, sf_dir).collect()}
+        assert via_sql == via_df and len(via_df) > 0
