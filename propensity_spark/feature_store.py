@@ -108,6 +108,46 @@ class FeatureTable:
         survivors = existing.join(batch.select(*self.pk), self.pk, "left_anti")
         return survivors.unionByName(batch)
 
+    def compact(self, day, target_files: int = 1) -> int:
+        """Operational: rewrite one day partition into `target_files`
+        parquet files. Daily MERGEs leave one file per shuffle partition
+        per run; after N runs a partition holds N x partitions small
+        files and scan planning dominates read cost (the classic
+        small-file problem). Returns the file count after compaction.
+        At 100 TB this runs as a background job per aged partition —
+        only the named partition is read or written."""
+        import shutil
+
+        part = Path(self.path) / f"day={day}"
+        if not self.has_day(day):
+            raise ValueError(f"no partition for day={day}")
+        tmp = str(part) + "__COMPACT"
+        (
+            self.read(day)
+            .drop("day")  # path-encoded; restored by the partition dir
+            .repartition(target_files)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        shutil.rmtree(part)
+        Path(tmp).rename(part)
+        return len(list(part.glob("*.parquet")))
+
+    def expire(self, before_day) -> list:
+        """Operational: retention — drop day partitions strictly older
+        than `before_day` (metadata-only: directory removal, no scan;
+        with Delta this is `DELETE WHERE day < ...` + VACUUM). Returns
+        the dropped day values."""
+        import shutil
+
+        dropped = []
+        for part in sorted(Path(self.path).glob("day=*")):
+            day_val = part.name.split("=", 1)[1]
+            if day_val < str(before_day):
+                shutil.rmtree(part)
+                dropped.append(day_val)
+        return dropped
+
     def lookup(
         self,
         keys_df: DataFrame,

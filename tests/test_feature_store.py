@@ -132,3 +132,32 @@ def test_day_read_is_partition_pruned(spark, store):
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "day" in pf.group(1), plan
     assert df.count() == 2 and df.agg(F.sum("amount")).collect()[0][0] == 4.0
+
+
+def test_compact_reduces_files_preserves_rows(spark, store):
+    t = FeatureTable(spark, "hh_c", ["household_key", "day"], store)
+    d = date(2024, 1, 1)
+    t.create(_frame(spark, d, [1, 2], 1.0).repartition(8))
+    from pathlib import Path
+
+    part = Path(t.path) / f"day={d}"
+    assert len(list(part.glob("*.parquet"))) > 1
+    before = {tuple(r) for r in t.read(d).collect()}
+    n = t.compact(d, target_files=1)
+    assert n == 1
+    assert {tuple(r) for r in t.read(d).collect()} == before
+    with pytest.raises(ValueError):
+        t.compact(date(2030, 1, 1))
+
+
+def test_expire_drops_only_old_partitions(spark, store):
+    t = FeatureTable(spark, "hh_e", ["household_key", "day"], store)
+    days = [date(2024, 1, 1), date(2024, 1, 15), date(2024, 2, 1)]
+    frames = _frame(spark, days[0], [1], 1.0)
+    for d in days[1:]:
+        frames = frames.unionByName(_frame(spark, d, [1], 1.0))
+    t.create(frames)
+    dropped = t.expire(date(2024, 1, 15))
+    assert dropped == ["2024-01-01"]
+    remaining = {str(r["day"]) for r in t.read().select("day").distinct().collect()}
+    assert remaining == {"2024-01-15", "2024-02-01"}
