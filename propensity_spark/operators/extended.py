@@ -248,7 +248,26 @@ def q_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.lit("orc_json").alias("fmt"), F.col("n_name").alias("k"), "n_rows", "checksum")
         )
-        out = csv_out.unionByName(orc_out)
+        # (c) semi-structured: parse the events.props JSON column with a
+        # typed from_json (schema-on-read — no inference, no UDF) and
+        # aggregate the extracted field per event_type. At 100 TB JSON
+        # parsing is map-side inside codegen; the agg is one shuffle.
+        events = load_table(spark, sf_dir, "events")
+        json_out = (
+            events.withColumn("k_val", F.from_json("props", "k int")["k"])
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("k_val") + 1e-6, 2).alias("checksum"),
+            )
+            .select(
+                F.lit("json_props").alias("fmt"),
+                F.col("event_type").alias("k"),
+                "n_rows",
+                "checksum",
+            )
+        )
+        out = csv_out.unionByName(orc_out).unionByName(json_out)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
@@ -605,6 +624,11 @@ ORACLES = {
                round(1e-6 + sum(s_acctbal), 2)
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
+        UNION ALL
+        SELECT 'json_props', event_type, count(*),
+               round(1e-6 + sum(CAST(json_extract(props, '$.k') AS INT)), 2)
+        FROM events
+        GROUP BY event_type
     """,
     "salted_agg": """
         WITH s AS (
