@@ -189,6 +189,29 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
     return spark.read.json(path, schema=schema)
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_csv_capturing_corrupt(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """CSV scan that quarantines malformed rows instead of silently
+    nulling them (PERMISSIVE default) or dropping the whole job
+    (FAILFAST): rows that don't parse land with their raw text in
+    `_corrupt_record` and NULL data columns, so the pipeline can route
+    them to a dead-letter table and alert — the production ingest
+    posture for multi-TB third-party feeds where one bad row must
+    neither kill nor silently poison the load."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    return (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path, header=True, schema=full)
+    )
+
+
 def write_table(
     df: DataFrame,
     path: str,

@@ -93,3 +93,22 @@ def test_spark_sql_api_matches_dataframe_plans(spark, sf_dir):
         via_sql = {tuple(r) for r in spark.sql(sql.replace("VARCHAR", "STRING")).collect()}
         via_df = {tuple(r) for r in q_fn(spark, sf_dir).collect()}
         assert via_sql == via_df and len(via_df) > 0
+
+
+def test_corrupt_csv_rows_are_quarantined_not_dropped(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from propensity_spark.io import CORRUPT_COL, read_csv_capturing_corrupt
+
+    p = tmp_path / "feed.csv"
+    p.write_text("id,amount\n1,10.5\nnot_an_int,oops\n3,7.25\n")
+    schema = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("amount", T.DoubleType())]
+    )
+    df = read_csv_capturing_corrupt(spark, str(p), schema).cache()
+    good = df.where(F.col(CORRUPT_COL).isNull())
+    bad = df.where(F.col(CORRUPT_COL).isNotNull())
+    assert df.count() == 3  # nothing silently dropped
+    assert {r["id"] for r in good.collect()} == {1, 3}
+    assert [r[CORRUPT_COL] for r in bad.collect()] == ["not_an_int,oops"]
+    df.unpersist()
