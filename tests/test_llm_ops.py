@@ -207,3 +207,34 @@ def test_resize_media_plumbing(spark, sf_dir):
     assert all(len(r["payload"]) == 64 * 32 // 8 for r in rows)
     assert all((r["width"], r["height"]) == (64, 32) for r in rows)
     assert out.columns == ["doc_id", "payload", "mime", "width", "height"]
+
+
+def test_dedup_components_collapses_duplicate_chain(spark, tmp_path):
+    """Star-CC on a PATH graph: doc i overlaps only its neighbors
+    (sliding 12-word windows over one long text), so the duplicate
+    graph is a chain — the diameter case plain min-label propagation
+    is slow on and where star-rewrite bugs hide. All chain docs must
+    land in ONE component rooted at the smallest id; the unrelated
+    control docs must stay isolated."""
+    import pandas as pd
+
+    base = [f"w{i}" for i in range(30)]
+    # stride 2, window 20: neighbor Jaccard ~0.8 (within LSH recall),
+    # doc 0 vs doc 4 share only 12/28 — chained, not a clique
+    chain = [" ".join(base[i * 2 : i * 2 + 20]) for i in range(5)]
+    control = [f"solo{i} unique{i} text{i} pad{i} end{i}" for i in range(3)]
+    texts = chain + control
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["web"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    comp = {r["doc_id"]: r["component"] for r in D.q_dedup_components(spark, str(tmp_path)).collect()}
+    assert {comp[i] for i in range(5)} == {0}, comp  # whole chain -> root 0
+    for i in range(5, 8):
+        assert comp[i] == i  # controls isolated
