@@ -204,3 +204,36 @@ ORACLES = {
 QUERIES = {
     "media_pipeline": q_media_pipeline,
 }
+
+
+def cogroup_align(events: DataFrame, features: DataFrame) -> DataFrame:
+    """The cogrouped-pandas operator surface
+    (`groupBy.cogroup.applyInPandas`): per-key alignment of two frames
+    in one Arrow-batched worker — the shape for custom per-entity
+    merges no built-in join expresses (pandas merge_asof, per-user
+    sessionized reconciliation, ...). Demonstrated with a per-user
+    summary either side could not compute alone: event count + value
+    sum from the left, feature-row count from the right. Both sides
+    shuffle once on the key; worker memory holds ONE key's rows from
+    each side, not a partition."""
+    import pandas as pd
+
+    def align(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        uid = (left["user_id"] if len(left) else right["user_id"]).iloc[0]
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_events": [len(left)],
+                "sum_value": [float(left["value"].sum()) if len(left) else 0.0],
+                "n_feature_rows": [len(right)],
+            }
+        )
+
+    return (
+        events.groupBy("user_id")
+        .cogroup(features.groupBy("user_id"))
+        .applyInPandas(
+            align,
+            schema="user_id bigint, n_events bigint, sum_value double, n_feature_rows bigint",
+        )
+    )

@@ -238,3 +238,31 @@ def test_dedup_components_collapses_duplicate_chain(spark, tmp_path):
     assert {comp[i] for i in range(5)} == {0}, comp  # whole chain -> root 0
     for i in range(5, 8):
         assert comp[i] == i  # controls isolated
+
+
+def test_cogroup_align_matches_dataframe_aggregates(spark, sf_dir):
+    from propensity_spark.io import load_table
+    from propensity_spark.multimodal.media import cogroup_align
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    feats = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .count()
+        .select("user_id")
+    )
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 4), r["n_feature_rows"])
+        for r in cogroup_align(events, feats).collect()
+    }
+    ev = {
+        r["user_id"]: (r["n"], round(r["s"], 4))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    ft = {r["user_id"]: r["n"] for r in feats.groupBy("user_id").count().withColumnRenamed("count", "n").collect()}
+    assert set(got) == set(ev) | set(ft)
+    for uid, (n, s, nf) in got.items():
+        assert (n, s) == ev.get(uid, (0, 0.0))
+        assert nf == ft.get(uid, 0)
