@@ -74,22 +74,23 @@ def main() -> None:
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
 
-    # DuckDB comparator: same oracle SQL, same parquet, same min-of-2.
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+    # DuckDB comparator: same oracle SQL, same parquet. Single run per
+    # query (it is a reference point, not the measured engine) and
+    # skippable via SPARK_GRAFT_SKIP_DUCK=1 so the Spark timings always
+    # land inside any harness timeout.
     duck: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        if name not in oracles:
-            continue
-        best = float("inf")
-        for _ in range(2):
+    if not os.environ.get("SPARK_GRAFT_SKIP_DUCK"):
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        for name in BENCH_QUERIES:
+            if name not in oracles:
+                continue
             t0 = time.time()
             con.execute(oracles[name]).fetchall()
-            best = min(best, time.time() - t0)
-        duck[name] = round(best, 3)
+            duck[name] = round(time.time() - t0, 3)
     duck_total = round(sum(duck.values()), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
