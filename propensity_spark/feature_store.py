@@ -239,4 +239,27 @@ def q_feature_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {"feature_store_roundtrip": q_feature_store_roundtrip}
-ORACLES: dict[str, str] = {}
+
+# The merge sequence is deterministic over the fixture, so the FINAL
+# store state is SQL-expressible: day 1 = household features with even
+# keys' 30d amount doubled (the overlapping merge wins), day 2 = the
+# original features (new-day merge). Upgrading this from rows-only to a
+# full oracle pins create/merge/read end-to-end against DuckDB.
+def _roundtrip_oracle() -> str:
+    from propensity_spark.operators.features import ORACLES as _FEAT
+
+    hf = _FEAT["household_features"]
+    return f"""
+        WITH hf AS ({hf})
+        SELECT DATE '2024-01-01' AS day, count(*) AS n_rows,
+               round(1e-6 + sum(CASE WHEN household_key % 2 = 0
+                                     THEN amount_list_30d * 2
+                                     ELSE amount_list_30d END), 2) AS amount_checksum
+        FROM hf
+        UNION ALL
+        SELECT DATE '2024-01-02', count(*), round(1e-6 + sum(amount_list_30d), 2)
+        FROM hf
+    """
+
+
+ORACLES: dict[str, str] = {"feature_store_roundtrip": _roundtrip_oracle()}
