@@ -222,4 +222,30 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {"pipeline_e2e": q_pipeline_e2e}
-ORACLES: dict[str, str] = {}
+
+
+def _pipeline_oracle() -> str:
+    """The e2e DAG's row accounting is deterministic: run_init trains
+    the alphabetically-first 2 of the top-k commodities, the daily
+    scores every silver household for each trained commodity, and a
+    probability is in [0,1] by construction — so n_valid == n_scores ==
+    |households|. Model WEIGHTS aren't SQL-expressible; the DAG's
+    shape, membership, and score-validity are, and that is what this
+    pins."""
+    from propensity_spark.operators.relational import SILVER_SQL, TOPK_SQL
+
+    return f"""
+        WITH tk AS ({TOPK_SQL}),
+             trained AS (
+                 SELECT commodity_desc FROM tk ORDER BY commodity_desc LIMIT 2
+             ),
+             hh AS (
+                 SELECT count(DISTINCT household_key) AS n FROM ({SILVER_SQL}) s
+             )
+        SELECT t.commodity_desc, DATE '2024-02-01' AS day,
+               hh.n AS n_scores, hh.n AS n_valid
+        FROM trained t CROSS JOIN hh
+    """
+
+
+ORACLES: dict[str, str] = {"pipeline_e2e": _pipeline_oracle()}
