@@ -480,3 +480,49 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 5) -> DataFram
     twin."""
     bad = contaminated_doc_ids(docs, benchmark, n)
     return docs.join(bad, "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup via block-split Hamming search (Manku, Jain & Sarma,
+# WWW 2007): fingerprints within Hamming distance k must agree exactly
+# on at least one of k+1 disjoint bit blocks — so candidate generation
+# is an equi-join on block values, never an all-pairs Hamming scan.
+# ---------------------------------------------------------------------------
+
+
+def simhash_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+    Plan: split the SIM_BITS fingerprint into max_hamming+1 blocks
+    (pigeonhole: <=k differing bits cannot touch every one of k+1
+    blocks), equi-join per (block_idx, block_value) bucket, then verify
+    the exact Hamming distance with bit_count on candidates only. At
+    web scale the bucket join is the whole cost — identical shape to
+    MinHash banding, O(sum bucket^2), never O(n^2)."""
+    n_blocks = max_hamming + 1
+    width = SIM_BITS // n_blocks
+    fp = q_simhash(spark, sf_dir)
+    blocks = fp.selectExpr(
+        "doc_id",
+        "simhash",
+        "stack({n}, {args}) AS (block_idx, block_val)".format(
+            n=n_blocks,
+            args=", ".join(
+                f"{b}, (simhash div {1 << (b * width)}) % {1 << width}"
+                for b in range(n_blocks)
+            ),
+        ),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(b, ["block_idx", "block_val"])
+        .where(F.expr("a.doc_id < b.doc_id"))
+        .select(
+            F.expr("a.doc_id").alias("doc_a"),
+            F.expr("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()  # a pair can share several blocks
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -266,3 +266,22 @@ def test_cogroup_align_matches_dataframe_aggregates(spark, sf_dir):
     for uid, (n, s, nf) in got.items():
         assert (n, s) == ev.get(uid, (0, 0.0))
         assert nf == ft.get(uid, 0)
+
+
+def test_simhash_block_join_finds_all_close_pairs(spark, sf_dir):
+    """Pigeonhole completeness: the block-bucket join must recover
+    EXACTLY the pairs an all-pairs Hamming scan finds at <= k (the
+    candidate generation loses nothing below the threshold)."""
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in D.simhash_near_dup_pairs(spark, sf_dir, max_hamming=3).collect()
+    }
+    fps = {r["doc_id"]: r["simhash"] for r in D.q_simhash(spark, sf_dir).collect()}
+    ids = sorted(fps)
+    want = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    assert got == want
