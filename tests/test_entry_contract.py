@@ -11,7 +11,8 @@ def test_entry_returns_rows(spark):
 def test_every_oracle_has_a_query():
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
-    assert len(qs) >= 40
+    assert len(qs) == 50  # driver gate budget: exactly 50 entries
+    assert len(oracles) >= 45
 
 
 def test_oracles_parse_in_duckdb():
