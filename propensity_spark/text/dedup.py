@@ -526,3 +526,32 @@ def simhash_near_dup_pairs(
         .distinct()  # a pair can share several blocks
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+WINNOW_W = 4  # winnowing window (in shingle positions)
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every 3-word shingle, then
+    keep the MINIMUM hash of each sliding window of WINNOW_W shingles.
+    Guarantees: any shared run of >= WINNOW_W + 2 words between two
+    docs yields at least one shared fingerprint, while storing ~1/W of
+    the shingle hashes. Entirely map-side (array lambdas in codegen);
+    the fingerprint explode feeds the same bucket-join shape as MinHash
+    banding for partial-overlap detection (plagiarism / quote reuse —
+    cases where whole-doc MinHash similarity is too coarse)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = _with_shingles(docs).selectExpr(
+        "doc_id",
+        f"transform(shingles, s -> {_md5i_spark('s')}) AS hs",
+    )
+    wins = (
+        f"CASE WHEN size(hs) = 0 THEN array()"
+        f" WHEN size(hs) <= {WINNOW_W} THEN array(array_min(hs))"
+        f" ELSE array_distinct(transform(sequence(1, size(hs) - {WINNOW_W} + 1),"
+        f" i -> array_min(slice(hs, i, {WINNOW_W})))) END"
+    )
+    return hashed.select(
+        "doc_id", F.explode(F.expr(wins)).alias("fingerprint")
+    )

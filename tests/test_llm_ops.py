@@ -285,3 +285,34 @@ def test_simhash_block_join_finds_all_close_pairs(spark, sf_dir):
         if bin(fps[a] ^ fps[b]).count("1") <= 3
     }
     assert got == want
+
+
+def test_winnowing_guarantee_and_compression(spark, sf_dir, tmp_path):
+    """The winnowing guarantee: two docs sharing a long run of words
+    share >= 1 fingerprint; fingerprints per doc ~ shingles/W (the
+    stated compression); disjoint docs share nothing."""
+    import pandas as pd
+
+    shared = " ".join(f"c{i}" for i in range(12))  # 12-word common run
+    texts = [
+        f"a0 a1 a2 a3 {shared}",
+        f"{shared} b0 b1 b2 b3",
+        " ".join(f"z{i}" for i in range(16)),  # disjoint control
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(3),
+            "text": texts,
+            "lang": ["en"] * 3,
+            "source": ["web"] * 3,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    fp = D.winnowing_fingerprints(spark, str(tmp_path))
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[0] & by_doc[1]  # shared run -> shared fingerprint
+    assert not (by_doc[0] & by_doc[2]) and not (by_doc[1] & by_doc[2])
+    # compression: far fewer fingerprints than shingles (14 shingles)
+    assert len(by_doc[0]) < 14
