@@ -46,14 +46,29 @@ class FeatureTable:
         return Path(self.path).exists() and any(Path(self.path).rglob("*.parquet"))
 
     def has_day(self, day) -> bool:
-        """True if the day partition is already materialized — a
-        metadata (directory) check, no scan."""
+        """True if the day partition is COMPLETELY materialized — a
+        metadata (directory + marker) check, no scan. Gated on the
+        per-partition ``_COMMITTED`` marker stamped after a successful
+        create/merge/compact, not on any-parquet-exists: a merge that
+        died mid-write leaves parquet files but no marker, so the next
+        daily run redoes the day instead of silently freezing torn data
+        in the store."""
         part = Path(self.path) / f"day={day}"
-        return part.exists() and any(part.glob("*.parquet"))
+        return part.exists() and any(part.glob("*.parquet")) and (part / "_COMMITTED").exists()
+
+    def _stamp(self, days=None) -> None:
+        """Write the per-partition completion marker. Spark only writes
+        a table-root _SUCCESS, so partition-level completion needs our
+        own marker file (ignored by parquet readers: underscore prefix)."""
+        for part in Path(self.path).glob("day=*"):
+            if days is not None and part.name.split("=", 1)[1] not in {str(d) for d in days}:
+                continue
+            (part / "_COMMITTED").touch()
 
     def create(self, df: DataFrame) -> None:
         """Full (re)write, partitioned by day (S3 + partition pruning)."""
         df.write.mode("overwrite").partitionBy("day").parquet(self.path)
+        self._stamp()
 
     def read(self, day=None) -> DataFrame:
         df = self.spark.read.parquet(self.path)
@@ -92,6 +107,7 @@ class FeatureTable:
             try:
                 # Rewrites only the touched day partitions; untouched history stays.
                 merged.write.mode("overwrite").partitionBy("day").parquet(self.path)
+                self._stamp(days)
             finally:
                 # Scoped: a later plain overwrite in the same session must
                 # remain a full-table replace, not a silent partial one.
@@ -121,16 +137,33 @@ class FeatureTable:
         part = Path(self.path) / f"day={day}"
         if not self.has_day(day):
             raise ValueError(f"no partition for day={day}")
-        tmp = str(part) + "__COMPACT"
+        # Temp output lives OUTSIDE the table root (sibling dir): a temp
+        # dir inside the root would be picked up by partition discovery
+        # if the job died between write and rename — duplicating the
+        # day's rows AND flipping the inferred `day` type to string.
+        # Stale temps from previously-crashed compactions are cleaned
+        # here for the same reason the new one is written outside.
+        tmp_root = Path(self.path + "__COMPACT_TMP")
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        tmp = tmp_root / f"day={day}"
         (
             self.read(day)
             .drop("day")  # path-encoded; restored by the partition dir
             .repartition(target_files)
             .write.mode("overwrite")
-            .parquet(tmp)
+            .parquet(str(tmp))
         )
-        shutil.rmtree(part)
-        Path(tmp).rename(part)
+        try:
+            # Swap is rmtree-then-rename: non-atomic for CONCURRENT
+            # readers (documented; Delta fixes this with the txn log),
+            # but crash-safe for the store itself — a death between the
+            # two calls leaves no _COMMITTED marker, so has_day()
+            # reports the partition incomplete and the day is redone.
+            shutil.rmtree(part)
+            tmp.rename(part)
+        finally:
+            shutil.rmtree(tmp_root, ignore_errors=True)
+        self._stamp([day])
         return len(list(part.glob("*.parquet")))
 
     def expire(self, before_day) -> list:

@@ -267,15 +267,22 @@ def classification_metrics(scored: DataFrame, threshold: float = 0.5) -> DataFra
         F.sum(F.when((y == 1) & (yhat == 0), 1).otherwise(0)).alias("fn"),
     )
     tp, fp, tn, fn = (F.col(c).cast("double") for c in ("tp", "fp", "tn", "fn"))
-    tpr = tp / F.greatest(tp + fn, F.lit(1.0))
-    tnr = tn / F.greatest(tn + fp, F.lit(1.0))
+    # sklearn's balanced_accuracy_score averages recall over classes
+    # PRESENT in y_true (an absent class is skipped, not counted as
+    # recall 0) — so single-class perfect input scores 1.0, not 0.5.
+    tpr = F.when(tp + fn > 0, tp / (tp + fn))
+    tnr = F.when(tn + fp > 0, tn / (tn + fp))
+    n_present = F.when(tp + fn > 0, 1).otherwise(0) + F.when(tn + fp > 0, 1).otherwise(0)
+    bal_acc = (F.coalesce(tpr, F.lit(0.0)) + F.coalesce(tnr, F.lit(0.0))) / F.greatest(
+        n_present.cast("double"), F.lit(1.0)
+    )
     mcc_den = F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
     return cm.select(
         "tp",
         "fp",
         "tn",
         "fn",
-        F.round((tpr + tnr) / 2, 6).alias("balanced_accuracy"),
+        F.round(bal_acc, 6).alias("balanced_accuracy"),
         F.round(
             F.when(mcc_den > 0, (tp * tn - fp * fn) / mcc_den).otherwise(0.0), 6
         ).alias("mcc"),

@@ -130,8 +130,10 @@ def commodities_control(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> Dat
     per query tree (Spark does not dedupe common subtrees). We memo the
     collected k rows per (session, dir) — a bounded driver-side collect,
     the same C4 pattern the reference uses for its control loops — and
-    rebuild a broadcastable local relation."""
-    key = (id(spark), sf_dir, k)
+    rebuild a broadcastable local relation. Keyed by applicationId, not
+    id(spark): a GC'd-then-reallocated session object could alias a
+    stale id() entry, while applicationId is unique per SparkContext."""
+    key = (spark.sparkContext.applicationId, sf_dir, k)
     if key not in _CONTROL_ROWS:
         _CONTROL_ROWS[key] = top_commodities(spark, sf_dir, k).collect()
     return spark.createDataFrame(

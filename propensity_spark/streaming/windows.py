@@ -277,13 +277,23 @@ def stream_stream_join(spark: SparkSession, sf_dir: str, within: str = "1 hour")
     click->conversion attribution shape). Both sides carry watermarks
     and the join has a time-range predicate, so Spark can evict state
     for rows past the horizon — the only way a stream-stream join is
-    bounded at scale. Returns the drained result as a batch frame."""
+    bounded at scale. The watermark delay is DERIVED from `within`
+    (interval + 1h slack): a fixed watermark smaller than the join
+    interval would evict state still inside the match horizon and
+    silently drop matches the equivalent batch self-join produces.
+    Returns the drained result as a batch frame."""
     import uuid
+
+    # Parse "<n> <unit>" into a delay covering the join horizon.
+    _SECS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+    qty, unit = within.strip().split()
+    within_secs = int(qty) * _SECS[unit.rstrip("s")]
+    watermark = f"{within_secs + 3600} seconds"
 
     name = f"ssj_out_{uuid.uuid4().hex[:8]}"
     left = (
         _event_stream(spark, sf_dir)
-        .withWatermark("ts", "2 hours")
+        .withWatermark("ts", watermark)
         .select(
             F.col("user_id").alias("l_user"),
             F.col("event_id").alias("l_event"),
@@ -292,7 +302,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str, within: str = "1 hour")
     )
     right = (
         _event_stream(spark, sf_dir)
-        .withWatermark("ts", "2 hours")
+        .withWatermark("ts", watermark)
         .select(
             F.col("user_id").alias("r_user"),
             F.col("event_id").alias("r_event"),

@@ -32,13 +32,16 @@ def _words(col: str = "text"):
     return F.split(F.col(col), " ")
 
 
-# Word-bigram list (map-only). Spark sequence() is DESCENDING when
-# stop < start, so the <2-word case must be guarded explicitly.
-_BIGRAMS_SPARK = (
-    "CASE WHEN size(split(text, ' ')) < 2 THEN array()"
-    " ELSE transform(sequence(1, size(split(text, ' ')) - 1),"
-    " i -> concat(element_at(split(text, ' '), i), ' ',"
-    " element_at(split(text, ' '), i + 1))) END"
+# Word-bigram list over a pre-split `__words` column (map-only). Spark
+# sequence() is DESCENDING when stop < start, so the <2-word case must
+# be guarded explicitly. Same hoist as dedup._SHINGLES_FROM_WORDS:
+# evaluating split(text) inside the lambda re-tokenizes the document
+# once per bigram — O(words^2) char work per doc.
+_BIGRAMS_FROM_WORDS = (
+    "CASE WHEN size(__words) < 2 THEN array()"
+    " ELSE transform(sequence(1, size(__words) - 1),"
+    " i -> concat(element_at(__words, i), ' ',"
+    " element_at(__words, i + 1))) END"
 )
 
 
@@ -47,34 +50,39 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique-word ratio, Gopher-style repetition signals (duplicate-bigram
     fraction, symbol-to-word ratio — the published heuristic family from
     Rae et al. 2021 'Scaling Language Models' §A1.1), and a composite
-    keep flag. All built-ins, map-only."""
+    keep flag. All built-ins, map-only. split(text) and the bigram list
+    are hoisted into their own projections (multi-referenced aliases
+    survive CollapseProject) so each evaluates once per row, not once
+    per use site."""
     docs = load_table(spark, sf_dir, "documents")
     stop_list = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
-    return docs.select(
+    staged = docs.select(
+        "doc_id", "n_chars", "text", F.split("text", " ").alias("__words")
+    ).select("doc_id", "n_chars", "text", "__words", F.expr(_BIGRAMS_FROM_WORDS).alias("__bigrams"))
+    return staged.select(
         "doc_id",
         "n_chars",
-        F.size(_words()).alias("word_count"),
-        F.expr("round(1e-9 + n_chars / size(split(text, ' ')), 6)").alias("avg_word_len"),
+        F.size("__words").alias("word_count"),
+        F.expr("round(1e-9 + n_chars / size(__words), 6)").alias("avg_word_len"),
         F.expr(
-            f"round(1e-9 + size(filter(split(text, ' '), w -> w IN ({stop_list})))"
-            " / size(split(text, ' ')), 6)"
+            f"round(1e-9 + size(filter(__words, w -> w IN ({stop_list})))"
+            " / size(__words), 6)"
         ).alias("stopword_ratio"),
         F.expr(
-            "round(1e-9 + size(array_distinct(split(text, ' ')))"
-            " / size(split(text, ' ')), 6)"
+            "round(1e-9 + size(array_distinct(__words)) / size(__words), 6)"
         ).alias("uniq_word_ratio"),
         F.expr(
-            f"CASE WHEN size({_BIGRAMS_SPARK}) = 0 THEN 0.0"
-            f" ELSE round(1e-9 + 1.0 - size(array_distinct({_BIGRAMS_SPARK}))"
-            f" / size({_BIGRAMS_SPARK}), 6) END"
+            "CASE WHEN size(__bigrams) = 0 THEN 0.0"
+            " ELSE round(1e-9 + 1.0 - size(array_distinct(__bigrams))"
+            " / size(__bigrams), 6) END"
         ).alias("dup_bigram_frac"),
         F.expr(
             "round(1e-9 + (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '')))"
-            " / size(split(text, ' ')), 6)"
+            " / size(__words), 6)"
         ).alias("symbol_word_ratio"),
         F.expr(
-            "CASE WHEN size(split(text, ' ')) BETWEEN 10 AND 1000"
-            "      AND size(array_distinct(split(text, ' '))) / size(split(text, ' ')) > 0.2"
+            "CASE WHEN size(__words) BETWEEN 10 AND 1000"
+            "      AND size(array_distinct(__words)) / size(__words) > 0.2"
             " THEN 1 ELSE 0 END"
         ).cast("int").alias("quality_keep"),
     )

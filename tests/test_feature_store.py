@@ -150,6 +150,47 @@ def test_compact_reduces_files_preserves_rows(spark, store):
         t.compact(date(2030, 1, 1))
 
 
+def test_has_day_requires_completion_marker(spark, store):
+    """A partition with parquet but no _COMMITTED marker (torn write:
+    job died between data write and stamp) must read as incomplete so
+    the daily run redoes it instead of freezing torn data."""
+    from pathlib import Path
+
+    t = FeatureTable(spark, "hh_m", ["household_key", "day"], store)
+    d = date(2024, 1, 1)
+    t.create(_frame(spark, d, [1, 2], 1.0))
+    part = Path(t.path) / f"day={d}"
+    assert t.has_day(d)
+    (part / "_COMMITTED").unlink()  # simulate death-before-stamp
+    assert not t.has_day(d)
+    t.merge(_frame(spark, d, [1, 2], 2.0))  # redo path re-stamps
+    assert t.has_day(d)
+
+
+def test_compact_temp_lives_outside_table_root(spark, store):
+    """A leftover compact temp dir inside the table root would be picked
+    up by partition discovery (duplicate rows + day-type flip). The temp
+    root is a sibling of the table; a stale one is swept on entry; a
+    full-table read after compaction sees exactly the original rows."""
+    import shutil as _sh
+    from pathlib import Path
+
+    t = FeatureTable(spark, "hh_t", ["household_key", "day"], store)
+    d = date(2024, 1, 1)
+    t.create(_frame(spark, d, [1, 2, 3], 1.0).repartition(4))
+    # plant a stale temp from a "crashed" earlier compaction
+    stale = Path(t.path + "__COMPACT_TMP") / f"day={d}"
+    stale.mkdir(parents=True)
+    (stale / "junk.parquet").write_bytes(b"not parquet")
+    before = {tuple(r) for r in t.read().collect()}
+    t.compact(d, target_files=1)
+    assert not Path(t.path + "__COMPACT_TMP").exists()
+    # nothing temp-ish inside the table root → discovery stays clean
+    assert [p.name for p in Path(t.path).glob("*") if "COMPACT" in p.name] == []
+    assert {tuple(r) for r in t.read().collect()} == before
+    _sh.rmtree(t.path, ignore_errors=True)
+
+
 def test_expire_drops_only_old_partitions(spark, store):
     t = FeatureTable(spark, "hh_e", ["household_key", "day"], store)
     days = [date(2024, 1, 1), date(2024, 1, 15), date(2024, 2, 1)]

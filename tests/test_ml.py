@@ -108,7 +108,13 @@ def test_classification_metrics_match_sklearn_definitions(spark):
     assert abs(m["balanced_accuracy"] - round((tpr + tnr) / 2, 6)) < 1e-9
     want_mcc = (2 * 2 - 1 * 1) / math.sqrt(3 * 3 * 3 * 3)
     assert abs(m["mcc"] - round(want_mcc, 6)) < 1e-9
-    # degenerate single-class input must not divide by zero
+    # degenerate single-class input: sklearn averages recall over
+    # classes PRESENT, so all-positive perfectly-predicted input scores
+    # 1.0 (not 0.5 from counting the absent class as recall 0)
     one = spark.createDataFrame([(1, 0.9)], "purchased int, prediction double")
     d = M.classification_metrics(one).collect()[0]
-    assert d["mcc"] == 0.0 and d["balanced_accuracy"] == 0.5
+    assert d["mcc"] == 0.0 and d["balanced_accuracy"] == 1.0
+    # ... and a missed single-class input scores 0.0
+    missed = spark.createDataFrame([(1, 0.1)], "purchased int, prediction double")
+    d2 = M.classification_metrics(missed).collect()[0]
+    assert d2["balanced_accuracy"] == 0.0

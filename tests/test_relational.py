@@ -112,3 +112,15 @@ def test_corrupt_csv_rows_are_quarantined_not_dropped(spark, tmp_path):
     assert {r["id"] for r in good.collect()} == {1, 3}
     assert [r[CORRUPT_COL] for r in bad.collect()] == ["not_an_int,oops"]
     df.unpersist()
+
+
+def test_control_memo_keyed_by_application_id(spark, sf_dir):
+    """The control-table memo is keyed by applicationId (unique per
+    SparkContext), not id(spark): a GC'd-then-reallocated session object
+    can alias a stale id() entry across sequential sessions."""
+    from propensity_spark.operators import relational as R
+
+    R.commodities_control(spark, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    assert any(k[0] == app_id for k in R._CONTROL_ROWS)
+    assert all(isinstance(k[0], str) for k in R._CONTROL_ROWS)
