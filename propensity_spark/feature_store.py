@@ -234,10 +234,13 @@ class FeatureTable:
 
 
 def q_feature_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (non-SQL-expressible: stateful writes). Exercises
-    create -> merge (overlapping day, changed values) -> merge (new day)
-    -> point-in-time read + lookup. Returns per-day row counts plus a
-    checksum column of the merged state."""
+    """Exercises create -> merge (overlapping day, changed values) ->
+    merge (new day) -> point-in-time read + lookup -> AS-OF lookup.
+    Returns per-day row counts plus a checksum column of the merged
+    state; the final row (day 2024-01-03) is the `lookup_asof` section:
+    every household keyed at 01-03 must resolve to its 01-02 feature
+    row (the latest at-or-before), so its checksum equals the un-merged
+    day-2 sum."""
     import shutil
     import uuid
 
@@ -265,7 +268,14 @@ def q_feature_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("day")
         )
-        rows = out.collect()  # materialize before cleanup
+        asof_day = F.lit("2024-01-03").cast("date")
+        keys = d1.select("household_key").withColumn("day", asof_day)
+        asof = table.lookup_asof(keys, "hf").agg(
+            F.first(asof_day).alias("day"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("hf__amount_list_30d") + 1e-6, 2).alias("amount_checksum"),
+        )
+        rows = out.unionByName(asof).collect()  # materialize before cleanup
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -276,8 +286,10 @@ QUERIES = {"feature_store_roundtrip": q_feature_store_roundtrip}
 # The merge sequence is deterministic over the fixture, so the FINAL
 # store state is SQL-expressible: day 1 = household features with even
 # keys' 30d amount doubled (the overlapping merge wins), day 2 = the
-# original features (new-day merge). Upgrading this from rows-only to a
-# full oracle pins create/merge/read end-to-end against DuckDB.
+# original features (new-day merge), day 3 = the lookup_asof section
+# (keys at 01-03 resolve to the 01-02 rows). Upgrading this from
+# rows-only to a full oracle pins create/merge/read/as-of end-to-end
+# against DuckDB.
 def _roundtrip_oracle() -> str:
     from propensity_spark.operators.features import ORACLES as _FEAT
 
@@ -291,6 +303,9 @@ def _roundtrip_oracle() -> str:
         FROM hf
         UNION ALL
         SELECT DATE '2024-01-02', count(*), round(1e-6 + sum(amount_list_30d), 2)
+        FROM hf
+        UNION ALL
+        SELECT DATE '2024-01-03', count(*), round(1e-6 + sum(amount_list_30d), 2)
         FROM hf
     """
 

@@ -237,3 +237,95 @@ def cogroup_align(events: DataFrame, features: DataFrame) -> DataFrame:
             schema="user_id bigint, n_events bigint, sum_value double, n_feature_rows bigint",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# media_bridge: ONE tagged-union gate entry for the multimodal bridge
+# surface. Normalized (section, k1 BIGINT, k2 BIGINT, n BIGINT, v DOUBLE):
+#   hist    — (doc_id, bucket, count, 0.0): integer byte-histogram counts
+#             RECOVERED from the real `extract_embeddings` output. The
+#             embedding is L2-normalized, but sum(counts) = byte_len, so
+#             norm = byte_len / sum(emb) and cnt_i = round(emb_i * norm)
+#             — an exact-integer check of the Arrow mapInPandas encoder
+#             (float32 error ~1e-4 per count, far below the rounding
+#             threshold).
+#   resize  — (doc_id, new_byte_len, first_byte, 0.0): resize_media
+#             plumbing; the stub pads/truncates to width*height/8 bytes
+#             and must preserve the leading payload bytes.
+#   cogroup — (user_id, n_feature_rows, n_events, sum_value): the
+#             cogrouped applyInPandas per-key merge of events with a
+#             click-derived feature frame.
+# ---------------------------------------------------------------------------
+
+RESIZE_W, RESIZE_H = 64, 32  # stub target length = 64*32/8 = 256 bytes
+
+
+def q_media_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_media_columns(docs)
+
+    emb = extract_embeddings(media)
+    exploded = emb.select("doc_id", F.posexplode("embedding").alias("bucket", "val"))
+    lens = docs.select("doc_id", F.length("text").cast("double").alias("byte_len"))
+    hist = (
+        exploded.withColumn("s", F.sum("val").over(Window.partitionBy("doc_id")))
+        .join(F.broadcast(lens), "doc_id")
+        .withColumn(
+            "cnt",
+            F.when(F.col("s") > 0, F.round(F.col("val") * F.col("byte_len") / F.col("s")))
+            .otherwise(0)
+            .cast("bigint"),
+        )
+        .where(F.col("cnt") > 0)
+        .select(
+            F.lit("hist").alias("section"),
+            F.col("doc_id").alias("k1"),
+            F.col("bucket").cast("bigint").alias("k2"),
+            F.col("cnt").alias("n"),
+            F.lit(0.0).alias("v"),
+        )
+    )
+
+    resized = resize_media(media, RESIZE_W, RESIZE_H).select(
+        F.lit("resize").alias("section"),
+        F.col("doc_id").alias("k1"),
+        F.octet_length("payload").cast("bigint").alias("k2"),
+        F.expr("ascii(cast(payload as string))").cast("bigint").alias("n"),
+        F.lit(0.0).alias("v"),
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select("user_id", "event_id")
+    cg = cogroup_align(events.select("user_id", "value"), clicks).select(
+        F.lit("cogroup").alias("section"),
+        F.col("user_id").alias("k1"),
+        F.col("n_feature_rows").alias("k2"),
+        F.col("n_events").alias("n"),
+        F.round(F.col("sum_value") + 1e-6, 2).alias("v"),
+    )
+    return hist.unionByName(resized).unionByName(cg)
+
+
+ORACLES["media_bridge"] = f"""
+    WITH chars AS (
+        SELECT doc_id, ascii(substr(text, i, 1)) // 16 AS bucket
+        FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+              FROM documents) t
+    )
+    SELECT 'hist' AS section, doc_id AS k1, CAST(bucket AS BIGINT) AS k2,
+           count(*) AS n, 0.0 AS v
+    FROM chars GROUP BY doc_id, bucket
+    UNION ALL
+    SELECT 'resize', doc_id, {RESIZE_W * RESIZE_H // 8},
+           ascii(substr(text, 1, 1)), 0.0
+    FROM documents
+    UNION ALL
+    SELECT 'cogroup', user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT),
+           count(*), round(1e-6 + sum(value), 2)
+    FROM events GROUP BY user_id
+"""
+
+QUERIES["media_bridge"] = q_media_bridge

@@ -211,6 +211,28 @@ def q_agg_minmax_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_date_bounds_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of the two date-bound entries (consolidated in
+    round 3 to free gate slots without losing per-value checking):
+    `range_filter` = q_date_range_filter per-household rows (P4/P5),
+    `minmax` = q_agg_minmax_day's global span (A1) with the dates
+    normalized to days-from-epoch BIGINTs. Shape: (section, k1, n, v)."""
+    rf = q_date_range_filter(spark, sf_dir).select(
+        F.lit("range_filter").alias("section"),
+        F.col("household_key").cast("bigint").alias("k1"),
+        F.col("line_items").alias("n"),
+        F.col("amount_list").alias("v"),
+    )
+    epoch = F.lit("1970-01-01").cast("date")
+    mm = q_agg_minmax_day(spark, sf_dir).select(
+        F.lit("minmax").alias("section"),
+        F.datediff(F.col("min_day"), epoch).cast("bigint").alias("k1"),
+        F.datediff(F.col("max_day"), epoch).cast("bigint").alias("n"),
+        F.col("n_days").cast("double").alias("v"),
+    )
+    return rf.unionByName(mm)
+
+
 _RATIO_COLS = (
     "amount_list_per_day",
     "amount_list_per_basket",
@@ -628,19 +650,22 @@ ORACLES: dict[str, str] = {
         FROM ({TOPK_SQL}) tk
     """,
     "silver_projection": SILVER_SQL,
-    "date_range_filter": f"""
+    "date_bounds_suite": f"""
         WITH s AS ({SILVER_SQL}),
              b AS (SELECT max(day) - 89 AS w_start, max(day) AS w_end FROM s)
-        SELECT household_key, count(*) AS line_items,
-               round(1e-6 + sum(amount_list), 2) AS amount_list
+        SELECT 'range_filter' AS section,
+               CAST(household_key AS BIGINT) AS k1,
+               count(*) AS n,
+               round(1e-6 + sum(amount_list), 2) AS v
         FROM s, b
         WHERE day BETWEEN w_start AND w_end
         GROUP BY household_key
-    """,
-    "agg_minmax_day": f"""
-        SELECT min(day) AS min_day, max(day) AS max_day,
-               count(DISTINCT day) AS n_days
-        FROM ({SILVER_SQL}) s
+        UNION ALL
+        SELECT 'minmax',
+               date_diff('day', DATE '1970-01-01', min(day)),
+               date_diff('day', DATE '1970-01-01', max(day)),
+               CAST(count(DISTINCT day) AS DOUBLE)
+        FROM s
     """,
     "household_agg_suite": _HOUSEHOLD_SUITE_SQL,
     "cross_universe": f"""
@@ -765,8 +790,7 @@ ORACLES["class_ratios"] = f"""
 QUERIES = {
     "topk_commodities": q_topk_commodities,
     "silver_projection": q_silver_projection,
-    "date_range_filter": q_date_range_filter,
-    "agg_minmax_day": q_agg_minmax_day,
+    "date_bounds_suite": q_date_bounds_suite,
     "household_agg_suite": q_household_agg_suite,
     "cross_universe": q_cross_universe,
     "left_join_fillna": q_left_join_fillna,

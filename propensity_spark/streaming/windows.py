@@ -222,12 +222,10 @@ ORACLES = {
         SELECT 'session', session_start, CAST(user_id AS VARCHAR), n_events, sum_value
         FROM ({_SESSION_SQL}) se
     """,
-    "stream_tumbling": _TUMBLING_SQL,
 }
 
 QUERIES = {
     "batch_windows": q_batch_windows,
-    "stream_tumbling": q_stream_tumbling,
 }
 
 
@@ -249,15 +247,20 @@ def _event_stream(spark: SparkSession, sf_dir: str):
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication: dropDuplicatesWithinWatermark on the
     event id — the streaming ingestion guard against at-least-once
-    sources replaying events. State holds one entry per id inside the
-    watermark horizon and is evicted beyond it, so state size is
-    bounded by the id arrival rate x watermark, not the stream length.
-    Drained to completion and returned as a batch frame for assertion."""
+    sources replaying events. The replay is SIMULATED by unioning the
+    stream with itself (every event arrives twice), so the operator
+    provably drops duplicates rather than passing a dup-free fixture
+    through; identical full rows make the kept-copy choice immaterial.
+    State holds one entry per id inside the watermark horizon and is
+    evicted beyond it, so state size is bounded by the id arrival rate
+    x watermark, not the stream length. Drained to completion and
+    returned as a batch frame for assertion."""
     import uuid
 
     name = f"dedup_out_{uuid.uuid4().hex[:8]}"
+    once = _event_stream(spark, sf_dir)
     deduped = (
-        _event_stream(spark, sf_dir)
+        once.union(_event_stream(spark, sf_dir))  # at-least-once replay
         .withWatermark("ts", "1 day")
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type")
@@ -322,3 +325,89 @@ def stream_stream_join(spark: SparkSession, sf_dir: str, within: str = "1 hour")
     finally:
         q.stop()
     return spark.createDataFrame(rows, joined.schema)
+
+
+# ---------------------------------------------------------------------------
+# stream_ops_suite: ONE tagged-union gate entry for every TRUE
+# Structured Streaming operator (each drained synchronously against its
+# batch-SQL twin — the batch/stream-parity proof, per section):
+#   tumbling — q_stream_tumbling (watermark + windowed agg)
+#   dedup    — stream_dedup (replayed stream, dropDuplicatesWithinWatermark)
+#   ssjoin   — stream_stream_join (two-sided watermark interval join)
+#   feat     — feature_updates.stream_user_features (epoch-keyed
+#              idempotent foreachBatch MERGE into the feature store)
+# Normalized shape: (section, k1 BIGINT, k2 STRING, n BIGINT, v DOUBLE).
+# ---------------------------------------------------------------------------
+
+SSJ_WITHIN = "1 hour"
+FEAT_DAY = "2024-06-01"
+
+
+def q_stream_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from propensity_spark.streaming.feature_updates import stream_user_features
+
+    tumbling = q_stream_tumbling(spark, sf_dir).select(
+        F.lit("tumbling").alias("section"),
+        F.col("window_start").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.col("n_events").alias("n"),
+        F.col("sum_value").alias("v"),
+    )
+    dedup = stream_dedup(spark, sf_dir).select(
+        F.lit("dedup").alias("section"),
+        F.col("event_id").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.col("user_id").alias("n"),
+        F.lit(0.0).alias("v"),
+    )
+    ssj = stream_stream_join(spark, sf_dir, within=SSJ_WITHIN).select(
+        F.lit("ssjoin").alias("section"),
+        F.col("l_event").alias("k1"),
+        F.col("l_user").cast("string").alias("k2"),
+        F.col("r_event").alias("n"),
+        (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")).cast("double").alias("v"),
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_ops_")
+    try:
+        table = stream_user_features(spark, sf_dir, tmp, FEAT_DAY)
+        feat_rows = (
+            table.read()
+            .select(
+                F.lit("feat").alias("section"),
+                F.col("user_id").alias("k1"),
+                F.lit(FEAT_DAY).alias("k2"),
+                F.col("n_events").alias("n"),
+                F.round(F.col("sum_value") + 1e-6, 2).alias("v"),
+            )
+            .collect()  # materialize before the store dir is removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    feat = spark.createDataFrame(feat_rows, tumbling.schema)
+    return tumbling.unionByName(dedup).unionByName(ssj).unionByName(feat)
+
+
+ORACLES["stream_ops_suite"] = f"""
+    SELECT 'tumbling' AS section, window_start AS k1, event_type AS k2,
+           n_events AS n, sum_value AS v
+    FROM ({_TUMBLING_SQL}) t
+    UNION ALL
+    SELECT 'dedup', event_id, event_type, user_id, 0.0 FROM events
+    UNION ALL
+    SELECT 'ssjoin', a.event_id, CAST(a.user_id AS VARCHAR), b.event_id,
+           -- Spark's unix_timestamp truncates to whole seconds; floor
+           -- both epochs so the diff matches bit-for-bit.
+           CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS DOUBLE)
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT 'feat', user_id, '{FEAT_DAY}', count(*),
+           round(1e-6 + sum(value), 2)
+    FROM events GROUP BY user_id
+"""
+
+QUERIES["stream_ops_suite"] = q_stream_ops_suite

@@ -394,7 +394,7 @@ def q_source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES["source_mix_sample"] = f"""
+_MIX_SAMPLE_SQL = f"""
     SELECT source, {_MIX_CASE} AS rate,
            count(*) AS n_docs,
            CAST(sum(CASE WHEN {_U_DUCK} < {_MIX_CASE} THEN 1 ELSE 0 END) AS BIGINT)
@@ -405,8 +405,6 @@ ORACLES["source_mix_sample"] = f"""
     FROM documents
     GROUP BY source
 """
-
-QUERIES["source_mix_sample"] = q_source_mix_sample
 
 
 def split_by_hash(
@@ -465,3 +463,83 @@ ORACLES["tfidf_keywords"] = f"""
 """
 
 QUERIES["tfidf_keywords"] = q_tfidf_keywords
+
+
+# ---------------------------------------------------------------------------
+# sampling_suite: the deterministic-sampling family in ONE tagged-union
+# gate entry (round-3 consolidation — `source_mix_sample` plus the
+# previously pytest-only `split_by_hash`). Sections share
+# (grp, rate, n_docs, n_sel, tokens):
+#   mix:<source>  — the weighted domain-mixing audit rows
+#   split:<name>  — per-split doc/token counts from the append-stable
+#                   md5 train/val/test assignment
+# The split ladder's cumulative bounds are Python floats embedded via
+# repr() into BOTH engines' predicates, so 0.8 + 0.1 compares as the
+# same 0.9000000000000001 double on each side.
+# ---------------------------------------------------------------------------
+
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_ladder_sql() -> str:
+    parts, cum = [], 0.0
+    names = list(SPLIT_FRACTIONS)
+    for name in names[:-1]:
+        cum += SPLIT_FRACTIONS[name]
+        parts.append(f"WHEN {_U_DUCK} < {cum!r} THEN 'split:{name}'")
+    return "CASE " + " ".join(parts) + f" ELSE 'split:{names[-1]}' END"
+
+
+def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mix = q_source_mix_sample(spark, sf_dir).select(
+        F.concat(F.lit("mix:"), F.col("source")).alias("grp"),
+        # the CASE literals are DECIMAL; normalize so the union with the
+        # split sections (python-float DOUBLEs) types/format identically
+        F.col("rate").cast("double").alias("rate"),
+        "n_docs",
+        F.col("n_sampled").alias("n_sel"),
+        F.col("sampled_tokens").alias("tokens"),
+    )
+    frac_map = F.create_map(
+        *[F.lit(x) for kv in SPLIT_FRACTIONS.items() for x in kv]
+    )
+    split = (
+        split_by_hash(docs, "doc_id", SPLIT_FRACTIONS)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(_words())).cast("bigint").alias("tokens"),
+        )
+        .select(
+            F.concat(F.lit("split:"), F.col("split")).alias("grp"),
+            F.element_at(frac_map, F.col("split")).alias("rate"),
+            "n_docs",
+            F.col("n_docs").alias("n_sel"),
+            "tokens",
+        )
+    )
+    return mix.unionByName(split)
+
+
+_SPLIT_RATE_CASE = "CASE " + " ".join(
+    f"WHEN s = 'split:{name}' THEN {frac!r}" for name, frac in SPLIT_FRACTIONS.items()
+) + " END"
+
+ORACLES["sampling_suite"] = f"""
+    SELECT 'mix:' || source AS grp, CAST(rate AS DOUBLE) AS rate,
+           n_docs, n_sampled AS n_sel, sampled_tokens AS tokens
+    FROM ({_MIX_SAMPLE_SQL}) m
+    UNION ALL
+    SELECT grp, CAST({_SPLIT_RATE_CASE.replace("s = ", "grp = ")} AS DOUBLE) AS rate,
+           n_docs, n_docs AS n_sel, tokens
+    FROM (
+        SELECT {_split_ladder_sql()} AS grp,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents
+        GROUP BY 1
+    ) sp
+"""
+
+QUERIES["sampling_suite"] = q_sampling_suite

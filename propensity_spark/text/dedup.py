@@ -315,31 +315,33 @@ ORACLES = {
         JOIN sets sa ON sa.doc_id = doc_a
         JOIN sets sb ON sb.doc_id = doc_b
     """,
-    "simhash": f"""
-        WITH words AS (
-            SELECT doc_id, {_md5i_duck("word")} AS h
-            FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
-                  FROM documents) t
-        ),
-        votes AS (
-            SELECT doc_id, {", ".join(
-                f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
-                for b in range(SIM_BITS)
-            )}
-            FROM words GROUP BY doc_id
-        )
-        SELECT doc_id, CAST({" + ".join(
-            f"(CASE WHEN v_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIM_BITS)
-        )} AS BIGINT) AS simhash
-        FROM votes
-    """,
 }
+
+# SimHash twin SQL — consumed by the neardup_suite oracle (the
+# standalone `simhash` gate entry folded into that suite in round 3).
+_SIMHASH_SQL = f"""
+    WITH words AS (
+        SELECT doc_id, {_md5i_duck("word")} AS h
+        FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+              FROM documents) t
+    ),
+    votes AS (
+        SELECT doc_id, {", ".join(
+            f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
+            for b in range(SIM_BITS)
+        )}
+        FROM words GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({" + ".join(
+        f"(CASE WHEN v_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIM_BITS)
+    )} AS BIGINT) AS simhash
+    FROM votes
+"""
 
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "minhash_band_pairs": q_minhash_band_pairs,
-    "simhash": q_simhash,
     "minhash_lsh_mllib": q_minhash_lsh_mllib,
 }
 
@@ -555,3 +557,98 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.select(
         "doc_id", F.explode(F.expr(wins)).alias("fingerprint")
     )
+
+
+# ---------------------------------------------------------------------------
+# neardup_suite: ONE tagged-union gate entry for the partial-overlap /
+# near-dup family, so every operator above that previously rested on
+# pytest evidence traces to a driver-green hash-matched CORRECTNESS row.
+# Normalized shape (section, a, b, v) — all BIGINT keys/values:
+#   simhash  — (doc_id, 0, fingerprint)          [q_simhash]
+#   neardup  — (doc_a, doc_b, hamming)           [simhash_near_dup_pairs]
+#   winnow   — (doc_id, fingerprint, 1)          [winnowing_fingerprints]
+#   decontam — (doc_id, 0, 1)                    [contaminated_doc_ids]
+# The union concatenates four independent plans; each keeps its own
+# scale-safe shape (block-bucket equi-join, map-only explodes).
+# ---------------------------------------------------------------------------
+
+DECONTAM_N = 5
+
+
+def q_neardup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    big = F.lit(0).cast("bigint")
+    one = F.lit(1).cast("bigint")
+    sim = q_simhash(spark, sf_dir).select(
+        F.lit("simhash").alias("section"),
+        F.col("doc_id").alias("a"),
+        big.alias("b"),
+        F.col("simhash").cast("bigint").alias("v"),
+    )
+    nd = simhash_near_dup_pairs(spark, sf_dir).select(
+        F.lit("neardup").alias("section"),
+        F.col("doc_a").alias("a"),
+        F.col("doc_b").alias("b"),
+        F.col("hamming").cast("bigint").alias("v"),
+    )
+    win = winnowing_fingerprints(spark, sf_dir).select(
+        F.lit("winnow").alias("section"),
+        F.col("doc_id").alias("a"),
+        F.col("fingerprint").alias("b"),
+        one.alias("v"),
+    )
+    # Benchmark set = deterministic fixture subset (doc_id % 20 == 0):
+    # the eval-set stand-in for the n-gram contamination anti-join.
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    dec = contaminated_doc_ids(docs, bench, n=DECONTAM_N).select(
+        F.lit("decontam").alias("section"),
+        F.col("doc_id").alias("a"),
+        big.alias("b"),
+        one.alias("v"),
+    )
+    return sim.unionByName(nd).unionByName(win).unionByName(dec)
+
+
+# DuckDB twins: all-pairs Hamming for the Manku block join (oracle-side
+# brute force IS the point — the engine must match it without O(n^2)),
+# list-comprehension winnowing, and the 5-gram contamination semi-join.
+_GRAMS5_DUCK = (
+    "[array_to_string(string_split(text, ' ')[i:i+{m}], ' ')"
+    " FOR i IN range(1, greatest(len(string_split(text, ' ')) - {m2}, 1))]"
+).format(m=DECONTAM_N - 1, m2=DECONTAM_N - 2)
+
+_HS_DUCK = f"[CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) FOR s IN {_SHINGLES_DUCK}]"
+
+ORACLES["neardup_suite"] = f"""
+    WITH sim AS ({_SIMHASH_SQL}),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    hashed AS (SELECT doc_id, {_HS_DUCK} AS hs FROM documents),
+    wins AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                 WHEN len(hs) <= {WINNOW_W} THEN [list_min(hs)]
+                 ELSE list_distinct([list_min(hs[i:i+{WINNOW_W - 1}])
+                                     FOR i IN range(1, len(hs) - {WINNOW_W} + 2)])
+            END) AS fingerprint
+        FROM hashed
+    ),
+    dg AS (SELECT doc_id, unnest({_GRAMS5_DUCK}) AS g FROM documents),
+    bg AS (SELECT DISTINCT unnest({_GRAMS5_DUCK}) AS g FROM documents
+           WHERE doc_id % 20 = 0),
+    dec AS (SELECT DISTINCT doc_id FROM dg WHERE g IN (SELECT g FROM bg))
+    SELECT 'simhash' AS section, doc_id AS a, CAST(0 AS BIGINT) AS b, simhash AS v
+    FROM sim
+    UNION ALL
+    SELECT 'neardup', doc_a, doc_b, hamming FROM pairs
+    UNION ALL
+    SELECT 'winnow', doc_id, fingerprint, CAST(1 AS BIGINT) FROM wins
+    UNION ALL
+    SELECT 'decontam', doc_id, CAST(0 AS BIGINT), CAST(1 AS BIGINT) FROM dec
+"""
+
+QUERIES["neardup_suite"] = q_neardup_suite
