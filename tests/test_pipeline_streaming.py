@@ -165,13 +165,20 @@ def test_stream_static_join_and_foreach_batch(spark, sf_dir, tmp_path):
 
 
 def test_ivf_recall_against_brute_force(spark, sf_dir):
-    """IVF ANN should recover most of the exact top-k (recall check)."""
-    from propensity_spark.vector.similarity import q_ann_cosine_topk, q_ann_ivf
+    """IVF ANN should recover most of the exact top-k (recall check);
+    the gate entry's own bound flags must all come out true."""
+    from propensity_spark.vector.similarity import ivf_topk, q_ann_cosine_topk, q_ann_ivf
 
     exact = {(r["query_id"], r["vec_id"]) for r in q_ann_cosine_topk(spark, sf_dir).collect()}
-    approx = {(r["query_id"], r["vec_id"]) for r in q_ann_ivf(spark, sf_dir).collect()}
+    approx = {(r["query_id"], r["vec_id"]) for r in ivf_topk(spark, sf_dir).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+    flags = [
+        r["v"]
+        for r in q_ann_ivf(spark, sf_dir).collect()
+        if r["section"] in ("recall_ok", "mean_ok")
+    ]
+    assert flags and all(f == 1.0 for f in flags)
 
 
 def test_streaming_feature_merge_equals_batch(spark, sf_dir, tmp_path):
