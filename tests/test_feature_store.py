@@ -202,3 +202,31 @@ def test_expire_drops_only_old_partitions(spark, store):
     assert dropped == ["2024-01-01"]
     remaining = {str(r["day"]) for r in t.read().select("day").distinct().collect()}
     assert remaining == {"2024-01-15", "2024-02-01"}
+
+
+def test_parquet_fallback_flag_off(spark, store):
+    """use_delta=True without delta-spark on the classpath must degrade
+    to the parquet path, not crash."""
+    from propensity_spark.feature_store import HAS_DELTA
+
+    t = FeatureTable(spark, "hh_d0", ["household_key", "day"], store, use_delta=True)
+    assert t.use_delta == HAS_DELTA  # False in this container
+    d = date(2024, 1, 1)
+    t.create(_frame(spark, d, [1], 1.0))
+    assert t.has_day(d)
+
+
+@pytest.mark.skipif(
+    not __import__("propensity_spark.feature_store", fromlist=["HAS_DELTA"]).HAS_DELTA,
+    reason="delta-spark not on the classpath (activates when it appears)",
+)
+def test_delta_merge_upserts_transactionally(spark, store):
+    """Same upsert semantics as the parquet path, via MERGE INTO."""
+    t = FeatureTable(spark, "hh_delta", ["household_key", "day"], store, use_delta=True)
+    assert t.use_delta
+    d = date(2024, 1, 1)
+    t.create(_frame(spark, d, [1, 2, 3], 10.0))
+    t.merge(_frame(spark, d, [2, 3, 4], 99.0))
+    got = {r["household_key"]: r["amount"] for r in t.read(d).collect()}
+    assert got == {1: 10.0, 2: 99.0, 3: 99.0, 4: 99.0}
+    assert t.has_day(d) and not t.has_day(date(2030, 1, 1))
