@@ -90,17 +90,79 @@ def build_training_set(
     return out, [c for c in out.columns if "__" in c]
 
 
-def make_pipeline(feature_cols: list[str], tune: bool = False, model_type: str = "gbt"):
-    """VectorAssembler -> weighted classifier; optional
-    TrainValidationSplit grid (M3) when `tune`.
+N_SEARCH_TRIALS = 12  # reference breadth: >=50 hyperopt TPE trials
+# (04b:392-395); 12 grid points is the gate-budget default, `search=
+# "random"` scales to any trial count over the same continuous ranges.
+
+
+def _search_maps(clf, model_type: str, search: str, n_trials: int, seed: int = SEED):
+    """The hyperparameter search space (M3). `grid` enumerates 12
+    points mirroring hyperopt's space — maxDepth for `max_depth`,
+    stepSize for `learning_rate` (04b:383-395); `random` is the seeded
+    random-search sampler (Bergstra & Bengio 2012) over the same ranges
+    with log-uniform draws for the learning-rate/regularization axes,
+    at whatever trial count the caller budgets."""
+    if search == "grid":
+        if model_type == "gbt":
+            return (
+                ParamGridBuilder()
+                .addGrid(clf.maxDepth, [2, 3, 5, 7])
+                .addGrid(clf.stepSize, [0.05, 0.1, 0.3])
+                .build()
+            )
+        return (
+            ParamGridBuilder()
+            .addGrid(clf.regParam, [0.0, 0.001, 0.01, 0.1])
+            .addGrid(clf.elasticNetParam, [0.0, 0.5, 1.0])
+            .build()
+        )
+    if search == "random":
+        import math
+        import random
+
+        rng = random.Random(seed)
+        maps = []
+        for _ in range(n_trials):
+            if model_type == "gbt":
+                maps.append(
+                    {
+                        clf.maxDepth: rng.randint(2, 8),
+                        clf.stepSize: math.exp(
+                            rng.uniform(math.log(0.02), math.log(0.3))
+                        ),
+                        clf.subsamplingRate: rng.uniform(0.5, 1.0),
+                    }
+                )
+            else:
+                maps.append(
+                    {
+                        clf.regParam: math.exp(
+                            rng.uniform(math.log(1e-4), math.log(1.0))
+                        ),
+                        clf.elasticNetParam: rng.uniform(0.0, 1.0),
+                    }
+                )
+        return maps
+    raise ValueError(f"unknown search {search!r}; expected 'grid' or 'random'")
+
+
+def make_pipeline(
+    feature_cols: list[str],
+    tune: bool = False,
+    model_type: str = "gbt",
+    search: str = "grid",
+    n_trials: int = N_SEARCH_TRIALS,
+):
+    """VectorAssembler -> weighted classifier; when `tune`, a
+    TrainValidationSplit over `_search_maps` (M3) with parallelism
+    sized from the cluster (sc.defaultParallelism, capped by the trial
+    count) rather than a hardcoded 4.
 
     model_type='gbt' (default) is the MLlib drop-in for the reference's
-    XGBoost capability (04b:379-409): a gradient-boosted tree ensemble
-    whose tuned grid mirrors hyperopt's search space — maxDepth for
-    `max_depth`, stepSize for `learning_rate`; the conditional
-    `scale_pos_weight` arm maps to the per-row weightCol already
-    computed from the class-ratio table (M4). model_type='lr' keeps the
-    linear baseline."""
+    XGBoost capability (04b:379-409); the conditional `scale_pos_weight`
+    arm maps to the per-row weightCol already computed from the
+    class-ratio table (M4). model_type='lr' keeps the linear baseline.
+    The returned estimator carries `n_search_trials` for the manifest."""
     assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
     if model_type == "gbt":
         clf = GBTClassifier(
@@ -112,26 +174,20 @@ def make_pipeline(feature_cols: list[str], tune: bool = False, model_type: str =
             stepSize=0.3,
             seed=SEED,
         )
-        grid = (
-            ParamGridBuilder()
-            .addGrid(clf.maxDepth, [3, 5])
-            .addGrid(clf.stepSize, [0.1, 0.3])
-            .build()
-        )
     elif model_type == "lr":
         clf = LogisticRegression(
             labelCol="purchased", weightCol="class_weight", featuresCol="features", maxIter=10
         )
-        grid = (
-            ParamGridBuilder()
-            .addGrid(clf.regParam, [0.0, 0.01, 0.1])
-            .addGrid(clf.elasticNetParam, [0.0, 0.5])
-            .build()
-        )
     else:
         raise ValueError(f"unknown model_type {model_type!r}; expected 'gbt' or 'lr'")
     if not tune:
-        return Pipeline(stages=[assembler, clf])
+        est = Pipeline(stages=[assembler, clf])
+        est.n_search_trials = 1
+        return est
+    grid = _search_maps(clf, model_type, search, n_trials)
+    from pyspark.sql import SparkSession
+
+    sc = SparkSession.getActiveSession().sparkContext
     tvs = TrainValidationSplit(
         estimator=Pipeline(stages=[assembler, clf]),
         estimatorParamMaps=grid,
@@ -140,8 +196,9 @@ def make_pipeline(feature_cols: list[str], tune: bool = False, model_type: str =
         ),
         trainRatio=0.7,
         seed=SEED,
-        parallelism=4,
+        parallelism=max(2, min(len(grid), sc.defaultParallelism)),
     )
+    tvs.n_search_trials = len(grid)
     return tvs
 
 
@@ -155,12 +212,15 @@ def train_commodity_models(
     materialize_features: bool = True,
     day=None,
     model_type: str = "gbt",
+    search: str = "grid",
+    n_trials: int = N_SEARCH_TRIALS,
 ) -> DataFrame:
     """Per-commodity training loop (04b:330-338) + manifest registry
     (M6). Each commodity trains inside try/except (04b:400-417): one
     bad category records a 'failed' manifest row instead of killing the
     weekly job; healthy commodities still ship. Returns the manifest
-    DataFrame (commodity, model_path, metric_aupr, stage)."""
+    DataFrame (commodity, model_path, metric_aupr, stage, n_trials) —
+    n_trials records the search breadth that produced the model."""
     store_base = store_base or str(DEFAULT_STORE / "training")
     # Models live UNDER the run's store dir: per-run isolation (two
     # concurrent runs never collide on model paths) and the caller's
@@ -205,21 +265,24 @@ def train_commodity_models(
         try:
             slice_df = ts.where(F.col("commodity_desc") == commodity).repartition(parts)  # P6
             train, test = slice_df.randomSplit([0.8, 0.2], seed=SEED)  # M2
-            model = make_pipeline(feature_cols, tune=tune, model_type=model_type).fit(
-                train
+            est = make_pipeline(
+                feature_cols, tune=tune, model_type=model_type, search=search, n_trials=n_trials
             )
+            model = est.fit(train)
             pipeline_model = model.bestModel if tune else model
             aupr = float(evaluator.evaluate(pipeline_model.transform(test)))
             path = str(Path(models_base) / clean)
             pipeline_model.write().overwrite().save(path)
-            manifest_rows.append((commodity, clean, path, aupr, "Production"))
+            manifest_rows.append(
+                (commodity, clean, path, aupr, "Production", est.n_search_trials)
+            )
         except Exception:  # noqa: BLE001 — isolation: one bad category
             # must not kill the weekly job (04b:400-417); the failure
             # is recorded so the scorer skips it and ops can see it.
-            manifest_rows.append((commodity, clean, None, None, "failed"))
+            manifest_rows.append((commodity, clean, None, None, "failed", 0))
     return spark.createDataFrame(
         manifest_rows, "commodity_desc string, commodity_clean string, "
-        "model_path string, metric_aupr double, stage string"
+        "model_path string, metric_aupr double, stage string, n_trials int"
     )
 
 
