@@ -81,7 +81,13 @@ class Pipeline:
     def publish(self, scores: DataFrame) -> tuple[str, str]:
         """04c:124-286: stage pivoted + unpivoted score tables, then
         promote atomically (write temp, then INSERT-OVERWRITE-style
-        swap). Pivot is ONE shuffle (M8) instead of N MERGEs."""
+        swap). Pivot is ONE shuffle (M8) instead of N MERGEs.
+
+        Both published tables are partitioned by ``day`` with DYNAMIC
+        partition overwrite: a daily run replaces only the day(s) it
+        scored, never history — at 100 TB a flat overwrite would
+        rewrite every historical score file each day. A scoring-day
+        read prunes to one partition (see ``read_published``)."""
         unpivoted = scores.select("household_key", "day", "commodity_desc", "prediction")
         clean = F.regexp_replace("commodity_desc", "#", "_")
         present = sorted(
@@ -95,10 +101,38 @@ class Pipeline:
         )
         paths = (str(self.out / "propensities_unpivoted"), str(self.out / "propensities_pivoted"))
         for df, path in ((unpivoted, paths[0]), (pivoted, paths[1])):
-            tmp = path + "__TEMP"
-            df.write.mode("overwrite").parquet(tmp)
-            self.spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+            self._promote(df, path)
         return paths
+
+    def _promote(self, df: DataFrame, path: str) -> None:
+        """Stage the full plan to a sibling temp dir (one execution of
+        the expensive DAG), then graft its day partitions onto the
+        published table via dynamic partition overwrite — the parquet
+        analogue of the reference's Delta INSERT OVERWRITE promotion
+        (04c:266-286). Temp lives OUTSIDE the table root so partition
+        discovery can never pick it up, and is removed afterwards."""
+        import shutil
+
+        tmp = path + "__TEMP"
+        df.write.mode("overwrite").parquet(tmp)
+        (
+            self.spark.read.parquet(tmp)
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(path)
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def read_published(self, which: str = "unpivoted", day=None) -> DataFrame:
+        """Read a published score table; ``day`` prunes to one
+        partition (PartitionFilters in the scan, no history touched).
+        mergeSchema because incremental commodity grafts may widen
+        newer day partitions before older ones are rewritten — Delta
+        autoMerge semantics (missing columns read as NULL)."""
+        path = str(self.out / f"propensities_{which}")
+        df = self.spark.read.option("mergeSchema", "true").parquet(path)
+        return df.where(F.col("day") == F.lit(day)) if day is not None else df
 
     def publish_incremental(self, scores: DataFrame) -> str:
         """S6: the reference's per-commodity MERGE with autoMerge schema
@@ -110,7 +144,13 @@ class Pipeline:
         the incoming value (whenMatchedUpdate), untouched columns ride
         along unchanged. ONE key-shuffle regardless of how many
         commodities exist — the reference pays one MERGE pass per
-        commodity."""
+        commodity.
+
+        The table is day-partitioned, so the graft touches ONLY the
+        day partitions present in `scores` (bounded collect of scoring
+        days — one or a handful per batch): the existing side is a
+        partition-pruned scan and the write is a dynamic overwrite of
+        those same partitions. History is never read or rewritten."""
         path = str(self.out / "propensities_pivoted")
         clean = F.regexp_replace("commodity_desc", "#", "_")
         present = sorted(
@@ -124,9 +164,14 @@ class Pipeline:
         )
         keys = ["household_key", "day"]
         if not Path(path).exists():
-            incoming.write.mode("overwrite").parquet(path)
+            self._promote(incoming, path)
             return path
-        existing = self.spark.read.parquet(path)
+        days = [r["day"] for r in incoming.select("day").distinct().collect()]
+        existing = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(path)
+            .where(F.col("day").isin(days))
+        )
         joined = existing.alias("e").join(incoming.alias("i"), keys, "full_outer")
         cols = [F.col(k) for k in keys]
         for c in existing.columns:
@@ -141,10 +186,7 @@ class Pipeline:
             for c in incoming.columns
             if c not in keys and c not in existing.columns
         ]
-        out = joined.select(*cols)
-        tmp = path + "__TEMP"
-        out.write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        self._promote(joined.select(*cols), path)
         return path
 
     def run_daily(self, day, manifest: DataFrame) -> tuple[str, str]:

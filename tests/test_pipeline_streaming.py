@@ -56,6 +56,48 @@ def test_publish_incremental_adds_commodity_without_rebuild(spark, sf_dir, tmp_p
     assert got[2] == (0.75, None, None)  # never re-scored: rides along
 
 
+def test_published_scores_day_partitioned_and_pruned(spark, sf_dir, tmp_path):
+    """Published score tables are day-partitioned: a daily publish
+    rewrites ONLY its own day (history files untouched on disk), a new
+    day adds a partition, and a scoring-day read prunes to one
+    partition (PartitionFilters in the scan)."""
+    import contextlib
+    import io
+
+    from propensity_spark.pipeline import Pipeline
+
+    p = Pipeline(spark, sf_dir, str(tmp_path / "pipe"))
+    d1, d2 = datetime.date(2024, 2, 1), datetime.date(2024, 2, 2)
+
+    def scores(day, rows):
+        return spark.createDataFrame(
+            [(hh, day, c, v) for hh, c, v in rows],
+            "household_key int, day date, commodity_desc string, prediction double",
+        )
+
+    p.publish(scores(d1, [(1, "Brand#1", 0.5), (2, "Brand#1", 0.3)]))
+    unpiv = tmp_path / "pipe" / "out" / "propensities_unpivoted"
+    day1 = unpiv / "day=2024-02-01"
+    assert day1.is_dir()
+    before = {f: f.stat().st_mtime_ns for f in day1.rglob("*.parquet")}
+
+    p.publish(scores(d2, [(1, "Brand#1", 0.7)]))
+    after = {f: f.stat().st_mtime_ns for f in day1.rglob("*.parquet")}
+    assert before == after  # day-2 publish never rewrote day-1 files
+    assert (unpiv / "day=2024-02-02").is_dir()
+
+    pruned = p.read_published("unpivoted", day=d2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "2024-02-02" in plan, plan
+    rows = pruned.collect()
+    assert [(r["household_key"], r["prediction"]) for r in rows] == [(1, 0.7)]
+    # full-history read still sees both days with day typed as date
+    assert p.read_published("unpivoted").count() == 3
+
+
 def test_apply_in_pandas_with_state(spark, sf_dir):
     """applyInPandasWithState: per-user running event count emitted per
     micro-batch — the custom stateful operator surface (SURVEY.md §7)."""

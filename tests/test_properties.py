@@ -137,16 +137,23 @@ def test_split_by_hash_partitions_every_row_exactly_once(spark, texts):
 @SLOW
 def test_dup_bigram_frac_matches_python_definition(spark, words):
     """The map-only dup_bigram_frac SQL == the obvious Python
-    definition, for arbitrary (including <2-word) documents."""
-    from propensity_spark.text.analysis import _BIGRAMS_SPARK
+    definition, for arbitrary (including <2-word) documents. Exercises
+    the hoisted form: bigrams are built over a pre-split `__words`
+    projection, exactly as q_text_quality stages them."""
+    from propensity_spark.text.analysis import _BIGRAMS_FROM_WORDS
 
     text = " ".join(words)
     df = spark.createDataFrame([(text,)], "text string")
-    got = df.selectExpr(
-        f"CASE WHEN size({_BIGRAMS_SPARK}) = 0 THEN 0.0"
-        f" ELSE round(1e-9 + 1.0 - size(array_distinct({_BIGRAMS_SPARK}))"
-        f" / size({_BIGRAMS_SPARK}), 6) END AS f"
-    ).collect()[0]["f"]
+    got = (
+        df.selectExpr("split(text, ' ') AS __words")
+        .selectExpr(f"{_BIGRAMS_FROM_WORDS} AS __bigrams")
+        .selectExpr(
+            "CASE WHEN size(__bigrams) = 0 THEN 0.0"
+            " ELSE round(1e-9 + 1.0 - size(array_distinct(__bigrams))"
+            " / size(__bigrams), 6) END AS f"
+        )
+        .collect()[0]["f"]
+    )
     toks = text.split(" ")
     bigrams = [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
     want = 0.0 if not bigrams else round(1e-9 + 1.0 - len(set(bigrams)) / len(bigrams), 6)
