@@ -435,15 +435,20 @@ class ModelRegistry:
 
 
 def q_train_score_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only gate query (ML outputs are seed-stable but not
-    SQL-expressible): train 2 commodity models end-to-end through the
-    feature store, score the universe, and return the score HISTOGRAM
-    (commodity, prediction-bucket, n_households). Aggregating before
-    the materializing collect keeps the driver transfer O(buckets) —
-    at 100 TB the per-household scores stay distributed (score_batch
-    writes them table-side); only this bounded summary ever leaves the
-    executors. The collect itself is required: the result must
-    materialize before `finally` deletes the model/feature store."""
+    """Train 2 commodity models end-to-end through the feature store,
+    score the universe, and emit the DAG-shape invariants that ARE
+    SQL-expressible (model WEIGHTS are not — the pipeline_e2e oracle
+    pattern): per trained commodity,
+      scored — ('scored', commodity, n_scored, all_valid): the scored
+               universe is exactly the silver household set and every
+               probability is in [0,1].
+      model  — ('model', commodity, 0, ok): the manifest row shipped at
+               stage Production with a model path and an AUPR in [0,1].
+    Aggregating before the materializing collect keeps the driver
+    transfer O(commodities) — at 100 TB the per-household scores stay
+    distributed (score_batch writes them table-side). The collect is
+    required: the result must materialize before `finally` deletes the
+    model/feature store."""
     run = uuid.uuid4().hex[:8]
     store_base = str(DEFAULT_STORE / f"ml_{run}")
     try:
@@ -452,15 +457,60 @@ def q_train_score_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # same store round-trip, zero recomputation)
         ts, _ = build_training_set(spark, sf_dir, store_base, materialize=False)
         scores = score_batch(spark, ts, manifest)
-        out = scores.groupBy(
+        scored = scores.groupBy("commodity_desc").agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.count(F.when(F.col("prediction").between(0, 1), 1))
+                == F.count(F.lit(1))
+            )
+            .cast("int")
+            .alias("ok"),
+        ).select(F.lit("scored").alias("section"), "commodity_desc", "n", "ok")
+        model = manifest.select(
+            F.lit("model").alias("section"),
             "commodity_desc",
-            F.round(F.col("prediction") + 1e-9, 1).alias("prediction_bucket"),
-        ).agg(F.count(F.lit(1)).alias("n_households"))
-        rows = out.collect()  # O(commodities x 11 buckets), not O(households)
+            F.lit(0).cast("bigint").alias("n"),
+            (
+                (F.col("stage") == "Production")
+                & F.col("model_path").isNotNull()
+                & F.col("metric_aupr").between(0, 1)
+            )
+            .cast("int")
+            .alias("ok"),
+        )
+        out = scored.unionByName(model)
+        rows = out.collect()  # O(commodities), not O(households)
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(store_base, ignore_errors=True)
 
 
 QUERIES = {"train_score_propensity": q_train_score_propensity}
-ORACLES: dict[str, str] = {}
+
+
+def _train_score_oracle() -> str:
+    """The DAG's deterministic shape: commodities=2 selects the
+    alphabetically-first 2 of the top-k (sorted() over the class-ratio
+    control, train_commodity_models above), scoring covers exactly the
+    silver household universe per commodity, probabilities are in
+    [0,1] by construction, and a healthy train run ships a Production
+    manifest row with a valid AUPR — the same accounting the
+    pipeline_e2e oracle pins for the orchestrated run."""
+    from propensity_spark.operators.relational import SILVER_SQL, TOPK_SQL
+
+    return f"""
+        WITH tk AS ({TOPK_SQL}),
+             trained AS (
+                 SELECT commodity_desc FROM tk ORDER BY commodity_desc LIMIT 2
+             ),
+             hh AS (
+                 SELECT count(DISTINCT household_key) AS n FROM ({SILVER_SQL}) s
+             )
+        SELECT 'scored' AS section, t.commodity_desc, hh.n, 1 AS ok
+        FROM trained t CROSS JOIN hh
+        UNION ALL
+        SELECT 'model', commodity_desc, CAST(0 AS BIGINT), 1 FROM trained
+    """
+
+
+ORACLES: dict[str, str] = {"train_score_propensity": _train_score_oracle()}

@@ -179,17 +179,38 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (rows-only: HLL/KLL sketches are
-    engine-specific): approx_count_distinct + percentile_approx next
-    to their exact twins — the 100 TB opt-in path for SURVEY.md §7's
-    countDistinct-expand hazard."""
+    """Approximate aggregates — the 100 TB opt-in path for SURVEY.md
+    §7's countDistinct-expand hazard — made oracle-checkable via
+    bounded-error flags (HLL/KLL sketch INTERNALS are engine-specific;
+    their error CONTRACTS are not): per return flag, the exact
+    countDistinct and exact interpolated median are value-hash-checked
+    against DuckDB, and the sketch results must sit inside their
+    published bounds — approx_count_distinct(rsd=0.02) within 3*rsd
+    relative error, percentile_approx(accuracy=10000) inside the exact
+    [p49, p51] value window (rank error 1/10000 << 0.01). A sketch
+    regression flips a flag and hash-fails the gate."""
     lineitem = load_table(spark, sf_dir, "lineitem")
-    return lineitem.groupBy("l_returnflag").agg(
+    agg = lineitem.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("exact_p50"),
-        F.round(F.expr("percentile_approx(l_extendedprice, 0.5, 10000)"), 2).alias(
-            "approx_p50"
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_raw"),
+        F.expr("percentile(l_extendedprice, 0.49)").alias("p49"),
+        F.expr("percentile(l_extendedprice, 0.51)").alias("p51"),
+        F.expr("percentile_approx(l_extendedprice, 0.5, 10000)").alias("ap50"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        F.round(F.expr("1e-9 + p50_raw"), 2).alias("exact_p50"),
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            <= 0.06
+        )
+        .cast("int")
+        .alias("approx_cd_ok"),
+        F.col("ap50").between(F.col("p49"), F.col("p51")).cast("int").alias(
+            "approx_p50_ok"
         ),
     )
 
@@ -629,6 +650,17 @@ ORACLES = {
                round(1e-6 + sum(CAST(json_extract(props, '$.k') AS INT)), 2)
         FROM events
         GROUP BY event_type
+    """,
+    # Exact columns hash-checked; the sketch columns are bounded-error
+    # flags the engine must emit as 1 (see q_approx_stats docstring).
+    "approx_stats": """
+        SELECT l_returnflag,
+               count(DISTINCT l_orderkey) AS exact_orders,
+               round(1e-9 + quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+               1 AS approx_cd_ok,
+               1 AS approx_p50_ok
+        FROM lineitem
+        GROUP BY l_returnflag
     """,
     "salted_agg": """
         WITH s AS (

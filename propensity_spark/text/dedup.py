@@ -196,11 +196,13 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.selectExpr("doc_id", f"CAST({bit_sum} AS BIGINT) AS simhash")
 
 
-def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs: distinct-shingle self-join
-    -> |intersection| per pair -> J = c / (|A| + |B| - c). Standalone
-    here; at 100 TB this runs only on band candidates (above)."""
-    docs = load_table(spark, sf_dir, "documents")
+def exact_jaccard_pairs(docs: DataFrame, min_jaccard: float) -> DataFrame:
+    """Exact distinct-shingle Jaccard pairs: shingle self-join ->
+    |intersection| per pair -> J = c / (|A| + |B| - c). The shingle
+    equi-join is exhaustive for J > 0 (disjoint sets never pair), so
+    this is EXACT without an all-pairs cross join — but a hot shingle
+    shared by k docs still yields k^2 pair rows, so at 100 TB this runs
+    only on band candidates (q_minhash_band_pairs above)."""
     sh = _with_shingles(docs).select(
         "doc_id", F.explode(F.expr("array_distinct(shingles)")).alias("shingle")
     )
@@ -220,32 +222,81 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "jaccard", F.round(F.expr("1e-9 + common / (n_a + n_b - common)"), 6)
         )
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .where(F.col("jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", "common", "jaccard")
     )
 
 
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs at the dedup threshold."""
+    return exact_jaccard_pairs(load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
+
+
+MLLIB_EXACT_JACCARD = 0.5  # ground-truth pair threshold for the check
+MLLIB_RECALL_FLOOR = 0.9
+
+
 def q_minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib variant (rows-only: hash family is JVM-internal, no DuckDB
-    twin): HashingTF shingle vectors -> MinHashLSH approx self-join.
-    Demonstrates the built-in scale path next to the from-scratch one."""
+    """MLlib MinHashLSH (the built-in scale path next to the
+    from-scratch banding), made oracle-checkable the same way as
+    ann_lsh/ann_ivf: its hash family is JVM-internal so per-pair hashes
+    have no DuckDB twin — the CHECK is exactness of the ground truth
+    plus a recall floor. Sections:
+      exact      — (doc_a, doc_b, round(J, 6)): the exact
+                   distinct-shingle Jaccard pairs at J >= 0.5,
+                   value-hash-checked against the DuckDB twin.
+      recall_ok  — 1.0 iff approxSimilarityJoin's candidates cover
+                   >= MLLIB_RECALL_FLOOR of those pairs. With
+                   numHashTables=8 (OR-amplified), a J=0.5 pair is
+                   missed w.p. (1-0.5)^8 ~ 0.4%, so the 0.9 floor holds
+                   with wide margin; a recall regression hash-fails."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = load_table(spark, sf_dir, "documents")
     with_sh = _with_shingles(docs).where(F.size("shingles") > 0)
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
     feats = tf.transform(with_sh)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.7, distCol="jaccard_dist")
-    return (
+    # distance threshold 0.6 (= sim 0.4) leaves margin for HashingTF
+    # collisions perturbing the vector-space Jaccard near the boundary
+    pairs = model.approxSimilarityJoin(feats, feats, 0.6, distCol="jaccard_dist")
+    cand = (
         pairs.where(F.expr("datasetA.doc_id < datasetB.doc_id"))
         .select(
             F.expr("datasetA.doc_id").alias("doc_a"),
             F.expr("datasetB.doc_id").alias("doc_b"),
-            F.round(F.col("jaccard_dist") + 1e-9, 6).alias("jaccard_dist"),
+        )
+        .distinct()
+    )
+    exact = exact_jaccard_pairs(docs, MLLIB_EXACT_JACCARD)
+    exact_rows = exact.select(
+        F.lit("exact").alias("section"),
+        F.col("doc_a").alias("a"),
+        F.col("doc_b").alias("b"),
+        F.col("jaccard").alias("v"),
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n"))
+    n_hit = exact.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    recall_row = (
+        n_exact.crossJoin(n_hit)  # 1-row x 1-row broadcast, not a scan
+        .select(
+            F.lit("recall_ok").alias("section"),
+            F.lit(-1).cast("bigint").alias("a"),
+            F.lit(-1).cast("bigint").alias("b"),
+            (
+                F.when(F.col("n") == 0, F.lit(1.0)).otherwise(
+                    F.col("h") / F.col("n")
+                )
+                >= MLLIB_RECALL_FLOOR
+            )
+            .cast("double")
+            .alias("v"),
         )
     )
+    return exact_rows.unionByName(recall_row)
 
 
 # --- oracles -------------------------------------------------------------
@@ -297,6 +348,34 @@ ORACLES = {
         GROUP BY 1
     """,
     "minhash_signatures": _SIG_SQL,
+    # Ground truth for the MLlib LSH entry: exact distinct-shingle
+    # Jaccard pairs at J >= 0.5, plus the recall-floor row the engine
+    # must match with 1.0 (the ann_lsh/ann_ivf pattern).
+    "minhash_lsh_mllib": f"""
+        WITH sh AS (
+            SELECT doc_id, unnest(list_distinct({_SHINGLES_DUCK})) AS shingle
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b,
+                   round(1e-9 + CAST(common AS DOUBLE)
+                         / (na.n_sh + nb.n_sh - common), 6) AS jaccard
+            FROM common
+            JOIN sizes na ON na.doc_id = doc_a
+            JOIN sizes nb ON nb.doc_id = doc_b
+        )
+        SELECT 'exact' AS section, doc_a AS a, doc_b AS b, jaccard AS v
+        FROM pairs WHERE jaccard >= {MLLIB_EXACT_JACCARD}
+        UNION ALL
+        SELECT 'recall_ok', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), 1.0
+    """,
     "minhash_band_pairs": f"""
         WITH cand AS ({_CAND_SQL}),
              sets AS (
