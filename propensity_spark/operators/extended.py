@@ -456,6 +456,255 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-shipping shape (TPC-H Q7): revenue between every distinct
+    (supplier nation, customer nation) pair per ship year. Fact-to-fact
+    lineitem ⋈ orders shuffle once; customer/supplier/nation ride in as
+    broadcasts (nation twice, aliased per side)."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.expr("l_extendedprice * (1 - l_discount)")) + 1e-6, 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-share shape (TPC-H Q8 adapted name-independent): per
+    (customer region, ship year), the share of revenue supplied LOCALLY
+    (supplier nation == customer nation). The share CASE lives inside
+    the aggregate — one pass, no self-join."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rev = "l_extendedprice * (1 - l_discount)"
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                (
+                    F.sum(
+                        F.expr(
+                            f"CASE WHEN s_nationkey = c_nationkey THEN {rev} ELSE 0.0 END"
+                        )
+                    )
+                    / F.sum(F.expr(rev))
+                )
+                + 1e-9,
+                6,
+            ).alias("local_share"),
+            F.round(F.sum(F.expr(rev)) + 1e-6, 2).alias("revenue"),
+        )
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item-reporting shape (TPC-H Q10): top 20 customers by
+    lost revenue on returned lines. Selective returnflag filter pushes
+    to the lineitem scan; customer/nation broadcast onto the aggregated
+    fact; TakeOrderedAndProject caps the driver transfer."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.expr("l_extendedprice * (1 - l_discount)")) + 1e-6, 2
+            ).alias("revenue"),
+            F.round(F.first("c_acctbal") + 1e-6, 2).alias("c_acctbal"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-distribution shape (TPC-H Q13): LEFT OUTER join so
+    zero-order customers survive with count 0, then a second aggregate
+    over the counts — the two-level GROUP BY histogram. The priority
+    filter stands in for the comment NOT LIKE (column not in fixture);
+    it lives in the JOIN CONDITION, not a WHERE, to keep outer rows."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_customer = (
+        customer.join(
+            orders,
+            (customer.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_customer.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-supplier shape (TPC-H Q15): the revenue 'view' aggregates
+    once; the scalar MAX over it is a 1-row broadcast cross join (no
+    second scan of the fact), and the equality filter keeps ties —
+    exactly the view + scalar-subquery semantics."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    lineitem = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between("1996-01-01", "1996-03-31")
+    )
+    revenue = lineitem.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.expr("l_extendedprice * (1 - l_discount)")) + 1e-6, 2
+        ).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(top), revenue.total_revenue == top.max_revenue)
+        .join(F.broadcast(supplier), F.col("supplier_no") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts-supplier-relationship shape (TPC-H Q16 adapted: lineitem
+    is the part↔supplier relation; complaint suppliers := negative
+    account balance): distinct supplier count per (brand, type, size)
+    excluding one brand and the excluded suppliers via LEFT ANTI join
+    (the NOT IN subquery, decorrelated)."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") != "Brand#1")
+    supplier = load_table(spark, sf_dir, "supplier")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    excluded = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    rel = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(excluded), lineitem.l_suppkey == excluded.s_suppkey, "left_anti")
+        .distinct()
+    )
+    return (
+        rel.join(F.broadcast(part), rel.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order shape (TPC-H Q17): the correlated
+    per-part AVG subquery decorrelates to an aggregate joined back on
+    partkey — one extra agg + one equi-join instead of a rescan per
+    row. At 100 TB both sides shuffle on l_partkey and co-locate."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#2")
+    avg_qty = lineitem.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.avg("l_quantity") * 0.5).alias("qty_bound")
+    )
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(avg_qty, lineitem.l_partkey == F.col("ap_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_bound"))
+        .agg(
+            F.round((F.sum("l_extendedprice") / 7.0) + 1e-6, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waiting-supplier shape (TPC-H Q21 adapted: 'late' := shipped
+    more than 60 days after order date). The EXISTS (another supplier
+    on the order) and NOT EXISTS (no OTHER late supplier) correlated
+    subqueries collapse into per-order aggregates — multi-supplier
+    orders whose ONLY late supplier is this one — a single orderkey
+    shuffle instead of two correlated rescans."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    flagged = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .withColumn(
+            "is_late",
+            (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).cast("int"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_late").alias("supp_late"))
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("supp_late").alias("n_late_supp"),
+    )
+    return (
+        flagged.join(per_order, "l_orderkey")
+        .where(
+            (F.col("supp_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sales-opportunity shape (TPC-H Q22 adapted: country code
+    := c_nationkey % 10): customers above the average positive account
+    balance (1-row broadcast scalar subquery) with NO orders (LEFT
+    ANTI = the NOT EXISTS), counted per code."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = customer.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 10).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal") + 1e-6, 2).alias("totacctbal"),
+        )
+    )
+
+
 def _melted(df: DataFrame, q: str, key_expr: str, metrics: dict[str, str]) -> DataFrame:
     """Melt a result to (q, k, metric, value DOUBLE) — the shared suite
     shape. `metrics` maps output metric name -> source SQL expression."""
@@ -468,8 +717,10 @@ def _melted(df: DataFrame, q: str, key_expr: str, metrics: dict[str, str]) -> Da
 
 
 def q_tpch_mini_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q4 (semi join) + Q6 (pushdown scan) + Q14 (broadcast-dim
-    conditional ratio), melted into one gate entry."""
+    """Single-fact TPC-H shapes in one gate entry: Q4 (semi join), Q6
+    (pushdown scan), Q14 (broadcast-dim conditional ratio), Q13
+    (outer-join two-level histogram), Q17 (decorrelated per-part AVG),
+    Q22 (scalar subquery + anti join)."""
     q4 = _melted(
         q_tpch_q4(spark, sf_dir), "q4", "o_orderpriority", {"order_count": "order_count"}
     )
@@ -482,12 +733,32 @@ def q_tpch_mini_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month",
         {"promo_share": "promo_share", "n_lines": "n_lines"},
     )
-    return q4.unionByName(q6).unionByName(q14)
+    q13 = _melted(
+        q_tpch_q13(spark, sf_dir), "q13", "c_count", {"custdist": "custdist"}
+    )
+    q17 = _melted(
+        q_tpch_q17(spark, sf_dir),
+        "q17",
+        "'all'",
+        {"avg_yearly": "avg_yearly", "n_lines": "n_lines"},
+    )
+    q22 = _melted(
+        q_tpch_q22(spark, sf_dir),
+        "q22",
+        "cntrycode",
+        {"numcust": "numcust", "totacctbal": "totacctbal"},
+    )
+    return q4.unionByName(q6).unionByName(q14).unionByName(q13).unionByName(
+        q17
+    ).unionByName(q22)
 
 
 def q_tpch_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q3 (join reorder + top-N) + Q5 (6-way star join) + Q18 (HAVING
-    semi join), melted into one gate entry."""
+    """Multi-join TPC-H shapes in one gate entry: Q3 (join reorder +
+    top-N), Q5 (6-way star), Q18 (HAVING semi join), Q7 (two-nation
+    volume), Q8 (market share), Q10 (returned-item top-N), Q15 (scalar
+    MAX view), Q16 (anti-join distinct count), Q21 (only-late-supplier
+    decorrelation)."""
     q3 = _melted(
         q_tpch_q3(spark, sf_dir),
         "q3",
@@ -506,7 +777,43 @@ def q_tpch_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty": "sum_qty",
         },
     )
-    return q3.unionByName(q5).unionByName(q18)
+    q7 = _melted(
+        q_tpch_q7(spark, sf_dir),
+        "q7",
+        "concat(supp_nation, '|', cust_nation, '|', cast(l_year as string))",
+        {"revenue": "revenue"},
+    )
+    q8 = _melted(
+        q_tpch_q8(spark, sf_dir),
+        "q8",
+        "concat(r_name, '|', cast(l_year as string))",
+        {"local_share": "local_share", "revenue": "revenue"},
+    )
+    q10 = _melted(
+        q_tpch_q10(spark, sf_dir),
+        "q10",
+        "c_custkey",
+        {"revenue": "revenue", "c_acctbal": "c_acctbal"},
+    )
+    q15 = _melted(
+        q_tpch_q15(spark, sf_dir),
+        "q15",
+        "s_suppkey",
+        {"total_revenue": "total_revenue"},
+    )
+    q16 = _melted(
+        q_tpch_q16(spark, sf_dir),
+        "q16",
+        "concat(p_brand, '|', p_type, '|', cast(p_size as string))",
+        {"supplier_cnt": "supplier_cnt"},
+    )
+    q21 = _melted(
+        q_tpch_q21(spark, sf_dir), "q21", "s_name", {"numwait": "numwait"}
+    )
+    out = q3
+    for part in (q5, q18, q7, q8, q10, q15, q16, q21):
+        out = out.unionByName(part)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -576,6 +883,132 @@ _Q18_SQL = """
     ) big ON o_orderkey = big.l_orderkey
     ORDER BY sum_qty DESC, o_orderkey ASC
     LIMIT 100
+"""
+
+_Q7_SQL = """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           round(1e-6 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    WHERE ns.n_name <> nc.n_name
+    GROUP BY 1, 2, 3
+"""
+
+_Q8_SQL = """
+    SELECT r_name, year(l_shipdate) AS l_year,
+           round(1e-9 + sum(CASE WHEN s_nationkey = c_nationkey
+                            THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS local_share,
+           round(1e-6 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+"""
+
+_Q10_SQL = """
+    SELECT c_custkey, c_name, n_name,
+           round(1e-6 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(1e-6 + any_value(c_acctbal), 2) AS c_acctbal
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+"""
+
+_Q13_SQL = """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+_Q15_SQL = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(1e-6 + sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM revenue
+    JOIN supplier ON supplier_no = s_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+_Q16_SQL = """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+          WHERE l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)) rel
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+    GROUP BY 1, 2, 3
+"""
+
+_Q17_SQL = """
+    SELECT round(1e-6 + sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN (SELECT l_partkey AS ap_partkey, 0.5 * avg(l_quantity) AS qty_bound
+          FROM lineitem GROUP BY l_partkey) a
+        ON l_partkey = ap_partkey
+    WHERE p_brand = 'Brand#2' AND l_quantity < qty_bound
+"""
+
+_Q21_SQL = """
+    WITH flagged AS (
+        SELECT l_orderkey, l_suppkey,
+               max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                   THEN 1 ELSE 0 END) AS supp_late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    per_order AS (
+        SELECT l_orderkey, count(*) AS n_supp, sum(supp_late) AS n_late_supp
+        FROM flagged GROUP BY 1
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM flagged
+    JOIN per_order USING (l_orderkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE supp_late = 1 AND n_supp >= 2 AND n_late_supp = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 100
+"""
+
+_Q22_SQL = """
+    SELECT c_nationkey % 10 AS cntrycode,
+           count(*) AS numcust,
+           round(1e-6 + sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY 1
 """
 
 ORACLES = {
@@ -686,6 +1119,19 @@ ORACLES = {
         UNION ALL
         SELECT 'q14', CAST(month AS VARCHAR), 'n_lines', CAST(n_lines AS DOUBLE)
         FROM ({_Q14_SQL}) d
+        UNION ALL
+        SELECT 'q13', CAST(c_count AS VARCHAR), 'custdist', CAST(custdist AS DOUBLE)
+        FROM ({_Q13_SQL}) e
+        UNION ALL
+        SELECT 'q17', 'all', 'avg_yearly', CAST(avg_yearly AS DOUBLE) FROM ({_Q17_SQL}) f
+        UNION ALL
+        SELECT 'q17', 'all', 'n_lines', CAST(n_lines AS DOUBLE) FROM ({_Q17_SQL}) g
+        UNION ALL
+        SELECT 'q22', CAST(cntrycode AS VARCHAR), 'numcust', CAST(numcust AS DOUBLE)
+        FROM ({_Q22_SQL}) h
+        UNION ALL
+        SELECT 'q22', CAST(cntrycode AS VARCHAR), 'totacctbal', CAST(totacctbal AS DOUBLE)
+        FROM ({_Q22_SQL}) i
     """,
     "tpch_join_suite": f"""
         SELECT 'q3' AS q,
@@ -708,6 +1154,35 @@ ORACLES = {
         UNION ALL
         SELECT 'q18', CAST(o_orderkey AS VARCHAR), 'sum_qty', CAST(sum_qty AS DOUBLE)
         FROM ({_Q18_SQL}) d
+        UNION ALL
+        SELECT 'q7', supp_nation || '|' || cust_nation || '|' || CAST(l_year AS VARCHAR),
+               'revenue', CAST(revenue AS DOUBLE)
+        FROM ({_Q7_SQL}) e
+        UNION ALL
+        SELECT 'q8', r_name || '|' || CAST(l_year AS VARCHAR), 'local_share',
+               CAST(local_share AS DOUBLE)
+        FROM ({_Q8_SQL}) f
+        UNION ALL
+        SELECT 'q8', r_name || '|' || CAST(l_year AS VARCHAR), 'revenue',
+               CAST(revenue AS DOUBLE)
+        FROM ({_Q8_SQL}) g
+        UNION ALL
+        SELECT 'q10', CAST(c_custkey AS VARCHAR), 'revenue', CAST(revenue AS DOUBLE)
+        FROM ({_Q10_SQL}) h
+        UNION ALL
+        SELECT 'q10', CAST(c_custkey AS VARCHAR), 'c_acctbal', CAST(c_acctbal AS DOUBLE)
+        FROM ({_Q10_SQL}) i
+        UNION ALL
+        SELECT 'q15', CAST(s_suppkey AS VARCHAR), 'total_revenue',
+               CAST(total_revenue AS DOUBLE)
+        FROM ({_Q15_SQL}) j
+        UNION ALL
+        SELECT 'q16', p_brand || '|' || p_type || '|' || CAST(p_size AS VARCHAR),
+               'supplier_cnt', CAST(supplier_cnt AS DOUBLE)
+        FROM ({_Q16_SQL}) k
+        UNION ALL
+        SELECT 'q21', s_name, 'numwait', CAST(numwait AS DOUBLE)
+        FROM ({_Q21_SQL}) l
     """,
 }
 

@@ -121,17 +121,28 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    # A streaming agg allocates one state store per shuffle partition,
+    # fixed at FIRST start from this conf — 32 stores for a
+    # bounded-cardinality (window x event_type) aggregate is pure
+    # startup cost. Size state parallelism to the agg's key space (a
+    # production stream sets this to its own throughput before start);
+    # restore the session value afterwards.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
-        rows = spark.table(name).collect()
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.table(name).collect()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     out = spark.createDataFrame(rows, agg.schema)
     return out
 
