@@ -236,3 +236,32 @@ def test_labels_single_pass_plan(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     hash_exchanges = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
     assert hash_exchanges == ["household_key"], plan
+
+
+def test_tpch_extension_plans(spark, sf_dir):
+    """The round-3 TPC-H shapes keep their intended physical forms: the
+    NOT-IN / NOT-EXISTS subqueries plan as LeftAnti (never a nested
+    loop over the fact), dimension joins stay broadcast, and the Q21
+    decorrelation never degenerates into a cartesian re-scan."""
+    from propensity_spark.operators import extended as X
+
+    p16 = plan_of(X.q_tpch_q16(spark, sf_dir))
+    assert "LeftAnti" in p16 and "BroadcastHashJoin" in p16
+    assert "CartesianProduct" not in p16
+
+    p22 = plan_of(X.q_tpch_q22(spark, sf_dir))
+    assert "LeftAnti" in p22
+    assert "CartesianProduct" not in p22
+
+    p21 = plan_of(X.q_tpch_q21(spark, sf_dir))
+    assert "CartesianProduct" not in p21
+    assert "BroadcastNestedLoopJoin" not in p21
+
+    p13 = plan_of(X.q_tpch_q13(spark, sf_dir))
+    assert "LeftOuter" in p13  # zero-order customers must survive
+
+    p7 = plan_of(X.q_tpch_q7(spark, sf_dir))
+    # customer/supplier/nation(x2) all broadcast; the only shuffle pair
+    # is the lineitem-orders fact join + the final groupBy
+    assert p7.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p7
