@@ -541,19 +541,39 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine-completeness window functions (§2.5 notes): top-3 orders
-    per customer by totalprice via row_number with deterministic
-    tie-break."""
+    """Engine-completeness window functions (§2.5) in ONE partition
+    pass: ranking (row_number), offsets (lag/lead), running aggregate
+    (ROWS frame), relative rank (percent_rank), bucketing (ntile), and
+    a RANGE-frame peer count — all share the o_custkey partitioning so
+    Catalyst plans a single window exchange + sort (the range frame
+    re-sorts within the same partitioning, no second shuffle). Output
+    restricted to each customer's top-3 rows to bound the result."""
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rng = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.desc("o_totalprice"))
+        .rangeBetween(-100, 0)  # totalprice within $100 above current
+    )
     return (
-        orders.withColumn("rn", F.row_number().over(w))
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            _round("o_totalprice", 2).alias("o_totalprice"),
+            F.row_number().over(w).alias("rn"),
+            _round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+            _round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+            _round(F.sum("o_totalprice").over(run), 2).alias("run_sum"),
+            F.round(F.percent_rank().over(w) + 1e-9, 6).alias("pr"),
+            F.ntile(4).over(w).alias("tile"),
+            F.count(F.lit(1)).over(rng).alias("peers_within_100"),
+        )
         .where(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", _round("o_totalprice", 2).alias("o_totalprice"), "rn")
     )
 
 
@@ -747,12 +767,25 @@ ORACLES: dict[str, str] = {
         FROM lineitem
     """,
     "window_topk_per_group": """
-        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
+        SELECT o_custkey, o_orderkey, o_totalprice, rn, prev_price,
+               next_price, run_sum, pr, tile, peers_within_100
         FROM (
-            SELECT o_custkey, o_orderkey, o_totalprice,
-                   row_number() OVER (PARTITION BY o_custkey
-                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            SELECT o_custkey, o_orderkey,
+                   round(1e-6 + o_totalprice, 2) AS o_totalprice,
+                   row_number() OVER ranked AS rn,
+                   round(1e-6 + lag(o_totalprice) OVER ranked, 2) AS prev_price,
+                   round(1e-6 + lead(o_totalprice) OVER ranked, 2) AS next_price,
+                   round(1e-6 + sum(o_totalprice) OVER
+                         (ranked ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                       AS run_sum,
+                   round(1e-9 + percent_rank() OVER ranked, 6) AS pr,
+                   ntile(4) OVER ranked AS tile,
+                   count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC
+                                  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+                       AS peers_within_100
             FROM orders
+            WINDOW ranked AS (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey ASC)
         ) t WHERE rn <= 3
     """,
     "tpch_q1": """

@@ -246,8 +246,11 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = Pipeline(spark, sf_dir, str(base))
         # Gate config: the linear model keeps this entry about the DAG
         # (features -> store -> train -> score -> publish), not tree fit
-        # time — GBT is exercised by the `train_score_propensity` gate.
-        manifest = p.run_init(day, n_commodities=2, model_type="lr")
+        # time — GBT is exercised by the `train_score_propensity` gate —
+        # and backfill_days=0 skips the historical-day feature grids the
+        # oracle never observes (the backfill path is pytest-pinned by
+        # test_pipeline_init_daily_roundtrip).
+        manifest = p.run_init(day, n_commodities=2, backfill_days=0, model_type="lr")
         unpivoted_path, pivoted_path = p.run_daily(day, manifest)
         out = (
             spark.read.parquet(unpivoted_path)

@@ -265,3 +265,57 @@ def test_tpch_extension_plans(spark, sf_dir):
     # is the lineitem-orders fact join + the final groupBy
     assert p7.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in p7
+
+
+def test_window_suite_single_exchange(spark, sf_dir):
+    """All six window families in q_window_topk_per_group share the
+    o_custkey partitioning: exactly ONE hashpartitioning exchange
+    feeds every Window node (the range frame re-sorts, it must not
+    re-shuffle)."""
+    from propensity_spark.operators.relational import q_window_topk_per_group
+
+    plan = plan_of(q_window_topk_per_group(spark, sf_dir))
+    assert re.findall(r"hashpartitioning\((\w+)", plan) == ["o_custkey"], plan
+
+
+def test_runtime_bloom_filter_prunes_fact_join(spark, sf_dir):
+    """Scale lever: with runtime bloom-filter injection on, a selective
+    dimension-side filter seeds a bloom filter that prunes the fact
+    scan BEFORE the join shuffle (Spark's runtime row-level filtering;
+    the same mechanism DPP uses for partitioned tables). Pinned so a
+    conf regression that silently drops the filter is caught."""
+    from propensity_spark.io import load_table
+
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+    )
+    # default requires a 10GB probe side — the production sweet spot;
+    # zero it so the sf0.01 fixture exercises the same plan shape
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
+    try:
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        joined = lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = plan_of(joined)
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
