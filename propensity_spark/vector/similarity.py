@@ -359,6 +359,104 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 8  # subspaces (64 dims -> 8x 8-dim)
+PQ_K = 16  # centroids per subspace -> 4-bit codes
+PQ_GAIN_BOUND = 0.9  # PQ recon MSE must beat the k=1 baseline by >=10%
+
+
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou, Douze & Schmid 2011, TPAMI
+    "Product Quantization for Nearest Neighbor Search"): split D=64
+    dims into PQ_M subspaces, seeded KMeans per subspace, encode each
+    vector as PQ_M small codes — 64x float32 (256 B) -> 8 codes (~4 B
+    at k=16), the compression that makes 10^10-vector IVF-PQ indexes
+    RAM-resident. Training = PQ_M tiny distributed fits (sample the
+    corpus at real scale); ENCODING is the scale path — centroids
+    inlined as literal arrays, per-subspace argmin entirely map-side,
+    zero shuffle, no UDF. Ties break to the lowest code id
+    (array_position returns the first minimum).
+
+    Returns (vec_id, codes array<int>, pq_mse double): per-vector
+    codes plus the reconstruction MSE against the chosen centroids."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_vec("embedding")).alias("v")
+    )
+    n_dims = 64
+    d = n_dims // PQ_M
+    sub_cols = [
+        F.expr(f"slice(v, {s * d + 1}, {d})").alias(f"sub_{s}") for s in range(PQ_M)
+    ]
+    subs = emb.select("vec_id", "v", *sub_cols)
+    centroids = []
+    for s in range(PQ_M):
+        feats = subs.select(array_to_vector(f"sub_{s}").alias("features"))
+        model = KMeans(k=PQ_K, seed=42 + s, maxIter=10).fit(feats)
+        centroids.append([[float(x) for x in c] for c in model.clusterCenters()])
+
+    out = subs
+    for s in range(PQ_M):
+        cs = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in c) + ")"
+                for c in centroids[s]
+            )
+            + ")"
+        )
+        dists = (
+            f"transform({cs}, c -> aggregate(zip_with(sub_{s}, c,"
+            " (a, b) -> (a - b) * (a - b)), CAST(0 AS DOUBLE),"
+            " (acc, x) -> acc + x))"
+        )
+        out = out.withColumn(f"d_{s}", F.expr(dists)).withColumn(
+            f"code_{s}", F.expr(f"array_position(d_{s}, array_min(d_{s})) - 1")
+        )
+    code_arr = "array(" + ", ".join(f"CAST(code_{s} AS INT)" for s in range(PQ_M)) + ")"
+    mse = (
+        "(" + " + ".join(f"array_min(d_{s})" for s in range(PQ_M)) + f") / {n_dims}.0"
+    )
+    return out.select(
+        "vec_id", F.expr(code_arr).alias("codes"), F.expr(mse).alias("pq_mse")
+    )
+
+
+def pq_gain_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row (flag double): 1.0 iff mean PQ reconstruction MSE beats
+    the k=1 baseline (reconstructing every vector as the corpus mean)
+    by the PQ_GAIN_BOUND margin — the quantizer-quality invariant the
+    oracle can assert without re-deriving JVM KMeans internals."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_vec("embedding")).alias("v")
+    )
+    mean_vec = (
+        emb.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("mx"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, mx))), p -> p.mx)"
+            ).alias("mv")
+        )
+    )
+    base = (
+        emb.crossJoin(F.broadcast(mean_vec))  # 1-row broadcast
+        .select(
+            F.expr(
+                "aggregate(zip_with(v, mv, (a, b) -> (a - b) * (a - b)),"
+                " CAST(0 AS DOUBLE), (acc, x) -> acc + x) / size(v)"
+            ).alias("base_mse")
+        )
+        .agg(F.avg("base_mse").alias("base"))
+    )
+    pq = pq_encode(spark, sf_dir).agg(F.avg("pq_mse").alias("pq"))
+    return pq.crossJoin(base).select(
+        (F.col("pq") <= PQ_GAIN_BOUND * F.col("base")).cast("double").alias("flag")
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN made oracle-checkable (was rows-only; judge r2 item 2).
     Tagged sections (section, a, b, n, v):
@@ -368,7 +466,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       recall_ok  — per query: 1.0 iff |IVF ∩ exact| / k >=
                    IVF_QUERY_RECALL_BOUND (oracle asserts 1.0);
       mean_ok    — 1.0 iff the mean per-query recall >=
-                   IVF_MEAN_RECALL_BOUND.
+                   IVF_MEAN_RECALL_BOUND;
+      pq_ok      — 1.0 iff the product-quantization companion
+                   (pq_encode above — the IVF-PQ storage half) beats
+                   the k=1 reconstruction baseline by PQ_GAIN_BOUND.
     KMeans is seed-stable, so the IVF result is deterministic, but the
     oracle checks the recall FLOOR rather than hardcoding per-fixture
     recall — robust to testdata regeneration between rounds."""
@@ -410,7 +511,16 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint").alias("n"),
         (F.col("mean_recall") >= IVF_MEAN_RECALL_BOUND).cast("double").alias("v"),
     )
-    return exact_rows.unionByName(recall_rows).unionByName(mean_row)
+    pq_row = pq_gain_flag(spark, sf_dir).select(
+        F.lit("pq_ok").alias("section"),
+        F.lit(0).cast("bigint").alias("a"),
+        F.lit(0).cast("bigint").alias("b"),
+        F.lit(0).cast("bigint").alias("n"),
+        F.col("flag").alias("v"),
+    )
+    return (
+        exact_rows.unionByName(recall_rows).unionByName(mean_row).unionByName(pq_row)
+    )
 
 
 ORACLES["ann_ivf"] = f"""
@@ -436,6 +546,8 @@ ORACLES["ann_ivf"] = f"""
     SELECT 'recall_ok', query_id, 0, 0, 1.0 FROM q
     UNION ALL
     SELECT 'mean_ok', 0, 0, 0, 1.0
+    UNION ALL
+    SELECT 'pq_ok', 0, 0, 0, 1.0
 """
 
 QUERIES["ann_ivf"] = q_ann_ivf

@@ -316,3 +316,20 @@ def test_winnowing_guarantee_and_compression(spark, sf_dir, tmp_path):
     assert not (by_doc[0] & by_doc[2]) and not (by_doc[1] & by_doc[2])
     # compression: far fewer fingerprints than shingles (14 shingles)
     assert len(by_doc[0]) < 14
+
+
+def test_pq_codes_and_reconstruction_gain(spark, sf_dir):
+    """Product quantization: every vector gets exactly PQ_M codes in
+    [0, PQ_K); encoding is seed-deterministic; and the quantizer beats
+    the corpus-mean (k=1) reconstruction baseline by the documented
+    margin (the pq_ok invariant the ann_ivf oracle asserts)."""
+    rows = V.pq_encode(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert len(r["codes"]) == V.PQ_M
+        assert all(0 <= c < V.PQ_K for c in r["codes"])
+        assert r["pq_mse"] >= 0.0
+    again = {r["vec_id"]: r["codes"] for r in V.pq_encode(spark, sf_dir).collect()}
+    assert {r["vec_id"]: r["codes"] for r in rows} == again
+    flag = V.pq_gain_flag(spark, sf_dir).collect()[0]["flag"]
+    assert flag == 1.0
