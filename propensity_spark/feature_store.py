@@ -178,19 +178,49 @@ class FeatureTable:
         survivors = existing.join(batch.select(*self.pk), self.pk, "left_anti")
         return survivors.unionByName(batch)
 
-    def compact(self, day, target_files: int = 1) -> int:
+    def compact(
+        self,
+        day,
+        target_files: int = 1,
+        sort_by: list[str] | None = None,
+        zorder: bool = False,
+    ) -> int:
         """Operational: rewrite one day partition into `target_files`
         parquet files. Daily MERGEs leave one file per shuffle partition
         per run; after N runs a partition holds N x partitions small
         files and scan planning dominates read cost (the classic
         small-file problem). Returns the file count after compaction.
         At 100 TB this runs as a background job per aged partition —
-        only the named partition is read or written."""
+        only the named partition is read or written.
+
+        `sort_by` clusters the rewrite for data skipping (Delta's
+        OPTIMIZE ... ZORDER BY analog): range-partition + sort so each
+        output file covers a narrow slice of the key space and parquet
+        row-group min/max stats prune selective reads. `zorder=True`
+        sorts by the Morton interleaved key over ALL `sort_by` columns
+        (io.zorder_key) so skipping works for filters on any of them;
+        default is lexicographic (leading-column skipping only)."""
         import shutil
 
         part = Path(self.path) / f"day={day}"
         if not self.has_day(day):
             raise ValueError(f"no partition for day={day}")
+        df = self.read(day).drop("day")  # day is path-encoded; restored by dir
+        if sort_by and zorder and len(sort_by) > 1:
+            from propensity_spark.io import zorder_key
+
+            df = (
+                df.withColumn("__zkey", zorder_key(df, sort_by))
+                .repartitionByRange(target_files, "__zkey")
+                .sortWithinPartitions("__zkey")
+                .drop("__zkey")
+            )
+        elif sort_by:
+            df = df.repartitionByRange(target_files, *sort_by).sortWithinPartitions(
+                *sort_by
+            )
+        else:
+            df = df.repartition(target_files)
         # Temp output lives OUTSIDE the table root (sibling dir): a temp
         # dir inside the root would be picked up by partition discovery
         # if the job died between write and rename — duplicating the
@@ -200,13 +230,7 @@ class FeatureTable:
         tmp_root = Path(self.path + "__COMPACT_TMP")
         shutil.rmtree(tmp_root, ignore_errors=True)
         tmp = tmp_root / f"day={day}"
-        (
-            self.read(day)
-            .drop("day")  # path-encoded; restored by the partition dir
-            .repartition(target_files)
-            .write.mode("overwrite")
-            .parquet(str(tmp))
-        )
+        df.write.mode("overwrite").parquet(str(tmp))
         try:
             # Swap is rmtree-then-rename: non-atomic for CONCURRENT
             # readers (documented; Delta fixes this with the txn log),

@@ -13,6 +13,7 @@ MERGE fallback in feature_store.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 TABLES = (
@@ -237,3 +238,39 @@ def insert_overwrite(spark: SparkSession, src_path: str, dst_path: str) -> None:
     `INSERT OVERWRITE`; the parquet fallback rewrites the directory."""
     df = spark.read.parquet(src_path)
     df.write.mode("overwrite").parquet(dst_path)
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
+    """Morton (Z-order) interleaved-bit key over `cols` — the
+    data-skipping clustering technique Delta's OPTIMIZE ZORDER BY
+    applies: sorting by the interleaved key co-locates rows that are
+    close in EVERY dimension, so parquet row-group min/max statistics
+    become selective for filters on ANY of the columns, not just the
+    leading sort key.
+
+    Built entirely from Catalyst expressions: per-column bounds come
+    from ONE 1-row aggregate (a bounded driver collect, the C4
+    pattern), values rank-normalize to [0, 2^bits) and the bit
+    interleave unrolls to shift/and/or terms — no UDF, map-side only.
+    NULLs normalize to 0 (sort first). Returns a Column."""
+    bounds = df.agg(
+        *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    n = len(cols)
+    quantized = []
+    top = (1 << bits) - 1
+    for i, c in enumerate(cols):
+        mn, mx = bounds[f"mn_{i}"], bounds[f"mx_{i}"]
+        span = (float(mx) - float(mn)) or 1.0
+        quantized.append(
+            f"coalesce(cast(floor((cast(`{c}` as double) - {float(mn)!r})"
+            f" / {span!r} * {top}) as bigint), 0)"
+        )
+    terms = []
+    for b in range(bits):
+        for i in range(n):
+            terms.append(
+                f"shiftleft(shiftright({quantized[i]}, {b}) & 1, {b * n + i})"
+            )
+    return F.expr(" + ".join(terms))

@@ -230,3 +230,61 @@ def test_delta_merge_upserts_transactionally(spark, store):
     got = {r["household_key"]: r["amount"] for r in t.read(d).collect()}
     assert got == {1: 10.0, 2: 99.0, 3: 99.0, 4: 99.0}
     assert t.has_day(d) and not t.has_day(date(2030, 1, 1))
+
+
+def test_compact_sort_by_enables_data_skipping(spark, tmp_path):
+    """Sorted compaction clusters files so parquet min/max stats prune:
+    with 4 range-partitioned sorted files each covers ~1/4 of the key
+    space (sum of per-file widths ~ the global width), whereas the
+    unsorted rewrite leaves every file spanning the full range. The
+    zorder variant bounds per-file ranges on BOTH columns."""
+    import pyarrow.parquet as pq
+
+    day = date(2024, 1, 1)
+    n = 4000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 997).cast("double").alias("x"),
+            ((F.col("id") * 37) % 1009).cast("double").alias("y"),
+        )
+        .withColumn("day", F.lit(str(day)).cast("date"))
+    )
+    t = FeatureTable(spark, "skip", ["k", "day"], str(tmp_path / "store"))
+    t.merge(df)
+
+    def file_ranges(col):
+        part = tmp_path / "store" / "skip" / f"day={day}"
+        out = []
+        for f in sorted(part.glob("*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(
+                    [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+                ).statistics
+                mins.append(stats.min)
+                maxs.append(stats.max)
+            out.append((min(mins), max(maxs)))
+        return out
+
+    t.compact(day, target_files=4)  # unsorted baseline: every file ~full span
+    base = {c: sum(hi - lo for lo, hi in file_ranges(c)) for c in ("x", "y")}
+
+    t.compact(day, target_files=4, sort_by=["x"])
+    widths = [hi - lo for lo, hi in file_ranges("x")]
+    assert len(widths) == 4
+    assert sum(widths) <= 1.5 * 996  # ~disjoint quarter slices, not 4x full range
+
+    t.compact(day, target_files=4, sort_by=["x", "y"], zorder=True)
+    for col in ("x", "y"):
+        zw = sum(hi - lo for lo, hi in file_ranges(col))
+        # Morton clustering shrinks the summed per-file span on BOTH
+        # columns vs the unsorted layout (a single-column sort can only
+        # do this for its leading column). Count-based range cuts may
+        # straddle a z-quadrant, so per-file bounds aren't guaranteed —
+        # the aggregate skipping win is.
+        assert zw <= 0.75 * base[col], (col, zw, base[col])
+    # compaction is still lossless
+    assert t.read(day).count() == n
