@@ -496,6 +496,25 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def resolve_duplicates(
+    docs: DataFrame, components: DataFrame, quality_col: str = "n_chars"
+) -> DataFrame:
+    """Keep-one policy over duplicate groups — the step after
+    clustering that actually shrinks the corpus: per component keep
+    the highest-`quality_col` document (ties -> lowest doc_id), drop
+    the rest. ONE component-keyed shuffle: min_by over
+    struct(-quality, doc_id) picks the winner without a rank window
+    or a self-join; the keeper set then left-semi-joins back onto the
+    full rows. `components` is (doc_id, component) as produced by
+    q_dedup_components — singletons map to themselves, so every
+    surviving corpus doc appears exactly once."""
+    joined = docs.join(components, "doc_id")
+    keep = joined.groupBy("component").agg(
+        F.expr(f"min_by(doc_id, struct(-{quality_col}, doc_id))").alias("doc_id")
+    )
+    return docs.join(keep.select("doc_id"), "doc_id", "left_semi")
+
+
 ORACLES["dedup_components"] = f"""
     WITH RECURSIVE pairs AS ({_CAND_SQL}),
          edges AS (

@@ -333,3 +333,58 @@ def test_pq_codes_and_reconstruction_gain(spark, sf_dir):
     assert {r["vec_id"]: r["codes"] for r in rows} == again
     flag = V.pq_gain_flag(spark, sf_dir).collect()[0]["flag"]
     assert flag == 1.0
+
+
+def test_resolve_duplicates_keep_best(spark, sf_dir):
+    """Keep-one policy: exactly one survivor per duplicate component,
+    the survivor has the component's max quality (ties -> lowest
+    doc_id), and non-duplicated docs all survive."""
+    docs = D.load_table(spark, sf_dir, "documents")
+    comps = D.q_dedup_components(spark, sf_dir)
+    kept = D.resolve_duplicates(docs, comps, "n_chars")
+    n_components = comps.select("component").distinct().count()
+    assert kept.count() == n_components
+    merged = {
+        (r["doc_id"]): r
+        for r in docs.join(comps, "doc_id").collect()
+    }
+    best = {}
+    for r in merged.values():
+        c = r["component"]
+        cur = best.get(c)
+        if cur is None or (-r["n_chars"], r["doc_id"]) < (-cur["n_chars"], cur["doc_id"]):
+            best[c] = r
+    assert {r["doc_id"] for r in kept.collect()} == {r["doc_id"] for r in best.values()}
+
+
+def test_pack_documents_invariants(spark, sf_dir):
+    """Sequence packing: every doc assigned exactly once; no
+    non-oversize bin exceeds max_tokens; oversize bins are single-doc;
+    packing is deterministic; and FFD efficiency beats the trivial
+    one-doc-per-bin layout by a wide margin."""
+    from propensity_spark.text.analysis import pack_documents
+
+    max_tokens = 256
+    rows = pack_documents(spark, sf_dir, max_tokens=max_tokens, n_blocks=8).collect()
+    docs_n = D.load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == docs_n
+    assert len({r["doc_id"] for r in rows}) == docs_n
+    bins = {}
+    for r in rows:
+        bins.setdefault(r["bin_id"], []).append(r)
+    for members in bins.values():
+        if any(m["oversize"] for m in members):
+            assert len(members) == 1 and members[0]["tokens"] > max_tokens
+        else:
+            assert sum(m["tokens"] for m in members) <= max_tokens
+    total = sum(r["tokens"] for r in rows if not r["oversize"])
+    n_regular_bins = len([b for b, ms in bins.items() if not ms[0]["oversize"]])
+    # lower bound on bins is ceil(total/max); FFD within 8 blocks must
+    # stay within 2x the bound + one open bin per block
+    import math
+
+    assert n_regular_bins <= 2 * math.ceil(total / max_tokens) + 8
+    again = pack_documents(spark, sf_dir, max_tokens=max_tokens, n_blocks=8).collect()
+    assert {(r["doc_id"], r["bin_id"]) for r in again} == {
+        (r["doc_id"], r["bin_id"]) for r in rows
+    }
