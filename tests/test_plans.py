@@ -319,3 +319,40 @@ def test_runtime_bloom_filter_prunes_fact_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_no_plan_red_flags_across_gate(spark, sf_dir):
+    """Repo-wide physical-plan audit: every lazily-planned gate entry
+    is free of (a) CartesianProduct — the non-broadcast cross join that
+    explodes at scale (deliberate 1-row bounds broadcasts plan as
+    BroadcastNestedLoopJoin and stay allowed), and (b) BatchEvalPython
+    / row-at-a-time Python UDFs — Python on executors must be
+    Arrow-batched (ArrowEvalPython / mapInPandas) only. Entries that
+    EXECUTE during construction (ML training, pipeline runs, streaming
+    drains, filesystem round-trips) are audited by their own tests and
+    skipped here."""
+    import __spark_entry__ as e
+
+    eager = {
+        "train_score_propensity",
+        "pipeline_e2e",
+        "ingest_roundtrip",
+        "stream_tumbling",
+        "stream_stateful",
+        "stream_ops_suite",
+        "feature_store_roundtrip",
+        "ann_ivf",  # KMeans fits during plan construction
+        "ann_lsh",  # MLlib LSH fit
+        "minhash_lsh_mllib",  # MLlib LSH fit
+        "media_bridge",  # embeddings write round-trip
+    }
+    flags = []
+    for name, fn in e.queries().items():
+        if name in eager:
+            continue
+        plan = plan_of(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            flags.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            flags.append((name, "BatchEvalPython"))
+    assert not flags, flags
