@@ -10,9 +10,11 @@ def test_entry_returns_rows(spark):
 
 def test_every_oracle_has_a_query():
     qs, oracles = e.queries(), e.oracle_sql()
-    assert set(oracles) <= set(qs)
+    # round 3: EVERY entry carries a DuckDB oracle — zero rows-only.
+    # A new entry without an oracle (or an oracle whose query was
+    # renamed away) fails here before it silently weakens the gate.
+    assert set(oracles) == set(qs)
     assert len(qs) == 50  # driver gate budget: exactly 50 entries
-    assert len(oracles) >= 45
 
 
 def test_oracles_parse_in_duckdb():
