@@ -89,11 +89,12 @@ MH_A = [((2654435761 * (i + 1)) % (1 << 28)) | 1 for i in range(N_HASHES)]
 MH_B = [(40503 * (i + 7)) % MH_P for i in range(N_HASHES)]
 
 
-def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures: explode shingles, one md5 base hash per
-    shingle, N_HASHES universal-hash min-aggregates per doc. Docs too
-    short for a shingle get -1."""
-    docs = load_table(spark, sf_dir, "documents")
+def signatures_of(docs: DataFrame) -> DataFrame:
+    """MinHash signatures of a documents frame: explode shingles, one
+    md5 base hash per shingle, N_HASHES universal-hash min-aggregates
+    per doc. Docs too short for a shingle get -1. Per-doc map+agg —
+    trivially incremental: new documents' signatures never depend on
+    the existing corpus."""
     exploded = _with_shingles(docs).select(
         "doc_id", F.explode_outer("shingles").alias("shingle")
     ).withColumn("h", F.expr(_md5i_spark("shingle")))
@@ -104,6 +105,10 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(N_HASHES)
     ]
     return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return signatures_of(load_table(spark, sf_dir, "documents"))
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,21 +125,7 @@ def _band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic in their count (at 100 TB, millions of tiny docs -> one
     n^2 bucket) while being semantically meaningless as near-dup
     candidates."""
-    sig = _signatures(spark, sf_dir).where(F.col("mh_0") != -1)
-    bands = sig.selectExpr(
-        "doc_id",
-        *[
-            f"concat_ws('_', '{b}', mh_{BAND_SIZE * b}, mh_{BAND_SIZE * b + 1}) AS band_{b}"
-            for b in range(N_HASHES // BAND_SIZE)
-        ],
-    )
-    stacked = bands.selectExpr(
-        "doc_id",
-        "stack({n}, {args}) AS band_val".format(
-            n=N_HASHES // BAND_SIZE,
-            args=", ".join(f"band_{b}" for b in range(N_HASHES // BAND_SIZE)),
-        ),
-    )
+    stacked = band_table(load_table(spark, sf_dir, "documents"))
     a, b = stacked.alias("a"), stacked.alias("b")
     return (
         a.join(b, "band_val")
@@ -142,6 +133,61 @@ def _band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.expr("a.doc_id").alias("doc_a"), F.expr("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+def band_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_val) rows — the persistable LSH INDEX: signature
+    split into two-row bands, stacked long. Map-only per doc, so the
+    index is append-only: a daily ingest writes just its own rows
+    (partition by ingest day at scale) and never touches history."""
+    sig = signatures_of(docs).where(F.col("mh_0") != -1)
+    bands = sig.selectExpr(
+        "doc_id",
+        *[
+            f"concat_ws('_', '{b}', mh_{BAND_SIZE * b}, mh_{BAND_SIZE * b + 1}) AS band_{b}"
+            for b in range(N_HASHES // BAND_SIZE)
+        ],
+    )
+    return bands.selectExpr(
+        "doc_id",
+        "stack({n}, {args}) AS band_val".format(
+            n=N_HASHES // BAND_SIZE,
+            args=", ".join(f"band_{b}" for b in range(N_HASHES // BAND_SIZE)),
+        ),
+    )
+
+
+def incremental_band_pairs(
+    old_bands: DataFrame, new_docs: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental LSH maintenance for daily ingest: instead of
+    re-banding the whole corpus, compute bands for the NEW docs only
+    (map-only) and probe them against old + new bands — every fresh
+    candidate pair touches at least one new doc, so the join cost
+    scales with the batch, not the corpus. Old-old pairs were already
+    emitted by previous runs and are not recomputed.
+
+    Returns (new_pairs, updated_bands): new_pairs has the same
+    (doc_a, doc_b, n_shared_bands) shape as the full recompute —
+    full_pairs(old + new) == previous_pairs(old) UNION new_pairs,
+    the invariant pinned by test_incremental_band_pairs_match_full."""
+    new_bands = band_table(new_docs)
+    all_bands = old_bands.unionByName(new_bands)
+    probe = new_bands.alias("a")
+    build = all_bands.alias("b")
+    pairs = (
+        probe.join(build, "band_val")
+        .where(F.expr("a.doc_id != b.doc_id"))
+        .select(
+            F.least(F.expr("a.doc_id"), F.expr("b.doc_id")).alias("doc_a"),
+            F.greatest(F.expr("a.doc_id"), F.expr("b.doc_id")).alias("doc_b"),
+            "band_val",
+        )
+        .distinct()  # new-new pairs probe from both sides: count each band once
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    return pairs, all_bands
 
 
 def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

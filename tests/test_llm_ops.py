@@ -388,3 +388,38 @@ def test_pack_documents_invariants(spark, sf_dir):
     assert {(r["doc_id"], r["bin_id"]) for r in again} == {
         (r["doc_id"], r["bin_id"]) for r in rows
     }
+
+
+def test_incremental_band_pairs_match_full(spark, sf_dir):
+    """Append-only LSH index: banding yesterday's corpus, then probing
+    only the new batch's bands against (old + new), yields exactly the
+    pairs a full recompute finds minus the already-known old-old pairs
+    — same n_shared_bands per pair, nothing missed, nothing duplicated."""
+    docs = D.load_table(spark, sf_dir, "documents")
+    old_docs = docs.where("doc_id % 2 = 0")
+    new_docs = docs.where("doc_id % 2 = 1")
+
+    def pairs_of(bands):
+        a, b = bands.alias("a"), bands.alias("b")
+        return {
+            (r["doc_a"], r["doc_b"]): r["n_shared_bands"]
+            for r in a.join(b, "band_val")
+            .where("a.doc_id < b.doc_id")
+            .groupBy(
+                F.expr("a.doc_id").alias("doc_a"), F.expr("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+            .collect()
+        }
+
+    full = pairs_of(D.band_table(docs))
+    old_bands = D.band_table(old_docs)
+    old_pairs = pairs_of(old_bands)
+    new_pairs_df, updated = D.incremental_band_pairs(old_bands, new_docs)
+    new_pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_bands"] for r in new_pairs_df.collect()
+    }
+    assert set(old_pairs) & set(new_pairs) == set()  # no recomputed history
+    merged = {**old_pairs, **new_pairs}
+    assert merged == full
+    assert updated.count() == D.band_table(docs).count()
