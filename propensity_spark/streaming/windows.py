@@ -354,6 +354,60 @@ SSJ_WITHIN = "1 hour"
 FEAT_DAY = "2024-06-01"
 
 
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming SESSION windows: watermark-driven gap
+    merging with append-mode finalization — the hard half of the
+    session story (batch session_window is in q_batch_windows). A
+    session is emitted exactly when the watermark passes its end + gap,
+    so with a 0-second watermark over a finite source the emitted set
+    is precisely the CLOSED sessions: last_event + GAP <= max event
+    time (the one still-open tail session per live user stays in
+    state) — the predicate the stream_ops_suite oracle mirrors.
+    State is bounded: one open session per active user, evicted at
+    emission."""
+    import uuid
+
+    from propensity_spark.io import _normalize_ts
+
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", _normalize_ts(raw_schema["ts"].dataType))
+        .withWatermark("ts", "0 seconds")
+    )
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", f"{GAP_MIN} minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + 1e-6, 2).alias("sum_value"),
+        )
+        .select(
+            _epoch("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+            rows = spark.table(name).collect()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.createDataFrame(rows, agg.schema)
+
+
 def q_stream_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
@@ -398,13 +452,57 @@ def q_stream_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     feat = spark.createDataFrame(feat_rows, tumbling.schema)
-    return tumbling.unionByName(dedup).unionByName(ssj).unionByName(feat)
+    session = q_stream_session(spark, sf_dir).select(
+        F.lit("session").alias("section"),
+        F.col("session_start").alias("k1"),
+        F.col("user_id").cast("string").alias("k2"),
+        F.col("n_events").alias("n"),
+        F.col("sum_value").alias("v"),
+    )
+    return (
+        tumbling.unionByName(dedup)
+        .unionByName(ssj)
+        .unionByName(feat)
+        .unionByName(session)
+    )
 
 
 ORACLES["stream_ops_suite"] = f"""
     SELECT 'tumbling' AS section, window_start AS k1, event_type AS k2,
            n_events AS n, sum_value AS v
     FROM ({_TUMBLING_SQL}) t
+    UNION ALL
+    -- streaming session windows emit exactly the CLOSED sessions:
+    -- last event + gap <= the final watermark (= max event time at
+    -- 0s delay); the per-user tail session stays open in state.
+    SELECT 'session', session_start, CAST(user_id AS VARCHAR), n_events, sum_value
+    FROM (
+        WITH ordered AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= {GAP_MIN * 60}
+                        OR lag(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts)
+                       AS session_id
+            FROM ordered
+        ),
+        rolled AS (
+            SELECT user_id,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+                   max(ts) AS last_ts,
+                   count(*) AS n_events,
+                   round(1e-6 + sum(value), 2) AS sum_value
+            FROM sessions
+            GROUP BY user_id, session_id
+        )
+        SELECT r.* FROM rolled r, (SELECT max(ts) AS m FROM events) mx
+        WHERE r.last_ts + INTERVAL {GAP_MIN} MINUTE <= mx.m
+    ) closed
     UNION ALL
     SELECT 'dedup', event_id, event_type, user_id, 0.0 FROM events
     UNION ALL
