@@ -244,6 +244,32 @@ class FeatureTable:
         self._stamp([day])
         return len(list(part.glob("*.parquet")))
 
+    def validate(self, day=None) -> dict:
+        """DLT-expectations-style health check over the table (or one
+        pruned day partition): PK null-ness and PK uniqueness — the two
+        invariants MERGE correctness rests on. ONE aggregation job:
+        total rows + null-PK rows come from a single agg, duplicate-PK
+        rows from total minus a distinct-PK count (one shuffle, no
+        groupBy-then-filter second pass). Returns counts; all zeros
+        except `rows` means healthy. At 100 TB run per-day (pruned),
+        not table-wide."""
+        df = self.read(day)
+        data_pk = [k for k in self.pk if k != "day" or day is None]
+        null_pred = None
+        for k in data_pk:
+            cond = F.col(k).isNull()
+            null_pred = cond if null_pred is None else (null_pred | cond)
+        stats = df.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.count(F.when(null_pred, 1)).alias("null_pk"),
+        ).collect()[0]
+        distinct_pk = df.select(*data_pk).distinct().count()
+        return {
+            "rows": stats["rows"],
+            "null_pk": stats["null_pk"],
+            "duplicate_pk": stats["rows"] - distinct_pk,
+        }
+
     def expire(self, before_day) -> list:
         """Operational: retention — drop day partitions strictly older
         than `before_day` (metadata-only: directory removal, no scan;

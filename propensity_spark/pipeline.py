@@ -88,7 +88,23 @@ class Pipeline:
         scored, never history — at 100 TB a flat overwrite would
         rewrite every historical score file each day. A scoring-day
         read prunes to one partition (see ``read_published``)."""
-        unpivoted = scores.select("household_key", "day", "commodity_desc", "prediction")
+        from pyspark.sql import Observation
+
+        # In-flight observability (df.observe): metrics ride the write
+        # job itself — no second scan of the scores at any scale. The
+        # daily job reads them after publish to alert on empty or
+        # out-of-range outputs (self.last_publish_metrics).
+        obs = Observation("publish_metrics")
+        unpivoted = scores.select(
+            "household_key", "day", "commodity_desc", "prediction"
+        ).observe(
+            obs,
+            F.count(F.lit(1)).alias("n_scores"),
+            F.count(F.when(~F.col("prediction").between(0, 1), 1)).alias(
+                "n_out_of_range"
+            ),
+            F.count(F.when(F.col("prediction").isNull(), 1)).alias("n_null"),
+        )
         clean = F.regexp_replace("commodity_desc", "#", "_")
         present = sorted(
             r[0] for r in scores.select(clean.alias("c")).distinct().collect()
@@ -102,6 +118,7 @@ class Pipeline:
         paths = (str(self.out / "propensities_unpivoted"), str(self.out / "propensities_pivoted"))
         for df, path in ((unpivoted, paths[0]), (pivoted, paths[1])):
             self._promote(df, path)
+        self.last_publish_metrics = obs.get
         return paths
 
     def _promote(self, df: DataFrame, path: str) -> None:

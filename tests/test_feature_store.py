@@ -288,3 +288,44 @@ def test_compact_sort_by_enables_data_skipping(spark, tmp_path):
         assert zw <= 0.75 * base[col], (col, zw, base[col])
     # compaction is still lossless
     assert t.read(day).count() == n
+
+
+def test_validate_expectations(spark, tmp_path):
+    """DLT-style expectations: a healthy merged table reports zero
+    violations; planted duplicate-PK and null-PK rows are counted."""
+    day = date(2024, 1, 1)
+    t = FeatureTable(spark, "val", ["k", "day"], str(tmp_path / "store"))
+    clean = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "k int, x double"
+    ).withColumn("day", F.lit(str(day)).cast("date"))
+    t.merge(clean)
+    assert t.validate(day) == {"rows": 3, "null_pk": 0, "duplicate_pk": 0}
+    assert t.validate() == {"rows": 3, "null_pk": 0, "duplicate_pk": 0}
+
+    bad = spark.createDataFrame(
+        [(1, 1.0), (1, 9.0), (None, 5.0)], "k int, x double"
+    ).withColumn("day", F.lit(str(day)).cast("date"))
+    t2 = FeatureTable(spark, "val2", ["k", "day"], str(tmp_path / "store"))
+    t2.create(bad)
+    got = t2.validate(day)
+    assert got == {"rows": 3, "null_pk": 1, "duplicate_pk": 1}
+
+
+def test_publish_metrics_observed_in_flight(spark, sf_dir, tmp_path):
+    """df.observe rides the publish write: metrics available without a
+    second scan, matching the published row count."""
+    import datetime
+
+    from propensity_spark.pipeline import Pipeline
+
+    p = Pipeline(spark, sf_dir, str(tmp_path / "pipe"))
+    day = datetime.date(2024, 2, 1)
+    scores = spark.createDataFrame(
+        [(1, day, "Brand#1", 0.5), (2, day, "Brand#1", 1.5), (3, day, "Brand#1", None)],
+        "household_key int, day date, commodity_desc string, prediction double",
+    )
+    p.publish(scores)
+    m = p.last_publish_metrics
+    assert m["n_scores"] == 3
+    assert m["n_out_of_range"] == 1  # the 1.5
+    assert m["n_null"] == 1
