@@ -103,11 +103,22 @@ def top_commodities(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFra
     """commodities_to_score derivation (02_Initialize_Solution.py:38-47):
     top-k commodities by countDistinct(basket_id), with the
     identifier-sanitizing rename (F4, 02:61-62). Deterministic
-    tie-break on the name so LIMIT is reproducible."""
-    silver = silver_transactions(spark, sf_dir)
+    tie-break on the name so LIMIT is reproducible.
+
+    FK-constraint join elimination: the silver view's orders join only
+    contributes household_key (unused here) and an existence filter
+    that is vacuous under the lineitem→orders FK (basket_id IS
+    l_orderkey), so the top-k reads the bare fact + broadcast dim —
+    no fact-to-fact join at any scale. Catalyst can't infer the FK
+    itself; this is the rewrite a constraint-aware planner would make,
+    and the DuckDB oracle still runs the full silver join, pinning
+    result equality."""
+    fact = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("product_id"), F.col("l_orderkey").alias("basket_id")
+    )
     dim = brand_dim(spark, sf_dir)
     return (
-        silver.join(F.broadcast(dim), "product_id", "inner")
+        fact.join(F.broadcast(dim), "product_id", "inner")
         .groupBy("commodity_desc")
         .agg(F.countDistinct("basket_id").alias("baskets"))
         .orderBy(F.desc("baskets"), F.asc("commodity_desc"))
