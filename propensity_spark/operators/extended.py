@@ -705,6 +705,199 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost-supplier shape (TPC-H Q2 adapted: lineitem is the
+    part↔supplier relation, unit price = extendedprice/quantity stands
+    in for ps_supplycost): per (region, small part), the suppliers
+    matching the correlated MIN unit price. The correlated subquery
+    decorrelates to a (region, part) aggregate joined back on equality
+    of the ROUNDED price (row-level scalar, bit-identical across
+    engines); ties keep all matching suppliers, output bounded by a
+    deterministic top-100."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") < 10)
+    lineitem = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    offers = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "r_name",
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            F.round(F.expr("1e-9 + l_extendedprice / l_quantity"), 6).alias(
+                "unit_price"
+            ),
+        )
+    )
+    best = offers.groupBy(
+        F.col("r_name").alias("b_region"), F.col("p_partkey").alias("b_partkey")
+    ).agg(F.min("unit_price").alias("min_price"))
+    return (
+        offers.join(
+            best,
+            (offers.r_name == best.b_region)
+            & (offers.p_partkey == best.b_partkey)
+            & (offers.unit_price == best.min_price),
+        )
+        .select("r_name", "p_partkey", "s_suppkey", "s_name", "unit_price")
+        .distinct()
+        .orderBy("r_name", "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type-profit shape (TPC-H Q9 adapted: cost model =
+    10% of part retail price per unit, replacing ps_supplycost):
+    profit per (supplier nation, order year) over parts whose name
+    contains 'a' — fact ⋈ two broadcast dims ⋈ fact, CASE-free
+    arithmetic inside one aggregate."""
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").contains("a"))
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.expr(
+                        "l_extendedprice * (1 - l_discount)"
+                        " - 0.1 * p_retailprice * l_quantity"
+                    )
+                )
+                + 1e-6,
+                2,
+            ).alias("sum_profit")
+        )
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock shape (TPC-H Q11 adapted: shipped value stands
+    in for stock value): parts whose value within a supplier nation
+    exceeds 0.1% of that nation's total — the per-group scalar
+    subquery decorrelates to a nation-level aggregate joined back
+    (broadcast: one row per nation)."""
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    value = (
+        lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "l_partkey")
+        .agg(F.sum(F.expr("l_extendedprice")).alias("val"))
+    )
+    totals = value.groupBy(F.col("n_name").alias("t_nation")).agg(
+        F.sum("val").alias("total")
+    )
+    return (
+        value.join(F.broadcast(totals), value.n_name == totals.t_nation)
+        .where(F.col("val") > 0.001 * F.col("total"))
+        .select(
+            "n_name",
+            "l_partkey",
+            F.round(F.col("val") + 1e-6, 2).alias("value"),
+        )
+        .orderBy(F.desc("value"), F.asc("n_name"), F.asc("l_partkey"))
+        .limit(100)
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-mode-priority shape (TPC-H Q12 adapted: return flag
+    buckets stand in for ship modes, 'late' = shipped >30 days after
+    order): per return flag, counts of high- vs low-priority orders
+    among late lines — the two-bucket conditional aggregate over a
+    fact-fact join."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).alias("high_line_count"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted-revenue shape (TPC-H Q19): the OR-of-ANDs predicate
+    across fact and dim columns — Catalyst pushes the common
+    `p_partkey = l_partkey` up, evaluates the disjunction post-join,
+    and the dim side stays broadcast."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        "(p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5"
+        " AND l_quantity BETWEEN 1 AND 11)"
+        " OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10"
+        " AND l_quantity BETWEEN 10 AND 20)"
+        " OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15"
+        " AND l_quantity BETWEEN 20 AND 30)"
+    )
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .where(F.expr(cond))
+        .agg(
+            F.round(
+                F.sum(F.expr("l_extendedprice * (1 - l_discount)")) + 1e-6, 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential-part-promotion shape (TPC-H Q20 adapted: 1996 shipped
+    quantity per (part, supplier) stands in for availqty): suppliers
+    who moved > 50 units of any 'b'-named part in 1996 — the nested
+    IN-subquery chain decorrelated to agg -> threshold -> DISTINCT ->
+    LEFT SEMI join, ordered by name."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").contains("b"))
+    lineitem = load_table(spark, sf_dir, "lineitem").where(
+        F.year("l_shipdate") == 1996
+    )
+    qualified = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(qualified, supplier.s_suppkey == qualified.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
 def _melted(df: DataFrame, q: str, key_expr: str, metrics: dict[str, str]) -> DataFrame:
     """Melt a result to (q, k, metric, value DOUBLE) — the shared suite
     shape. `metrics` maps output metric name -> source SQL expression."""
@@ -748,9 +941,16 @@ def q_tpch_mini_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cntrycode",
         {"numcust": "numcust", "totacctbal": "totacctbal"},
     )
-    return q4.unionByName(q6).unionByName(q14).unionByName(q13).unionByName(
-        q17
-    ).unionByName(q22)
+    q19 = _melted(
+        q_tpch_q19(spark, sf_dir),
+        "q19",
+        "'all'",
+        {"revenue": "revenue", "n_lines": "n_lines"},
+    )
+    out = q4
+    for part in (q6, q14, q13, q17, q19, q22):
+        out = out.unionByName(part)
+    return out
 
 
 def q_tpch_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -810,8 +1010,38 @@ def q_tpch_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     q21 = _melted(
         q_tpch_q21(spark, sf_dir), "q21", "s_name", {"numwait": "numwait"}
     )
+    q2 = _melted(
+        q_tpch_q2(spark, sf_dir),
+        "q2",
+        "concat(r_name, '|', cast(p_partkey as string), '|', cast(s_suppkey as string))",
+        {"unit_price": "unit_price"},
+    )
+    q9 = _melted(
+        q_tpch_q9(spark, sf_dir),
+        "q9",
+        "concat(nation, '|', cast(o_year as string))",
+        {"sum_profit": "sum_profit"},
+    )
+    q11 = _melted(
+        q_tpch_q11(spark, sf_dir),
+        "q11",
+        "concat(n_name, '|', cast(l_partkey as string))",
+        {"value": "value"},
+    )
+    q12 = _melted(
+        q_tpch_q12(spark, sf_dir),
+        "q12",
+        "l_returnflag",
+        {"high_line_count": "high_line_count", "low_line_count": "low_line_count"},
+    )
+    q20 = _melted(
+        q_tpch_q20(spark, sf_dir),
+        "q20",
+        "s_suppkey",
+        {"name_len": "length(s_name)"},
+    )
     out = q3
-    for part in (q5, q18, q7, q8, q10, q15, q16, q21):
+    for part in (q5, q18, q7, q8, q10, q15, q16, q21, q2, q9, q11, q12, q20):
         out = out.unionByName(part)
     return out
 
@@ -1011,6 +1241,90 @@ _Q22_SQL = """
     GROUP BY 1
 """
 
+_Q2_SQL = """
+    WITH offers AS (
+        SELECT DISTINCT r_name, p_partkey, s_suppkey, s_name,
+               round(1e-9 + l_extendedprice / l_quantity, 6) AS unit_price
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE p_size < 10 AND l_quantity > 0
+    )
+    SELECT r_name, p_partkey, s_suppkey, s_name, unit_price
+    FROM offers o
+    WHERE unit_price = (SELECT min(unit_price) FROM offers i
+                        WHERE i.r_name = o.r_name AND i.p_partkey = o.p_partkey)
+    ORDER BY r_name, p_partkey, s_suppkey
+    LIMIT 100
+"""
+
+_Q9_SQL = """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           round(1e-6 + sum(l_extendedprice * (1 - l_discount)
+                            - 0.1 * p_retailprice * l_quantity), 2) AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%a%'
+    GROUP BY 1, 2
+"""
+
+_Q11_SQL = """
+    WITH value AS (
+        SELECT n_name, l_partkey, sum(l_extendedprice) AS val
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    totals AS (SELECT n_name, sum(val) AS total FROM value GROUP BY 1)
+    SELECT v.n_name, v.l_partkey, round(1e-6 + v.val, 2) AS value
+    FROM value v JOIN totals t ON v.n_name = t.n_name
+    WHERE v.val > 0.001 * t.total
+    ORDER BY value DESC, v.n_name ASC, v.l_partkey ASC
+    LIMIT 100
+"""
+
+_Q12_SQL = """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY 1
+"""
+
+_Q19_SQL = """
+    SELECT round(1e-6 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+
+_Q20_SQL = """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE '%b%' AND year(l_shipdate) = 1996
+        GROUP BY l_partkey, l_suppkey
+        HAVING sum(l_quantity) > 50
+    )
+    ORDER BY s_name
+"""
+
 ORACLES = {
     "range_join": """
         WITH b AS (
@@ -1132,6 +1446,10 @@ ORACLES = {
         UNION ALL
         SELECT 'q22', CAST(cntrycode AS VARCHAR), 'totacctbal', CAST(totacctbal AS DOUBLE)
         FROM ({_Q22_SQL}) i
+        UNION ALL
+        SELECT 'q19', 'all', 'revenue', CAST(revenue AS DOUBLE) FROM ({_Q19_SQL}) j
+        UNION ALL
+        SELECT 'q19', 'all', 'n_lines', CAST(n_lines AS DOUBLE) FROM ({_Q19_SQL}) k
     """,
     "tpch_join_suite": f"""
         SELECT 'q3' AS q,
@@ -1183,6 +1501,29 @@ ORACLES = {
         UNION ALL
         SELECT 'q21', s_name, 'numwait', CAST(numwait AS DOUBLE)
         FROM ({_Q21_SQL}) l
+        UNION ALL
+        SELECT 'q2', r_name || '|' || CAST(p_partkey AS VARCHAR) || '|'
+               || CAST(s_suppkey AS VARCHAR),
+               'unit_price', CAST(unit_price AS DOUBLE)
+        FROM ({_Q2_SQL}) m
+        UNION ALL
+        SELECT 'q9', nation || '|' || CAST(o_year AS VARCHAR), 'sum_profit',
+               CAST(sum_profit AS DOUBLE)
+        FROM ({_Q9_SQL}) n
+        UNION ALL
+        SELECT 'q11', n_name || '|' || CAST(l_partkey AS VARCHAR), 'value',
+               CAST(value AS DOUBLE)
+        FROM ({_Q11_SQL}) o
+        UNION ALL
+        SELECT 'q12', l_returnflag, 'high_line_count', CAST(high_line_count AS DOUBLE)
+        FROM ({_Q12_SQL}) p
+        UNION ALL
+        SELECT 'q12', l_returnflag, 'low_line_count', CAST(low_line_count AS DOUBLE)
+        FROM ({_Q12_SQL}) q
+        UNION ALL
+        SELECT 'q20', CAST(s_suppkey AS VARCHAR), 'name_len',
+               CAST(length(s_name) AS DOUBLE)
+        FROM ({_Q20_SQL}) r
     """,
 }
 
