@@ -146,6 +146,52 @@ def _search_maps(clf, model_type: str, search: str, n_trials: int, seed: int = S
     raise ValueError(f"unknown search {search!r}; expected 'grid' or 'random'")
 
 
+def _strip_training_summaries(model) -> None:
+    """Drop per-stage training summaries right after fit.
+
+    Works around a Spark 4.1 serialization trap: LogisticRegressionModel
+    (and friends) retain a `trainingSummary` whose `sparkSession` field
+    is captured into any task closure that serializes the model (e.g.
+    `evaluator.evaluate(model.transform(df))`). The session's
+    `observationManager` is a non-serializable lazy val — uninitialized
+    it serializes as null, but after ANY `df.observe(Observation, ...)`
+    action anywhere in the session it is materialized, and every later
+    model-in-closure job dies with `NotSerializableException:
+    ObservationManager`. The summary is a fit-time diagnostic we never
+    read; stripping it (the same thing a save/load round-trip does)
+    keeps models closure-safe regardless of session history. The setter
+    is `private[classification]` in Scala, which is public in bytecode,
+    so py4j can call it; guarded so a future Spark that renames it
+    degrades to the old behavior instead of breaking training."""
+    from pyspark import SparkContext
+
+    stages = getattr(model, "stages", None) or [model]
+    for stage in stages:
+        jobj = getattr(stage, "_java_obj", None)
+        if jobj is None or not getattr(stage, "hasSummary", False):
+            continue
+        try:
+            sc = SparkContext._active_spark_context
+            jobj.setSummary(sc._jvm.scala.Option.empty())
+        except Exception:  # noqa: BLE001 — best-effort hardening only
+            pass
+
+
+class SessionSafePipeline(Pipeline):
+    """Pipeline whose fitted models never capture the SparkSession.
+
+    TrainValidationSplit evaluates candidate models internally
+    (pyspark.ml.tuning calls `evaluator.evaluate(model.transform(...))`
+    per param map), so the summary strip must happen INSIDE fit — a
+    caller-side strip would be too late for tuning. See
+    `_strip_training_summaries` for the Spark 4.1 bug this defuses."""
+
+    def _fit(self, dataset):
+        model = super()._fit(dataset)
+        _strip_training_summaries(model)
+        return model
+
+
 def make_pipeline(
     feature_cols: list[str],
     tune: bool = False,
@@ -181,7 +227,7 @@ def make_pipeline(
     else:
         raise ValueError(f"unknown model_type {model_type!r}; expected 'gbt' or 'lr'")
     if not tune:
-        est = Pipeline(stages=[assembler, clf])
+        est = SessionSafePipeline(stages=[assembler, clf])
         est.n_search_trials = 1
         return est
     grid = _search_maps(clf, model_type, search, n_trials)
@@ -189,7 +235,7 @@ def make_pipeline(
 
     sc = SparkSession.getActiveSession().sparkContext
     tvs = TrainValidationSplit(
-        estimator=Pipeline(stages=[assembler, clf]),
+        estimator=SessionSafePipeline(stages=[assembler, clf]),
         estimatorParamMaps=grid,
         evaluator=BinaryClassificationEvaluator(
             labelCol="purchased", metricName="areaUnderPR"  # M5: avg-precision analogue
@@ -274,15 +320,20 @@ def train_commodity_models(
             path = str(Path(models_base) / clean)
             pipeline_model.write().overwrite().save(path)
             manifest_rows.append(
-                (commodity, clean, path, aupr, "Production", est.n_search_trials)
+                (commodity, clean, path, aupr, "Production", est.n_search_trials, None)
             )
-        except Exception:  # noqa: BLE001 — isolation: one bad category
+        except Exception as exc:  # noqa: BLE001 — isolation: one bad category
             # must not kill the weekly job (04b:400-417); the failure
-            # is recorded so the scorer skips it and ops can see it.
-            manifest_rows.append((commodity, clean, None, None, "failed", 0))
+            # is recorded WITH its cause so the scorer skips it and ops
+            # can triage without re-running the job.
+            manifest_rows.append(
+                (commodity, clean, None, None, "failed",
+                 0, f"{type(exc).__name__}: {exc}"[:500])
+            )
     return spark.createDataFrame(
         manifest_rows, "commodity_desc string, commodity_clean string, "
-        "model_path string, metric_aupr double, stage string, n_trials int"
+        "model_path string, metric_aupr double, stage string, n_trials int, "
+        "error string"
     )
 
 
