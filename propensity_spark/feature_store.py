@@ -202,6 +202,23 @@ class FeatureTable:
         default is lexicographic (leading-column skipping only)."""
         import shutil
 
+        if self.use_delta:
+            # The Delta txn log owns the file layout — rewriting
+            # directories underneath it would orphan every logged file.
+            # OPTIMIZE (+ ZORDER BY) is the transactional equivalent of
+            # the parquet rewrite below, scoped to the one partition.
+            cols = ", ".join(f"`{c}`" for c in (sort_by or []))
+            clause = f" ZORDER BY ({cols})" if sort_by and zorder else ""
+            self.spark.sql(
+                f"OPTIMIZE delta.`{self.path}` WHERE day = '{day}'{clause}"
+            )
+            return (
+                self.read(day)
+                .select(F.input_file_name())
+                .distinct()
+                .count()
+            )
+
         part = Path(self.path) / f"day={day}"
         if not self.has_day(day):
             raise ValueError(f"no partition for day={day}")
@@ -231,16 +248,18 @@ class FeatureTable:
         shutil.rmtree(tmp_root, ignore_errors=True)
         tmp = tmp_root / f"day={day}"
         df.write.mode("overwrite").parquet(str(tmp))
-        try:
-            # Swap is rmtree-then-rename: non-atomic for CONCURRENT
-            # readers (documented; Delta fixes this with the txn log),
-            # but crash-safe for the store itself — a death between the
-            # two calls leaves no _COMMITTED marker, so has_day()
-            # reports the partition incomplete and the day is redone.
-            shutil.rmtree(part)
-            tmp.rename(part)
-        finally:
-            shutil.rmtree(tmp_root, ignore_errors=True)
+        # Swap is rmtree-then-rename: non-atomic for CONCURRENT readers
+        # (documented; Delta fixes this with the txn log), but crash-
+        # safe for the store itself — a death between the two calls
+        # leaves no _COMMITTED marker, so has_day() reports the
+        # partition incomplete and the day is redone. The temp dir is
+        # cleaned ONLY on success: if the rename fails after rmtree
+        # removed the original, tmp holds the only complete copy of the
+        # partition, so it must survive the exception (the sweep at the
+        # top of the next compact() reclaims it).
+        shutil.rmtree(part)
+        tmp.rename(part)
+        shutil.rmtree(tmp_root, ignore_errors=True)
         self._stamp([day])
         return len(list(part.glob("*.parquet")))
 
@@ -276,6 +295,24 @@ class FeatureTable:
         with Delta this is `DELETE WHERE day < ...` + VACUUM). Returns
         the dropped day values."""
         import shutil
+
+        if self.use_delta:
+            # Directory removal under a Delta table corrupts the log;
+            # route through the transactional DELETE instead. (VACUUM
+            # to reclaim the physical files is a separate retention-
+            # policied job — deliberately not run here.)
+            dropped = [
+                str(r[0])
+                for r in self.read()
+                .select("day")
+                .distinct()
+                .where(F.col("day") < F.lit(str(before_day)).cast("date"))
+                .collect()
+            ]
+            self.spark.sql(
+                f"DELETE FROM delta.`{self.path}` WHERE day < '{before_day}'"
+            )
+            return sorted(dropped)
 
         dropped = []
         for part in sorted(Path(self.path).glob("day=*")):

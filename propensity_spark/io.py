@@ -252,19 +252,48 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
     from ONE 1-row aggregate (a bounded driver collect, the C4
     pattern), values rank-normalize to [0, 2^bits) and the bit
     interleave unrolls to shift/and/or terms — no UDF, map-side only.
-    NULLs normalize to 0 (sort first). Returns a Column."""
+    NULLs normalize to 0 (sort first). Returns a Column.
+
+    Total over column types: each column is first mapped to a numeric
+    ordering proxy — numerics/booleans cast to double, dates and
+    timestamps to epoch seconds, strings to a two-leading-codepoint
+    prefix code (coarse but locality-preserving: equal values always
+    share a bucket, so min/max stats stay selective for the equality
+    filters string keys get), anything else to a stable hash bucket
+    (no locality, but a valid total order for the interleave). A
+    column whose partition slice is all NULL or single-valued
+    quantizes to the constant 0 instead of dividing by a zero span."""
+    dtypes = dict(df.dtypes)
+    proxies = []
+    for c in cols:
+        t = dtypes[c]
+        if t in ("tinyint", "smallint", "int", "bigint", "float", "double",
+                 "boolean") or t.startswith("decimal"):
+            proxies.append(f"cast(`{c}` as double)")
+        elif t in ("date", "timestamp", "timestamp_ntz"):
+            proxies.append(f"cast(cast(`{c}` as timestamp) as double)")
+        elif t == "string":
+            proxies.append(
+                f"(coalesce(ascii(substring(`{c}`, 1, 1)), 0) * 1024.0"
+                f" + least(coalesce(ascii(substring(`{c}`, 2, 1)), 0), 1023))"
+            )
+        else:
+            proxies.append(f"cast(pmod(abs(hash(`{c}`)), {1 << bits}) as double)")
     bounds = df.agg(
-        *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(cols)],
-        *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(cols)],
+        *[F.expr(f"min({p})").alias(f"mn_{i}") for i, p in enumerate(proxies)],
+        *[F.expr(f"max({p})").alias(f"mx_{i}") for i, p in enumerate(proxies)],
     ).collect()[0]
     n = len(cols)
     quantized = []
     top = (1 << bits) - 1
-    for i, c in enumerate(cols):
+    for i, p in enumerate(proxies):
         mn, mx = bounds[f"mn_{i}"], bounds[f"mx_{i}"]
-        span = (float(mx) - float(mn)) or 1.0
+        if mn is None or mx is None or float(mx) == float(mn):
+            quantized.append("cast(0 as bigint)")
+            continue
+        span = float(mx) - float(mn)
         quantized.append(
-            f"coalesce(cast(floor((cast(`{c}` as double) - {float(mn)!r})"
+            f"coalesce(cast(floor(({p} - {float(mn)!r})"
             f" / {span!r} * {top}) as bigint), 0)"
         )
     terms = []

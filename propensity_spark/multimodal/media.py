@@ -268,7 +268,10 @@ def q_media_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = extract_embeddings(media)
     exploded = emb.select("doc_id", F.posexplode("embedding").alias("bucket", "val"))
-    lens = docs.select("doc_id", F.length("text").cast("double").alias("byte_len"))
+    # BYTES, not characters: the encoder histograms the UTF-8 payload,
+    # so the recovery scale must be octet_length — F.length (chars)
+    # would desync the two on any non-ASCII document.
+    lens = docs.select("doc_id", F.octet_length("text").cast("double").alias("byte_len"))
     hist = (
         exploded.withColumn("s", F.sum("val").over(Window.partitionBy("doc_id")))
         .join(F.broadcast(lens), "doc_id")
@@ -292,7 +295,13 @@ def q_media_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("resize").alias("section"),
         F.col("doc_id").alias("k1"),
         F.octet_length("payload").cast("bigint").alias("k2"),
-        F.expr("ascii(cast(payload as string))").cast("bigint").alias("n"),
+        # First payload BYTE as an integer (hex round-trip): casting the
+        # binary to string and taking ascii() would decode UTF-8 — and
+        # the 256-byte truncation can split a multi-byte character,
+        # making that cast undefined on non-ASCII payloads.
+        F.expr("conv(hex(substring(payload, 1, 1)), 16, 10)")
+        .cast("bigint")
+        .alias("n"),
         F.lit(0.0).alias("v"),
     )
 
@@ -309,17 +318,29 @@ def q_media_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["media_bridge"] = f"""
-    WITH chars AS (
-        SELECT doc_id, ascii(substr(text, i, 1)) // 16 AS bucket
-        FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+    -- Byte-level twin of the engine: every section reads the UTF-8
+    -- payload bytes via hex() nibbles, never characters, so non-ASCII
+    -- documents hash identically on both sides. Byte i's high nibble
+    -- (= byte // 16, the EMB_DIM=16 bucket) sits at hex position 2i-1.
+    WITH bytes AS (
+        SELECT doc_id,
+               strpos('0123456789ABCDEF', substr(hex(encode(text)), 2 * i - 1, 1))
+                   - 1 AS bucket
+        FROM (SELECT doc_id, text,
+                     unnest(range(1, octet_length(encode(text)) + 1)) AS i
               FROM documents) t
     )
     SELECT 'hist' AS section, doc_id AS k1, CAST(bucket AS BIGINT) AS k2,
            count(*) AS n, 0.0 AS v
-    FROM chars GROUP BY doc_id, bucket
+    FROM bytes GROUP BY doc_id, bucket
     UNION ALL
     SELECT 'resize', doc_id, {RESIZE_W * RESIZE_H // 8},
-           ascii(substr(text, 1, 1)), 0.0
+           CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                ELSE (strpos('0123456789ABCDEF', substr(hex(encode(text)), 1, 1)) - 1)
+                     * 16
+                     + strpos('0123456789ABCDEF', substr(hex(encode(text)), 2, 1)) - 1
+           END,
+           0.0
     FROM documents
     UNION ALL
     SELECT 'cogroup', user_id,

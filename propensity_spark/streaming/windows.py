@@ -199,8 +199,11 @@ _SLIDING_SQL = """
     GROUP BY 1, 2
 """
 
-_SESSION_SQL = f"""
-    WITH ordered AS (
+# Gap-split CTEs shared by the batch session oracle and the streaming
+# suite's closed-session oracle — ONE copy so the gap convention
+# (`>= GAP_MIN`, matching Spark's session_window split) cannot drift
+# between the two entries.
+_SESSION_CTES = f"""ordered AS (
         SELECT user_id, ts, value,
                CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= {GAP_MIN * 60}
                     OR lag(ts) OVER w IS NULL
@@ -212,7 +215,10 @@ _SESSION_SQL = f"""
         SELECT user_id, ts, value,
                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
         FROM ordered
-    )
+    )"""
+
+_SESSION_SQL = f"""
+    WITH {_SESSION_CTES}
     SELECT user_id,
            CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
            count(*) AS n_events,
@@ -477,20 +483,7 @@ ORACLES["stream_ops_suite"] = f"""
     -- 0s delay); the per-user tail session stays open in state.
     SELECT 'session', session_start, CAST(user_id AS VARCHAR), n_events, sum_value
     FROM (
-        WITH ordered AS (
-            SELECT user_id, ts, value,
-                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= {GAP_MIN * 60}
-                        OR lag(ts) OVER w IS NULL
-                        THEN 1 ELSE 0 END AS new_session
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-        ),
-        sessions AS (
-            SELECT user_id, ts, value,
-                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts)
-                       AS session_id
-            FROM ordered
-        ),
+        WITH {_SESSION_CTES},
         rolled AS (
             SELECT user_id,
                    CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,

@@ -329,3 +329,30 @@ def test_publish_metrics_observed_in_flight(spark, sf_dir, tmp_path):
     assert m["n_scores"] == 3
     assert m["n_out_of_range"] == 1  # the 1.5
     assert m["n_null"] == 1
+
+
+def test_zorder_key_total_over_column_types(spark):
+    """zorder_key must be usable on the key columns real feature tables
+    have: strings (commodity_desc), dates, and columns that are all
+    NULL in the partition slice — not just numerics (review finding:
+    float(min) on a string column raised ValueError)."""
+    from propensity_spark.io import zorder_key
+
+    df = spark.createDataFrame(
+        [
+            (1, "Brand#11", date(2024, 1, 1), None),
+            (2, "Brand#2", date(2024, 1, 5), None),
+            (3, "Brand#11", date(2024, 1, 1), None),
+            (4, "zzz", date(2024, 2, 1), None),
+        ],
+        "k int, c string, d date, dead double",
+    )
+    keyed = df.withColumn("__z", zorder_key(df, ["k", "c", "d", "dead"]))
+    rows = {r["k"]: r["__z"] for r in keyed.collect()}
+    assert all(v is not None and v >= 0 for v in rows.values())
+    # single-valued/all-NULL dims contribute a constant: rows 1 and 3
+    # differ only in k, so their keys differ only through the k bits
+    assert rows[1] != rows[2]  # different c/d/k must separate
+    # determinism: same input -> same key
+    again = {r["k"]: r["__z"] for r in keyed.collect()}
+    assert rows == again

@@ -423,3 +423,63 @@ def test_incremental_band_pairs_match_full(spark, sf_dir):
     merged = {**old_pairs, **new_pairs}
     assert merged == full
     assert updated.count() == D.band_table(docs).count()
+
+
+def test_media_bridge_bytes_not_chars_non_ascii(spark):
+    """The media_bridge hist/resize sections operate on UTF-8 payload
+    BYTES. A multi-byte document must reconstruct the byte histogram
+    (sum of counts = octet_length, not char length) identically in the
+    engine and in the DuckDB oracle's hex-nibble twin."""
+    import duckdb
+    from pyspark.sql import Window
+    from propensity_spark.multimodal.media import (
+        extract_embeddings,
+        with_media_columns,
+    )
+
+    texts = ["héllo wörld", "日本語テキスト", "plain ascii", "mixé"]
+    docs = spark.createDataFrame(
+        [(i, t, "web") for i, t in enumerate(texts)], "doc_id long, text string, source string"
+    )
+    emb = extract_embeddings(with_media_columns(docs))
+    exploded = emb.select("doc_id", F.posexplode("embedding").alias("bucket", "val"))
+    lens = docs.select("doc_id", F.octet_length("text").cast("double").alias("byte_len"))
+    hist = (
+        exploded.withColumn("s", F.sum("val").over(Window.partitionBy("doc_id")))
+        .join(lens, "doc_id")
+        .withColumn(
+            "cnt",
+            F.when(F.col("s") > 0, F.round(F.col("val") * F.col("byte_len") / F.col("s")))
+            .otherwise(0)
+            .cast("bigint"),
+        )
+        .where(F.col("cnt") > 0)
+        .select("doc_id", "bucket", "cnt")
+    )
+    got = {(r["doc_id"], r["bucket"]): r["cnt"] for r in hist.collect()}
+
+    # ground truth from the raw bytes
+    expected = {}
+    for i, t in enumerate(texts):
+        for b in t.encode("utf-8"):
+            expected[(i, b // 16)] = expected.get((i, b // 16), 0) + 1
+    assert got == expected
+
+    # the DuckDB oracle nibble arithmetic agrees byte-for-byte
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", list(enumerate(texts)))
+    oracle = con.execute(
+        """
+        WITH bytes AS (
+            SELECT doc_id,
+                   strpos('0123456789ABCDEF', substr(hex(encode(text)), 2 * i - 1, 1))
+                       - 1 AS bucket
+            FROM (SELECT doc_id, text,
+                         unnest(range(1, octet_length(encode(text)) + 1)) AS i
+                  FROM documents) t
+        )
+        SELECT doc_id, bucket, count(*) FROM bytes GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert {(d, b): n for d, b, n in oracle} == expected
