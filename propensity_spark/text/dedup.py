@@ -703,6 +703,65 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOILER_MIN_DOCS = 2
+
+
+def boilerplate_lines(docs: DataFrame, min_docs: int = BOILER_MIN_DOCS) -> DataFrame:
+    """CCNet-style corpus-level boilerplate detection: a (trimmed,
+    non-empty) line that appears in >= `min_docs` DISTINCT documents is
+    boilerplate — nav bars, cookie banners, license footers dominate
+    web corpora and repeat across thousands of pages while real prose
+    lines are (near-)unique.
+
+    ONE shuffle: the explode is map-side, the distinct-document count
+    groups on the line text. Partial aggregation dedupes per-document
+    repeats map-side before the exchange. Returns (line, n_docs)."""
+    lines = docs.select(
+        "doc_id", F.explode(F.split("text", "\n")).alias("raw")
+    ).select("doc_id", F.trim("raw").alias("line"))
+    return (
+        lines.where(F.col("line") != "")
+        .groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate(docs: DataFrame, min_docs: int = BOILER_MIN_DOCS) -> DataFrame:
+    """Remove corpus-frequent lines from every document, preserving
+    line order and non-boilerplate blank lines. Returns (doc_id,
+    clean_text, n_removed_lines); a fully-boilerplate document comes
+    back with clean_text = '' rather than vanishing.
+
+    Shape at 100 TB: posexplode (map-side) -> left_anti join against
+    the boilerplate key set -> per-document reassembly (one groupBy
+    shuffle keyed on doc_id, memory bounded by a single document). The
+    anti-join side is the >=min_docs line set — corpus_lines/min_docs
+    at worst, tiny in practice — so AQE turns it into a broadcast
+    anti-join at runtime; no hint is forced in case a pathological
+    corpus makes it large."""
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    )
+    boiler = boilerplate_lines(docs, min_docs).select(F.col("line").alias("bline"))
+    kept = lines.join(boiler, F.trim(F.col("line")) == F.col("bline"), "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr(
+            "concat_ws('\n', transform(array_sort(collect_list(struct(pos, line))),"
+            " s -> s.line))"
+        ).alias("clean_text"),
+    )
+    totals = docs.select("doc_id", F.size(F.split("text", "\n")).alias("n_lines"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed_lines"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # neardup_suite: ONE tagged-union gate entry for the partial-overlap /
 # near-dup family, so every operator above that previously rested on
@@ -712,8 +771,13 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   neardup  — (doc_a, doc_b, hamming)           [simhash_near_dup_pairs]
 #   winnow   — (doc_id, fingerprint, 1)          [winnowing_fingerprints]
 #   decontam — (doc_id, 0, 1)                    [contaminated_doc_ids]
-# The union concatenates four independent plans; each keeps its own
-# scale-safe shape (block-bucket equi-join, map-only explodes).
+#   boiler   — (doc_id, n_removed, md5i(clean))  [strip_boilerplate]
+# The union concatenates five independent plans; each keeps its own
+# scale-safe shape (block-bucket equi-join, map-only explodes). The
+# boiler value hash pins EXACT text reconstruction (split -> anti-join
+# -> ordered reassembly round-trips byte-for-byte), and on this fixture
+# min_docs=2 makes boilerplate = exact-duplicate text clusters, so the
+# detection arm is exercised too.
 # ---------------------------------------------------------------------------
 
 DECONTAM_N = 5
@@ -750,7 +814,15 @@ def q_neardup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         big.alias("b"),
         one.alias("v"),
     )
-    return sim.unionByName(nd).unionByName(win).unionByName(dec)
+    boil = strip_boilerplate(docs).select(
+        F.lit("boiler").alias("section"),
+        F.col("doc_id").alias("a"),
+        F.col("n_removed_lines").alias("b"),
+        F.expr(_md5i_spark("clean_text")).alias("v"),
+    )
+    return (
+        sim.unionByName(nd).unionByName(win).unionByName(dec).unionByName(boil)
+    )
 
 
 # DuckDB twins: all-pairs Hamming for the Manku block join (oracle-side
@@ -784,7 +856,33 @@ ORACLES["neardup_suite"] = f"""
     dg AS (SELECT doc_id, unnest({_GRAMS5_DUCK}) AS g FROM documents),
     bg AS (SELECT DISTINCT unnest({_GRAMS5_DUCK}) AS g FROM documents
            WHERE doc_id % 20 = 0),
-    dec AS (SELECT DISTINCT doc_id FROM dg WHERE g IN (SELECT g FROM bg))
+    dec AS (SELECT DISTINCT doc_id FROM dg WHERE g IN (SELECT g FROM bg)),
+    doc_parts AS (
+        SELECT doc_id, string_split(text, chr(10)) AS parts FROM documents
+    ),
+    doc_lines AS (
+        SELECT doc_id, pos, parts[pos] AS line
+        FROM (SELECT doc_id, parts,
+                     unnest(range(1, len(parts) + 1)) AS pos
+              FROM doc_parts) t
+    ),
+    boiler_keys AS (
+        SELECT trim(line) AS key FROM doc_lines WHERE trim(line) <> ''
+        GROUP BY 1 HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+    ),
+    kept_lines AS (
+        SELECT * FROM doc_lines
+        WHERE trim(line) NOT IN (SELECT key FROM boiler_keys)
+    ),
+    boiler_clean AS (
+        SELECT d.doc_id,
+               CAST(len(string_split(d.text, chr(10))) - count(k.line) AS BIGINT)
+                   AS n_removed,
+               coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '')
+                   AS clean_text
+        FROM documents d LEFT JOIN kept_lines k ON d.doc_id = k.doc_id
+        GROUP BY d.doc_id, d.text
+    )
     SELECT 'simhash' AS section, doc_id AS a, CAST(0 AS BIGINT) AS b, simhash AS v
     FROM sim
     UNION ALL
@@ -793,6 +891,9 @@ ORACLES["neardup_suite"] = f"""
     SELECT 'winnow', doc_id, fingerprint, CAST(1 AS BIGINT) FROM wins
     UNION ALL
     SELECT 'decontam', doc_id, CAST(0 AS BIGINT), CAST(1 AS BIGINT) FROM dec
+    UNION ALL
+    SELECT 'boiler', doc_id, n_removed, {_md5i_duck('clean_text')}
+    FROM boiler_clean
 """
 
 QUERIES["neardup_suite"] = q_neardup_suite

@@ -483,3 +483,27 @@ def test_media_bridge_bytes_not_chars_non_ascii(spark):
         """
     ).fetchall()
     assert {(d, b): n for d, b, n in oracle} == expected
+
+
+def test_strip_boilerplate_removes_frequent_lines(spark):
+    """CCNet-style line filter: header/footer lines shared by >=min_docs
+    documents are removed, unique prose and blank lines survive, line
+    order round-trips, and a fully-boilerplate doc stays present with
+    empty text instead of vanishing."""
+    header = "SITE NAV | home | products"
+    footer = "(c) 2024 Example Corp - all rights reserved"
+    rows = [(i, f"{header}\nunique body {i} words\n\n{footer}") for i in range(6)]
+    rows.append((99, "standalone doc with no boilerplate"))
+    rows.append((100, header))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    keys = {r["line"]: r["n_docs"] for r in D.boilerplate_lines(df, min_docs=3).collect()}
+    assert keys == {header: 7, footer: 6}
+
+    out = {r["doc_id"]: r for r in D.strip_boilerplate(df, min_docs=3).collect()}
+    for i in range(6):
+        assert out[i]["clean_text"] == f"unique body {i} words\n"
+        assert out[i]["n_removed_lines"] == 2
+    assert out[99]["clean_text"] == "standalone doc with no boilerplate"
+    assert out[99]["n_removed_lines"] == 0
+    assert out[100]["clean_text"] == "" and out[100]["n_removed_lines"] == 1
