@@ -124,3 +124,39 @@ def test_control_memo_keyed_by_application_id(spark, sf_dir):
     app_id = spark.sparkContext.applicationId
     assert any(k[0] == app_id for k in R._CONTROL_ROWS)
     assert all(isinstance(k[0], str) for k in R._CONTROL_ROWS)
+
+
+def test_register_views_sql_surface_parity(spark, sf_dir, tmp_path):
+    """A SQL-first reference user's queries run verbatim against the
+    reference-named temp views (01:171, 02:40, 04a:76)."""
+    from propensity_spark.sql import register_views
+
+    names = register_views(spark, sf_dir)
+    for expected in (
+        "transactions_adj",
+        "products",
+        "commodities_to_score",
+        "household_features",
+        "household_commodity_features",
+    ):
+        assert expected in names
+
+    # the reference's own sanity query (01_Data_Prep.py:171)
+    assert spark.sql("SELECT * FROM transactions_adj LIMIT 100").count() == 100
+    # the 02:40-47 top-k re-expressed as plain SQL over the views
+    # matches the Python API result
+    from propensity_spark.operators.relational import top_commodities
+
+    via_sql = spark.sql(
+        """
+        SELECT p.commodity_desc, count(DISTINCT t.basket_id) AS baskets
+        FROM transactions_adj t JOIN products p USING (product_id)
+        GROUP BY 1 ORDER BY baskets DESC, commodity_desc LIMIT 10
+        """
+    ).collect()
+    via_api = top_commodities(spark, sf_dir).select("commodity_desc", "baskets").collect()
+    assert [(r[0], r[1]) for r in via_sql] == [(r[0], r[1]) for r in via_api]
+    # feature views are lazy and queryable
+    assert spark.sql(
+        "SELECT count(*) FROM household_features"
+    ).collect()[0][0] > 0
