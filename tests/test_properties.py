@@ -158,3 +158,46 @@ def test_dup_bigram_frac_matches_python_definition(spark, words):
     bigrams = [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
     want = 0.0 if not bigrams else round(1e-9 + 1.0 - len(set(bigrams)) / len(bigrams), 6)
     assert abs(got - want) < 1e-9
+
+
+@given(
+    docs=st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",),  # no lone surrogates
+            ),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    min_docs=st.integers(min_value=2, max_value=4),
+)
+@SLOW
+def test_strip_boilerplate_roundtrip_and_conservation(spark, docs, min_docs):
+    """For ARBITRARY unicode documents: (1) split -> anti-join ->
+    ordered reassembly is exact — every output text equals the input
+    with precisely the boilerplate lines deleted; (2) line accounting
+    conserves: kept + removed == original line count; (3) with an
+    unreachable min_docs the text round-trips byte-for-byte."""
+    from propensity_spark.text.dedup import boilerplate_lines, strip_boilerplate
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+
+    # unreachable threshold -> pure round-trip
+    untouched = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_boilerplate(df, min_docs=len(docs) + 1).collect()
+    }
+    assert untouched == dict(enumerate(docs))
+
+    boiler = {r["line"] for r in boilerplate_lines(df, min_docs=min_docs).collect()}
+    out = {r["doc_id"]: r for r in strip_boilerplate(df, min_docs=min_docs).collect()}
+    assert set(out) == set(range(len(docs)))
+    for i, text in enumerate(docs):
+        lines = text.split("\n")
+        # model Spark's F.trim exactly: it strips ONLY 0x20 spaces,
+        # not tabs/unicode whitespace like Python str.strip()
+        kept = [ln for ln in lines if ln.strip(" ") not in boiler or ln.strip(" ") == ""]
+        assert out[i]["clean_text"] == "\n".join(kept)
+        assert out[i]["n_removed_lines"] == len(lines) - len(kept)
