@@ -366,6 +366,45 @@ def score_batch(
     return out
 
 
+def calibrate_scores(
+    holdout_scored: DataFrame,
+    to_calibrate: DataFrame,
+    score_col: str = "prediction",
+    label_col: str = "purchased",
+):
+    """Isotonic score calibration — the post-processing step a campaign
+    team needs before treating propensities as probabilities. GBT margin
+    probabilities (04c:185's positive-class extraction) rank well but
+    are not calibrated; isotonic regression fits the monotone
+    score -> empirical-purchase-rate mapping on a scored holdout and
+    applies it to the batch. Monotone by construction, so ranking
+    (and therefore top-N campaign selection) is unchanged — only the
+    probability VALUES move.
+
+    Distributed end-to-end: IsotonicRegression trains via MLlib's
+    parallel pool-adjacent-violators, the transform is a map-side
+    lookup into the broadcast piecewise-linear boundaries. Returns
+    (calibrated DataFrame with `calibrated` column, fitted model)."""
+    from pyspark.ml.regression import IsotonicRegression
+
+    iso = IsotonicRegression(
+        featuresCol=score_col,
+        labelCol=label_col,
+        predictionCol="calibrated",
+        isotonic=True,
+    )
+    model = iso.fit(
+        holdout_scored.select(
+            F.col(score_col).cast("double").alias(score_col),
+            F.col(label_col).cast("double").alias(label_col),
+        )
+    )
+    out = model.transform(
+        to_calibrate.withColumn(score_col, F.col(score_col).cast("double"))
+    )
+    return out, model
+
+
 def classification_metrics(scored: DataFrame, threshold: float = 0.5) -> DataFrame:
     """M5 parity: the reference's sklearn metric set (04b:253-269 —
     average_precision via evaluator above, plus balanced_accuracy and

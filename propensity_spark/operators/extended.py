@@ -116,20 +116,64 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per market segment (the
-    approx_percentile twin is in q_approx_stats, rows-only)."""
+    """Distribution-statistics suite, tagged union (section, seg, m1,
+    m2, m3, n):
+      pct — exact interpolated percentiles per market segment (the
+            approx_percentile twin is in q_approx_stats, rows-only).
+      psi — per-bin Population Stability Index decomposition
+            (ml/monitoring.score_psi) between the first and second
+            halves of the events timeline: the drift monitor a deployed
+            scoring pipeline runs between retrains. Timeline midpoint
+            and bin bounds are derived in-plan (1-row broadcast aggs);
+            sum(m3) over the psi rows is the PSI."""
+    from propensity_spark.ml.monitoring import score_psi
+
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     joined = orders.join(
         F.broadcast(customer.select("c_custkey", "c_mktsegment")),
         orders.o_custkey == F.col("c_custkey"),
     )
-    return joined.groupBy("c_mktsegment").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.25)") + 1e-9, 6).alias("p25"),
-        F.round(F.expr("percentile(o_totalprice, 0.5)") + 1e-9, 6).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.75)") + 1e-9, 6).alias("p75"),
-        F.count(F.lit(1)).alias("n_orders"),
+    pct = (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.25)") + 1e-9, 6).alias("p25"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)") + 1e-9, 6).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.75)") + 1e-9, 6).alias("p75"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.lit("pct").alias("section"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("p25").alias("m1"),
+            F.col("p50").alias("m2"),
+            F.col("p75").alias("m3"),
+            F.col("n_orders").alias("n"),
+        )
     )
+
+    events = load_table(spark, sf_dir, "events")
+    span = events.agg(
+        F.min(F.unix_timestamp("ts")).alias("__lo"),
+        F.max(F.unix_timestamp("ts")).alias("__hi"),
+    )
+    mid = F.floor((F.col("__lo") + F.col("__hi")) / 2.0).cast("bigint")
+    tagged = events.join(F.broadcast(span)).withColumn(
+        "__e", F.unix_timestamp("ts")
+    )
+    psi = score_psi(
+        tagged.where(F.col("__e") <= mid).select("value"),
+        tagged.where(F.col("__e") > mid).select("value"),
+        "value",
+    ).select(
+        F.lit("psi").alias("section"),
+        F.col("bin").cast("string").alias("seg"),
+        F.col("expected_frac").alias("m1"),
+        F.col("actual_frac").alias("m2"),
+        F.col("psi_term").alias("m3"),
+        F.lit(0).cast("bigint").alias("n"),
+    )
+    return pct.unionByName(psi)
 
 
 def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1356,15 +1400,65 @@ ORACLES = {
         FROM events
     """,
     "percentiles": """
-        SELECT c_mktsegment,
-               round(1e-9 + quantile_cont(o_totalprice, 0.25), 6) AS p25,
-               round(1e-9 + quantile_cont(o_totalprice, 0.5), 6) AS p50,
-               round(1e-9 + quantile_cont(o_totalprice, 0.75), 6) AS p75,
-               count(*) AS n_orders
-        FROM orders
-        JOIN (SELECT c_custkey, c_mktsegment FROM customer) c
-          ON o_custkey = c_custkey
-        GROUP BY c_mktsegment
+        WITH pctq AS (
+            SELECT c_mktsegment,
+                   round(1e-9 + quantile_cont(o_totalprice, 0.25), 6) AS p25,
+                   round(1e-9 + quantile_cont(o_totalprice, 0.5), 6) AS p50,
+                   round(1e-9 + quantile_cont(o_totalprice, 0.75), 6) AS p75,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN (SELECT c_custkey, c_mktsegment FROM customer) c
+              ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        ),
+        span AS (
+            SELECT CAST(min(floor(epoch(ts))) AS BIGINT) AS lo,
+                   CAST(max(floor(epoch(ts))) AS BIGINT) AS hi
+            FROM events
+        ),
+        halves AS (
+            SELECT value,
+                   CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                             <= CAST(floor((lo + hi) / 2.0) AS BIGINT)
+                        THEN 'e' ELSE 'a' END AS side
+            FROM events, span
+            WHERE value IS NOT NULL
+        ),
+        eb AS (SELECT min(value) AS blo, max(value) AS bhi
+               FROM halves WHERE side = 'e'),
+        binned AS (
+            SELECT side,
+                   CASE WHEN (bhi - blo) / 10.0 <= 0 THEN 0
+                        ELSE least(9, greatest(0,
+                             CAST(floor((value - blo) / ((bhi - blo) / 10.0))
+                                  AS INT)))
+                   END AS bin
+            FROM halves, eb
+        ),
+        ec AS (SELECT bin, count(*) AS ne FROM binned WHERE side = 'e' GROUP BY 1),
+        ac AS (SELECT bin, count(*) AS na FROM binned WHERE side = 'a' GROUP BY 1),
+        j AS (
+            SELECT coalesce(ec.bin, ac.bin) AS bin,
+                   coalesce(ne, 0) AS ne, coalesce(na, 0) AS na
+            FROM ec FULL OUTER JOIN ac ON ec.bin = ac.bin
+        ),
+        t AS (SELECT bin, ne, na,
+                     sum(ne) OVER () AS te, sum(na) OVER () AS ta
+              FROM j),
+        psiq AS (
+            SELECT CAST(bin AS BIGINT) AS bin,
+                   greatest(ne / te, 1e-6) AS ef,
+                   greatest(na / ta, 1e-6) AS af
+            FROM t
+        )
+        SELECT 'pct' AS section, c_mktsegment AS seg,
+               p25 AS m1, p50 AS m2, p75 AS m3, n_orders AS n
+        FROM pctq
+        UNION ALL
+        SELECT 'psi', CAST(bin AS VARCHAR),
+               round(1e-9 + ef, 6), round(1e-9 + af, 6),
+               round(1e-9 + (af - ef) * ln(af / ef), 6), CAST(0 AS BIGINT)
+        FROM psiq
     """,
     "grouping_analytics": """
         SELECT 'rollup' AS gset_kind, l_returnflag AS key1, l_linestatus AS key2,

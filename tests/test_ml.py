@@ -175,3 +175,31 @@ def test_tvs_parallelism_tracks_cluster(spark):
     est = M.make_pipeline(["f1"], tune=True, model_type="lr")
     expected = max(2, min(est.n_search_trials, spark.sparkContext.defaultParallelism))
     assert est.getParallelism() == expected
+
+
+def test_calibrate_scores_monotone_and_closer_to_truth(spark):
+    """Isotonic calibration: with purchase rate = score^2 the raw score
+    over-states probability everywhere; the calibrated output must (1)
+    be monotone in the raw score (ranking preserved), (2) stay in
+    [0, 1], and (3) cut the Brier score vs the raw predictions."""
+    rows = []
+    for i in range(1, 21):  # scores 0.05 .. 1.0, 40 rows each
+        s = i / 20.0
+        n_pos = round(40 * s * s)
+        rows += [(s, 1.0)] * n_pos + [(s, 0.0)] * (40 - n_pos)
+    df = spark.createDataFrame(rows, "prediction double, purchased double")
+    calibrated, model = M.calibrate_scores(df, df)
+    got = (
+        calibrated.groupBy("prediction")
+        .agg(F.first("calibrated").alias("c"))
+        .orderBy("prediction")
+        .collect()
+    )
+    cs = [r["c"] for r in got]
+    assert all(0.0 <= c <= 1.0 for c in cs)
+    assert all(a <= b + 1e-9 for a, b in zip(cs, cs[1:]))  # monotone
+    brier = calibrated.agg(
+        F.avg((F.col("calibrated") - F.col("purchased")) ** 2).alias("cal"),
+        F.avg((F.col("prediction") - F.col("purchased")) ** 2).alias("raw"),
+    ).collect()[0]
+    assert brier["cal"] < brier["raw"]
