@@ -42,30 +42,25 @@ def _cosine(a: str, b: str) -> str:
     return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
 
 
-def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k: the N_QUERIES lowest vec_ids probe the
-    whole corpus; per-query top-k via window rank with vec_id
-    tie-break. Query side broadcasts; corpus side never shuffles until
-    the (tiny) per-query rank."""
+def cosine_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = None, exclude_self: bool = True
+) -> DataFrame:
+    """Brute-force cosine top-k core: `corpus` (vec_id, v) x `queries`
+    (query_id, qv) — query side broadcasts, corpus side never shuffles
+    until the (tiny) per-query rank. Deterministic vec_id tie-break."""
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr(_vec("embedding")).alias("v")
-    )
-    queries = emb.orderBy("vec_id").limit(N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    scored = emb.crossJoin(F.broadcast(queries)).where(
-        F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "vec_id",
-        F.expr(_cosine("qv", "v")).alias("cos_raw"),
+    k = TOP_K if k is None else k
+    scored = corpus.crossJoin(F.broadcast(queries))
+    if exclude_self:
+        scored = scored.where(F.col("vec_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id", "vec_id", F.expr(_cosine("qv", "v")).alias("cos_raw")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
+        .where(F.col("rank") <= k)
         .select(
             "query_id",
             "vec_id",
@@ -73,6 +68,32 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cos_raw") + 1e-9, 6).alias("cosine"),
         )
     )
+
+
+def filtered_topk(
+    corpus: DataFrame, queries: DataFrame, predicate, k: int = None
+) -> DataFrame:
+    """Hybrid (metadata-filtered) vector search — the vector-database
+    pattern where a structured predicate restricts the candidate set.
+    PRE-filtering: the predicate applies before any distance is
+    computed, so it pushes down to the parquet scan (row-group pruning
+    on the metadata column) and the result always holds k true matches
+    — post-filtering a global top-k instead can underfill or miss
+    qualifying neighbors entirely. `corpus` keeps its metadata columns;
+    `predicate` is any Column over them."""
+    return cosine_topk(corpus.where(predicate), queries, k)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the N_QUERIES lowest vec_ids probe the
+    whole corpus (cosine_topk core)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_vec("embedding")).alias("v")
+    )
+    queries = emb.orderBy("vec_id").limit(N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return cosine_topk(emb, queries)
 
 
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -507,3 +507,50 @@ def test_strip_boilerplate_removes_frequent_lines(spark):
     assert out[99]["clean_text"] == "standalone doc with no boilerplate"
     assert out[99]["n_removed_lines"] == 0
     assert out[100]["clean_text"] == "" and out[100]["n_removed_lines"] == 1
+
+
+def test_filtered_topk_prefilters_metadata(spark, sf_dir):
+    """Hybrid search: a label predicate restricts candidates BEFORE
+    scoring, so every neighbor satisfies it and per-label results equal
+    a brute-force run over only that label's subset (post-filtering a
+    global top-k would underfill instead)."""
+    from propensity_spark.io import load_table
+    from propensity_spark.vector.similarity import (
+        TOP_K,
+        cosine_topk,
+        filtered_topk,
+        _vec,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_vec("embedding")).alias("v"), "label"
+    )
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(3)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    )
+    target = emb.select(F.min("label")).collect()[0][0]
+
+    got = filtered_topk(emb, queries, F.col("label") == target).collect()
+    assert len(got) > 0
+    allowed = {
+        r["vec_id"] for r in emb.where(F.col("label") == target).collect()
+    }
+    assert {r["vec_id"] for r in got} <= allowed  # every hit passes the filter
+
+    want = cosine_topk(
+        emb.where(F.col("label") == target), queries
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted([(r["query_id"], r["rank"], r["vec_id"]) for r in got]) == sorted(
+        [(r["query_id"], r["rank"], r["vec_id"]) for r in want]
+    )
+    # each query gets a FULL k among qualifying rows (pre-filter never
+    # underfills while the filtered corpus has >= k candidates)
+    per_q = {}
+    for r in got:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    n_candidates = len(allowed)
+    for q, n in per_q.items():
+        assert n == min(TOP_K, n_candidates - (1 if q in allowed else 0))
