@@ -26,7 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from propensity_spark.io import TABLES, load_table
+from propensity_spark.io import TABLES
+from propensity_spark.io import register_views as _register_fixture_views
 
 #: reference name -> builder(spark, sf_dir) for the derived views
 _DERIVED = {}
@@ -67,10 +68,8 @@ def register_views(
     views. Returns the registered view names. Pass the `Pipeline` output
     directory to also expose the published score tables under their
     reference names."""
-    registered = []
-    for t in TABLES:
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-        registered.append(t)
+    _register_fixture_views(spark, sf_dir)  # io.py's raw-table views
+    registered = list(TABLES)
     for name, builder in _derived_builders().items():
         builder(spark, sf_dir).createOrReplaceTempView(name)
         registered.append(name)
