@@ -733,30 +733,30 @@ def strip_boilerplate(docs: DataFrame, min_docs: int = BOILER_MIN_DOCS) -> DataF
     clean_text, n_removed_lines); a fully-boilerplate document comes
     back with clean_text = '' rather than vanishing.
 
-    Shape at 100 TB: posexplode (map-side) -> left_anti join against
-    the boilerplate key set -> per-document reassembly (one groupBy
-    shuffle keyed on doc_id, memory bounded by a single document). The
-    anti-join side is the >=min_docs line set — corpus_lines/min_docs
-    at worst, tiny in practice — so AQE turns it into a broadcast
-    anti-join at runtime; no hint is forced in case a pathological
-    corpus makes it large."""
+    Shape at 100 TB: posexplode (map-side) -> LEFT join against the
+    boilerplate key set to FLAG each line (a match means boilerplate)
+    -> ONE per-document reassembly groupBy that both rebuilds the kept
+    lines in order and counts the flagged ones. Flag-join-then-group
+    instead of anti-join avoids a separate per-doc line-total pass and
+    its extra join: exactly two shuffles total (boilerplate agg +
+    reassembly), one scan of the exploded lines, and empty documents
+    survive because every doc keeps at least its flag rows. The join
+    side is the >=min_docs line set — corpus_lines/min_docs at worst,
+    tiny in practice — so AQE turns it into a broadcast join at
+    runtime; no hint is forced in case a pathological corpus makes it
+    large."""
     lines = docs.select(
         "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
     )
     boiler = boilerplate_lines(docs, min_docs).select(F.col("line").alias("bline"))
-    kept = lines.join(boiler, F.trim(F.col("line")) == F.col("bline"), "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
+    flagged = lines.join(boiler, F.trim(F.col("line")) == F.col("bline"), "left")
+    return flagged.groupBy("doc_id").agg(
         F.expr(
-            "concat_ws('\n', transform(array_sort(collect_list(struct(pos, line))),"
-            " s -> s.line))"
+            "concat_ws('\n', transform(array_sort("
+            "filter(collect_list(struct(pos, line, bline IS NOT NULL AS rm)),"
+            " s -> NOT s.rm)), s -> s.line))"
         ).alias("clean_text"),
-    )
-    totals = docs.select("doc_id", F.size(F.split("text", "\n")).alias("n_lines"))
-    return totals.join(rebuilt, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+        F.count(F.when(F.col("bline").isNotNull(), 1))
         .cast("bigint")
         .alias("n_removed_lines"),
     )
