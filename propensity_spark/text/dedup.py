@@ -738,9 +738,10 @@ def strip_boilerplate(docs: DataFrame, min_docs: int = BOILER_MIN_DOCS) -> DataF
     -> ONE per-document reassembly groupBy that both rebuilds the kept
     lines in order and counts the flagged ones. Flag-join-then-group
     instead of anti-join avoids a separate per-doc line-total pass and
-    its extra join: exactly two shuffles total (boilerplate agg +
-    reassembly), one scan of the exploded lines, and empty documents
-    survive because every doc keeps at least its flag rows. The join
+    its extra join: the only shuffles are the boilerplate count-distinct
+    (two-phase: (line, doc) dedup then line count) and the reassembly,
+    one scan of the exploded lines, and empty documents survive because
+    every doc keeps at least its flag rows. The join
     side is the >=min_docs line set — corpus_lines/min_docs at worst,
     tiny in practice — so AQE turns it into a broadcast join at
     runtime; no hint is forced in case a pathological corpus makes it
