@@ -39,6 +39,8 @@ class Pipeline:
         self.store = str(self.base / "feature_store")
         self.models = str(self.base / "models")
         self.out = self.base / "out"
+        self.last_publish_metrics: dict | None = None
+        self.last_drift: dict | None = None
 
     # -- daily ------------------------------------------------------------
 
@@ -206,9 +208,47 @@ class Pipeline:
         self._promote(joined.select(*cols), path)
         return path
 
+    def drift(self, day, baseline_day=None, bins: int = 10) -> dict | None:
+        """Score-distribution drift vs a previously published day: the
+        PSI (ml/monitoring) between the baseline day's published
+        predictions and `day`'s. Default baseline is the latest
+        published day BEFORE `day`. Both sides are single pruned day
+        partitions; the day listing is a control-plane collect (one row
+        per published day). Returns ``{"psi", "day", "baseline_day"}``
+        or None when there is nothing to compare against — the daily
+        job alerts on psi > 0.25 (the standard 'broken' threshold)
+        long before the weekly retrain would notice."""
+        from propensity_spark.ml.monitoring import psi_value
+
+        if not (self.out / "propensities_unpivoted").exists():
+            return None
+        days = sorted(
+            str(r[0])
+            for r in self.read_published("unpivoted")
+            .select("day")
+            .distinct()
+            .collect()
+        )
+        if baseline_day is None:
+            prior = [d for d in days if d < str(day)]
+            if not prior:
+                return None
+            baseline_day = prior[-1]
+        base = self.read_published("unpivoted", baseline_day).select("prediction")
+        cur = self.read_published("unpivoted", day).select("prediction")
+        return {
+            "psi": psi_value(base, cur, "prediction", bins),
+            "day": str(day),
+            "baseline_day": str(baseline_day),
+        }
+
     def run_daily(self, day, manifest: DataFrame) -> tuple[str, str]:
         self.engineer_features(day)
-        return self.publish(self.score(manifest, day))
+        paths = self.publish(self.score(manifest, day))
+        # post-publish observability: in-flight metrics are already in
+        # last_publish_metrics; drift closes the loop against history
+        self.last_drift = self.drift(day)
+        return paths
 
     # -- weekly / init ------------------------------------------------------
 

@@ -356,3 +356,38 @@ def test_zorder_key_total_over_column_types(spark):
     # determinism: same input -> same key
     again = {r["k"]: r["__z"] for r in keyed.collect()}
     assert rows == again
+
+
+def test_pipeline_drift_psi_detects_score_shift(spark, sf_dir, tmp_path):
+    """Drift closes the observability loop: publishing a shifted score
+    distribution on day 2 yields a clearly positive PSI vs day 1,
+    while a same-distribution day stays near zero; no-history returns
+    None."""
+    import datetime
+
+    from propensity_spark.pipeline import Pipeline
+
+    p = Pipeline(spark, sf_dir, str(tmp_path / "pipe"))
+    d1, d2, d3 = (datetime.date(2024, 3, i) for i in (1, 2, 3))
+
+    def scores(day, shift):
+        rows = [
+            (h, day, "Brand#1", min(0.999, 0.05 + (h % 10) / 20.0 + shift))
+            for h in range(200)
+        ]
+        return spark.createDataFrame(
+            rows, "household_key int, day date, commodity_desc string, prediction double"
+        )
+
+    assert p.drift(d1) is None  # nothing published yet
+    p.publish(scores(d1, 0.0))
+    assert p.drift(d1) is None  # no PRIOR day to compare against
+
+    p.publish(scores(d2, 0.0))
+    stable = p.drift(d2)
+    assert stable["baseline_day"] == str(d1) and stable["psi"] < 0.01
+
+    p.publish(scores(d3, 0.4))  # the whole distribution shifts up
+    drifted = p.drift(d3)
+    assert drifted["baseline_day"] == str(d2)
+    assert drifted["psi"] > 0.25  # the standard 'broken' threshold
