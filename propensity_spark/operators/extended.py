@@ -265,7 +265,12 @@ def q_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     StructType schemas (no inference), joined and aggregated;
     (b) supplier to ORC and nation to JSON (explicit-schema read back),
     joined and aggregated. The oracle reads the original parquet —
-    values match iff every round-trip is byte-faithful."""
+    values match iff every round-trip is byte-faithful.
+
+    NOTE: deliberately performs filesystem side-effects inside a gate
+    query (uuid-scoped scratch dir, removed in `finally`) — that IS the
+    surface under test. A full scratch disk fails this entry before it
+    fails anything else; bounded output, no shared state."""
     import shutil
     import uuid
     from pathlib import Path
