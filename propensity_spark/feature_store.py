@@ -203,12 +203,19 @@ class FeatureTable:
         import shutil
 
         if self.use_delta:
+            if not self.has_day(day):
+                raise ValueError(f"no partition for day={day}")
             # The Delta txn log owns the file layout — rewriting
             # directories underneath it would orphan every logged file.
-            # OPTIMIZE (+ ZORDER BY) is the transactional equivalent of
-            # the parquet rewrite below, scoped to the one partition.
+            # OPTIMIZE is the transactional equivalent of the parquet
+            # rewrite below, scoped to the one partition. OSS Delta has
+            # no plain ORDER BY clustering, so ANY sort_by routes
+            # through ZORDER BY (for one column Z-order degenerates to
+            # a plain sort, so the data-skipping promise still holds);
+            # target_files does not apply — Delta sizes files via
+            # bin-packing table properties instead.
             cols = ", ".join(f"`{c}`" for c in (sort_by or []))
-            clause = f" ZORDER BY ({cols})" if sort_by and zorder else ""
+            clause = f" ZORDER BY ({cols})" if sort_by else ""
             self.spark.sql(
                 f"OPTIMIZE delta.`{self.path}` WHERE day = '{day}'{clause}"
             )
@@ -296,6 +303,10 @@ class FeatureTable:
         the dropped day values."""
         import shutil
 
+        if not Path(self.path).exists():
+            # fresh table: retention is a no-op on both backends (the
+            # Delta read below would otherwise throw on a missing path)
+            return []
         if self.use_delta:
             # Directory removal under a Delta table corrupts the log;
             # route through the transactional DELETE instead. (VACUUM

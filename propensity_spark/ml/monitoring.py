@@ -49,7 +49,17 @@ def score_psi(
 
     def binned(df: DataFrame, out: str) -> DataFrame:
         width = (F.col("__hi") - F.col("__lo")) / F.lit(bins)
-        bin_expr = F.when(width <= 0, F.lit(0)).otherwise(
+        # Degenerate baseline (all expected values equal -> zero
+        # width): the match goes to bin 0 and ANY other value to the
+        # top bin, so a constant-scoring baseline against a moved
+        # actual still reports drift instead of collapsing both sides
+        # into one bucket and declaring PSI = 0 "stable".
+        bin_expr = F.when(
+            width <= 0,
+            F.when(F.col(col).cast("double") == F.col("__lo"), F.lit(0)).otherwise(
+                F.lit(bins - 1)
+            ),
+        ).otherwise(
             F.least(
                 F.lit(bins - 1),
                 F.greatest(

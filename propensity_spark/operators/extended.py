@@ -1432,8 +1432,11 @@ ORACLES = {
         eb AS (SELECT min(value) AS blo, max(value) AS bhi
                FROM halves WHERE side = 'e'),
         binned AS (
+            -- zero-width baseline: matches -> bin 0, everything else
+            -- -> top bin (mirrors ml/monitoring.score_psi)
             SELECT side,
-                   CASE WHEN (bhi - blo) / 10.0 <= 0 THEN 0
+                   CASE WHEN (bhi - blo) / 10.0 <= 0
+                        THEN CASE WHEN value = blo THEN 0 ELSE 9 END
                         ELSE least(9, greatest(0,
                              CAST(floor((value - blo) / ((bhi - blo) / 10.0))
                                   AS INT)))

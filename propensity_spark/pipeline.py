@@ -218,19 +218,29 @@ class Pipeline:
         or None when there is nothing to compare against — the daily
         job alerts on psi > 0.25 (the standard 'broken' threshold)
         long before the weekly retrain would notice."""
+        import datetime
+
         from propensity_spark.ml.monitoring import psi_value
+
+        def _as_date(d):
+            if isinstance(d, datetime.date):
+                return d
+            # strptime, not fromisoformat: accepts non-zero-padded
+            # forms like '2024-3-3' that Spark's date cast accepts too
+            # (a string compare would sort '2024-3-3' after '2024-03-05')
+            return datetime.datetime.strptime(str(d), "%Y-%m-%d").date()
 
         if not (self.out / "propensities_unpivoted").exists():
             return None
-        days = sorted(
-            str(r[0])
-            for r in self.read_published("unpivoted")
-            .select("day")
-            .distinct()
-            .collect()
-        )
         if baseline_day is None:
-            prior = [d for d in days if d < str(day)]
+            days = sorted(
+                _as_date(r[0])
+                for r in self.read_published("unpivoted")
+                .select("day")
+                .distinct()
+                .collect()
+            )
+            prior = [d for d in days if d < _as_date(day)]
             if not prior:
                 return None
             baseline_day = prior[-1]
@@ -238,8 +248,8 @@ class Pipeline:
         cur = self.read_published("unpivoted", day).select("prediction")
         return {
             "psi": psi_value(base, cur, "prediction", bins),
-            "day": str(day),
-            "baseline_day": str(baseline_day),
+            "day": str(_as_date(day)),
+            "baseline_day": str(_as_date(baseline_day)),
         }
 
     def run_daily(self, day, manifest: DataFrame) -> tuple[str, str]:

@@ -29,10 +29,6 @@ from pyspark.sql import SparkSession
 from propensity_spark.io import TABLES
 from propensity_spark.io import register_views as _register_fixture_views
 
-#: reference name -> builder(spark, sf_dir) for the derived views
-_DERIVED = {}
-
-
 def _derived_builders():
     # imported lazily: relational/features pull in the full operator
     # library, which sql.py users may not otherwise need at import time
@@ -83,6 +79,12 @@ def register_views(
         ):
             path = out / sub
             if path.exists():
-                spark.read.parquet(str(path)).createOrReplaceTempView(name)
+                # mergeSchema mirrors Pipeline.read_published: an
+                # incremental publish can widen newer day partitions
+                # with a new commodity column; a footer-sampled schema
+                # would randomly miss it
+                spark.read.option("mergeSchema", "true").parquet(
+                    str(path)
+                ).createOrReplaceTempView(name)
                 registered.append(name)
     return registered

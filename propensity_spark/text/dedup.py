@@ -717,7 +717,8 @@ def boilerplate_lines(docs: DataFrame, min_docs: int = BOILER_MIN_DOCS) -> DataF
     groups on the line text. Partial aggregation dedupes per-document
     repeats map-side before the exchange. Returns (line, n_docs)."""
     lines = docs.select(
-        "doc_id", F.explode(F.split("text", "\n")).alias("raw")
+        "doc_id",
+        F.explode(F.split(F.coalesce("text", F.lit("")), "\n")).alias("raw"),
     ).select("doc_id", F.trim("raw").alias("line"))
     return (
         lines.where(F.col("line") != "")
@@ -746,8 +747,13 @@ def strip_boilerplate(docs: DataFrame, min_docs: int = BOILER_MIN_DOCS) -> DataF
     tiny in practice — so AQE turns it into a broadcast join at
     runtime; no hint is forced in case a pathological corpus makes it
     large."""
+    # NULL text normalizes to '' (split(NULL) explodes to ZERO rows,
+    # which would silently drop the document from the output)
     lines = docs.select(
-        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+        "doc_id",
+        F.posexplode(F.split(F.coalesce("text", F.lit("")), "\n")).alias(
+            "pos", "line"
+        ),
     )
     boiler = boilerplate_lines(docs, min_docs).select(F.col("line").alias("bline"))
     flagged = lines.join(boiler, F.trim(F.col("line")) == F.col("bline"), "left")
@@ -859,7 +865,7 @@ ORACLES["neardup_suite"] = f"""
            WHERE doc_id % 20 = 0),
     dec AS (SELECT DISTINCT doc_id FROM dg WHERE g IN (SELECT g FROM bg)),
     doc_parts AS (
-        SELECT doc_id, string_split(text, chr(10)) AS parts FROM documents
+        SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS parts FROM documents
     ),
     doc_lines AS (
         SELECT doc_id, pos, parts[pos] AS line
@@ -877,7 +883,7 @@ ORACLES["neardup_suite"] = f"""
     ),
     boiler_clean AS (
         SELECT d.doc_id,
-               CAST(len(string_split(d.text, chr(10))) - count(k.line) AS BIGINT)
+               CAST(len(string_split(coalesce(d.text, ''), chr(10))) - count(k.line) AS BIGINT)
                    AS n_removed,
                coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '')
                    AS clean_text

@@ -391,3 +391,43 @@ def test_pipeline_drift_psi_detects_score_shift(spark, sf_dir, tmp_path):
     drifted = p.drift(d3)
     assert drifted["baseline_day"] == str(d2)
     assert drifted["psi"] > 0.25  # the standard 'broken' threshold
+
+
+def test_expire_on_never_created_table_is_noop(spark, tmp_path):
+    t = FeatureTable(spark, "ghost", ["k", "day"], str(tmp_path / "store"))
+    assert t.expire(date(2024, 1, 1)) == []
+
+
+def test_drift_handles_unpadded_day_strings(spark, sf_dir, tmp_path):
+    """Baseline selection compares DATES, not strings: '2024-3-3'
+    (valid for Spark's date cast) must pick '2024-03-01' as baseline,
+    not sort after '2024-03-05' lexicographically."""
+    import datetime
+
+    from propensity_spark.pipeline import Pipeline
+
+    p = Pipeline(spark, sf_dir, str(tmp_path / "pipe"))
+
+    def scores(day):
+        return spark.createDataFrame(
+            [(h, day, "Brand#1", (h % 10) / 10.0) for h in range(50)],
+            "household_key int, day date, commodity_desc string, prediction double",
+        )
+
+    p.publish(scores(datetime.date(2024, 3, 1)))
+    p.publish(scores(datetime.date(2024, 3, 3)))
+    p.publish(scores(datetime.date(2024, 3, 5)))
+    d = p.drift("2024-3-3")
+    assert d["baseline_day"] == "2024-03-01" and d["day"] == "2024-03-03"
+
+
+def test_psi_zero_width_baseline_still_detects_drift(spark):
+    """A constant-scoring baseline (zero bin width) must NOT collapse
+    both sides into one bucket: actual values off the constant land in
+    the top bin and the PSI reports the break."""
+    from propensity_spark.ml.monitoring import psi_value
+
+    const = spark.createDataFrame([(0.5,)] * 100, "prediction double")
+    moved = spark.createDataFrame([(i / 100.0,) for i in range(100)], "prediction double")
+    assert psi_value(const, const, "prediction") < 1e-9
+    assert psi_value(const, moved, "prediction") > 0.25

@@ -554,3 +554,14 @@ def test_filtered_topk_prefilters_metadata(spark, sf_dir):
     n_candidates = len(allowed)
     for q, n in per_q.items():
         assert n == min(TOP_K, n_candidates - (1 if q in allowed else 0))
+
+
+def test_strip_boilerplate_keeps_null_text_docs(spark):
+    """A NULL-text document must survive as clean_text='' (split(NULL)
+    explodes to zero rows and previously dropped the doc entirely)."""
+    df = spark.createDataFrame(
+        [(1, "keep me"), (2, None), (3, "keep me too")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in D.strip_boilerplate(df, min_docs=5).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["clean_text"] == "" and out[2]["n_removed_lines"] == 0
