@@ -23,11 +23,6 @@ from pyspark.sql import functions as F
 
 from propensity_spark.feature_store import DEFAULT_STORE, FeatureTable
 from propensity_spark.ml.training import build_training_set, score_batch, train_commodity_models
-from propensity_spark.operators.features import (
-    q_commodity_features,
-    q_household_features,
-    q_household_commodity_features,
-)
 from propensity_spark.operators.relational import BRANDS_CLEAN, top_commodities
 
 
@@ -48,25 +43,44 @@ class Pipeline:
         """04a equivalent: build all three grains for `day` and MERGE
         them into the feature store (PK includes day, 04a:599).
 
+        As in the reference (04a:82), the fact scan is restricted to
+        ``day <= current_day`` BEFORE feature generation, so a
+        historical backfill anchors every window at the backfill day —
+        features as they would have been computed on that day — and a
+        replayed table containing later data never leaks the future
+        into a day's features. (The standalone gate queries anchor at
+        the data's max(day) instead; for the pipeline's normal case —
+        scoring the latest day — the two coincide.)
+
         Idempotent per day: a day whose partition is already
         materialized is skipped (metadata check, no scan) — so
         init-backfill followed by the daily job computes each grid
         exactly once. `force=True` recomputes (source-data revision)."""
+        from propensity_spark.operators.features import (
+            _spark_features,
+            _with_commodity,
+        )
+        from propensity_spark.operators.relational import silver_transactions
+
         stamp = F.lit(day).cast("date")
+        asof = F.col("day") <= stamp
+        silver = silver_transactions(self.spark, self.sf_dir).where(asof)
+        with_comm = _with_commodity(self.spark, self.sf_dir).where(asof)
         specs = [
-            ("household", ["household_key", "day"], q_household_features),
-            ("commodity", ["commodity_desc", "day"], q_commodity_features),
+            ("household", ["household_key", "day"], silver, ["household_key"]),
+            ("commodity", ["commodity_desc", "day"], with_comm, ["commodity_desc"]),
             (
                 "household_commodity",
                 ["household_key", "commodity_desc", "day"],
-                q_household_commodity_features,
+                with_comm,
+                ["household_key", "commodity_desc"],
             ),
         ]
-        for name, pk, builder in specs:
+        for name, pk, src, keys in specs:
             table = FeatureTable(self.spark, name, pk, self.store)
             if not force and table.has_day(day):
                 continue
-            table.merge(builder(self.spark, self.sf_dir).withColumn("day", stamp))
+            table.merge(_spark_features(src, keys).withColumn("day", stamp))
 
     def score(self, manifest: DataFrame, day) -> DataFrame:
         """04c equivalent: universe x features -> per-model transform.

@@ -329,3 +329,41 @@ def test_stream_checkpoint_restart_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 150  # batch 1 NOT reprocessed, batch 2 picked up
     assert got.select("id").distinct().count() == 150
+
+
+def test_backfill_anchors_windows_at_backfill_day(spark, sf_dir, tmp_path):
+    """Reference parity with 04a:82: a historical backfill computes
+    features from facts <= the backfill day only. The backfilled day's
+    rows must equal the single-day engine over the filtered facts and
+    differ from the final day's rows (previously every backfill day
+    silently cloned features anchored at the data max)."""
+    import datetime
+
+    from propensity_spark.feature_store import FeatureTable
+    from propensity_spark.operators.features import _spark_features
+    from propensity_spark.operators.relational import silver_transactions
+    from propensity_spark.pipeline import Pipeline
+
+    silver = silver_transactions(spark, sf_dir)
+    days = sorted(r[0] for r in silver.select("day").distinct().collect())
+    d_max, d_mid = days[-1], days[len(days) // 2]
+
+    p = Pipeline(spark, sf_dir, str(tmp_path / "pipe"))
+    p.engineer_features(d_mid)
+    p.engineer_features(d_max)
+
+    hh = FeatureTable(spark, "household", ["household_key", "day"], p.store)
+    mid_rows = {r["household_key"]: r for r in hh.read(d_mid).drop("day").collect()}
+    max_rows = {r["household_key"]: r for r in hh.read(d_max).drop("day").collect()}
+    assert mid_rows != max_rows  # backfill no longer clones the final day
+
+    want = {
+        r["household_key"]: r
+        for r in _spark_features(
+            silver.where(F.col("day") <= F.lit(d_mid)), ["household_key"]
+        ).collect()
+    }
+    assert set(mid_rows) == set(want)
+    sample = list(want)[:25]
+    for k in sample:
+        assert mid_rows[k].asDict() == want[k].asDict(), k

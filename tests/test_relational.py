@@ -160,3 +160,37 @@ def test_register_views_sql_surface_parity(spark, sf_dir, tmp_path):
     assert spark.sql(
         "SELECT count(*) FROM household_features"
     ).collect()[0][0] > 0
+
+
+def test_multi_day_backfill_matches_per_day_runs(spark, sf_dir):
+    """One-pass multi-anchor backfill == the single-day engine run once
+    per anchor (for anchors with transactions, where both definitions
+    of the window upper bound coincide)."""
+    from propensity_spark.operators.features import (
+        _spark_features,
+        multi_day_features,
+    )
+    from propensity_spark.operators.relational import silver_transactions
+
+    silver = spark.createDataFrame(
+        silver_transactions(spark, sf_dir).collect()
+    )  # materialized once so both paths see identical input
+    days = sorted(r[0] for r in silver.select("day").distinct().collect())
+    anchors = [days[-1], days[len(days) // 2]]
+
+    multi = multi_day_features(silver, ["household_key"], anchors)
+    got = {
+        (r["household_key"], str(r["day"])): r.asDict()
+        for r in multi.collect()
+    }
+    for a in anchors:
+        single = _spark_features(
+            silver.where(F.col("day") <= F.lit(a)), ["household_key"]
+        )
+        for r in single.collect():
+            want = r.asDict()
+            have = got[(r["household_key"], str(a))]
+            for k, v in want.items():
+                if k == "household_key":
+                    continue
+                assert have[k] == v, (a, r["household_key"], k, have[k], v)
