@@ -82,6 +82,39 @@ class Pipeline:
                 continue
             table.merge(_spark_features(src, keys).withColumn("day", stamp))
 
+    def backfill(self, days, force: bool = False) -> None:
+        """One-pass multi-anchor backfill of all three grains
+        (multi_day_features): ONE scan of the facts and one shared
+        (keys, anchor) aggregation per grain for the whole day list,
+        versus the reference's notebook loop (02:78-101) and the
+        per-day `engineer_features` path. Anchoring semantics are
+        identical (pinned by the bit-exact equivalence test): each
+        anchor sees only facts at-or-before it. Already-materialized
+        days are skipped (same idempotency as the daily path)."""
+        from propensity_spark.operators.features import (
+            _with_commodity,
+            multi_day_features,
+        )
+        from propensity_spark.operators.relational import silver_transactions
+
+        silver = silver_transactions(self.spark, self.sf_dir)
+        with_comm = _with_commodity(self.spark, self.sf_dir)
+        specs = [
+            ("household", ["household_key", "day"], silver, ["household_key"]),
+            ("commodity", ["commodity_desc", "day"], with_comm, ["commodity_desc"]),
+            (
+                "household_commodity",
+                ["household_key", "commodity_desc", "day"],
+                with_comm,
+                ["household_key", "commodity_desc"],
+            ),
+        ]
+        for name, pk, src, keys in specs:
+            table = FeatureTable(self.spark, name, pk, self.store)
+            todo = [d for d in days if force or not table.has_day(d)]
+            if todo:
+                table.merge(multi_day_features(src, keys, todo))
+
     def score(self, manifest: DataFrame, day) -> DataFrame:
         """04c equivalent: universe x features -> per-model transform.
         Looks up the features engineer_features already merged for
@@ -303,14 +336,16 @@ class Pipeline:
         """02_Initialize_Solution: control table + feature backfill for
         `backfill_days` extra historical days at 30d spacing (the
         reference backfills 2 days total, 02:78-101 — the default here)
-        + first training."""
+        + first training. The backfill runs as ONE multi-anchor pass
+        per grain (`backfill`), not a per-day loop."""
         top_commodities(self.spark, self.sf_dir).write.mode("overwrite").parquet(
             str(self.base / "commodities_to_score")
         )
         import datetime
 
-        for i in range(backfill_days + 1):
-            self.engineer_features(day - datetime.timedelta(days=30 * i))
+        self.backfill(
+            [day - datetime.timedelta(days=30 * i) for i in range(backfill_days + 1)]
+        )
         return self.run_weekly(n_commodities, day=day, model_type=model_type)
 
 
