@@ -27,7 +27,9 @@ import sys
 
 
 def _day(s: str) -> datetime.date:
-    return datetime.datetime.strptime(s, "%Y-%m-%d").date()
+    from propensity_spark.io import as_date
+
+    return as_date(s)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -66,35 +68,53 @@ def run(args, spark=None) -> int:
 
     day = args.day or latest_day()
 
+    manifest_path = str(p.base / "manifest")
+
+    def persist_manifest(manifest):
+        """Store the manifest where `daily` looks for it; returns the
+        re-read copy plus the scheduler exit code (non-zero when any
+        commodity's training failed)."""
+        manifest.write.mode("overwrite").parquet(manifest_path)
+        stored = spark.read.parquet(manifest_path)
+        rows = [r.asDict() for r in stored.collect()]
+        return stored, rows, (1 if any(r["stage"] == "failed" for r in rows) else 0)
+
     if args.cmd == "init":
-        manifest = p.run_init(
-            day,
-            n_commodities=args.commodities,
-            backfill_days=args.backfill_days,
-            model_type=args.model_type,
+        _, rows, rc = persist_manifest(
+            p.run_init(
+                day,
+                n_commodities=args.commodities,
+                backfill_days=args.backfill_days,
+                model_type=args.model_type,
+            )
         )
-        rows = [r.asDict() for r in manifest.collect()]
         print(json.dumps({"cmd": "init", "day": str(day), "manifest": rows}, default=str))
-        return 1 if any(r["stage"] == "failed" for r in rows) else 0
+        return rc
 
     if args.cmd == "weekly":
-        manifest = p.run_weekly(day=day, tune=args.tune, model_type=args.model_type)
-        rows = [r.asDict() for r in manifest.collect()]
+        # run_weekly's precondition: the day's features must be in the
+        # store (its docstring). engineer_features is an idempotent
+        # metadata check when init/daily already materialized them.
+        p.engineer_features(day)
+        _, rows, rc = persist_manifest(
+            p.run_weekly(day=day, tune=args.tune, model_type=args.model_type)
+        )
         print(json.dumps({"cmd": "weekly", "day": str(day), "manifest": rows}, default=str))
-        return 1 if any(r["stage"] == "failed" for r in rows) else 0
+        return rc
 
     if args.cmd == "daily":
         from pathlib import Path
 
-        manifest_path = str(p.base / "manifest")
-
+        rc = 0
         if Path(manifest_path).exists():
             manifest = spark.read.parquet(manifest_path)
         else:
-            # first daily without a stored manifest: train as init would
-            manifest = p.run_weekly(day=day)
-            manifest.write.mode("overwrite").parquet(manifest_path)
-            manifest = spark.read.parquet(manifest_path)
+            # first daily without a stored manifest: engineer the day's
+            # features FIRST (training on an unmaterialized day would
+            # fit every model on all-zero lookup misses), then train as
+            # the weekly job would and persist for later dailies.
+            p.engineer_features(day)
+            manifest, _, rc = persist_manifest(p.run_weekly(day=day))
         paths = p.run_daily(day, manifest)
         print(
             json.dumps(
@@ -108,7 +128,7 @@ def run(args, spark=None) -> int:
                 default=str,
             )
         )
-        return 0
+        return rc
 
     if args.cmd == "drift":
         report = p.drift(day)

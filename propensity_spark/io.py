@@ -127,6 +127,19 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+def as_date(d):
+    """Normalize a date-ish value (datetime.date or 'Y-m-d' string,
+    zero-padded or not) to datetime.date. The single shared parser for
+    every day argument in the package — string comparison of day
+    values sorts '2024-3-3' after '2024-03-05', so any path that
+    compares days must normalize through here first."""
+    import datetime
+
+    if isinstance(d, datetime.date):
+        return d
+    return datetime.datetime.strptime(str(d), "%Y-%m-%d").date()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of a fixture table (S2). Columnar read; Catalyst
     pushes filters and prunes columns at the scan.

@@ -235,33 +235,39 @@ def multi_day_features(df: DataFrame, keys: list[str], anchors: list) -> DataFra
     minus N-1 scans and N-1 job schedules. Map-side partial aggregation
     collapses the fan-out before the shuffle.
 
-    Implementation rides the single-day engine unchanged: the anchor
-    column is named `max_day`, which is exactly how the metric spec
-    refers to the window upper bound, and `min_day` stays the GLOBAL
-    minimum so the days-since no-purchase fallback matches a per-day
-    run bit-for-bit. Returns one row per (keys, day=anchor).
-
-    Semantics note: anchors are the literal dates given; the single-day
-    gate queries anchor at the data's max(day), so the two agree for
-    anchors on which transactions exist (pinned by pytest)."""
-    import datetime
-
-    def _as_date(d):
-        if isinstance(d, datetime.date):
-            return d
-        return datetime.datetime.strptime(str(d), "%Y-%m-%d").date()
+    Implementation rides the single-day engine unchanged. The window
+    upper bound for each anchor is the EFFECTIVE max fact day at or
+    before it — max(day <= anchor), exactly what the single-day engine
+    (and the reference, which computes max(day) over the day-filtered
+    facts, 04a:138-146) uses — derived from the distinct fact-day list
+    joined to the anchor frame (both tiny), NOT the literal anchor, so
+    an anchor falling on a quiet day produces bit-identical rows to a
+    per-day run. `min_day` stays the GLOBAL minimum so the days-since
+    no-purchase fallback matches too. Returns one row per
+    (keys, day=anchor); anchors with no facts at-or-before them emit
+    nothing, like the per-day engine over an empty slice."""
+    from propensity_spark.io import as_date
 
     spark = df.sparkSession
     anchor_df = spark.createDataFrame(
-        [(_as_date(a),) for a in anchors], "max_day date"
+        [(as_date(a),) for a in anchors], "anchor date"
+    )
+    eff = (
+        df.select("day")
+        .distinct()
+        .join(F.broadcast(anchor_df), F.col("day") <= F.col("anchor"))
+        .groupBy("anchor")
+        .agg(F.max("day").alias("max_day"))
     )
     gmin = df.agg(F.min("day").alias("min_day"))
     src = (
-        df.join(F.broadcast(anchor_df), F.col("day") <= F.col("max_day"))
+        df.join(F.broadcast(eff), F.col("day") <= F.col("anchor"))
         .join(F.broadcast(gmin))
     )
-    out = _feature_core(src, keys + ["max_day"])
-    return out.withColumnRenamed("max_day", "day")
+    # max_day is functionally dependent on anchor but must still be a
+    # group key for the metric expressions to reference it un-aggregated
+    out = _feature_core(src, keys + ["anchor", "max_day"])
+    return out.drop("max_day").withColumnRenamed("anchor", "day")
 
 
 def _feature_core(src: DataFrame, keys: list[str]) -> DataFrame:

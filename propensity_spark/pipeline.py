@@ -39,6 +39,30 @@ class Pipeline:
 
     # -- daily ------------------------------------------------------------
 
+    def _grain_specs(self, asof=None):
+        """(table name, PK, silver-shaped source, group keys) for the
+        three feature grains — the ONE place the grain list lives, so
+        the daily path and the multi-anchor backfill cannot drift.
+        `asof` (a day Column predicate) restricts the fact scan."""
+        from propensity_spark.operators.features import _with_commodity
+        from propensity_spark.operators.relational import silver_transactions
+
+        silver = silver_transactions(self.spark, self.sf_dir)
+        with_comm = _with_commodity(self.spark, self.sf_dir)
+        if asof is not None:
+            silver = silver.where(asof)
+            with_comm = with_comm.where(asof)
+        return [
+            ("household", ["household_key", "day"], silver, ["household_key"]),
+            ("commodity", ["commodity_desc", "day"], with_comm, ["commodity_desc"]),
+            (
+                "household_commodity",
+                ["household_key", "commodity_desc", "day"],
+                with_comm,
+                ["household_key", "commodity_desc"],
+            ),
+        ]
+
     def engineer_features(self, day, force: bool = False) -> None:
         """04a equivalent: build all three grains for `day` and MERGE
         them into the feature store (PK includes day, 04a:599).
@@ -56,27 +80,10 @@ class Pipeline:
         materialized is skipped (metadata check, no scan) — so
         init-backfill followed by the daily job computes each grid
         exactly once. `force=True` recomputes (source-data revision)."""
-        from propensity_spark.operators.features import (
-            _spark_features,
-            _with_commodity,
-        )
-        from propensity_spark.operators.relational import silver_transactions
+        from propensity_spark.operators.features import _spark_features
 
         stamp = F.lit(day).cast("date")
-        asof = F.col("day") <= stamp
-        silver = silver_transactions(self.spark, self.sf_dir).where(asof)
-        with_comm = _with_commodity(self.spark, self.sf_dir).where(asof)
-        specs = [
-            ("household", ["household_key", "day"], silver, ["household_key"]),
-            ("commodity", ["commodity_desc", "day"], with_comm, ["commodity_desc"]),
-            (
-                "household_commodity",
-                ["household_key", "commodity_desc", "day"],
-                with_comm,
-                ["household_key", "commodity_desc"],
-            ),
-        ]
-        for name, pk, src, keys in specs:
+        for name, pk, src, keys in self._grain_specs(asof=F.col("day") <= stamp):
             table = FeatureTable(self.spark, name, pk, self.store)
             if not force and table.has_day(day):
                 continue
@@ -91,25 +98,9 @@ class Pipeline:
         identical (pinned by the bit-exact equivalence test): each
         anchor sees only facts at-or-before it. Already-materialized
         days are skipped (same idempotency as the daily path)."""
-        from propensity_spark.operators.features import (
-            _with_commodity,
-            multi_day_features,
-        )
-        from propensity_spark.operators.relational import silver_transactions
+        from propensity_spark.operators.features import multi_day_features
 
-        silver = silver_transactions(self.spark, self.sf_dir)
-        with_comm = _with_commodity(self.spark, self.sf_dir)
-        specs = [
-            ("household", ["household_key", "day"], silver, ["household_key"]),
-            ("commodity", ["commodity_desc", "day"], with_comm, ["commodity_desc"]),
-            (
-                "household_commodity",
-                ["household_key", "commodity_desc", "day"],
-                with_comm,
-                ["household_key", "commodity_desc"],
-            ),
-        ]
-        for name, pk, src, keys in specs:
+        for name, pk, src, keys in self._grain_specs():
             table = FeatureTable(self.spark, name, pk, self.store)
             todo = [d for d in days if force or not table.has_day(d)]
             if todo:
@@ -265,17 +256,8 @@ class Pipeline:
         or None when there is nothing to compare against — the daily
         job alerts on psi > 0.25 (the standard 'broken' threshold)
         long before the weekly retrain would notice."""
-        import datetime
-
+        from propensity_spark.io import as_date as _as_date
         from propensity_spark.ml.monitoring import psi_value
-
-        def _as_date(d):
-            if isinstance(d, datetime.date):
-                return d
-            # strptime, not fromisoformat: accepts non-zero-padded
-            # forms like '2024-3-3' that Spark's date cast accepts too
-            # (a string compare would sort '2024-3-3' after '2024-03-05')
-            return datetime.datetime.strptime(str(d), "%Y-%m-%d").date()
 
         if not (self.out / "propensities_unpivoted").exists():
             return None

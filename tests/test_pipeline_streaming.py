@@ -386,15 +386,18 @@ def test_cli_init_and_daily_dispatch(spark, sf_dir, tmp_path):
     )
     assert run(args, spark=spark) == 0
 
-    # store the manifest where the daily command looks for it
+    # init persisted the manifest where daily looks for it: the
+    # documented init -> daily scheduler flow needs NO manual glue, and
+    # daily reuses init's lr/1-commodity models instead of retraining
     from propensity_spark.pipeline import Pipeline
 
     p = Pipeline(spark, sf_dir, base)
-    manifest = p.run_weekly(1, model_type="lr")
-    manifest.write.mode("overwrite").parquet(str(p.base / "manifest"))
+    stored = spark.read.parquet(str(p.base / "manifest"))
+    assert stored.count() == 1
 
     args = ap.parse_args(["daily", "--sf-dir", sf_dir, "--base", base])
     assert run(args, spark=spark) == 0
+    assert spark.read.parquet(str(p.base / "manifest")).count() == 1  # not retrained
 
     args = ap.parse_args(["drift", "--sf-dir", sf_dir, "--base", base])
     assert run(args, spark=spark) == 0

@@ -276,14 +276,11 @@ def test_multi_day_features_equal_per_day_on_arbitrary_facts(spark, rows, anchor
             key = (r["household_key"], str(a))
             expected_keys.add(key)
             want = r.asDict()
-            # the single-day engine anchors at max(day present) <= a;
-            # only compare when facts exist ON the anchor so both
-            # anchoring definitions coincide
-            has_on_anchor = sliced.where(F.col("day") == F.lit(a)).count() > 0
-            if not has_on_anchor:
-                continue
+            # multi-day derives each anchor's effective max fact day,
+            # so EVERY anchor with facts compares bit-exact — including
+            # quiet anchors with no transaction on the day itself
             have = got[key]
             for k, v in want.items():
                 if k != "household_key":
                     assert have[k] == v, (a, k, have[k], v)
-    assert set(got) >= {k for k in expected_keys}
+    assert set(got) == expected_keys
