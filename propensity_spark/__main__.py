@@ -42,7 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--day", type=_day, default=None)
         if name == "init":
             p.add_argument("--backfill-days", type=int, default=1)
-            p.add_argument("--commodities", type=int, default=2)
+        if name in ("init", "weekly"):
+            p.add_argument("--commodities", type=int, default=None)
         if name in ("init", "weekly"):
             p.add_argument("--model-type", choices=("gbt", "lr"), default="gbt")
         if name == "weekly":
@@ -83,7 +84,7 @@ def run(args, spark=None) -> int:
         _, rows, rc = persist_manifest(
             p.run_init(
                 day,
-                n_commodities=args.commodities,
+                n_commodities=args.commodities if args.commodities is not None else 2,
                 backfill_days=args.backfill_days,
                 model_type=args.model_type,
             )
@@ -97,7 +98,9 @@ def run(args, spark=None) -> int:
         # metadata check when init/daily already materialized them.
         p.engineer_features(day)
         _, rows, rc = persist_manifest(
-            p.run_weekly(day=day, tune=args.tune, model_type=args.model_type)
+            p.run_weekly(
+                args.commodities, day=day, tune=args.tune, model_type=args.model_type
+            )
         )
         print(json.dumps({"cmd": "weekly", "day": str(day), "manifest": rows}, default=str))
         return rc
