@@ -356,3 +356,53 @@ def test_no_plan_red_flags_across_gate(spark, sf_dir):
         if "BatchEvalPython" in plan:
             flags.append((name, "BatchEvalPython"))
     assert not flags, flags
+
+
+def test_new_operator_plans_have_no_red_flags(spark, sf_dir):
+    """Plan audit for the round-3 operators that live OUTSIDE the gate
+    registry (the repo-wide audit walks gate entries only): no
+    CartesianProduct, no row-at-a-time Python (BatchEvalPython), and
+    the multi-anchor backfill keeps its broadcast anchor fan-out."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from propensity_spark.io import load_table
+    from propensity_spark.ml.monitoring import score_psi
+    from propensity_spark.operators.features import multi_day_features
+    from propensity_spark.operators.relational import silver_transactions
+    from propensity_spark.text.dedup import strip_boilerplate
+    from propensity_spark.vector.similarity import _vec, filtered_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_vec("embedding")).alias("v"), "label"
+    )
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    silver = silver_transactions(spark, sf_dir)
+    plans = {
+        "strip_boilerplate": plan_of(strip_boilerplate(docs)),
+        "score_psi": plan_of(
+            score_psi(
+                ev.where(F.col("event_type") == "click").select("value"),
+                ev.where(F.col("event_type") != "click").select("value"),
+                "value",
+            )
+        ),
+        "multi_day_features": plan_of(
+            multi_day_features(
+                silver, ["household_key"], [datetime.date(2024, 3, 1)]
+            )
+        ),
+        "filtered_topk": plan_of(
+            filtered_topk(emb, queries, F.col("label") == 0)
+        ),
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    # the anchor fan-out joins broadcast (N-row side), never shuffle-join
+    assert "BroadcastNestedLoopJoin" in plans["multi_day_features"]
