@@ -356,32 +356,54 @@ class FeatureTable:
     def lookup_asof(self, keys_df: DataFrame, prefix: str, day_col: str = "day") -> DataFrame:
         """As-of variant (reference non-goal, SURVEY.md §7): for each key
         row, the latest feature row with feature.day <= keys.day.
-        Implemented as join + window-max filter, not a range explode —
-        one shuffle on the entity keys."""
+
+        Implemented as the union + ``last(ignorenulls)`` entity-window
+        pattern (same as q_asof_join, operators/extended.py:29-42), NOT
+        as a `feat.day <= key.day` theta-join: that join materializes,
+        per key row, one intermediate row for EVERY feature day at or
+        before it — with a year of daily history a ~365x amplification
+        before any filter. Here the two sides are tagged and unioned on
+        the shared entity key, one entity-keyed window carries the
+        latest feature row forward as a single struct (so a feature row
+        is taken atomically — a NULL inside one feature column never
+        pulls an older day's value for just that column), and key rows
+        are kept. Rows entering the window == |keys| + |feature rows|;
+        exactly one entity-keyed exchange; left-outer semantics fall out
+        (a key with no at-or-before feature sees a NULL struct)."""
         from pyspark.sql import Window
 
         entity_keys = [k for k in self.pk if k != "day"]
         feats = self.read()
         keep = [c for c in feats.columns if c not in self.pk]
-        renamed = feats.select(
-            *[F.col(k).alias(f"__fk_{k}") for k in entity_keys],
-            F.col("day").alias("__feat_day"),
-            *[F.col(c).alias(f"{prefix}__{c}") for c in keep],
+        feat_struct = F.struct(*[F.col(c).alias(c) for c in keep])
+        feat_side = feats.select(
+            *entity_keys,
+            F.col("day").alias(day_col),
+            F.lit(0).alias("__side"),
+            feat_struct.alias("__feat"),
         )
-        # The `feat.day <= key.day` predicate lives IN the join condition,
-        # not as a post-join filter: a key whose feature rows are all LATER
-        # than its day must keep its left-outer null row, not vanish.
-        cond = renamed["__feat_day"] <= keys_df[day_col]
-        for k in entity_keys:
-            cond = (keys_df[k] == renamed[f"__fk_{k}"]) & cond
-        joined = keys_df.join(renamed, cond, "leftouter").drop(
-            *[f"__fk_{k}" for k in entity_keys]
+        extra = [c for c in keys_df.columns if c not in entity_keys and c != day_col]
+        key_side = keys_df.select(
+            *entity_keys,
+            day_col,
+            F.lit(1).alias("__side"),
+            F.lit(None).cast(feat_side.schema["__feat"].dataType).alias("__feat"),
+            *extra,
         )
-        w = Window.partitionBy(*entity_keys, day_col).orderBy(F.desc_nulls_last("__feat_day"))
-        return (
-            joined.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn", "__feat_day")
+        unioned = key_side.unionByName(feat_side, allowMissingColumns=True)
+        # Feature rows sort BEFORE key rows on ties (__side 0 < 1) so a
+        # key at day D sees the feature row of day D — at-or-BEFORE.
+        w = (
+            Window.partitionBy(*entity_keys)
+            .orderBy(F.col(day_col).asc_nulls_first(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        resolved = unioned.withColumn("__last", F.last("__feat", ignorenulls=True).over(w))
+        return resolved.where(F.col("__side") == 1).select(
+            *entity_keys,
+            day_col,
+            *extra,
+            *[F.col("__last").getField(c).alias(f"{prefix}__{c}") for c in keep],
         )
 
 

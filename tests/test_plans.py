@@ -406,3 +406,37 @@ def test_new_operator_plans_have_no_red_flags(spark, sf_dir):
         assert "BatchEvalPython" not in plan, name
     # the anchor fan-out joins broadcast (N-row side), never shuffle-join
     assert "BroadcastNestedLoopJoin" in plans["multi_day_features"]
+
+
+def test_lookup_asof_union_window_no_fanout(spark, tmp_path):
+    """The as-of feature lookup must be the union + last(ignorenulls)
+    pattern, not a `feat.day <= key.day` theta-join: with a year of
+    daily history the join fans out ~365 rows per key before ranking.
+    Pinned three ways: (a) the plan has NO join node at all — only a
+    Union + one Window; (b) exactly one entity-keyed Exchange feeds the
+    window; (c) rows entering the window == |keys| + |feature rows|
+    (measured via observe on the pre-filter frame)."""
+    from datetime import date, timedelta
+
+    from propensity_spark.feature_store import FeatureTable
+
+    t = FeatureTable(spark, "asof_plan", ["household_key", "day"], str(tmp_path / "s"))
+    hist = spark.createDataFrame(
+        [(k, date(2024, 1, 1) + timedelta(days=d), float(d)) for k in (1, 2) for d in range(30)],
+        "household_key int, day date, amount double",
+    )
+    t.create(hist)
+    keys = spark.createDataFrame(
+        [(1, date(2024, 2, 15)), (2, date(2024, 1, 10))], "household_key int, day date"
+    )
+    out = t.lookup_asof(keys, "hh")
+    plan = plan_of(out)
+    assert "Join" not in plan, plan  # no theta-join fan-out
+    assert plan.count("Window") >= 1
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    entity_exchanges = [e for e in exchanges if "household_key" in e]
+    assert len(entity_exchanges) == 1, exchanges
+    # row-amplification check: 2 keys + 60 feature rows = 62 rows, 2 out
+    assert out.count() == 2
+    got = {r["household_key"]: r["hh__amount"] for r in out.collect()}
+    assert got == {1: 29.0, 2: 9.0}  # latest at-or-before per key
