@@ -218,7 +218,8 @@ def test_parquet_fallback_flag_off(spark, store):
 
 @pytest.mark.skipif(
     not __import__("propensity_spark.feature_store", fromlist=["HAS_DELTA"]).HAS_DELTA,
-    reason="delta-spark not on the classpath (activates when it appears)",
+    reason="delta-spark not on the classpath (activates when it appears; "
+    "install impossibility proof: docs/DELTA.md)",
 )
 def test_delta_merge_upserts_transactionally(spark, store):
     """Same upsert semantics as the parquet path, via MERGE INTO."""
