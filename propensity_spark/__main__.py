@@ -7,15 +7,24 @@ BashOperator, etc.) can call — one subcommand per reference job:
 
     python -m propensity_spark init   --sf-dir DATA --base OUT [--day D]
                                       [--backfill-days N] [--commodities K]
-    python -m propensity_spark daily  --sf-dir DATA --base OUT --day D
+    python -m propensity_spark daily  --sf-dir DATA --base OUT [--day D]
+                                      [--model-type gbt|lr]
+                                      [--psi-threshold P]
     python -m propensity_spark weekly --sf-dir DATA --base OUT [--day D]
-                                      [--tune]
-    python -m propensity_spark drift  --sf-dir DATA --base OUT --day D
+                                      [--tune] [--n-trials N]
+    python -m propensity_spark drift  --sf-dir DATA --base OUT [--day D]
+                                      [--psi-threshold P]
 
-`init` prints the training manifest, `daily` the published paths plus
-the in-flight publish metrics and PSI drift, `weekly` the manifest,
-`drift` the PSI report. Exit code is non-zero on failed training rows
-so schedulers alert without parsing output.
+`--day` is optional everywhere: it falls back to the latest silver
+transaction day. A first `daily` run with no stored manifest trains
+models for the default commodity set before scoring (as the weekly
+job would) and persists the manifest; `--model-type` controls that
+implicit training. `init` prints the training manifest, `daily` the
+published paths plus the in-flight publish metrics and PSI drift,
+`weekly` the manifest, `drift` the PSI report. Exit code is non-zero
+on failed training rows, and `daily`/`drift` exit 2 when PSI exceeds
+`--psi-threshold` (default 0.25; pass a negative value to disable) —
+schedulers alert without parsing output.
 """
 
 from __future__ import annotations
@@ -44,10 +53,18 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--backfill-days", type=int, default=1)
         if name in ("init", "weekly"):
             p.add_argument("--commodities", type=int, default=None)
-        if name in ("init", "weekly"):
+        if name in ("init", "weekly", "daily"):
+            # on daily this controls the first-run implicit training
+            # (no stored manifest -> train as the weekly job would)
             p.add_argument("--model-type", choices=("gbt", "lr"), default="gbt")
         if name == "weekly":
             p.add_argument("--tune", action="store_true")
+            # reference parity: >=50 hyperopt trials per commodity
+            # (04b_Task__Model_Training.py:392-395); seeded random
+            # search at the same breadth.
+            p.add_argument("--n-trials", type=int, default=50)
+        if name in ("daily", "drift"):
+            p.add_argument("--psi-threshold", type=float, default=0.25)
     return ap
 
 
@@ -99,7 +116,14 @@ def run(args, spark=None) -> int:
         p.engineer_features(day)
         _, rows, rc = persist_manifest(
             p.run_weekly(
-                args.commodities, day=day, tune=args.tune, model_type=args.model_type
+                args.commodities,
+                day=day,
+                tune=args.tune,
+                model_type=args.model_type,
+                # --tune at reference breadth: seeded random search over
+                # the continuous space, --n-trials (default 50) maps.
+                search="random" if args.tune else "grid",
+                n_trials=args.n_trials if args.tune else None,
             )
         )
         print(json.dumps({"cmd": "weekly", "day": str(day), "manifest": rows}, default=str))
@@ -117,7 +141,9 @@ def run(args, spark=None) -> int:
             # fit every model on all-zero lookup misses), then train as
             # the weekly job would and persist for later dailies.
             p.engineer_features(day)
-            manifest, _, rc = persist_manifest(p.run_weekly(day=day))
+            manifest, _, rc = persist_manifest(
+                p.run_weekly(day=day, model_type=args.model_type)
+            )
         paths = p.run_daily(day, manifest)
         print(
             json.dumps(
@@ -131,11 +157,25 @@ def run(args, spark=None) -> int:
                 default=str,
             )
         )
+        # PSI alert: schedulers page on exit code, not output parsing.
+        if (
+            rc == 0
+            and p.last_drift is not None
+            and args.psi_threshold >= 0
+            and p.last_drift["psi"] > args.psi_threshold
+        ):
+            return 2
         return rc
 
     if args.cmd == "drift":
         report = p.drift(day)
         print(json.dumps({"cmd": "drift", "report": report}, default=str))
+        if (
+            report is not None
+            and args.psi_threshold >= 0
+            and report["psi"] > args.psi_threshold
+        ):
+            return 2
         return 0
 
     raise AssertionError(args.cmd)

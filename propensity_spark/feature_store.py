@@ -213,9 +213,13 @@ class FeatureTable:
             # through ZORDER BY (for one column Z-order degenerates to
             # a plain sort, so the data-skipping promise still holds);
             # target_files does not apply — Delta sizes files via
-            # bin-packing table properties instead.
-            cols = ", ".join(f"`{c}`" for c in (sort_by or []))
-            clause = f" ZORDER BY ({cols})" if sort_by else ""
+            # bin-packing table properties instead. Partition columns
+            # ('day') are dropped from the ZORDER list — Delta rejects
+            # Z-ordering on them (they're path-encoded constants inside
+            # the partition anyway); if nothing remains, plain OPTIMIZE.
+            zcols = [c for c in (sort_by or []) if c != "day"]
+            cols = ", ".join(f"`{c}`" for c in zcols)
+            clause = f" ZORDER BY ({cols})" if zcols else ""
             self.spark.sql(
                 f"OPTIMIZE delta.`{self.path}` WHERE day = '{day}'{clause}"
             )

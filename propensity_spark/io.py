@@ -135,6 +135,11 @@ def as_date(d):
     compares days must normalize through here first."""
     import datetime
 
+    # datetime is a date subclass: strip the time part first, or a
+    # datetime smuggled through here breaks date-vs-datetime
+    # comparisons downstream (e.g. drift baseline selection).
+    if isinstance(d, datetime.datetime):
+        return d.date()
     if isinstance(d, datetime.date):
         return d
     return datetime.datetime.strptime(str(d), "%Y-%m-%d").date()

@@ -253,9 +253,11 @@ class Pipeline:
         published day BEFORE `day`. Both sides are single pruned day
         partitions; the day listing is a control-plane collect (one row
         per published day). Returns ``{"psi", "day", "baseline_day"}``
-        or None when there is nothing to compare against — the daily
-        job alerts on psi > 0.25 (the standard 'broken' threshold)
-        long before the weekly retrain would notice."""
+        or None when there is nothing to compare against. Alerting is
+        the CLI's job: the `daily` and `drift` subcommands exit
+        non-zero when psi exceeds ``--psi-threshold`` (default 0.25,
+        the standard 'broken' threshold) so schedulers page long
+        before the weekly retrain would notice."""
         from propensity_spark.io import as_date as _as_date
         from propensity_spark.ml.monitoring import psi_value
 
@@ -297,9 +299,16 @@ class Pipeline:
         tune: bool = False,
         day=None,
         model_type: str = "gbt",
+        search: str = "grid",
+        n_trials: int | None = None,
     ) -> DataFrame:
         """Features for `day` must already be in the store (run_init /
-        engineer_features put them there); training only looks up."""
+        engineer_features put them there); training only looks up.
+        `search`/`n_trials` select the tuning breadth when `tune`
+        (the CLI passes search='random', n_trials=50 for reference
+        parity with the >=50 hyperopt trials at 04b:392-395)."""
+        from propensity_spark.ml.training import N_SEARCH_TRIALS
+
         return train_commodity_models(
             self.spark,
             self.sf_dir,
@@ -310,6 +319,8 @@ class Pipeline:
             materialize_features=False,
             day=day,
             model_type=model_type,
+            search=search,
+            n_trials=N_SEARCH_TRIALS if n_trials is None else n_trials,
         )
 
     def run_init(

@@ -401,3 +401,90 @@ def test_cli_init_and_daily_dispatch(spark, sf_dir, tmp_path):
 
     args = ap.parse_args(["drift", "--sf-dir", sf_dir, "--base", base])
     assert run(args, spark=spark) == 0
+
+
+def test_cli_drift_exit_code_pages_on_psi_break(spark, sf_dir, tmp_path):
+    """`daily`/`drift` exit 2 when PSI exceeds --psi-threshold (default
+    0.25) so schedulers alert without parsing output; a negative
+    threshold disables the alert."""
+    import datetime
+
+    from propensity_spark.__main__ import build_parser, run
+    from propensity_spark.pipeline import Pipeline
+
+    base = str(tmp_path / "cli_drift")
+    p = Pipeline(spark, sf_dir, base)
+
+    def scores(day, shift):
+        rows = [
+            (h, day, "Brand#1", min(0.999, 0.05 + (h % 10) / 20.0 + shift))
+            for h in range(200)
+        ]
+        return spark.createDataFrame(
+            rows, "household_key int, day date, commodity_desc string, prediction double"
+        )
+
+    d1, d2 = datetime.date(2024, 3, 1), datetime.date(2024, 3, 2)
+    p.publish(scores(d1, 0.0))
+    p.publish(scores(d2, 0.4))  # broken distribution
+    ap = build_parser()
+    common = ["--sf-dir", sf_dir, "--base", base, "--day", str(d2)]
+    assert run(ap.parse_args(["drift", *common]), spark=spark) == 2
+    assert (
+        run(ap.parse_args(["drift", *common, "--psi-threshold", "-1"]), spark=spark)
+        == 0
+    )
+    # stable day -> no page
+    assert (
+        run(
+            ap.parse_args(["drift", "--sf-dir", sf_dir, "--base", base, "--day", str(d1)]),
+            spark=spark,
+        )
+        == 0
+    )
+
+
+def test_cli_weekly_tune_records_trial_breadth(spark, sf_dir, tmp_path):
+    """--tune switches to the seeded random search; --n-trials controls
+    the breadth and lands in the manifest's n_trials column (reference
+    parity default is 50 — asserted on the parser, trained here at 3 to
+    stay inside the test budget)."""
+    from propensity_spark.__main__ import build_parser, run
+    from propensity_spark.pipeline import Pipeline
+
+    ap = build_parser()
+    assert ap.parse_args(["weekly", "--sf-dir", "x", "--base", "y"]).n_trials == 50
+
+    base = str(tmp_path / "cli_tune")
+    assert (
+        run(
+            ap.parse_args(
+                ["init", "--sf-dir", sf_dir, "--base", base, "--backfill-days", "0",
+                 "--commodities", "1", "--model-type", "lr"]
+            ),
+            spark=spark,
+        )
+        == 0
+    )
+    args = ap.parse_args(
+        ["weekly", "--sf-dir", sf_dir, "--base", base, "--commodities", "1",
+         "--model-type", "lr", "--tune", "--n-trials", "3"]
+    )
+    assert run(args, spark=spark) == 0
+    p = Pipeline(spark, sf_dir, base)
+    rows = spark.read.parquet(str(p.base / "manifest")).collect()
+    assert [r["n_trials"] for r in rows] == [3]
+
+
+def test_as_date_normalizes_datetime(spark):
+    """datetime.datetime is a date subclass — as_date must strip the
+    time part or downstream date-vs-datetime comparisons raise."""
+    import datetime
+
+    from propensity_spark.io import as_date
+
+    dt = datetime.datetime(2024, 3, 3, 14, 30)
+    out = as_date(dt)
+    assert type(out) is datetime.date and out == datetime.date(2024, 3, 3)
+    assert out < datetime.date(2024, 3, 5)  # comparable with plain dates
+    assert as_date("2024-3-3") == datetime.date(2024, 3, 3)
