@@ -259,6 +259,41 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def percentiles(
+    df: DataFrame,
+    cols: list[str] | str,
+    probs: list[float] = (0.25, 0.5, 0.75),
+    by: list[str] | None = None,
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Production percentile surface — SKETCHES BY DEFAULT.
+
+    Spark's exact `percentile` buffers every value of a group in
+    executor memory: fine for 5 market segments at sf0.1, an OOM hazard
+    at 10^11 rows/group, so the default here is `percentile_approx`
+    (a mergeable rank sketch: bounded memory per partition, map-side
+    combinable, rank error <= 1/accuracy — at the default 10_000 the
+    p50 estimate sits inside the exact [p49, p51] window). `exact=True`
+    is the opt-in for small grouped data where interpolated exactness
+    matters (the gate query q_percentiles uses it deliberately on a
+    5-group fixture). Output columns are `<col>_p<pct>`; `by=None`
+    computes global percentiles (one 1-row aggregate)."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    fn = "percentile" if exact else "percentile_approx"
+    aggs = []
+    for c in cols:
+        for p in probs:
+            name = f"{c}_p{str(round(p * 100, 1)).rstrip('0').rstrip('.')}"
+            expr = (
+                f"{fn}(`{c}`, {p!r})"
+                if exact
+                else f"{fn}(`{c}`, {p!r}, {accuracy})"
+            )
+            aggs.append(F.expr(expr).alias(name))
+    return df.groupBy(*(by or [])).agg(*aggs)
+
+
 def q_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S14 source-sink coverage beyond parquet in one tagged union:
     (a) nation+region exported to CSV and re-read with explicit

@@ -316,9 +316,13 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(doc, term) TF -> per-term DF -> score tf*ln(N/df) -> window
     top-K with term tie-break. Shuffle profile at 100 TB: TF shuffles
     on (doc_id, term) — high cardinality, balanced; DF shuffles on term
-    with map-side partial distinct; the DF side is vocabulary-sized
-    (<< corpus) so it broadcasts back onto TF. Ranking is rounded
-    before ordering so the result is engine-portable."""
+    with map-side partial distinct. The DF->TF join carries NO
+    broadcast hint: on this fixture AQE broadcasts it anyway (plan-
+    pinned), but a web-scale corpus's distinct-token set (typos, URLs,
+    code tokens) can run into the billions, where a forced hint OOMs
+    the driver — unhinted, AQE measures the built side at runtime and
+    falls back to a shuffled hash join exactly when it must. Ranking
+    is rounded before ordering so the result is engine-portable."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -332,7 +336,7 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",

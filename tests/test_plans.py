@@ -440,3 +440,56 @@ def test_lookup_asof_union_window_no_fanout(spark, tmp_path):
     assert out.count() == 2
     got = {r["household_key"]: r["hh__amount"] for r in out.collect()}
     assert got == {1: 29.0, 2: 9.0}  # latest at-or-before per key
+
+
+def test_tfidf_df_join_unhinted_but_aqe_broadcasts(spark, sf_dir):
+    """The TF<-DF join must carry NO forced broadcast hint (a web-scale
+    vocabulary can run 10^9+ distinct tokens — a hint OOMs where AQE
+    would fall back to a shuffled join), yet at fixture scale AQE must
+    still pick a broadcast join at runtime, so dropping the hint costs
+    nothing here."""
+    from propensity_spark.text.analysis import q_tfidf_keywords
+
+    out = q_tfidf_keywords(spark, sf_dir)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    # the only allowed hint is the 1-row n_docs corpus count
+    assert analyzed.lower().count("unresolvedhint") == 0
+    assert analyzed.count("ResolvedHint (strategy=broadcast)") <= 1, analyzed
+    out.collect()  # run so AQE finalizes
+    plan = plan_of(out)
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_percentiles_api_defaults_to_sketch(spark, sf_dir):
+    """percentiles() production API: approx (percentile_approx) by
+    default — the grouped sketch p50 must land inside the exact
+    [p49, p51] window; exact=True reproduces the exact interpolated
+    values; no exact `percentile` aggregate may appear in the default
+    plan."""
+    from propensity_spark.io import load_table
+    from propensity_spark.operators.extended import percentiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    approx = percentiles(orders, "o_totalprice", by=["o_orderstatus"])
+    plan = plan_of(approx)
+    assert "percentile_approx" in plan
+    assert "percentile(" not in plan.replace("percentile_approx(", ""), plan
+
+    exact = percentiles(
+        orders, "o_totalprice", probs=[0.49, 0.5, 0.51], by=["o_orderstatus"], exact=True
+    )
+    ex = {r["o_orderstatus"]: r for r in exact.collect()}
+    ap = {r["o_orderstatus"]: r for r in approx.collect()}
+    for status, row in ap.items():
+        lo, hi = ex[status]["o_totalprice_p49"], ex[status]["o_totalprice_p51"]
+        assert lo <= row["o_totalprice_p50"] <= hi, status
+    # exact opt-in equals Spark's exact aggregate
+    want = orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("w")
+    )
+    wants = {r["o_orderstatus"]: r["w"] for r in want.collect()}
+    for status, row in ex.items():
+        assert abs(row["o_totalprice_p50"] - wants[status]) < 1e-9
+    # global (no `by`) returns one row
+    assert percentiles(orders, "o_totalprice").count() == 1
