@@ -15,6 +15,25 @@ Open equivalents here (SURVEY.md §1 'Spark mapping'):
   partition = incoming rows + existing rows anti-joined on the PK.
   Delta's MERGE does the same thing with a transaction log; semantics
   match, atomicity is per-partition instead of per-table.
+
+Physical layout (parquet backend) — snapshot-safe versioned partitions:
+
+    <table>/day=<D>/v=<N>/*.parquet   immutable version dirs
+    <table>/day=<D>/_CURRENT          pointer file: the live N for day D
+
+Every write (create/merge/compact) materializes a NEW ``v=N`` dir and
+only then flips the day's ``_CURRENT`` pointer via an atomic rename —
+the single-file-rename analogue of Delta's log commit. Readers resolve
+pointers at DataFrame-build time and scan only the resolved version
+dirs, so a reader mid-scan keeps a consistent snapshot while a
+concurrent merge/compact lands: the previous version dir is retained
+through one subsequent write (GC keeps {previous, current}), the same
+guarantee class as Delta VACUUM with a 1-write retention horizon. The
+pointer flip doubles as the commit marker: a writer that dies before
+the flip leaves an unpointed v-dir that readers never see and the next
+successful write garbage-collects. Single writer per table is assumed
+(the reference's job model); at 100 TB on an object store the pointer
+file becomes a catalog/manifest entry — same seam.
 * ``FeatureTable.lookup`` — J7's exact-key left-outer join with the
   per-table column-rename prefix (`household__*`, ...) and key/day
   exclusion (04b:195-217). Exact `day` match is the reference's
@@ -65,49 +84,169 @@ class FeatureTable:
         self.use_delta = HAS_DELTA if use_delta is None else (use_delta and HAS_DELTA)
         self.path = str(Path(base or DEFAULT_STORE) / name)
 
+    # -- versioned-layout plumbing (parquet backend) ------------------------
+
+    @staticmethod
+    def _day_str(day) -> str:
+        from propensity_spark.io import as_date
+
+        return str(as_date(day))
+
+    def _day_dirs(self) -> list[Path]:
+        root = Path(self.path)
+        return sorted(root.glob("day=*")) if root.exists() else []
+
+    def _current(self, day_dir: Path) -> int | None:
+        """The committed version for one day dir, or None (never
+        flipped = invisible)."""
+        ptr = day_dir / "_CURRENT"
+        try:
+            return int(ptr.read_text())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _flip(self, day_dir: Path, n: int) -> None:
+        """Atomically commit version `n` for a day: write-temp +
+        os.replace — the rename is the commit point, readers see either
+        the old pointer or the new one, never a torn file."""
+        import os
+
+        tmp = day_dir / "_CURRENT.tmp"
+        tmp.write_text(str(n))
+        os.replace(tmp, day_dir / "_CURRENT")
+
+    def _resolved(self, day=None) -> dict[str, Path]:
+        """day-string -> live version dir, resolved through pointers."""
+        out = {}
+        for dd in self._day_dirs():
+            dval = dd.name.split("=", 1)[1]
+            if day is not None and dval != self._day_str(day):
+                continue
+            n = self._current(dd)
+            if n is not None and (dd / f"v={n}").exists():
+                out[dval] = dd / f"v={n}"
+        return out
+
+    def _next_version(self) -> int:
+        """Global monotone version: 1 + max over every v-dir and
+        pointer (crashed writers leave unpointed dirs — counted so a
+        retry never reuses their number)."""
+        n = 0
+        for dd in self._day_dirs():
+            cur = self._current(dd)
+            if cur is not None:
+                n = max(n, cur)
+            for vd in dd.glob("v=*"):
+                try:
+                    n = max(n, int(vd.name.split("=", 1)[1]))
+                except ValueError:
+                    continue
+        return n + 1
+
+    def _gc(self, prev: dict[str, int | None]) -> None:
+        """Drop version dirs other than {previous-current, current} per
+        day: the previous version stays alive through one subsequent
+        write so an in-flight reader's resolved snapshot keeps its
+        files; unpointed dirs from crashed writes go too."""
+        import shutil
+
+        for dd in self._day_dirs():
+            cur = self._current(dd)
+            keep = {cur, prev.get(dd.name.split("=", 1)[1])} - {None}
+            for vd in dd.glob("v=*"):
+                try:
+                    v = int(vd.name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if v not in keep:
+                    shutil.rmtree(vd, ignore_errors=True)
+
+    def _write_version(self, df: DataFrame, n: int) -> None:
+        """Materialize a new version: dynamic-partition overwrite on
+        (day, v=n) touches ONLY the new version dirs — every live and
+        previous version dir survives the write untouched."""
+        if "v" in df.columns:
+            raise ValueError(
+                "column name 'v' collides with the store's version partition"
+            )
+        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            df.withColumn("v", F.lit(n)).write.mode("overwrite").partitionBy(
+                "day", "v"
+            ).parquet(self.path)
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def _commit_version(self, n: int, replace_all: bool = False) -> list[str]:
+        """Flip pointers for every day that received version `n`, then
+        GC. `replace_all` (create semantics) also retires days absent
+        from the new version. Returns the committed day strings."""
+        import shutil
+
+        prev = {dd.name.split("=", 1)[1]: self._current(dd) for dd in self._day_dirs()}
+        committed = []
+        for dd in self._day_dirs():
+            dval = dd.name.split("=", 1)[1]
+            if (dd / f"v={n}").exists():
+                self._flip(dd, n)
+                committed.append(dval)
+            elif replace_all:
+                shutil.rmtree(dd, ignore_errors=True)
+        self._gc(prev)
+        return committed
+
     def exists(self) -> bool:
-        return Path(self.path).exists() and any(Path(self.path).rglob("*.parquet"))
+        return bool(self._resolved()) if not self.use_delta else (
+            Path(self.path).exists() and any(Path(self.path).rglob("*.parquet"))
+        )
 
     def has_day(self, day) -> bool:
         """True if the day partition is COMPLETELY materialized — a
-        metadata (directory + marker) check, no scan. Gated on the
-        per-partition ``_COMMITTED`` marker stamped after a successful
-        create/merge/compact, not on any-parquet-exists: a merge that
-        died mid-write leaves parquet files but no marker, so the next
-        daily run redoes the day instead of silently freezing torn data
-        in the store. Under delta the txn log already guarantees
-        readers never see a torn write, so the check is a log-pruned
-        1-row read."""
+        metadata (pointer + directory) check, no scan. The _CURRENT
+        flip happens only after a successful write, so a merge that
+        died mid-write leaves an unpointed v-dir and the next daily run
+        redoes the day instead of silently freezing torn data in the
+        store. Under delta the txn log already guarantees readers never
+        see a torn write, so the check is a log-pruned 1-row read."""
         if self.use_delta:
             return self.exists() and bool(self.read(day).take(1))
-        part = Path(self.path) / f"day={day}"
-        return part.exists() and any(part.glob("*.parquet")) and (part / "_COMMITTED").exists()
-
-    def _stamp(self, days=None) -> None:
-        """Write the per-partition completion marker. Spark only writes
-        a table-root _SUCCESS, so partition-level completion needs our
-        own marker file (ignored by parquet readers: underscore prefix)."""
-        for part in Path(self.path).glob("day=*"):
-            if days is not None and part.name.split("=", 1)[1] not in {str(d) for d in days}:
-                continue
-            (part / "_COMMITTED").touch()
+        return self._day_str(day) in self._resolved(day)
 
     def create(self, df: DataFrame) -> None:
-        """Full (re)write, partitioned by day (S3 + partition pruning)."""
+        """Full (re)write, partitioned by day (S3 + partition pruning).
+        Versioned: the new state lands as unpointed v-dirs first, then
+        every pointer flips; days absent from `df` are retired."""
         if self.use_delta:
             df.write.format("delta").mode("overwrite").partitionBy("day").save(self.path)
             return
-        df.write.mode("overwrite").partitionBy("day").parquet(self.path)
-        self._stamp()
+        n = self._next_version()
+        self._write_version(df, n)
+        self._commit_version(n, replace_all=True)
 
     def read(self, day=None) -> DataFrame:
+        """Snapshot read: pointers are resolved NOW, and the returned
+        DataFrame scans exactly those immutable version dirs — writes
+        landing after this call don't change (or tear) what it sees.
+        read(day) resolves to a single version dir: stronger than
+        partition pruning, the other days never enter the file index."""
         if self.use_delta:
             df = self.spark.read.format("delta").load(self.path)
-        else:
-            df = self.spark.read.parquet(self.path)
-        if day is not None:
-            df = df.where(F.col("day") == F.lit(day))  # partition-pruned (S8)
-        return df
+            if day is not None:
+                df = df.where(F.col("day") == F.lit(day))  # partition-pruned (S8)
+            return df
+        resolved = self._resolved(day)
+        if not resolved:
+            raise FileNotFoundError(
+                f"no committed data for {self.name} at {self.path}"
+                + (f" day={day}" if day is not None else "")
+            )
+        # basePath keeps day (and v) as inferred partition columns even
+        # though only the resolved leaf dirs are listed.
+        df = self.spark.read.option("basePath", self.path).parquet(
+            *[str(p) for p in resolved.values()]
+        )
+        return df.drop("v")
 
     def _merge_delta(self, batch: DataFrame) -> None:
         """Transactional MERGE INTO keyed on the PK — the reference's
@@ -156,16 +295,12 @@ class FeatureTable:
             staged = self.spark.read.parquet(staging)
             days = [r[0] for r in staged.select("day").distinct().collect()]
             merged = self._merge_frame(staged, days)
-            prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try:
-                # Rewrites only the touched day partitions; untouched history stays.
-                merged.write.mode("overwrite").partitionBy("day").parquet(self.path)
-                self._stamp(days)
-            finally:
-                # Scoped: a later plain overwrite in the same session must
-                # remain a full-table replace, not a silent partial one.
-                self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            # New v-dirs only for the touched days; untouched history —
+            # and the live version dirs of the touched days themselves —
+            # stay on disk until the pointer flip commits.
+            n = self._next_version()
+            self._write_version(merged, n)
+            self._commit_version(n)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 
@@ -200,8 +335,6 @@ class FeatureTable:
         sorts by the Morton interleaved key over ALL `sort_by` columns
         (io.zorder_key) so skipping works for filters on any of them;
         default is lexicographic (leading-column skipping only)."""
-        import shutil
-
         if self.use_delta:
             if not self.has_day(day):
                 raise ValueError(f"no partition for day={day}")
@@ -230,7 +363,6 @@ class FeatureTable:
                 .count()
             )
 
-        part = Path(self.path) / f"day={day}"
         if not self.has_day(day):
             raise ValueError(f"no partition for day={day}")
         df = self.read(day).drop("day")  # day is path-encoded; restored by dir
@@ -249,30 +381,18 @@ class FeatureTable:
             )
         else:
             df = df.repartition(target_files)
-        # Temp output lives OUTSIDE the table root (sibling dir): a temp
-        # dir inside the root would be picked up by partition discovery
-        # if the job died between write and rename — duplicating the
-        # day's rows AND flipping the inferred `day` type to string.
-        # Stale temps from previously-crashed compactions are cleaned
-        # here for the same reason the new one is written outside.
-        tmp_root = Path(self.path + "__COMPACT_TMP")
-        shutil.rmtree(tmp_root, ignore_errors=True)
-        tmp = tmp_root / f"day={day}"
-        df.write.mode("overwrite").parquet(str(tmp))
-        # Swap is rmtree-then-rename: non-atomic for CONCURRENT readers
-        # (documented; Delta fixes this with the txn log), but crash-
-        # safe for the store itself — a death between the two calls
-        # leaves no _COMMITTED marker, so has_day() reports the
-        # partition incomplete and the day is redone. The temp dir is
-        # cleaned ONLY on success: if the rename fails after rmtree
-        # removed the original, tmp holds the only complete copy of the
-        # partition, so it must survive the exception (the sweep at the
-        # top of the next compact() reclaims it).
-        shutil.rmtree(part)
-        tmp.rename(part)
-        shutil.rmtree(tmp_root, ignore_errors=True)
-        self._stamp([day])
-        return len(list(part.glob("*.parquet")))
+        # The compacted rewrite is just another version: written to an
+        # unpointed v-dir (readers can't see it, and the source version
+        # dir it reads from is immutable), committed by the pointer
+        # flip, after which GC retires versions older than the one just
+        # superseded. A crash mid-write leaves the pointer — and every
+        # reader — on the old, complete version.
+        dstr = self._day_str(day)
+        n = self._next_version()
+        new_dir = Path(self.path) / f"day={dstr}" / f"v={n}"
+        df.write.mode("overwrite").parquet(str(new_dir))
+        self._commit_version(n)
+        return len(list(new_dir.glob("*.parquet")))
 
     def validate(self, day=None) -> dict:
         """DLT-expectations-style health check over the table (or one
