@@ -153,6 +153,7 @@ def run(args, spark=None) -> int:
                     "published": list(paths),
                     "publish_metrics": p.last_publish_metrics,
                     "drift": p.last_drift,
+                    "validation": p.last_validation,
                 },
                 default=str,
             )

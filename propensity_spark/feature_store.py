@@ -394,31 +394,80 @@ class FeatureTable:
         self._commit_version(n)
         return len(list(new_dir.glob("*.parquet")))
 
-    def validate(self, day=None) -> dict:
+    def validate(self, day=None, expectations: list[dict] | None = None) -> dict:
         """DLT-expectations-style health check over the table (or one
         pruned day partition): PK null-ness and PK uniqueness — the two
-        invariants MERGE correctness rests on. ONE aggregation job:
-        total rows + null-PK rows come from a single agg, duplicate-PK
-        rows from total minus a distinct-PK count (one shuffle, no
-        groupBy-then-filter second pass). Returns counts; all zeros
-        except `rows` means healthy. At 100 TB run per-day (pruned),
-        not table-wide."""
+        invariants MERGE correctness rests on — plus optional
+        VALUE-LEVEL expectations from a declarative spec, the analogue
+        of the reference's display-cell eyeball checks and of DLT
+        `@expect` clauses. Each spec entry:
+
+            {"column": "amount_list_30d",   # required
+             "max_null_frac": 0.05,         # optional: null-fraction cap
+             "min": 0.0, "max": 1e9}        # optional: value range
+
+        ALL checks ride ONE aggregation job (the null/range counters
+        are extra agg expressions on the same pass — adding an
+        expectation costs zero extra scans); duplicate-PK still needs
+        its one distinct shuffle. Returns the original counters plus
+        `expectations` (per-column violation detail) and
+        `failed_expectations` (how many specs broke). At 100 TB run
+        per-day (pruned), not table-wide."""
         df = self.read(day)
         data_pk = [k for k in self.pk if k != "day" or day is None]
         null_pred = None
         for k in data_pk:
             cond = F.col(k).isNull()
             null_pred = cond if null_pred is None else (null_pred | cond)
-        stats = df.agg(
+        aggs = [
             F.count(F.lit(1)).alias("rows"),
             F.count(F.when(null_pred, 1)).alias("null_pk"),
-        ).collect()[0]
+        ]
+        specs = expectations or []
+        for i, spec in enumerate(specs):
+            c = F.col(spec["column"])
+            aggs.append(F.count(F.when(c.isNull(), 1)).alias(f"__null_{i}"))
+            rng = None
+            if spec.get("min") is not None:
+                rng = c < F.lit(spec["min"])
+            if spec.get("max") is not None:
+                over = c > F.lit(spec["max"])
+                rng = over if rng is None else (rng | over)
+            aggs.append(
+                F.count(F.when(rng, 1) if rng is not None else F.lit(None)).alias(
+                    f"__oor_{i}"
+                )
+            )
+        stats = df.agg(*aggs).collect()[0]
         distinct_pk = df.select(*data_pk).distinct().count()
-        return {
+        out = {
             "rows": stats["rows"],
             "null_pk": stats["null_pk"],
             "duplicate_pk": stats["rows"] - distinct_pk,
         }
+        if specs:
+            details, failed = [], 0
+            rows = max(stats["rows"], 1)
+            for i, spec in enumerate(specs):
+                null_frac = stats[f"__null_{i}"] / rows
+                oor = stats[f"__oor_{i}"]
+                ok = oor == 0 and (
+                    spec.get("max_null_frac") is None
+                    or null_frac <= spec["max_null_frac"]
+                )
+                failed += 0 if ok else 1
+                details.append(
+                    {
+                        "column": spec["column"],
+                        "n_null": stats[f"__null_{i}"],
+                        "null_frac": null_frac,
+                        "n_out_of_range": oor,
+                        "passed": ok,
+                    }
+                )
+            out["expectations"] = details
+            out["failed_expectations"] = failed
+        return out
 
     def expire(self, before_day) -> list:
         """Operational: retention — drop day partitions strictly older

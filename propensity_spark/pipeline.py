@@ -36,6 +36,19 @@ class Pipeline:
         self.out = self.base / "out"
         self.last_publish_metrics: dict | None = None
         self.last_drift: dict | None = None
+        # DLT-@expect analogue: value-level expectations checked right
+        # after each grain's MERGE (FeatureTable.validate rides them on
+        # one agg pass). The default spec pins the engineered columns'
+        # hard invariants — window counters are non-null and bounded by
+        # the window, list amounts are non-null and non-negative; the
+        # same generator feeds all three grains, so one list serves.
+        # Override per-instance for custom tables.
+        self.feature_expectations: list[dict] = [
+            {"column": "days_30d", "max_null_frac": 0.0, "min": 0, "max": 30},
+            {"column": "baskets_30d", "max_null_frac": 0.0, "min": 0},
+            {"column": "amount_list_30d", "max_null_frac": 0.0, "min": 0},
+        ]
+        self.last_validation: dict[str, dict] | None = None
 
     # -- daily ------------------------------------------------------------
 
@@ -83,11 +96,17 @@ class Pipeline:
         from propensity_spark.operators.features import _spark_features
 
         stamp = F.lit(day).cast("date")
+        self.last_validation = {}
         for name, pk, src, keys in self._grain_specs(asof=F.col("day") <= stamp):
             table = FeatureTable(self.spark, name, pk, self.store)
             if not force and table.has_day(day):
                 continue
             table.merge(_spark_features(src, keys).withColumn("day", stamp))
+            # post-merge expectations on the freshly written day only
+            # (pruned read): a broken column is caught the run it lands
+            self.last_validation[name] = table.validate(
+                day, expectations=self.feature_expectations
+            )
 
     def backfill(self, days, force: bool = False) -> None:
         """One-pass multi-anchor backfill of all three grains

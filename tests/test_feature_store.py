@@ -468,3 +468,58 @@ def test_concurrent_reader_keeps_snapshot_across_writes(spark, store):
 
     fresh = {r["household_key"]: r["amount"] for r in reader_t.read().collect()}
     assert fresh == {k: 2.0 for k in range(100)}  # new resolve sees the merge
+
+
+def test_validate_value_level_expectations(spark, tmp_path):
+    """Declarative per-column expectations ride the same single agg
+    pass: planted nulls and out-of-range values are counted per spec,
+    null-fraction caps apply, and a clean column passes."""
+    day = date(2024, 1, 1)
+    t = FeatureTable(spark, "vexp", ["k", "day"], str(tmp_path / "store"))
+    rows = [(1, 0.5, 10.0), (2, None, 20.0), (3, 1.7, 30.0), (4, 0.2, -5.0)]
+    df = spark.createDataFrame(rows, "k int, score double, amount double").withColumn(
+        "day", F.lit(str(day)).cast("date")
+    )
+    t.create(df)
+    got = t.validate(
+        day,
+        expectations=[
+            {"column": "score", "max_null_frac": 0.1, "min": 0.0, "max": 1.0},
+            {"column": "amount", "max_null_frac": 0.0, "min": 0.0},
+            {"column": "k", "max_null_frac": 0.0, "min": 0},
+        ],
+    )
+    assert got["rows"] == 4 and got["failed_expectations"] == 2
+    by_col = {e["column"]: e for e in got["expectations"]}
+    # score: 1 null (frac 0.25 > cap) + 1 out-of-range (1.7)
+    assert by_col["score"] == {
+        "column": "score", "n_null": 1, "null_frac": 0.25,
+        "n_out_of_range": 1, "passed": False,
+    }
+    # amount: the -5.0 breaks the floor
+    assert by_col["amount"]["n_out_of_range"] == 1 and not by_col["amount"]["passed"]
+    assert by_col["k"]["passed"]
+
+
+def test_pipeline_daily_runs_expectations_after_merge(spark, sf_dir, tmp_path):
+    """run_daily's first step (engineer_features) validates each grain
+    right after its MERGE: the default spec passes on healthy fixture
+    data, and a spec the data violates is caught the same run."""
+    import datetime
+
+    from propensity_spark.pipeline import Pipeline
+
+    p = Pipeline(spark, sf_dir, str(tmp_path / "pipe"))
+    day = datetime.date(2024, 2, 1)
+    p.engineer_features(day)
+    assert set(p.last_validation) == {"household", "commodity", "household_commodity"}
+    for name, v in p.last_validation.items():
+        assert v["failed_expectations"] == 0 and v["duplicate_pk"] == 0, name
+
+    # inject a spec the data cannot satisfy -> caught on the next run
+    p2 = Pipeline(spark, sf_dir, str(tmp_path / "pipe2"))
+    p2.feature_expectations = [{"column": "days_30d", "min": 0, "max": 0}]
+    p2.engineer_features(day)
+    assert any(
+        v["failed_expectations"] > 0 for v in p2.last_validation.values()
+    )
