@@ -1,0 +1,99 @@
+"""Scaling-exponent measurement (SCALE.md): run the most expensive
+bench queries + the feature engine at sf0.1 and at the 10x fixture
+(tools/make_scaled_fixture.py), and report per-query wall time plus
+the fitted exponent b in t = a * SF^b (b ~ 1.0 = linear scaling; the
+100 TB claim needs near-linear, and sub-linear is common here because
+fixed Spark overheads amortize). Also audits the 10x plans for the
+red-flag nodes (Expand / CartesianProduct / BatchEvalPython).
+
+Usage: python tools/scale_run.py [--repeats 2]
+Prints one JSON line; paste the table into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import io
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = str(Path(__file__).resolve().parents[1] / ".tmp" / "sf1")
+
+QUERIES = [
+    "household_commodity_features",
+    "household_features",
+    "pivot_unpivot_scores",
+    "stream_tumbling",
+    "minhash_band_pairs",
+    "labels",
+    "tpch_q1",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+
+    import __spark_entry__ as e
+    from propensity_spark.session import get_spark
+    from propensity_spark.streaming import windows as _w
+
+    spark = get_spark("scale-run")
+    qs = dict(e.queries())
+    qs["stream_tumbling"] = _w.q_stream_tumbling
+
+    def one_time(name: str, sf_dir: str) -> float:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        return time.time() - t0
+
+    # warm the JVM once per dataset
+    for d in (SF01, SF1):
+        qs["tpch_q1"](spark, d).count()
+
+    # This box suffers multi-minute external load spikes well beyond
+    # the ±30-50% noise floor; back-to-back min-of-N can land entirely
+    # inside one. Interleave: every round times the SAME query at BOTH
+    # scales seconds apart (a spike inflates the pair together, and the
+    # cross-round min discards spiked rounds), full query sweep between
+    # rounds spaces the repeats minutes apart.
+    times = {name: {SF01: float("inf"), SF1: float("inf")} for name in QUERIES}
+    for _ in range(args.repeats):
+        for name in QUERIES:
+            for d in (SF01, SF1):
+                times[name][d] = min(times[name][d], one_time(name, d))
+
+    out = {}
+    for name in QUERIES:
+        t_small = round(times[name][SF01], 3)
+        t_big = round(times[name][SF1], 3)
+        # t = a * SF^b  ->  b = log(t_big/t_small) / log(10)
+        b = round(math.log(t_big / t_small) / math.log(10.0), 3)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            qs[name](spark, SF1).explain("formatted")
+        plan = buf.getvalue()
+        flags = [
+            f
+            for f in ("Expand", "CartesianProduct", "BatchEvalPython")
+            if f in plan
+        ]
+        out[name] = {
+            "sf0.1_sec": t_small,
+            "sf1_sec": t_big,
+            "exponent": b,
+            "plan_red_flags": flags,
+        }
+    print(json.dumps({"repeats": args.repeats, "queries": out}))
+
+
+if __name__ == "__main__":
+    main()
