@@ -203,3 +203,54 @@ def test_calibrate_scores_monotone_and_closer_to_truth(spark):
         F.avg((F.col("prediction") - F.col("purchased")) ** 2).alias("raw"),
     ).collect()[0]
     assert brier["cal"] < brier["raw"]
+
+
+def test_basket_affinity_matches_mllib_fpgrowth(spark, sf_dir):
+    """The exact size-1/size-2 itemset supports in q_basket_affinity
+    must equal MLlib FPGrowth's freqItemsets at the same minSupport —
+    pinning that the SQL-expressible computation and the distributed
+    FP-tree scale path (the one to use for itemsets of size >= 3)
+    agree, and that confidence/lift satisfy their definitional algebra."""
+    from pyspark.ml.fpm import FPGrowth
+
+    from propensity_spark.operators.extended import MIN_SUPPORT, q_basket_affinity
+    from propensity_spark.operators.relational import brand_dim, silver_transactions
+
+    out = q_basket_affinity(spark, sf_dir).collect()
+    got_items = {r["item_a"]: r["support_cnt"] for r in out if r["section"] == "item"}
+    got_pairs = {
+        (r["item_a"], r["item_b"]): r["support_cnt"]
+        for r in out
+        if r["section"] == "pair"
+    }
+
+    bi = (
+        silver_transactions(spark, sf_dir)
+        .join(F.broadcast(brand_dim(spark, sf_dir)), "product_id")
+        .select("basket_id", F.col("commodity_desc").alias("item"))
+        .dropDuplicates(["basket_id", "item"])
+    )
+    baskets = bi.groupBy("basket_id").agg(F.collect_set("item").alias("items"))
+    model = FPGrowth(
+        itemsCol="items", minSupport=MIN_SUPPORT, minConfidence=0.0
+    ).fit(baskets)
+    fp = {
+        tuple(sorted(r["items"])): r["freq"]
+        for r in model.freqItemsets.collect()
+        if len(r["items"]) <= 2
+    }
+    assert got_items == {k[0]: v for k, v in fp.items() if len(k) == 1}
+    assert got_pairs == {k: v for k, v in fp.items() if len(k) == 2}
+    assert got_pairs  # non-degenerate: pairs actually clear the floor
+
+    # definitional algebra on a sample pair
+    n_baskets = baskets.count()
+    r = next(r for r in out if r["section"] == "pair")
+    assert abs(r["confidence"] - r["support_cnt"] / got_items[r["item_a"]]) < 1e-5
+    assert (
+        abs(
+            r["lift"]
+            - r["support_cnt"] * n_baskets / (got_items[r["item_a"]] * got_items[r["item_b"]])
+        )
+        < 1e-4
+    )
