@@ -16,29 +16,32 @@ Open equivalents here (SURVEY.md §1 'Spark mapping'):
   Delta's MERGE does the same thing with a transaction log; semantics
   match, atomicity is per-partition instead of per-table.
 
-Physical layout (parquet backend) — snapshot-safe versioned partitions:
-
-    <table>/day=<D>/v=<N>/*.parquet   immutable version dirs
-    <table>/day=<D>/_CURRENT          pointer file: the live N for day D
-
-Every write (create/merge/compact) materializes a NEW ``v=N`` dir and
-only then flips the day's ``_CURRENT`` pointer via an atomic rename —
-the single-file-rename analogue of Delta's log commit. Readers resolve
-pointers at DataFrame-build time and scan only the resolved version
-dirs, so a reader mid-scan keeps a consistent snapshot while a
-concurrent merge/compact lands: the previous version dir is retained
-through one subsequent write (GC keeps {previous, current}), the same
-guarantee class as Delta VACUUM with a 1-write retention horizon. The
-pointer flip doubles as the commit marker: a writer that dies before
-the flip leaves an unpointed v-dir that readers never see and the next
-successful write garbage-collects. Single writer per table is assumed
-(the reference's job model); at 100 TB on an object store the pointer
-file becomes a catalog/manifest entry — same seam.
 * ``FeatureTable.lookup`` — J7's exact-key left-outer join with the
   per-table column-rename prefix (`household__*`, ...) and key/day
   exclusion (04b:195-217). Exact `day` match is the reference's
   documented choice over as-of semantics (04a:599); `lookup_asof`
   offers the range variant the reference lacks.
+
+Physical layout (parquet backend) — snapshot-safe versioned partitions:
+
+    <table>/day=<D>/v=<N>/*.parquet   immutable version dirs
+    <table>/day=<D>/_CURRENT          committed-version list; last = live
+
+Every write (create/merge/compact) materializes a NEW ``v=N`` dir and
+only then commits it by atomically rewriting the day's ``_CURRENT``
+pointer — the single-file-rename analogue of Delta's log commit.
+Readers resolve pointers at DataFrame-build time and scan only the
+resolved version dirs, so a reader mid-scan keeps a consistent
+snapshot while a concurrent merge/compact lands. GC keeps the newest
+``keep_versions`` committed versions per day (default 2): the Delta
+VACUUM-retention analogue, which both protects in-flight readers and
+bounds ``read(version=...)`` time travel; ``history()`` is the
+DESCRIBE HISTORY analogue. The pointer doubles as the commit marker: a
+writer that dies before the flip leaves an unpointed v-dir that no
+read (including time travel) ever resolves and the next successful
+write garbage-collects. Single writer per table is assumed (the
+reference's job model); at 100 TB on an object store the pointer file
+becomes a catalog/manifest entry — same seam.
 """
 
 from __future__ import annotations
@@ -75,6 +78,7 @@ class FeatureTable:
         pk: list[str],
         base: str | None = None,
         use_delta: bool | None = None,
+        keep_versions: int = 2,
     ):
         if "day" not in pk:
             raise ValueError("feature tables are versioned by 'day' in the PK (04a:599)")
@@ -82,6 +86,11 @@ class FeatureTable:
         self.name = name
         self.pk = pk
         self.use_delta = HAS_DELTA if use_delta is None else (use_delta and HAS_DELTA)
+        # Retention horizon (parquet backend): committed versions kept
+        # per day partition. 2 = snapshot safety only (current + the
+        # one superseded); raise it to enable deeper time travel via
+        # read(version=...) — the Delta VACUUM-retention analogue.
+        self.keep_versions = max(1, keep_versions)
         self.path = str(Path(base or DEFAULT_STORE) / name)
 
     # -- versioned-layout plumbing (parquet backend) ------------------------
@@ -96,35 +105,51 @@ class FeatureTable:
         root = Path(self.path)
         return sorted(root.glob("day=*")) if root.exists() else []
 
-    def _current(self, day_dir: Path) -> int | None:
-        """The committed version for one day dir, or None (never
-        flipped = invisible)."""
+    def _committed(self, day_dir: Path) -> list[int]:
+        """The day's committed-version history (ascending; last = live),
+        from the pointer file. Empty = never committed = invisible.
+        ONLY versions in this list are ever resolved — an unpointed
+        v-dir (crashed writer) can never serve a read, including a
+        time-travel read."""
         ptr = day_dir / "_CURRENT"
         try:
-            return int(ptr.read_text())
+            return [int(line) for line in ptr.read_text().split() if line]
         except (FileNotFoundError, ValueError):
-            return None
+            return []
+
+    def _current(self, day_dir: Path) -> int | None:
+        hist = self._committed(day_dir)
+        return hist[-1] if hist else None
 
     def _flip(self, day_dir: Path, n: int) -> None:
-        """Atomically commit version `n` for a day: write-temp +
-        os.replace — the rename is the commit point, readers see either
-        the old pointer or the new one, never a torn file."""
+        """Atomically commit version `n` for a day: append to the
+        committed list, write-temp + os.replace — the rename is the
+        commit point, readers see either the old pointer or the new
+        one, never a torn file."""
         import os
 
+        hist = self._committed(day_dir) + [n]
         tmp = day_dir / "_CURRENT.tmp"
-        tmp.write_text(str(n))
+        tmp.write_text("\n".join(str(v) for v in hist))
         os.replace(tmp, day_dir / "_CURRENT")
 
-    def _resolved(self, day=None) -> dict[str, Path]:
-        """day-string -> live version dir, resolved through pointers."""
+    def _resolved(self, day=None, version: int | None = None) -> dict[str, Path]:
+        """day-string -> version dir, resolved through pointers. With
+        `version`, Delta-style time travel: the latest committed
+        version <= `version` per day (a day first committed after that
+        version is excluded — it did not exist in that snapshot)."""
         out = {}
         for dd in self._day_dirs():
             dval = dd.name.split("=", 1)[1]
             if day is not None and dval != self._day_str(day):
                 continue
-            n = self._current(dd)
-            if n is not None and (dd / f"v={n}").exists():
-                out[dval] = dd / f"v={n}"
+            hist = self._committed(dd)
+            if version is not None:
+                hist = [v for v in hist if v <= version]
+            for n in reversed(hist):
+                if (dd / f"v={n}").exists():
+                    out[dval] = dd / f"v={n}"
+                    break
         return out
 
     def _next_version(self) -> int:
@@ -143,16 +168,26 @@ class FeatureTable:
                     continue
         return n + 1
 
-    def _gc(self, prev: dict[str, int | None]) -> None:
-        """Drop version dirs other than {previous-current, current} per
-        day: the previous version stays alive through one subsequent
-        write so an in-flight reader's resolved snapshot keeps its
-        files; unpointed dirs from crashed writes go too."""
+    def _gc(self) -> None:
+        """Retention: keep the newest `keep_versions` committed versions
+        per day (the VACUUM horizon — an in-flight reader's resolved
+        snapshot survives at least keep_versions - 1 subsequent writes,
+        and time travel reaches that far back); drop older versions,
+        plus unpointed dirs from crashed writes. The pointer is
+        rewritten (atomically) to exactly the surviving history so the
+        list and the dirs can't drift."""
+        import os
         import shutil
 
         for dd in self._day_dirs():
-            cur = self._current(dd)
-            keep = {cur, prev.get(dd.name.split("=", 1)[1])} - {None}
+            hist = self._committed(dd)
+            if not hist:
+                continue
+            keep = hist[-max(1, self.keep_versions):]
+            if keep != hist:
+                tmp = dd / "_CURRENT.tmp"
+                tmp.write_text("\n".join(str(v) for v in keep))
+                os.replace(tmp, dd / "_CURRENT")
             for vd in dd.glob("v=*"):
                 try:
                     v = int(vd.name.split("=", 1)[1])
@@ -184,7 +219,6 @@ class FeatureTable:
         from the new version. Returns the committed day strings."""
         import shutil
 
-        prev = {dd.name.split("=", 1)[1]: self._current(dd) for dd in self._day_dirs()}
         committed = []
         for dd in self._day_dirs():
             dval = dd.name.split("=", 1)[1]
@@ -193,7 +227,7 @@ class FeatureTable:
                 committed.append(dval)
             elif replace_all:
                 shutil.rmtree(dd, ignore_errors=True)
-        self._gc(prev)
+        self._gc()
         return committed
 
     def exists(self) -> bool:
@@ -213,33 +247,46 @@ class FeatureTable:
             return self.exists() and bool(self.read(day).take(1))
         return self._day_str(day) in self._resolved(day)
 
-    def create(self, df: DataFrame) -> None:
+    def create(self, df: DataFrame) -> int | None:
         """Full (re)write, partitioned by day (S3 + partition pruning).
         Versioned: the new state lands as unpointed v-dirs first, then
-        every pointer flips; days absent from `df` are retired."""
+        every pointer flips; days absent from `df` are retired. Returns
+        the committed version number (parquet backend)."""
         if self.use_delta:
             df.write.format("delta").mode("overwrite").partitionBy("day").save(self.path)
-            return
+            return None
         n = self._next_version()
         self._write_version(df, n)
         self._commit_version(n, replace_all=True)
+        return n
 
-    def read(self, day=None) -> DataFrame:
+    def read(self, day=None, version: int | None = None) -> DataFrame:
         """Snapshot read: pointers are resolved NOW, and the returned
         DataFrame scans exactly those immutable version dirs — writes
         landing after this call don't change (or tear) what it sees.
         read(day) resolves to a single version dir: stronger than
-        partition pruning, the other days never enter the file index."""
+        partition pruning, the other days never enter the file index.
+
+        `version` is Delta-style time travel (VERSION AS OF): each day
+        resolves to its latest committed version <= `version`; days
+        first committed after it are absent. Reachable depth is the
+        `keep_versions` retention horizon — `history()` lists what is
+        still on disk. Under delta the option maps to the native
+        `versionAsOf` (version numbers are Delta's own there)."""
         if self.use_delta:
-            df = self.spark.read.format("delta").load(self.path)
+            reader = self.spark.read.format("delta")
+            if version is not None:
+                reader = reader.option("versionAsOf", version)
+            df = reader.load(self.path)
             if day is not None:
                 df = df.where(F.col("day") == F.lit(day))  # partition-pruned (S8)
             return df
-        resolved = self._resolved(day)
+        resolved = self._resolved(day, version)
         if not resolved:
             raise FileNotFoundError(
                 f"no committed data for {self.name} at {self.path}"
                 + (f" day={day}" if day is not None else "")
+                + (f" version<={version}" if version is not None else "")
             )
         # basePath keeps day (and v) as inferred partition columns even
         # though only the resolved leaf dirs are listed.
@@ -247,6 +294,20 @@ class FeatureTable:
             *[str(p) for p in resolved.values()]
         )
         return df.drop("v")
+
+    def history(self) -> dict[str, list[int]]:
+        """DESCRIBE HISTORY analogue (metadata-only, no scan): committed
+        versions still on disk per day partition, ascending; the last
+        entry is the live one. Any listed version is a valid
+        `read(version=...)` target."""
+        out = {}
+        for dd in self._day_dirs():
+            hist = [
+                v for v in self._committed(dd) if (dd / f"v={v}").exists()
+            ]
+            if hist:
+                out[dd.name.split("=", 1)[1]] = hist
+        return out
 
     def _merge_delta(self, batch: DataFrame) -> None:
         """Transactional MERGE INTO keyed on the PK — the reference's
@@ -264,19 +325,19 @@ class FeatureTable:
             .execute()
         )
 
-    def merge(self, batch: DataFrame) -> None:
+    def merge(self, batch: DataFrame) -> int | None:
         """Upsert on the PK (S5/S7). With delta-spark on the classpath
         this is a transactional MERGE INTO; otherwise only the day
         partitions present in the batch are rewritten: existing rows in
         those partitions that don't collide on the PK survive via
         anti-join, colliding rows are replaced by the batch
-        (whenMatchedUpdateAll semantics)."""
+        (whenMatchedUpdateAll semantics). Returns the committed version
+        number (parquet backend) — a valid read(version=...) target."""
         if not self.exists():
-            self.create(batch)
-            return
+            return self.create(batch)
         if self.use_delta:
             self._merge_delta(batch)
-            return
+            return None
         # A lazily-built batch (e.g. the 300+-column feature aggregation)
         # would otherwise be recomputed three times below (day-collect,
         # anti-join key side, union write). Stage it to parquet rather
@@ -301,6 +362,7 @@ class FeatureTable:
             n = self._next_version()
             self._write_version(merged, n)
             self._commit_version(n)
+            return n
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 

@@ -149,7 +149,7 @@ def test_compact_reduces_files_preserves_rows(spark, store):
     assert n == 1
     # live version holds exactly 1 file (GC keeps the pre-compact
     # version alive for in-flight readers, so rglob would count both)
-    live = part / f"v={int((part / '_CURRENT').read_text())}"
+    live = part / f"v={int((part / '_CURRENT').read_text().split()[-1])}"
     assert len(list(live.glob("*.parquet"))) == 1
     assert {tuple(r) for r in t.read(d).collect()} == before
     with pytest.raises(ValueError):
@@ -263,7 +263,7 @@ def test_compact_sort_by_enables_data_skipping(spark, tmp_path):
 
     def file_ranges(col):
         part = tmp_path / "store" / "skip" / f"day={day}"
-        live = part / f"v={int((part / '_CURRENT').read_text())}"
+        live = part / f"v={int((part / '_CURRENT').read_text().split()[-1])}"
         out = []
         for f in sorted(live.glob("*.parquet")):
             md = pq.ParquetFile(f).metadata
@@ -523,3 +523,59 @@ def test_pipeline_daily_runs_expectations_after_merge(spark, sf_dir, tmp_path):
     assert any(
         v["failed_expectations"] > 0 for v in p2.last_validation.values()
     )
+
+
+def test_time_travel_reads_and_history(spark, store):
+    """Delta-parity time travel on plain parquet: with keep_versions=3,
+    read(version=N) reproduces each committed state; a day first
+    committed after N is absent from that snapshot; history() lists
+    exactly the reachable versions; the default horizon (2) trims."""
+    d1, d2 = date(2024, 1, 1), date(2024, 1, 2)
+    t = FeatureTable(spark, "tt", ["household_key", "day"], store, keep_versions=3)
+    v1 = t.create(_frame(spark, d1, [1, 2], 1.0))
+    v2 = t.merge(_frame(spark, d1, [2], 9.0))  # update key 2
+    v3 = t.merge(_frame(spark, d2, [5], 5.0))  # new day
+    assert v1 < v2 < v3
+
+    def state(df):
+        return {(r["household_key"], r["day"]): r["amount"] for r in df.collect()}
+
+    assert state(t.read(version=v1)) == {(1, d1): 1.0, (2, d1): 1.0}
+    assert state(t.read(version=v2)) == {(1, d1): 1.0, (2, d1): 9.0}
+    # day2 absent from both older snapshots; present in the live one
+    assert state(t.read()) == {(1, d1): 1.0, (2, d1): 9.0, (5, d2): 5.0}
+    assert t.history() == {str(d1): [v1, v2], str(d2): [v3]}
+
+    # a version below the oldest committed one is unreachable
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.read(version=v1 - 1)
+
+    # default horizon: third write on the same day retires v1
+    t2 = FeatureTable(spark, "tt2", ["household_key", "day"], store)
+    w1 = t2.create(_frame(spark, d1, [1], 1.0))
+    t2.merge(_frame(spark, d1, [1], 2.0))
+    t2.merge(_frame(spark, d1, [1], 3.0))
+    assert len(t2.history()[str(d1)]) == 2
+    with _pytest.raises(FileNotFoundError):
+        t2.read(version=w1)
+
+
+def test_time_travel_never_resolves_crashed_versions(spark, store):
+    """An unpointed v-dir whose number falls between two commits must
+    be invisible to time travel: read(version=junk_n) resolves to the
+    older COMMITTED version, not the torn leftovers."""
+    from pathlib import Path
+
+    d = date(2024, 1, 1)
+    t = FeatureTable(spark, "ttc", ["household_key", "day"], store, keep_versions=5)
+    v1 = t.create(_frame(spark, d, [1], 1.0))
+    # crashed write: version v1+1 materialized but never committed
+    junk = Path(t.path) / f"day={d}" / f"v={v1 + 1}"
+    junk.mkdir(parents=True)
+    (junk / "junk.parquet").write_bytes(b"not parquet")
+    v2 = t.merge(_frame(spark, d, [1], 2.0))
+    assert v2 > v1 + 1  # number never reused
+    got = {r["amount"] for r in t.read(version=v1 + 1).collect()}
+    assert got == {1.0}  # the committed v1 state, not the junk
