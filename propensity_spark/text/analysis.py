@@ -10,7 +10,7 @@ input splits.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from propensity_spark.io import load_table
@@ -611,4 +611,115 @@ def pack_documents(
 
     return docs.groupBy("block").applyInPandas(
         pack, "doc_id bigint, tokens int, bin_id bigint, oversize boolean"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary heavy hitters — the corpus term-frequency step of tokenizer
+# (BPE/unigram) vocabulary construction. Scale architecture: counting
+# EVERY distinct token shuffles the whole token stream (web corpora:
+# 10^9+ distinct tokens, massively skewed); instead phase 1 counts only
+# a deterministic md5-uniform document sample to nominate candidates
+# (a token with global support above the floor appears in the sample
+# with overwhelming probability at these counts), and phase 2 exact-
+# counts ONLY the nominated candidates via a broadcast join — the full
+# corpus is scanned once more but the shuffle carries just |candidates|
+# groups. Both phases are plain SQL, so the whole operator oracle-
+# checks. The sketch alternative for one-pass regimes (true streams)
+# is misra_gries_topk below, pytest-pinned to contain the true top-k.
+# ---------------------------------------------------------------------------
+
+HH_SAMPLE_RATE = 0.2  # phase-1 document sample
+HH_CAND_MIN = 5  # min sample count to nominate a candidate
+HH_TOP_K = 50
+
+
+def q_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).where(F.length("token") >= 1)
+    sampled = toks.where(F.expr(_U_SPARK) < HH_SAMPLE_RATE)
+    cand = (
+        sampled.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("sample_cnt"))
+        .where(F.col("sample_cnt") >= HH_CAND_MIN)
+    )
+    exact = (
+        toks.join(F.broadcast(cand), "token")
+        .groupBy("token", "sample_cnt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= HH_TOP_K)
+        .select("token", "cnt", "sample_cnt", "rnk")
+    )
+
+
+VOCAB_HEAVY_HITTERS_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, t.token
+        FROM documents, unnest(string_split(lower(text), ' ')) AS t(token)
+        WHERE len(t.token) >= 1
+    ),
+    cand AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS sample_cnt
+        FROM toks WHERE {_U_DUCK} < {HH_SAMPLE_RATE}
+        GROUP BY token HAVING count(*) >= {HH_CAND_MIN}
+    ),
+    exact AS (
+        SELECT t.token, c.sample_cnt, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks t JOIN cand c ON t.token = c.token
+        GROUP BY 1, 2
+    )
+    SELECT token, cnt, sample_cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INT) AS rnk
+    FROM exact
+    QUALIFY rnk <= {HH_TOP_K}
+"""
+
+
+def misra_gries_topk(
+    toks: DataFrame, col: str, k: int, capacity: int = 0
+) -> DataFrame:
+    """One-pass distributed Misra-Gries heavy hitters: each partition
+    maintains a `capacity`-counter MG summary (Arrow-batched
+    mapInPandas — vectorized pandas value_counts per batch folded into
+    the running summary, never a Python loop per row), the per-
+    partition summaries (tiny: <= capacity rows each) are merged by a
+    single groupBy, and the merged overestimate-bounded counts rank the
+    candidates. MG guarantee: any item with true frequency
+    > n/(capacity+1) survives; merged counts undercount by at most
+    n_partition/(capacity+1) summed — so with capacity >> k the true
+    top-k is contained in the reported top-`capacity` set. This is the
+    one-pass regime's answer (true streams / IO-bound scans) where the
+    two-pass candidate+verify of q_vocab_heavy_hitters can't re-scan."""
+    import pandas as pd
+
+    capacity = capacity or 8 * k
+
+    def summarize(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for tok, c in pdf[col].value_counts().items():
+                counts[tok] = counts.get(tok, 0) + int(c)
+            if len(counts) > capacity:
+                # MG decrement: subtract the (capacity+1)-th largest
+                # count from everyone, drop non-positive — the batched
+                # equivalent of per-item decrements, same guarantee.
+                cut = sorted(counts.values(), reverse=True)[capacity]
+                counts = {t: c - cut for t, c in counts.items() if c > cut}
+        yield pd.DataFrame(
+            {"token": list(counts), "mg_cnt": list(counts.values())}
+        )
+
+    summaries = toks.mapInPandas(summarize, "token string, mg_cnt long")
+    merged = summaries.groupBy("token").agg(F.sum("mg_cnt").alias("mg_cnt"))
+    w = Window.orderBy(F.desc("mg_cnt"), F.asc("token"))
+    return (
+        merged.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+        .select("token", "mg_cnt", "rnk")
     )

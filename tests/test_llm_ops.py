@@ -565,3 +565,31 @@ def test_strip_boilerplate_keeps_null_text_docs(spark):
     out = {r["doc_id"]: r for r in D.strip_boilerplate(df, min_docs=5).collect()}
     assert set(out) == {1, 2, 3}
     assert out[2]["clean_text"] == "" and out[2]["n_removed_lines"] == 0
+
+
+def test_misra_gries_topk_contains_true_heavy_hitters(spark, sf_dir):
+    """One-pass distributed Misra-Gries: merged counts never overcount
+    (undercount-only error), and with capacity >> k the true heavy
+    hitters survive into the reported head — pinned against exact
+    counts on the fixture."""
+    from propensity_spark.io import load_table
+    from propensity_spark.text.analysis import misra_gries_topk
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .where(F.length("token") >= 1)
+    )
+    exact = {
+        r["token"]: r["cnt"]
+        for r in toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    true_top5 = [
+        t for t, _ in sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    ]
+    mg = misra_gries_topk(toks, "token", k=15, capacity=200).collect()
+    got = {r["token"]: r["mg_cnt"] for r in mg}
+    assert len(mg) == 15
+    for tok, cnt in got.items():
+        assert cnt <= exact[tok], tok  # MG never overcounts
+    assert set(true_top5) <= set(got), (true_top5, sorted(got))
