@@ -86,11 +86,14 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRUE Structured Streaming: readStream over the events parquet,
-    watermark + tumbling window agg, memory sink in complete mode,
-    drained synchronously. Result equals the batch tumbling plan —
-    same oracle — proving batch/stream semantic parity."""
+def _stream_window_agg(
+    spark: SparkSession, sf_dir: str, duration: str, slide: str | None = None
+) -> DataFrame:
+    """TRUE Structured Streaming window aggregate: readStream over the
+    events parquet, watermark + (tumbling or sliding) window agg,
+    memory sink in complete mode, drained synchronously. With `slide`
+    each event lands in duration/slide overlapping windows — assignment
+    happens in the stream operator's state, not by a batch explode."""
     import uuid
 
     from propensity_spark.io import _normalize_ts
@@ -108,8 +111,9 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", _normalize_ts(raw_schema["ts"].dataType))
         .withWatermark("ts", "1 day")
     )
+    win = F.window("ts", duration, slide) if slide else F.window("ts", duration)
     agg = (
-        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        stream.groupBy(win.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value") + 1e-6, 2).alias("sum_value"),
@@ -145,6 +149,20 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     out = spark.createDataFrame(rows, agg.schema)
     return out
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling windows; result equals the batch tumbling
+    plan — same oracle — proving batch/stream semantic parity."""
+    return _stream_window_agg(spark, sf_dir, "1 hour")
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLIDING windows (2 h window every 1 h): each event is
+    assigned to two open windows by the stateful stream operator; the
+    oracle mirrors it with the two-offset union (same as the batch
+    sliding twin), pinning overlap semantics end to end."""
+    return _stream_window_agg(spark, sf_dir, "2 hours", "1 hour")
 
 
 def q_batch_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -458,6 +476,13 @@ def q_stream_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     feat = spark.createDataFrame(feat_rows, tumbling.schema)
+    sliding = q_stream_sliding(spark, sf_dir).select(
+        F.lit("sliding").alias("section"),
+        F.col("window_start").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.col("n_events").alias("n"),
+        F.col("sum_value").alias("v"),
+    )
     session = q_stream_session(spark, sf_dir).select(
         F.lit("session").alias("section"),
         F.col("session_start").alias("k1"),
@@ -466,7 +491,8 @@ def q_stream_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_value").alias("v"),
     )
     return (
-        tumbling.unionByName(dedup)
+        tumbling.unionByName(sliding)
+        .unionByName(dedup)
         .unionByName(ssj)
         .unionByName(feat)
         .unionByName(session)
@@ -477,6 +503,12 @@ ORACLES["stream_ops_suite"] = f"""
     SELECT 'tumbling' AS section, window_start AS k1, event_type AS k2,
            n_events AS n, sum_value AS v
     FROM ({_TUMBLING_SQL}) t
+    UNION ALL
+    -- streaming sliding windows: the stateful operator assigns each
+    -- event to its two open 2h/1h windows; the batch two-offset union
+    -- is the exact mirror.
+    SELECT 'sliding', window_start, event_type, n_events, sum_value
+    FROM ({_SLIDING_SQL}) sl
     UNION ALL
     -- streaming session windows emit exactly the CLOSED sessions:
     -- last event + gap <= the final watermark (= max event time at
