@@ -593,3 +593,64 @@ def test_misra_gries_topk_contains_true_heavy_hitters(spark, sf_dir):
     for tok, cnt in got.items():
         assert cnt <= exact[tok], tok  # MG never overcounts
     assert set(true_top5) <= set(got), (true_top5, sorted(got))
+
+
+def _ref_bpe(word_freqs, n_merges, min_count=2):
+    """Pure-Python reference BPE (Sennrich 2016 get_stats/merge loop)
+    with the same deterministic tie-break as the distributed one."""
+    from propensity_spark.text.tokenizer import END
+
+    table = [(list(w) + [END], f) for w, f in word_freqs.items()]
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, f in table:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < min_count:
+            break
+        merges.append((a, b, cnt))
+        new_table = []
+        for syms, f in table:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_table.append((out, f))
+        table = new_table
+    return merges
+
+
+def test_bpe_train_matches_reference_implementation(spark, sf_dir):
+    """Distributed BPE == the sequential reference, bit-identical merge
+    list (pair AND weighted count) on both a crafted corpus with known
+    merges and the fixture documents."""
+    from propensity_spark.text.tokenizer import bpe_train, bpe_vocab, word_frequencies
+
+    crafted = spark.createDataFrame(
+        [("low low low lower lower newest newest newest widest",),
+         ("low newest widest widest 'quote' \\slash",)],
+        "text string",
+    )
+    wf = {
+        r["word"]: r["freq"] for r in word_frequencies(crafted).collect()
+    }
+    want = _ref_bpe(wf, 12)
+    got = bpe_train(spark, crafted, 12)
+    assert got == want
+    assert len(bpe_vocab(got)) == len(got)
+
+    from propensity_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    wf2 = {r["word"]: r["freq"] for r in word_frequencies(docs).collect()}
+    assert bpe_train(spark, docs, 8) == _ref_bpe(wf2, 8)
