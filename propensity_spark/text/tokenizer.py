@@ -112,3 +112,79 @@ def bpe_train(
 def bpe_vocab(merges: list[tuple[str, str, int]]) -> list[str]:
     """The learned subword units, in merge order."""
     return [a + b for a, b, _ in merges]
+
+
+def bpe_encode(
+    docs: DataFrame, merges: list[tuple[str, str, int]], text_col: str = "text"
+) -> DataFrame:
+    """Tokenize a corpus with learned merges. Spark-first shape:
+
+    1. The per-word BPE encode (rank-priority merge loop — inherently
+       sequential per word) runs over the DISTINCT-WORD table only,
+       via an Arrow-batched pandas UDF: the same word-grain compression
+       bpe_train uses, so Python cost is O(|vocab|) not O(corpus).
+    2. Documents explode to (doc_id, pos, word), join the tiny
+       word->tokens mapping (broadcast at sane vocab sizes, AQE's call
+       otherwise), and reassemble IN ORDER via sort_array over
+       (pos, tokens) structs + flatten — no Python touches corpus-sized
+       data.
+
+    Returns (doc_id, tokens array<string>, n_tokens)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # `from __future__ import annotations` turns hints into strings and
+    # pandas is function-local, so pandas_udf's hint inference can't
+    # resolve them — annotate with live objects via a closure-level def.
+
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+
+    def _encode_series(words):
+        def enc(w):
+            syms = list(w) + [END]
+            while len(syms) > 1:
+                best, best_rank = None, None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best, best_rank = i, r
+                if best is None:
+                    break
+                a, b = syms[best], syms[best + 1]
+                out, i = [], 0
+                while i < len(syms):  # merge ALL occurrences of this pair
+                    if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        memo: dict = {}
+        return words.map(lambda w: memo.setdefault(w, enc(w)))
+
+    _encode_series.__annotations__ = {"words": pd.Series, "return": pd.Series}
+    encode_word = pandas_udf(_encode_series, "array<string>")
+
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(text_col), " ")).alias("pos", "word"),
+    ).where(F.length("word") >= 1)
+    mapping = (
+        words.select("word").distinct().withColumn("word_tokens", encode_word("word"))
+    )
+    return (
+        words.join(mapping, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(pos, word_tokens))),"
+                    " s -> s.word_tokens)"
+                )
+            ).alias("tokens")
+        )
+        .select("doc_id", "tokens", F.size("tokens").alias("n_tokens"))
+    )

@@ -654,3 +654,27 @@ def test_bpe_train_matches_reference_implementation(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(200)
     wf2 = {r["word"]: r["freq"] for r in word_frequencies(docs).collect()}
     assert bpe_train(spark, docs, 8) == _ref_bpe(wf2, 8)
+
+
+def test_bpe_encode_roundtrip_and_vocab_closure(spark, sf_dir):
+    """Encoding with learned merges must be lossless (joining tokens
+    and splitting on the end-of-word marker reconstructs the exact
+    lowercased word sequence) and closed over the learned vocabulary
+    (every emitted token is a learned subword or a raw character)."""
+    from propensity_spark.io import load_table
+    from propensity_spark.text.tokenizer import END, bpe_encode, bpe_train, bpe_vocab
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    merges = bpe_train(spark, docs, 20)
+    assert merges
+    encoded = {r["doc_id"]: r["tokens"] for r in bpe_encode(docs, merges).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    allowed = set(bpe_vocab(merges))
+    for doc_id, toks in encoded.items():
+        words = [w for w in texts[doc_id].lower().split(" ") if w]
+        rebuilt = "".join(toks).split(END)[:-1]
+        assert rebuilt == words, doc_id  # lossless
+        for t in toks:
+            base = t[:-len(END)] if t.endswith(END) else t
+            assert t in allowed or len(base) <= 1 or t == END, t
