@@ -579,3 +579,41 @@ def test_time_travel_never_resolves_crashed_versions(spark, store):
     assert v2 > v1 + 1  # number never reused
     got = {r["amount"] for r in t.read(version=v1 + 1).collect()}
     assert got == {1.0}  # the committed v1 state, not the junk
+
+
+def test_lookup_asof_composite_entity_key(spark, store):
+    """The union + last(ignorenulls) as-of pattern must hold for
+    multi-column entity PKs (the household_commodity grain): resolution
+    is per (household, commodity) independently, with extra key columns
+    carried through untouched."""
+    t = FeatureTable(
+        spark, "hc", ["household_key", "commodity_desc", "day"], store
+    )
+    rows = [
+        (1, "A", date(2024, 1, 1), 10.0),
+        (1, "A", date(2024, 1, 5), 50.0),
+        (1, "B", date(2024, 1, 2), 20.0),
+        (2, "A", date(2024, 1, 3), 30.0),
+    ]
+    t.create(
+        spark.createDataFrame(
+            rows, "household_key int, commodity_desc string, day date, amount double"
+        )
+    )
+    keys = spark.createDataFrame(
+        [
+            (1, "A", date(2024, 1, 4), "x"),
+            (1, "B", date(2024, 1, 1), "y"),  # before any B row -> null
+            (2, "A", date(2024, 1, 3), "z"),  # same-day -> inclusive
+        ],
+        "household_key int, commodity_desc string, day date, extra string",
+    )
+    out = {
+        (r["household_key"], r["commodity_desc"]): (r["hc__amount"], r["extra"])
+        for r in t.lookup_asof(keys, "hc").collect()
+    }
+    assert out == {
+        (1, "A"): (10.0, "x"),
+        (1, "B"): (None, "y"),
+        (2, "A"): (30.0, "z"),
+    }
