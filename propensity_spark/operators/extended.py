@@ -401,6 +401,7 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MIN_SUPPORT = 0.01  # fraction of baskets an item(set) must appear in
+MAX_BASKET_ITEMS = 50  # degenerate-basket guard (see q_basket_affinity)
 
 
 def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,8 +417,11 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (basket, item) distinct is one shuffle at basket grain with
     map-side combine; pair generation is a self-equi-join on
     basket_id — per-basket quadratic in DISTINCT ITEMS PER BASKET
-    (bounded by catalog breadth, ~25 here; a production guard caps
-    per-basket items before the join), linear in baskets overall; the
+    (bounded by catalog breadth, ~25 here; baskets wider than
+    MAX_BASKET_ITEMS distinct items are excluded BEFORE the join —
+    mega-baskets are degenerate for affinity and are the one input that
+    could blow the self-join up; the oracle applies the same cap, and
+    the 25-brand fixture never hits it), linear in baskets overall; the
     support tables and the 1-row basket count broadcast back. For
     itemsets of size >= 3 the scale path is MLlib FPGrowth over the
     same (basket, items) frame — pinned equal to this exact
@@ -425,10 +429,15 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from propensity_spark.operators.relational import brand_dim, silver_transactions
 
     silver = silver_transactions(spark, sf_dir)
-    bi = (
+    bi_all = (
         silver.join(F.broadcast(brand_dim(spark, sf_dir)), "product_id")
         .select("basket_id", F.col("commodity_desc").alias("item"))
         .dropDuplicates(["basket_id", "item"])
+    )
+    sizes = bi_all.groupBy("basket_id").agg(F.count(F.lit(1)).alias("__bn"))
+    bi = (
+        bi_all.join(sizes.where(F.col("__bn") <= MAX_BASKET_ITEMS), "basket_id")
+        .drop("__bn")
     )
     nb = bi.agg(F.countDistinct("basket_id").alias("nb"))
     items = bi.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
@@ -477,9 +486,15 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BASKET_AFFINITY_SQL = """
     WITH s AS ({silver}),
-    bi AS (
+    bi_all AS (
         SELECT DISTINCT s.basket_id, p.p_brand AS item
         FROM s JOIN part p ON s.product_id = p.p_partkey
+    ),
+    bi AS (
+        SELECT * FROM bi_all WHERE basket_id IN (
+            SELECT basket_id FROM bi_all GROUP BY basket_id
+            HAVING count(*) <= {max_items}
+        )
     ),
     nb AS (SELECT count(DISTINCT basket_id) AS nb FROM bi),
     items AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM bi GROUP BY item),

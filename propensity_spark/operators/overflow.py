@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from propensity_spark.operators.extended import (
     _BASKET_AFFINITY_SQL,
+    MAX_BASKET_ITEMS,
     MIN_SUPPORT,
     q_basket_affinity,
 )
@@ -29,6 +30,8 @@ QUERIES = {
 }
 
 ORACLES = {
-    "basket_affinity": _BASKET_AFFINITY_SQL.format(silver=SILVER_SQL, minsup=MIN_SUPPORT),
+    "basket_affinity": _BASKET_AFFINITY_SQL.format(
+        silver=SILVER_SQL, minsup=MIN_SUPPORT, max_items=MAX_BASKET_ITEMS
+    ),
     "vocab_heavy_hitters": VOCAB_HEAVY_HITTERS_SQL,
 }
