@@ -20,13 +20,16 @@ from propensity_spark.operators.extended import (
 )
 from propensity_spark.operators.relational import SILVER_SQL
 from propensity_spark.text.analysis import (
+    PERPLEXITY_SQL,
     VOCAB_HEAVY_HITTERS_SQL,
+    q_perplexity_filter,
     q_vocab_heavy_hitters,
 )
 
 QUERIES = {
     "basket_affinity": q_basket_affinity,
     "vocab_heavy_hitters": q_vocab_heavy_hitters,
+    "perplexity_filter": q_perplexity_filter,
 }
 
 ORACLES = {
@@ -34,4 +37,5 @@ ORACLES = {
         silver=SILVER_SQL, minsup=MIN_SUPPORT, max_items=MAX_BASKET_ITEMS
     ),
     "vocab_heavy_hitters": VOCAB_HEAVY_HITTERS_SQL,
+    "perplexity_filter": PERPLEXITY_SQL,
 }

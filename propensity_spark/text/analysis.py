@@ -723,3 +723,104 @@ def misra_gries_topk(
         .where(F.col("rnk") <= k)
         .select("token", "mg_cnt", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perplexity filtering (CCNet, Wenzek et al. 2020): score each document
+# by an n-gram language model trained ON THE CORPUS ITSELF and drop the
+# high-perplexity tail (boilerplate-free gibberish, encoding noise,
+# keyword stuffing). CCNet uses a pretrained KenLM 5-gram; the
+# container-permitted, dependency-free equivalent is an add-one-
+# smoothed BIGRAM model built from the same tables — the pipeline
+# shape (train counts -> join scores -> threshold) is identical and
+# every step is relational, so the whole operator oracle-checks.
+#
+# Scale: unigram/bigram count tables are vocabulary-bounded (<< corpus)
+# and shuffle once each; scoring is the doc-bigram explode joined to
+# the count tables (hash join on the bigram key; AQE broadcasts the
+# count side when it fits, falls back to shuffle when a web-scale
+# vocabulary doesn't — same rationale as the TF-IDF unhint).
+# ---------------------------------------------------------------------------
+
+PPL_SMOOTH_K = 1.0  # add-k (Laplace) smoothing
+PPL_KEEP_MAX = 500.0  # keep docs with perplexity at or below this
+
+
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("__words")
+    ).select(
+        "doc_id",
+        F.expr("filter(__words, w -> length(w) >= 1)").alias("__words"),
+    )
+    bigrams = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__words) < 2 THEN array()"
+                " ELSE transform(sequence(1, size(__words) - 1),"
+                " i -> struct(element_at(__words, i) AS a,"
+                " element_at(__words, i + 1) AS b)) END"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.a", "p.b")
+    uni = (
+        words.select(F.explode("__words").alias("a"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    bi = bigrams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    scored = (
+        bigrams.join(bi, ["a", "b"])
+        .join(uni, "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                F.log2(
+                    (F.col("cab") + F.lit(PPL_SMOOTH_K))
+                    / (F.col("ca") + F.lit(PPL_SMOOTH_K) * F.col("v"))
+                )
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.lit(1e-9) + F.pow(F.lit(2.0), -F.avg("lp")), 2).alias("ppl"),
+        (F.pow(F.lit(2.0), -F.avg("lp")) <= PPL_KEEP_MAX).cast("int").alias("keep"),
+    )
+
+
+PERPLEXITY_SQL = f"""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), w -> len(w) >= 1) AS ws
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT doc_id, ws[i] AS a, ws[i + 1] AS b
+        FROM words, unnest(range(1, len(ws))) AS t(i)
+        WHERE len(ws) >= 2
+    ),
+    uni AS (
+        SELECT ws_w AS a, CAST(count(*) AS BIGINT) AS ca
+        FROM words, unnest(ws) AS u(ws_w) GROUP BY 1
+    ),
+    vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+    bi AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM bigrams GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT g.doc_id,
+               log2((c.cab + {PPL_SMOOTH_K}) / (u.ca + {PPL_SMOOTH_K} * v.v)) AS lp
+        FROM bigrams g
+        JOIN bi c ON g.a = c.a AND g.b = c.b
+        JOIN uni u ON g.a = u.a, vocab v
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(1e-9 + pow(2.0, -avg(lp)), 2) AS ppl,
+           CAST(pow(2.0, -avg(lp)) <= {PPL_KEEP_MAX} AS INT) AS keep
+    FROM scored GROUP BY doc_id
+"""

@@ -678,3 +678,34 @@ def test_bpe_encode_roundtrip_and_vocab_closure(spark, sf_dir):
         for t in toks:
             base = t[:-len(END)] if t.endswith(END) else t
             assert t in allowed or len(base) <= 1 or t == END, t
+
+
+def test_perplexity_filter_separates_gibberish(spark, tmp_path):
+    """The corpus-trained bigram LM must rank a doc of corpus-typical
+    phrases far below (= more probable than) a doc of tokens that occur
+    nowhere else — the separation CCNet's KenLM filter relies on."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from propensity_spark.text.analysis import q_perplexity_filter
+
+    natural = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        {"doc_id": i, "text": natural, "lang": "en", "source": "s",
+         "n_chars": len(natural)}
+        for i in range(50)
+    ]
+    gibberish = " ".join(f"zq{i}x" for i in range(40))
+    rows.append(
+        {"doc_id": 999, "text": gibberish, "lang": "en", "source": "s",
+         "n_chars": len(gibberish)}
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "documents.parquet")
+
+    out = {r["doc_id"]: r for r in q_perplexity_filter(spark, str(sf)).collect()}
+    nat_ppl = out[0]["ppl"]
+    gib_ppl = out[999]["ppl"]
+    assert gib_ppl > 10 * nat_ppl, (nat_ppl, gib_ppl)
+    assert out[0]["keep"] == 1
