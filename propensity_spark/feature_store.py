@@ -289,9 +289,16 @@ class FeatureTable:
                 + (f" version<={version}" if version is not None else "")
             )
         # basePath keeps day (and v) as inferred partition columns even
-        # though only the resolved leaf dirs are listed.
-        df = self.spark.read.option("basePath", self.path).parquet(
-            *[str(p) for p in resolved.values()]
+        # though only the resolved leaf dirs are listed; mergeSchema
+        # reconciles partitions written before a schema-evolving merge
+        # (allow_new_columns) with those written after — older
+        # partitions read NULL for the added columns. (In a catalog
+        # deployment the table schema would come from the metastore
+        # instead of file-footer merging.)
+        df = (
+            self.spark.read.option("basePath", self.path)
+            .option("mergeSchema", "true")
+            .parquet(*[str(p) for p in resolved.values()])
         )
         return df.drop("v")
 
@@ -325,17 +332,23 @@ class FeatureTable:
             .execute()
         )
 
-    def merge(self, batch: DataFrame) -> int | None:
+    def merge(self, batch: DataFrame, allow_new_columns: bool = False) -> int | None:
         """Upsert on the PK (S5/S7). With delta-spark on the classpath
         this is a transactional MERGE INTO; otherwise only the day
         partitions present in the batch are rewritten: existing rows in
         those partitions that don't collide on the PK survive via
         anti-join, colliding rows are replaced by the batch
         (whenMatchedUpdateAll semantics). Returns the committed version
-        number (parquet backend) — a valid read(version=...) target."""
+        number (parquet backend) — a valid read(version=...) target.
+        `allow_new_columns` = Delta autoMerge semantics (04c:156): the
+        batch may add columns; existing rows read NULL for them."""
         if not self.exists():
             return self.create(batch)
         if self.use_delta:
+            if allow_new_columns:
+                self.spark.conf.set(
+                    "spark.databricks.delta.schema.autoMerge.enabled", "true"
+                )
             self._merge_delta(batch)
             return None
         # A lazily-built batch (e.g. the 300+-column feature aggregation)
@@ -355,7 +368,7 @@ class FeatureTable:
         try:
             staged = self.spark.read.parquet(staging)
             days = [r[0] for r in staged.select("day").distinct().collect()]
-            merged = self._merge_frame(staged, days)
+            merged = self._merge_frame(staged, days, allow_new_columns)
             # New v-dirs only for the touched days; untouched history —
             # and the live version dirs of the touched days themselves —
             # stay on disk until the pointer flip commits.
@@ -366,14 +379,22 @@ class FeatureTable:
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 
-    def _merge_frame(self, batch: DataFrame, days) -> DataFrame:
+    def _merge_frame(
+        self, batch: DataFrame, days, allow_new_columns: bool = False
+    ) -> DataFrame:
         """Upserted content of the touched day partitions. No broadcast
         hint on the batch side: it is unbounded (the full per-day feature
         set at 100 TB), so the join strategy is AQE's call — it broadcasts
-        only when the key side actually fits the budget."""
+        only when the key side actually fits the budget.
+
+        `allow_new_columns` is Delta's schema.autoMerge analogue (the
+        reference enables it so each model's MERGE can add one score
+        column, 04c:156): survivors take NULL for columns only the
+        batch has, and vice versa. Off by default — silent schema
+        drift should fail loudly unless opted into."""
         existing = self.read().where(F.col("day").isin(days))
         survivors = existing.join(batch.select(*self.pk), self.pk, "left_anti")
-        return survivors.unionByName(batch)
+        return survivors.unionByName(batch, allowMissingColumns=allow_new_columns)
 
     def compact(
         self,

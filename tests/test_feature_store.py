@@ -617,3 +617,27 @@ def test_lookup_asof_composite_entity_key(spark, store):
         (1, "B"): (None, "y"),
         (2, "A"): (30.0, "z"),
     }
+
+
+def test_merge_schema_evolution_opt_in(spark, store):
+    """allow_new_columns (Delta autoMerge analogue, 04c:156): a batch
+    adding a column upserts cleanly — surviving rows and untouched
+    partitions read NULL for it; without the opt-in the same merge
+    fails loudly instead of silently drifting the schema."""
+    t = FeatureTable(spark, "ev", ["household_key", "day"], store)
+    d1, d2 = date(2024, 1, 1), date(2024, 1, 2)
+    t.create(_frame(spark, d1, [1, 2], 1.0).unionByName(_frame(spark, d2, [1], 1.0)))
+    widened = spark.createDataFrame(
+        [(2, d1, 5.0, 0.9)],
+        "household_key int, day date, amount double, score double",
+    )
+    with pytest.raises(Exception):
+        t.merge(widened)  # strict by default
+    t.merge(widened, allow_new_columns=True)
+    rows = {
+        (r["household_key"], r["day"]): (r["amount"], r["score"])
+        for r in t.read().collect()
+    }
+    assert rows[(2, d1)] == (5.0, 0.9)
+    assert rows[(1, d1)] == (1.0, None)  # survivor: NULL for the new column
+    assert rows[(1, d2)] == (1.0, None)  # untouched partition reads NULL too
