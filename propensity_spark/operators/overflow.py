@@ -20,8 +20,10 @@ from propensity_spark.operators.extended import (
 )
 from propensity_spark.operators.relational import SILVER_SQL
 from propensity_spark.text.analysis import (
+    BM25_SQL,
     PERPLEXITY_SQL,
     VOCAB_HEAVY_HITTERS_SQL,
+    q_bm25_search,
     q_perplexity_filter,
     q_vocab_heavy_hitters,
 )
@@ -30,6 +32,7 @@ QUERIES = {
     "basket_affinity": q_basket_affinity,
     "vocab_heavy_hitters": q_vocab_heavy_hitters,
     "perplexity_filter": q_perplexity_filter,
+    "bm25_search": q_bm25_search,
 }
 
 ORACLES = {
@@ -38,4 +41,5 @@ ORACLES = {
     ),
     "vocab_heavy_hitters": VOCAB_HEAVY_HITTERS_SQL,
     "perplexity_filter": PERPLEXITY_SQL,
+    "bm25_search": BM25_SQL,
 }

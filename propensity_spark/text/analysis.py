@@ -824,3 +824,124 @@ PERPLEXITY_SQL = f"""
            CAST(pow(2.0, -avg(lp)) <= {PPL_KEEP_MAX} AS INT) AS keep
     FROM scored GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval — the lexical-search half of every RAG /
+# training-data curation stack (Robertson-Sparck Jones probabilistic
+# ranking; the reference pipeline has no search operator, this is part
+# of the LLM-data extension surface). For a FIXED query-term set the
+# classic explode -> (doc, term) TF -> term DF pipeline is overkill:
+# with |query| literals the per-term TFs are map-side array
+# expressions over the tokenized doc (no explode, no (doc, term)
+# shuffle AT ALL), corpus statistics (N, avgdl, per-term df) collapse
+# to ONE 1-row broadcast aggregate, scoring is map-side arithmetic,
+# and the final top-k is a rounded-score TakeOrdered. At 100 TB the
+# only data movement is the 1-row stats broadcast and k result rows.
+# (The inverted-index regime — millions of ad-hoc queries — is the
+# q_tfidf_keywords shape instead: (doc, term) TF + term DF joins.)
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = ("spark", "join", "vector")  # fixed literal query terms
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = list(BM25_QUERY)
+    toked = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(text), ' '), w -> length(w) >= 1)"
+        ).alias("__ws"),
+    )
+    tf_cols = [
+        F.expr(f"size(filter(__ws, w -> w = '{t}'))").alias(f"tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    pertf = toked.select("doc_id", F.size("__ws").alias("dl"), *tf_cols)
+    stats = pertf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = pertf.crossJoin(F.broadcast(stats))
+    contrib = [
+        (
+            F.log(
+                F.lit(1.0)
+                + (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+            )
+            * (F.col(f"tf{i}") * (BM25_K1 + 1))
+            / (
+                F.col(f"tf{i}")
+                + BM25_K1
+                * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        for i in range(len(terms))
+    ]
+    matched = sum(
+        (F.col(f"tf{i}") > 0).cast("int") for i in range(len(terms))
+    )
+    ranked = scored.select(
+        "doc_id",
+        F.col("dl").cast("int").alias("dl"),
+        matched.alias("matched"),
+        F.round(sum(contrib) + 1e-9, 6).alias("score"),
+    ).where(F.col("matched") > 0)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        ranked.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= BM25_TOP_K)
+        .select("doc_id", "dl", "matched", "score", "rnk")
+    )
+
+
+def _bm25_sql() -> str:
+    terms = list(BM25_QUERY)
+    tf_sel = ", ".join(
+        f"len(list_filter(ws, w -> w = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_sel = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    contrib = " + ".join(
+        f"ln(1.0 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5))"
+        f" * (t.tf{i} * ({BM25_K1} + 1))"
+        f" / (t.tf{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * t.dl / s.avgdl))"
+        for i in range(len(terms))
+    )
+    matched = " + ".join(
+        f"CASE WHEN t.tf{i} > 0 THEN 1 ELSE 0 END" for i in range(len(terms))
+    )
+    return f"""
+    WITH toked AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), w -> len(w) >= 1) AS ws
+        FROM documents
+    ),
+    t AS (SELECT doc_id, len(ws) AS dl, {tf_sel} FROM toked),
+    s AS (SELECT count(*) AS n, avg(dl) AS avgdl, {df_sel} FROM t),
+    ranked AS (
+        SELECT t.doc_id, CAST(t.dl AS INT) AS dl,
+               CAST({matched} AS INT) AS matched,
+               round({contrib} + 1e-9, 6) AS score
+        FROM t, s
+        WHERE {matched} > 0
+    )
+    SELECT doc_id, dl, matched, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
+    FROM ranked
+    QUALIFY rnk <= {BM25_TOP_K}
+    """
+
+
+BM25_SQL = _bm25_sql()

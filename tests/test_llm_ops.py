@@ -709,3 +709,43 @@ def test_perplexity_filter_separates_gibberish(spark, tmp_path):
     gib_ppl = out[999]["ppl"]
     assert gib_ppl > 10 * nat_ppl, (nat_ppl, gib_ppl)
     assert out[0]["keep"] == 1
+
+
+def test_bm25_ranks_term_density_and_penalizes_length(spark, tmp_path):
+    """BM25 axioms on a controlled corpus: (1) more query-term
+    occurrences at equal length rank higher (TF monotonicity); (2) at
+    equal TF the shorter doc ranks higher (length normalization via b);
+    (3) docs with zero query terms never appear."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from propensity_spark.text.analysis import BM25_QUERY, q_bm25_search
+
+    term = BM25_QUERY[0]
+    filler = "alpha beta gamma delta"
+    rows = [
+        # doc 1: term once in 8 words; doc 2: term 3 times in 8 words
+        {"doc_id": 1, "text": f"{term} {filler} x y z", "lang": "en",
+         "source": "s", "n_chars": 1},
+        {"doc_id": 2, "text": f"{term} {term} {term} {filler} x", "lang": "en",
+         "source": "s", "n_chars": 1},
+        # doc 3: term once in 4 words (shorter than doc 1, same tf)
+        {"doc_id": 3, "text": f"{term} alpha beta gamma", "lang": "en",
+         "source": "s", "n_chars": 1},
+        # doc 4: no query terms at all
+        {"doc_id": 4, "text": filler, "lang": "en", "source": "s",
+         "n_chars": 1},
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "documents.parquet")
+
+    out = {r["doc_id"]: r for r in q_bm25_search(spark, str(sf)).collect()}
+    assert 4 not in out
+    assert out[2]["score"] > out[1]["score"]  # TF monotone
+    assert out[3]["score"] > out[1]["score"]  # shorter doc wins at equal TF
+    assert out[2]["matched"] == 1 and out[2]["dl"] == 8
+    ranks = sorted((r["rnk"], d) for d, r in out.items())
+    assert [d for _, d in ranks] == sorted(
+        out, key=lambda d: (-out[d]["score"], d)
+    )
