@@ -19,6 +19,7 @@ from propensity_spark.operators.extended import (
     q_basket_affinity,
 )
 from propensity_spark.operators.relational import SILVER_SQL
+from propensity_spark.vector.similarity import SEMDEDUP_SQL, q_semdedup
 from propensity_spark.text.analysis import (
     BM25_SQL,
     PERPLEXITY_SQL,
@@ -33,6 +34,7 @@ QUERIES = {
     "vocab_heavy_hitters": q_vocab_heavy_hitters,
     "perplexity_filter": q_perplexity_filter,
     "bm25_search": q_bm25_search,
+    "semdedup": q_semdedup,
 }
 
 ORACLES = {
@@ -42,4 +44,5 @@ ORACLES = {
     "vocab_heavy_hitters": VOCAB_HEAVY_HITTERS_SQL,
     "perplexity_filter": PERPLEXITY_SQL,
     "bm25_search": BM25_SQL,
+    "semdedup": SEMDEDUP_SQL,
 }

@@ -637,3 +637,118 @@ ORACLES["embedding_quantize"] = f"""
 """
 
 QUERIES["embedding_quantize"] = q_embedding_quantize
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication"): cluster the embedding
+# space, compare pairs ONLY within a cluster, and keep one
+# representative per duplicate group. The published recipe uses KMeans
+# clusters; the oracle-exact equivalent here is a deterministic
+# random-hyperplane sign partitioner (the SimHash construction applied
+# to embeddings) — H literal hyperplanes -> 2^H clusters — so both
+# engines derive bit-identical cluster ids from the same decimal
+# literals. Duplicate resolution is the deterministic greedy keep-first
+# rule (drop j iff some i < j in the same cluster has cos >= tau),
+# which needs no connected components and is pure relational algebra.
+#
+# Scale: assignment is map-only (H literal dot products). The pairwise
+# stage is an equi-join on cluster — the whole point of SemDeDup is
+# that all-pairs work is confined to within-cluster blocks (|C|^2
+# each), never the corpus; at 10^9 vectors H grows so clusters stay
+# ~1e4-sized (H literal dims, still map-only). Cross-cluster
+# duplicates are invisible by construction — the documented recall
+# trade the paper accepts (§3: "we only compare within clusters").
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_H = 4  # hyperplanes -> 2^H = 16 clusters at fixture scale
+SEMDEDUP_TAU = DUP_COSINE  # fixture embeddings are near-orthogonal
+
+
+def _semdedup_planes(n_dims: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from a Weyl-style
+    integer recurrence — formatted as 3-decimal literals into BOTH
+    engines' SQL, so cluster sign bits are bit-identical."""
+    return [
+        [
+            round(((dim * 2654435761 + h * 40503 + 12345) % 2000) / 1000.0 - 1.0, 3)
+            for dim in range(n_dims)
+        ]
+        for h in range(SEMDEDUP_H)
+    ]
+
+
+def _plane_lit_spark(plane: list[float]) -> str:
+    return "array({})".format(", ".join(f"CAST({x} AS DOUBLE)" for x in plane))
+
+
+def _plane_lit_duck(plane: list[float]) -> str:
+    return "[{}]".format(", ".join(f"CAST({x} AS DOUBLE)" for x in plane))
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    planes = _semdedup_planes()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_vec("embedding")).alias("v")
+    )
+    bits = [
+        F.expr(
+            "CASE WHEN {dot} > 0 THEN {w} ELSE 0 END".format(
+                dot=_DOT.format(a="v", b=_plane_lit_spark(p)), w=1 << h
+            )
+        )
+        for h, p in enumerate(planes)
+    ]
+    assigned = emb.withColumn("cluster", sum(bits).cast("int"))
+    a = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+    )
+    dup_pairs = (
+        a.join(b, "cluster")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(F.expr(_cosine("va", "vb")) >= SEMDEDUP_TAU)
+    )
+    drops = dup_pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.min("vec_a").alias("dropped_for")
+    )
+    return (
+        assigned.join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("dropped_for").isNull().cast("int").alias("keep"),
+            "dropped_for",
+        )
+    )
+
+
+def _semdedup_sql() -> str:
+    planes = _semdedup_planes()
+    bits = " + ".join(
+        f"CASE WHEN list_dot_product(v, {_plane_lit_duck(p)}) > 0"
+        f" THEN {1 << h} ELSE 0 END"
+        for h, p in enumerate(planes)
+    )
+    return f"""
+    WITH emb AS ({_EMB}),
+         assigned AS (SELECT vec_id, v, CAST({bits} AS INT) AS cluster FROM emb),
+         drops AS (
+             SELECT b.vec_id AS vec_id, min(a.vec_id) AS dropped_for
+             FROM assigned a JOIN assigned b ON a.cluster = b.cluster
+             WHERE a.vec_id < b.vec_id
+               AND {_cosine_duck('a.v', 'b.v')} >= {SEMDEDUP_TAU}
+             GROUP BY b.vec_id
+         )
+    SELECT e.vec_id, e.cluster,
+           CAST(d.vec_id IS NULL AS INT) AS keep,
+           d.dropped_for
+    FROM assigned e LEFT JOIN drops d ON e.vec_id = d.vec_id
+    """
+
+
+SEMDEDUP_SQL = _semdedup_sql()
+# Registered via operators/overflow.py (post-budget) so the driver's
+# first-50 gate entries stay stable round over round.

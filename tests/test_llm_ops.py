@@ -749,3 +749,39 @@ def test_bm25_ranks_term_density_and_penalizes_length(spark, tmp_path):
     assert [d for _, d in ranks] == sorted(
         out, key=lambda d: (-out[d]["score"], d)
     )
+
+
+def test_semdedup_drops_within_cluster_duplicates_keeps_first(spark, tmp_path):
+    """SemDeDup semantics on a controlled corpus: scaled copies of the
+    same direction land in the same sign-bucket cluster (cosine = 1)
+    and every copy after the lowest vec_id is dropped FOR the lowest
+    vec_id; a vector orthogonal to everything is kept."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from propensity_spark.vector.similarity import q_semdedup
+
+    base = [1.0 if d % 7 == 0 else 0.2 for d in range(64)]
+    ortho = [0.0] * 64
+    ortho[1] = 1.0  # cos(base, e1) ~ 0.08, far below SEMDEDUP_TAU
+    rows = [
+        {"vec_id": 10, "label": "a", "embedding": base},
+        {"vec_id": 11, "label": "a", "embedding": [2.0 * x for x in base]},
+        {"vec_id": 12, "label": "a", "embedding": [0.5 * x for x in base]},
+        {"vec_id": 20, "label": "b", "embedding": ortho},
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    schema = pa.schema(
+        [("vec_id", pa.int64()), ("label", pa.string()),
+         ("embedding", pa.list_(pa.float32()))]
+    )
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                   sf / "embeddings.parquet")
+
+    out = {r["vec_id"]: r for r in q_semdedup(spark, str(sf)).collect()}
+    assert out[10]["cluster"] == out[11]["cluster"] == out[12]["cluster"]
+    assert out[10]["keep"] == 1 and out[10]["dropped_for"] is None
+    assert out[11]["keep"] == 0 and out[11]["dropped_for"] == 10
+    assert out[12]["keep"] == 0 and out[12]["dropped_for"] == 10
+    assert out[20]["keep"] == 1
