@@ -1797,3 +1797,167 @@ QUERIES = {
 }
 # basket_affinity registers in operators/overflow.py — the module for
 # entries beyond the driver's 50-row correctness budget.
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join reduction — the runtime-filter pattern every
+# warehouse engine applies to star joins (and Spark itself applies
+# under spark.sql.optimizer.runtime.bloomFilter.enabled): when the
+# build side's key SET is too large to broadcast as a hash relation, a
+# fixed-size bloom filter of it still broadcasts, and probing it
+# MAP-SIDE prunes the fact scan before the expensive shuffle join.
+# Here the filter is built explicitly in DataFrame algebra so the
+# decision bits are engine-portable (md5-derived hashes, 62-bit words)
+# and the whole operator oracle-checks bit-for-bit — including its
+# false positives, which are deterministic given the hash family.
+#
+# Sizing is data-derived INSIDE the query (bits = ceil(14.4 * n_keys),
+# k = 3 hashes -> ~0.7% fp), so the same SQL stays correctly sized at
+# any scale factor. Scale shape: build = one tiny distinct + one
+# |words|-group bit_or agg collapsed to a single map row; probe = one
+# broadcast of that row + pure map-side bit tests; only the ~in-set
+# fraction of the fact ever reaches the downstream join's shuffle.
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 3  # hash functions
+BLOOM_BITS_PER_KEY = 14.4
+_BLOOM_PRIORITY = "1-URGENT"  # build-side restriction (selective dim slice)
+
+
+def _bloom_hash_spark(key: str, i: str) -> str:
+    """62-bit positive hash i of `key`: md5 of 'key:i' (15 hex chars)."""
+    return (
+        f"cast(conv(substr(md5(cast(concat(cast({key} as string), ':', "
+        f"cast({i} as string)) as binary)), 1, 15), 16, 10) as bigint)"
+    )
+
+
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    keys = (
+        orders.where(F.col("o_orderpriority") == _BLOOM_PRIORITY)
+        .select(F.col("o_orderkey").alias("key"))
+        .distinct()
+    )
+    stats = keys.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        (62 * F.ceil(F.count(F.lit(1)) * BLOOM_BITS_PER_KEY / 62)).alias("m"),
+    )
+    idx = _bloom_hash_spark("key", "i") + " % m"
+    words = (
+        keys.crossJoin(F.broadcast(stats))
+        .select("key", "m", F.explode(F.expr(f"sequence(0, {BLOOM_K - 1})")).alias("i"))
+        .select(F.expr(f"({idx}) div 62").alias("word"), F.expr(f"({idx}) % 62").alias("bit"))
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(cast(1 as bigint), cast(bit as int)))").alias("bits"))
+    )
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bf")
+    ).crossJoin(F.broadcast(stats.select("n_keys", "m")))
+    probe_idx = _bloom_hash_spark("l_orderkey", "{i}") + " % m"
+    tests = [
+        f"(coalesce(element_at(bf, ({probe_idx.format(i=i)}) div 62), cast(0 as bigint))"
+        f" & shiftleft(cast(1 as bigint), cast(({probe_idx.format(i=i)}) % 62 as int))) <> 0"
+        for i in range(BLOOM_K)
+    ]
+    probed = lineitem.select("l_orderkey", "l_linenumber", "l_returnflag").crossJoin(
+        F.broadcast(bloom)
+    )
+    passed = probed.where(F.expr(" AND ".join(tests)))
+    truth = lineitem.join(
+        keys.withColumnRenamed("key", "l_orderkey"), "l_orderkey", "left_semi"
+    ).select("l_orderkey", "l_linenumber", "l_returnflag")
+    per_flag = passed.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    ).select(F.lit("passed_by_flag").alias("section"), F.col("l_returnflag").alias("k"), "v")
+    counts = (
+        passed.agg(F.count(F.lit(1)).alias("n_passed"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_true")))
+        .crossJoin(stats.select("n_keys"))
+    )
+    summary = counts.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("summary").alias("section"), F.lit("n_keys").alias("k"),
+                         F.col("n_keys").cast("double").alias("v")),
+                F.struct(F.lit("summary").alias("section"), F.lit("n_passed").alias("k"),
+                         F.col("n_passed").cast("double").alias("v")),
+                F.struct(F.lit("summary").alias("section"), F.lit("n_true").alias("k"),
+                         F.col("n_true").cast("double").alias("v")),
+                F.struct(F.lit("summary").alias("section"), F.lit("false_pos").alias("k"),
+                         (F.col("n_passed") - F.col("n_true")).cast("double").alias("v")),
+            )
+        ).alias("s")
+    ).select("s.*")
+    return per_flag.unionByName(summary)
+
+
+_BLOOM_HASH_DUCK = (
+    "(CAST(('0x' || substr(md5(CAST({key} AS VARCHAR) || ':' || CAST({i} AS VARCHAR)),"
+    " 1, 15)) AS BIGINT) % m)"
+)
+
+BLOOM_SEMIJOIN_SQL = f"""
+    WITH keys AS (
+        SELECT DISTINCT o_orderkey AS key FROM orders
+        WHERE o_orderpriority = '{_BLOOM_PRIORITY}'
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(62 * ceil(count(*) * {BLOOM_BITS_PER_KEY} / 62) AS BIGINT) AS m
+        FROM keys
+    ),
+    hashes AS (SELECT unnest(range(0, {BLOOM_K})) AS i),
+    kbits AS (
+        SELECT {_BLOOM_HASH_DUCK.format(key='key', i='i')} AS idx
+        FROM keys, stats, hashes
+    ),
+    words AS (
+        SELECT idx // 62 AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(idx % 62 AS INT)) AS bits
+        FROM kbits GROUP BY 1
+    ),
+    li AS (
+        -- the fixture's lineitem carries duplicate (orderkey, linenumber)
+        -- pairs; a synthetic row id preserves row multiplicity through the
+        -- per-hash explode (Spark probes rows directly, never grouping)
+        SELECT l_orderkey, l_returnflag, row_number() OVER () AS rid
+        FROM lineitem
+    ),
+    pbits AS (
+        SELECT l.rid, l.l_orderkey, l.l_returnflag,
+               {_BLOOM_HASH_DUCK.format(key='l.l_orderkey', i='h.i')} AS idx
+        FROM li l, stats, hashes h
+    ),
+    probed AS (
+        SELECT p.rid, p.l_returnflag,
+               CASE WHEN (w.bits & (CAST(1 AS BIGINT) << CAST(p.idx % 62 AS INT))) <> 0
+                    THEN 1 ELSE 0 END AS ok
+        FROM pbits p LEFT JOIN words w ON w.word = p.idx // 62
+    ),
+    passed AS (
+        SELECT rid, l_returnflag
+        FROM probed GROUP BY 1, 2 HAVING sum(ok) = {BLOOM_K}
+    ),
+    truth AS (
+        SELECT l.l_orderkey, l.l_linenumber
+        FROM lineitem l SEMI JOIN keys k ON l.l_orderkey = k.key
+    )
+    SELECT 'passed_by_flag' AS section, l_returnflag AS k,
+           CAST(count(*) AS DOUBLE) AS v
+    FROM passed GROUP BY 2
+    UNION ALL
+    SELECT 'summary', t.k, t.v
+    FROM (
+        SELECT 'n_keys' AS k, CAST(n_keys AS DOUBLE) AS v FROM stats
+        UNION ALL
+        SELECT 'n_passed', CAST((SELECT count(*) FROM passed) AS DOUBLE)
+        UNION ALL
+        SELECT 'n_true', CAST((SELECT count(*) FROM truth) AS DOUBLE)
+        UNION ALL
+        SELECT 'false_pos',
+               CAST((SELECT count(*) FROM passed) - (SELECT count(*) FROM truth) AS DOUBLE)
+    ) t
+"""
+# bloom_semijoin registers in operators/overflow.py (post-budget).

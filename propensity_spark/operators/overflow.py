@@ -14,9 +14,11 @@ from __future__ import annotations
 
 from propensity_spark.operators.extended import (
     _BASKET_AFFINITY_SQL,
+    BLOOM_SEMIJOIN_SQL,
     MAX_BASKET_ITEMS,
     MIN_SUPPORT,
     q_basket_affinity,
+    q_bloom_semijoin,
 )
 from propensity_spark.operators.relational import SILVER_SQL
 from propensity_spark.vector.similarity import SEMDEDUP_SQL, q_semdedup
@@ -35,6 +37,7 @@ QUERIES = {
     "perplexity_filter": q_perplexity_filter,
     "bm25_search": q_bm25_search,
     "semdedup": q_semdedup,
+    "bloom_semijoin": q_bloom_semijoin,
 }
 
 ORACLES = {
@@ -45,4 +48,5 @@ ORACLES = {
     "perplexity_filter": PERPLEXITY_SQL,
     "bm25_search": BM25_SQL,
     "semdedup": SEMDEDUP_SQL,
+    "bloom_semijoin": BLOOM_SEMIJOIN_SQL,
 }

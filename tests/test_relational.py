@@ -194,3 +194,50 @@ def test_multi_day_backfill_matches_per_day_runs(spark, sf_dir):
                 if k == "household_key":
                     continue
                 assert have[k] == v, (a, r["household_key"], k, have[k], v)
+
+
+def test_bloom_semijoin_never_drops_true_matches(spark, tmp_path, sf_dir):
+    """Bloom property tests: (1) on a corpus where EVERY fact row joins
+    a build key, n_passed == n_true exactly — any gap would be a false
+    negative, which a bloom filter must never produce; (2) on the real
+    fixture the false-positive count stays under 5% of the non-matching
+    rows (sizing: 14.4 bits/key, k=3 -> ~0.7% expected)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from propensity_spark.operators.extended import q_bloom_semijoin
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    orders = [
+        {"o_orderkey": k, "o_orderpriority": "1-URGENT"} for k in range(1, 31)
+    ]
+    lineitem = [
+        {"l_orderkey": k, "l_linenumber": n, "l_returnflag": "N"}
+        for k in range(1, 31)
+        for n in (1, 2)
+    ]
+    pq.write_table(pa.Table.from_pylist(orders), sf / "orders.parquet")
+    pq.write_table(pa.Table.from_pylist(lineitem), sf / "lineitem.parquet")
+    out = {
+        (r["section"], r["k"]): r["v"]
+        for r in q_bloom_semijoin(spark, str(sf)).collect()
+    }
+    assert out[("summary", "n_true")] == 60.0
+    assert out[("summary", "n_passed")] == 60.0  # zero false negatives
+    assert out[("summary", "false_pos")] == 0.0
+
+    real = {
+        (r["section"], r["k"]): r["v"]
+        for r in q_bloom_semijoin(spark, sf_dir).collect()
+    }
+    n_total = sum(v for (s, _), v in real.items() if s == "passed_by_flag")
+    assert n_total == real[("summary", "n_passed")]
+    assert real[("summary", "n_passed")] >= real[("summary", "n_true")]
+    # fp bound: false_pos / non-matching rows << 5%
+    from propensity_spark.io import load_table
+
+    n_fact = load_table(spark, sf_dir, "lineitem").count()
+    assert real[("summary", "false_pos")] <= 0.05 * (
+        n_fact - real[("summary", "n_true")]
+    )
