@@ -24,9 +24,11 @@ from propensity_spark.operators.relational import SILVER_SQL
 from propensity_spark.vector.similarity import SEMDEDUP_SQL, q_semdedup
 from propensity_spark.text.analysis import (
     BM25_SQL,
+    REPETITION_SQL,
     PERPLEXITY_SQL,
     VOCAB_HEAVY_HITTERS_SQL,
     q_bm25_search,
+    q_repetition_signals,
     q_perplexity_filter,
     q_vocab_heavy_hitters,
 )
@@ -38,6 +40,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "semdedup": q_semdedup,
     "bloom_semijoin": q_bloom_semijoin,
+    "repetition_signals": q_repetition_signals,
 }
 
 ORACLES = {
@@ -49,4 +52,5 @@ ORACLES = {
     "bm25_search": BM25_SQL,
     "semdedup": SEMDEDUP_SQL,
     "bloom_semijoin": BLOOM_SEMIJOIN_SQL,
+    "repetition_signals": REPETITION_SQL,
 }

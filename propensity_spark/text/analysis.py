@@ -945,3 +945,178 @@ def _bm25_sql() -> str:
 
 
 BM25_SQL = _bm25_sql()
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition filters (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Table A1): remove
+# docs where (a) the most frequent {2,3,4}-gram covers too many
+# characters, or (b) duplicated {5..10}-grams cover too many
+# characters. q_text_quality carries the cheap dup-bigram signal; this
+# is the full published grid with Gopher's exact thresholds.
+#
+# All nine signals are WITHIN-ROW array expressions (no explode, no
+# shuffle — each doc computes its own n-gram counts via nested
+# higher-order functions, JVM-side). Per-row cost is O(L^2) in the
+# doc's word count, the same bound as any per-doc hash-count; docs are
+# length-bounded upstream (quality_keep caps at 1000 words). Char
+# fractions use the count-weighted form (sum of count x gram-chars
+# over gram-chars), the standard relational simplification of Gopher's
+# positional spans; ties for the most frequent gram break to the
+# lexicographically smallest so both engines agree.
+# ---------------------------------------------------------------------------
+
+# threshold: max allowed char fraction (Gopher Table A1)
+GOPHER_TOP_NGRAM = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+_GOPHER_NS = (*GOPHER_TOP_NGRAM, *GOPHER_DUP_NGRAM)
+
+
+def _grams_spark(n: int) -> str:
+    return (
+        f"CASE WHEN size(__ws) < {n} THEN array()"
+        f" ELSE transform(sequence(1, size(__ws) - {n} + 1),"
+        f" i -> concat_ws(' ', slice(__ws, i, {n}))) END"
+    )
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged so the one O(|distinct| x L) counting pass per n runs
+    ONCE: grams -> per-distinct-gram (cnt, gg) structs -> signals as
+    single-reference projections -> keep from the aliased columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        "n_chars",
+        F.expr("filter(split(lower(text), ' '), w -> length(w) >= 1)").alias("__ws"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        *[F.expr(_grams_spark(n)).alias(f"__g{n}") for n in _GOPHER_NS],
+    )
+    # one counting pass per n: (cnt, gg) per distinct gram
+    counted = staged.select(
+        "doc_id",
+        "n_chars",
+        *[
+            F.expr(
+                f"transform(array_distinct(__g{n}),"
+                f" gg -> struct(size(filter(__g{n}, x -> x = gg)) AS cnt, gg))"
+            ).alias(f"__c{n}")
+            for n in _GOPHER_NS
+        ],
+    )
+    sel = [F.col("doc_id"), F.col("n_chars")]
+    for n in GOPHER_TOP_NGRAM:
+        # min over (-cnt, gg) structs = max count, ties to smallest gram
+        sel.append(
+            F.expr(
+                f"CASE WHEN size(__c{n}) = 0 THEN struct(CAST(0 AS INT) AS nc, '' AS gg)"
+                f" ELSE array_min(transform(__c{n}, s -> struct(-s.cnt AS nc, s.gg AS gg)))"
+                " END"
+            ).alias(f"__t{n}")
+        )
+    for n in GOPHER_DUP_NGRAM:
+        sel.append(
+            F.expr(
+                f"aggregate(__c{n}, struct(CAST(0 AS BIGINT) AS dup, CAST(0 AS BIGINT) AS tot),"
+                " (a, s) -> struct(a.dup + IF(s.cnt >= 2, s.cnt * length(s.gg), CAST(0 AS BIGINT)) AS dup,"
+                " a.tot + s.cnt * length(s.gg) AS tot))"
+            ).alias(f"__d{n}")
+        )
+    reduced = counted.select(*sel)
+    fracs = reduced.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"CASE WHEN __t{n}.nc = 0 THEN 0.0"
+                f" ELSE round(1e-9 + (-__t{n}.nc) * length(__t{n}.gg) / n_chars, 6) END"
+            ).alias(f"rep{n}")
+            for n in GOPHER_TOP_NGRAM
+        ],
+        *[
+            F.expr(
+                f"CASE WHEN __d{n}.tot = 0 THEN 0.0"
+                f" ELSE round(1e-9 + __d{n}.dup / __d{n}.tot, 6) END"
+            ).alias(f"dup{n}")
+            for n in GOPHER_DUP_NGRAM
+        ],
+    )
+    keep = " AND ".join(
+        [f"rep{n} <= {t}" for n, t in GOPHER_TOP_NGRAM.items()]
+        + [f"dup{n} <= {t}" for n, t in GOPHER_DUP_NGRAM.items()]
+    )
+    return fracs.select("*", F.expr(keep).cast("int").alias("gopher_keep"))
+
+
+def _grams_duck(n: int) -> str:
+    return (
+        f"CASE WHEN len(ws) < {n} THEN []"
+        f" ELSE list_transform(range(1, len(ws) - {n} + 2),"
+        f" i -> array_to_string(ws[i:i + {n} - 1], ' ')) END"
+    )
+
+
+def _repetition_sql() -> str:
+    gram_defs = ", ".join(f"{_grams_duck(n)} AS g{n}" for n in _GOPHER_NS)
+    count_defs = ", ".join(
+        f"list_transform(list_distinct(g{n}),"
+        f" gg -> {{'cnt': len(list_filter(g{n}, x -> x = gg)), 'gg': gg}}) AS c{n}"
+        for n in _GOPHER_NS
+    )
+    top_defs = ", ".join(
+        f"list_max(list_transform(c{n}, s -> s.cnt)) AS top{n},"
+        f" coalesce(list_sum(list_transform(c{n}, s -> s.cnt * len(s.gg))), 0) AS tot{n}"
+        for n in GOPHER_TOP_NGRAM
+    )
+    # tie-break: among grams at the max count, the lexicographically
+    # least; the max-count recompute inside the filter is O(|distinct|)
+    topg_defs = ", ".join(
+        f"list_aggregate(list_transform(list_filter(c{n},"
+        f" s -> s.cnt = list_max(list_transform(c{n}, t -> t.cnt))),"
+        f" s -> s.gg), 'min') AS topg{n}"
+        for n in GOPHER_TOP_NGRAM
+    )
+    dup_defs = ", ".join(
+        f"coalesce(list_sum(list_transform(list_filter(c{n}, s -> s.cnt >= 2),"
+        f" s -> s.cnt * len(s.gg))), 0) AS dup{n}_n,"
+        f" coalesce(list_sum(list_transform(c{n}, s -> s.cnt * len(s.gg))), 0) AS dup{n}_d"
+        for n in GOPHER_DUP_NGRAM
+    )
+    frac_cols = ",\n           ".join(
+        [
+            f"CASE WHEN top{n} IS NULL THEN 0.0"
+            f" ELSE round(1e-9 + top{n} * len(topg{n}) / n_chars, 6) END AS rep{n}"
+            for n in GOPHER_TOP_NGRAM
+        ]
+        + [
+            f"CASE WHEN dup{n}_d = 0 THEN 0.0"
+            f" ELSE round(1e-9 + dup{n}_n / dup{n}_d, 6) END AS dup{n}"
+            for n in GOPHER_DUP_NGRAM
+        ]
+    )
+    keep = " AND ".join(
+        [f"rep{n} <= {t}" for n, t in GOPHER_TOP_NGRAM.items()]
+        + [f"dup{n} <= {t}" for n, t in GOPHER_DUP_NGRAM.items()]
+    )
+    return f"""
+    WITH staged AS (
+        SELECT doc_id, n_chars,
+               list_filter(string_split(lower(text), ' '), w -> len(w) >= 1) AS ws
+        FROM documents
+    ),
+    grams AS (SELECT doc_id, n_chars, {gram_defs} FROM staged),
+    counted AS (SELECT doc_id, n_chars, {count_defs} FROM grams),
+    reduced AS (SELECT doc_id, n_chars, {top_defs}, {dup_defs}, {topg_defs}
+                FROM counted),
+    fracs AS (
+        SELECT doc_id,
+           {frac_cols}
+        FROM reduced
+    )
+    SELECT *, CAST({keep} AS INT) AS gopher_keep FROM fracs
+"""
+
+
+REPETITION_SQL = _repetition_sql()
+# repetition_signals registers in operators/overflow.py (post-budget).

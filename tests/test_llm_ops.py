@@ -785,3 +785,37 @@ def test_semdedup_drops_within_cluster_duplicates_keeps_first(spark, tmp_path):
     assert out[11]["keep"] == 0 and out[11]["dropped_for"] == 10
     assert out[12]["keep"] == 0 and out[12]["dropped_for"] == 10
     assert out[20]["keep"] == 1
+
+
+def test_repetition_signals_flag_repeated_text(spark, tmp_path):
+    """Gopher repetition grid on hand-computable docs: 'a b' x3 gives
+    rep2 = 3 x len('a b') / n_chars exactly and zero dup5 (all 5-grams
+    unique); a doc of one 5-word phrase repeated saturates dup5..dup10
+    and fails gopher_keep; a varied doc keeps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from propensity_spark.text.analysis import q_repetition_signals
+
+    t1 = "a b a b a b"  # 11 chars; top bigram 'a b' x3
+    phrase = "one two three four five"
+    t2 = " ".join([phrase] * 8)
+    t3 = " ".join(f"w{i}" for i in range(40))  # all words distinct
+    rows = [
+        {"doc_id": 1, "text": t1, "lang": "en", "source": "s", "n_chars": len(t1)},
+        {"doc_id": 2, "text": t2, "lang": "en", "source": "s", "n_chars": len(t2)},
+        {"doc_id": 3, "text": t3, "lang": "en", "source": "s", "n_chars": len(t3)},
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "documents.parquet")
+
+    out = {r["doc_id"]: r for r in q_repetition_signals(spark, str(sf)).collect()}
+    assert abs(out[1]["rep2"] - 3 * 3 / 11) < 1e-4
+    assert out[1]["dup5"] == 0.0  # both 5-grams occur once
+    # every 5..10-gram of the repeated-phrase doc occurs >= 2 times
+    for n in range(5, 11):
+        assert out[2][f"dup{n}"] > 0.99, (n, out[2][f"dup{n}"])
+    assert out[2]["gopher_keep"] == 0
+    assert out[3]["gopher_keep"] == 1
+    assert all(out[3][f"dup{n}"] == 0.0 for n in range(5, 11))
