@@ -21,6 +21,7 @@ from propensity_spark.operators.extended import (
     q_bloom_semijoin,
 )
 from propensity_spark.operators.relational import SILVER_SQL
+from propensity_spark.text.dedup import EXACTSUBSTR_SQL, q_exactsubstr_dedup
 from propensity_spark.vector.similarity import SEMDEDUP_SQL, q_semdedup
 from propensity_spark.text.analysis import (
     BM25_SQL,
@@ -41,6 +42,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "bloom_semijoin": q_bloom_semijoin,
     "repetition_signals": q_repetition_signals,
+    "exactsubstr_dedup": q_exactsubstr_dedup,
 }
 
 ORACLES = {
@@ -53,4 +55,5 @@ ORACLES = {
     "semdedup": SEMDEDUP_SQL,
     "bloom_semijoin": BLOOM_SEMIJOIN_SQL,
     "repetition_signals": REPETITION_SQL,
+    "exactsubstr_dedup": EXACTSUBSTR_SQL,
 }

@@ -904,3 +904,124 @@ ORACLES["neardup_suite"] = f"""
 """
 
 QUERIES["neardup_suite"] = q_neardup_suite
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr deduplication (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better", §4.1): find substrings repeated
+# verbatim anywhere in the corpus and mark the duplicated spans. The
+# paper builds one giant suffix array; the distributed re-expression
+# is a length-EXSUB_L word-shingle fingerprint equi-join — every
+# shingle occurrence keyed by md5(window), a fingerprint occurring
+# >= 2 times anywhere (cross- OR within-doc, matching the paper's
+# "occurs more than once in the corpus") marks its [start, start+L-1]
+# word span as duplicated. Per-doc span coverage is a sorted-starts
+# interval merge (O(|starts|) inside one aggregate HOF, no per-word
+# scan). Unlike winnowing above (which SAMPLES 1/W fingerprints for
+# near-dup detection), exact span accounting needs every shingle: the
+# shuffle carries ~|tokenized corpus| rows — the honest cost of
+# exactness, and still a single equi-join vs the paper's
+# non-distributable suffix array.
+# ---------------------------------------------------------------------------
+
+EXSUB_L = 8  # words per shingle (the paper uses 50 BPE tokens)
+EXSUB_MAX_DUP_FRAC = 0.2  # keep docs with at most this duplicated-span share
+
+
+def q_exactsubstr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), w -> length(w) >= 1)").alias("__ws"),
+    )
+    base = words.select("doc_id", F.size("__ws").alias("n_words"), "__ws")
+    shingles = base.select(
+        "doc_id",
+        "n_words",
+        F.explode(
+            F.expr(
+                f"CASE WHEN n_words < {EXSUB_L} THEN array()"
+                f" ELSE sequence(1, n_words - {EXSUB_L} + 1) END"
+            )
+        ).alias("start"),
+        "__ws",
+    ).select(
+        "doc_id",
+        "start",
+        F.expr(
+            f"md5(cast(concat_ws(' ', slice(__ws, start, {EXSUB_L})) as binary))"
+        ).alias("fp"),
+    )
+    dup_fp = shingles.groupBy("fp").agg(F.count(F.lit(1)).alias("c")).where("c >= 2")
+    dup_starts = (
+        shingles.join(dup_fp.select("fp"), "fp")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("start")).alias("starts"))
+    )
+    covered = dup_starts.select(
+        "doc_id",
+        F.size("starts").alias("n_dup_starts"),
+        F.expr(
+            "aggregate(starts, struct(CAST(0 AS BIGINT) AS cov, CAST(0 AS BIGINT) AS last_end),"
+            f" (a, s) -> struct(a.cov + greatest(CAST(0 AS BIGINT),"
+            f" (s + {EXSUB_L} - 1) - greatest(s - 1, a.last_end)) AS cov,"
+            f" greatest(a.last_end, s + {EXSUB_L} - 1) AS last_end),"
+            " a -> a.cov)"
+        ).alias("dup_words"),
+    )
+    return (
+        base.select("doc_id", "n_words")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("n_dup_starts", F.lit(0)).cast("int").alias("n_dup_starts"),
+            F.round(
+                F.coalesce("dup_words", F.lit(0)) / F.col("n_words") + 1e-9, 6
+            ).alias("dup_frac"),
+            (
+                F.coalesce("dup_words", F.lit(0)) / F.col("n_words")
+                <= EXSUB_MAX_DUP_FRAC
+            )
+            .cast("int")
+            .alias("exsub_keep"),
+        )
+    )
+
+
+EXACTSUBSTR_SQL = f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> len(x) >= 1) AS ws
+        FROM documents
+    ),
+    base AS (SELECT doc_id, len(ws) AS n_words, ws FROM w),
+    sh AS (
+        SELECT doc_id, i AS start,
+               md5(array_to_string(ws[i:i + {EXSUB_L} - 1], ' ')) AS fp
+        FROM base, unnest(range(1, n_words - {EXSUB_L} + 2)) AS t(i)
+        WHERE n_words >= {EXSUB_L}
+    ),
+    dup_fp AS (SELECT fp FROM sh GROUP BY fp HAVING count(*) >= 2),
+    dup_starts AS (
+        SELECT s.doc_id, list_sort(list(s.start)) AS starts
+        FROM sh s JOIN dup_fp d ON s.fp = d.fp
+        GROUP BY s.doc_id
+    ),
+    -- oracle-side coverage: naive per-position containment scan (the
+    -- Spark side does the O(|starts|) interval merge; results agree)
+    covered AS (
+        SELECT d.doc_id, len(starts) AS n_dup_starts,
+               len(list_filter(range(1, b.n_words + 1),
+                   p -> len(list_filter(starts,
+                        s -> p >= s AND p <= s + {EXSUB_L} - 1)) > 0)) AS dup_words
+        FROM dup_starts d JOIN base b ON d.doc_id = b.doc_id
+    )
+    SELECT b.doc_id, CAST(b.n_words AS INT) AS n_words,
+           CAST(coalesce(c.n_dup_starts, 0) AS INT) AS n_dup_starts,
+           round(coalesce(c.dup_words, 0) / b.n_words + 1e-9, 6) AS dup_frac,
+           CAST(coalesce(c.dup_words, 0) / b.n_words <= {EXSUB_MAX_DUP_FRAC} AS INT)
+               AS exsub_keep
+    FROM base b LEFT JOIN covered c ON b.doc_id = c.doc_id
+"""
+# exactsubstr_dedup registers in operators/overflow.py (post-budget).

@@ -819,3 +819,34 @@ def test_repetition_signals_flag_repeated_text(spark, tmp_path):
     assert out[2]["gopher_keep"] == 0
     assert out[3]["gopher_keep"] == 1
     assert all(out[3][f"dup{n}"] == 0.0 for n in range(5, 11))
+
+
+def test_exactsubstr_marks_shared_passage_with_interval_merge(spark, tmp_path):
+    """Two docs share a 9-word passage -> each has two overlapping
+    duplicated 8-shingles whose merged span covers exactly 9 words
+    (the interval merge must not double-count the 7-word overlap);
+    a doc with no repeated substring reports zero."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from propensity_spark.text.dedup import q_exactsubstr_dedup
+
+    shared = " ".join(f"s{i}" for i in range(9))  # 9 words -> starts {1,2}
+    a_text = shared + " " + " ".join(f"a{i}" for i in range(11))
+    b_text = " ".join(f"b{i}" for i in range(11)) + " " + shared
+    c_text = " ".join(f"c{i}" for i in range(20))
+    rows = [
+        {"doc_id": 1, "text": a_text, "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 2, "text": b_text, "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 3, "text": c_text, "lang": "en", "source": "s", "n_chars": 1},
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "documents.parquet")
+
+    out = {r["doc_id"]: r for r in q_exactsubstr_dedup(spark, str(sf)).collect()}
+    assert out[1]["n_words"] == 20 and out[1]["n_dup_starts"] == 2
+    assert abs(out[1]["dup_frac"] - 9 / 20) < 1e-4  # merged, not 16/20
+    assert abs(out[2]["dup_frac"] - 9 / 20) < 1e-4
+    assert out[3]["n_dup_starts"] == 0 and out[3]["dup_frac"] < 1e-4
+    assert out[3]["exsub_keep"] == 1 and out[1]["exsub_keep"] == 0
