@@ -25,10 +25,12 @@ from propensity_spark.text.dedup import EXACTSUBSTR_SQL, q_exactsubstr_dedup
 from propensity_spark.vector.similarity import SEMDEDUP_SQL, q_semdedup
 from propensity_spark.text.analysis import (
     BM25_SQL,
+    DSIR_SQL,
     REPETITION_SQL,
     PERPLEXITY_SQL,
     VOCAB_HEAVY_HITTERS_SQL,
     q_bm25_search,
+    q_dsir_select,
     q_repetition_signals,
     q_perplexity_filter,
     q_vocab_heavy_hitters,
@@ -43,6 +45,7 @@ QUERIES = {
     "bloom_semijoin": q_bloom_semijoin,
     "repetition_signals": q_repetition_signals,
     "exactsubstr_dedup": q_exactsubstr_dedup,
+    "dsir_select": q_dsir_select,
 }
 
 ORACLES = {
@@ -56,4 +59,5 @@ ORACLES = {
     "bloom_semijoin": BLOOM_SEMIJOIN_SQL,
     "repetition_signals": REPETITION_SQL,
     "exactsubstr_dedup": EXACTSUBSTR_SQL,
+    "dsir_select": DSIR_SQL,
 }

@@ -1120,3 +1120,123 @@ def _repetition_sql() -> str:
 
 REPETITION_SQL = _repetition_sql()
 # repetition_signals registers in operators/overflow.py (post-budget).
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling"):
+# score every raw document by how much more likely it is under a
+# TARGET distribution than under the raw-corpus distribution, using
+# hashed n-gram bag-of-words models, and keep the target-like tail.
+# Target here = the corpus's `lang = 'en'` slice (the paper targets
+# Wikipedia/books; any declarative slice works), features = word
+# unigrams + bigrams hashed into DSIR_BUCKETS via md5 (the paper's
+# hashed n-gram generative model), both models add-1 smoothed.
+#
+# Scale: the two count tables are DSIR_BUCKETS rows each regardless of
+# corpus size — they broadcast; scoring is the doc-feature explode
+# joined to those broadcast tables + one doc-keyed agg. One shuffle
+# over the feature stream, everything else map-side. Hash-bucketing is
+# exactly what makes DSIR O(corpus) at web scale: the model never
+# grows with the vocabulary.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+_DSIR_BUCKET_SPARK = (
+    "cast(conv(substr(md5(cast(f as binary)), 1, 8), 16, 10) as bigint) % "
+    f"{DSIR_BUCKETS}"
+)
+_DSIR_BUCKET_DUCK = (
+    "CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % " f"{DSIR_BUCKETS}"
+)
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.expr("filter(split(lower(text), ' '), w -> length(w) >= 1)").alias("__ws"),
+    )
+    feats = words.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "concat(__ws, CASE WHEN size(__ws) < 2 THEN array()"
+                " ELSE transform(sequence(1, size(__ws) - 1),"
+                " i -> concat(element_at(__ws, i), '_', element_at(__ws, i + 1))) END)"
+            )
+        ).alias("f"),
+    ).select("doc_id", "lang", F.expr(_DSIR_BUCKET_SPARK).alias("b"))
+    raw_cnt = feats.groupBy("b").agg(F.count(F.lit(1)).alias("raw_c"))
+    tgt_cnt = (
+        feats.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tgt_c"))
+    )
+    totals = raw_cnt.agg(F.sum("raw_c").alias("raw_n")).crossJoin(
+        F.broadcast(tgt_cnt.agg(F.sum("tgt_c").alias("tgt_n")))
+    )
+    model = (
+        raw_cnt.join(tgt_cnt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.expr(
+                f"ln((coalesce(tgt_c, 0) + 1.0) / (tgt_n + {DSIR_BUCKETS}))"
+                f" - ln((raw_c + 1.0) / (raw_n + {DSIR_BUCKETS}))"
+            ).alias("lr"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.avg("lr") + 1e-9, 6).alias("dsir_score"),
+            (F.avg("lr") > 0).cast("int").alias("dsir_keep"),
+        )
+    )
+
+
+DSIR_SQL = f"""
+    WITH w AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(lower(text), ' '), x -> len(x) >= 1) AS ws
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, lang, {_DSIR_BUCKET_DUCK} AS b
+        FROM (
+            SELECT doc_id, lang, unnest(
+                list_concat(ws,
+                    CASE WHEN len(ws) < 2 THEN []
+                    ELSE list_transform(range(1, len(ws)), i -> ws[i] || '_' || ws[i + 1])
+                    END)
+            ) AS f
+            FROM w
+        )
+    ),
+    raw_cnt AS (SELECT b, CAST(count(*) AS BIGINT) AS raw_c FROM feats GROUP BY b),
+    tgt_cnt AS (SELECT b, CAST(count(*) AS BIGINT) AS tgt_c FROM feats
+                WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+    totals AS (
+        SELECT (SELECT sum(raw_c) FROM raw_cnt) AS raw_n,
+               (SELECT sum(tgt_c) FROM tgt_cnt) AS tgt_n
+    ),
+    model AS (
+        SELECT r.b,
+               ln((coalesce(t.tgt_c, 0) + 1.0) / (tt.tgt_n + {DSIR_BUCKETS}))
+               - ln((r.raw_c + 1.0) / (tt.raw_n + {DSIR_BUCKETS})) AS lr
+        FROM raw_cnt r LEFT JOIN tgt_cnt t ON r.b = t.b, totals tt
+    )
+    SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           round(avg(m.lr) + 1e-9, 6) AS dsir_score,
+           CAST(avg(m.lr) > 0 AS INT) AS dsir_keep
+    FROM feats f JOIN model m ON f.b = m.b
+    GROUP BY f.doc_id
+"""
+# dsir_select registers in operators/overflow.py (post-budget).

@@ -850,3 +850,33 @@ def test_exactsubstr_marks_shared_passage_with_interval_merge(spark, tmp_path):
     assert abs(out[2]["dup_frac"] - 9 / 20) < 1e-4
     assert out[3]["n_dup_starts"] == 0 and out[3]["dup_frac"] < 1e-4
     assert out[3]["exsub_keep"] == 1 and out[1]["exsub_keep"] == 0
+
+
+def test_dsir_prefers_target_distribution_docs(spark, tmp_path):
+    """DSIR on a corpus with disjoint vocabularies: docs drawn from the
+    target (en) vocabulary must score strictly above docs from the
+    other vocabulary and be the only ones kept."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from propensity_spark.text.analysis import q_dsir_select
+
+    en_vocab = "the cat sat on the mat and the dog ran"
+    xx_vocab = "le chat noir est sur la table rouge ici"
+    rows = []
+    for i in range(20):
+        rows.append({"doc_id": i, "text": en_vocab, "lang": "en",
+                     "source": "s", "n_chars": len(en_vocab)})
+    for i in range(20, 40):
+        rows.append({"doc_id": i, "text": xx_vocab, "lang": "fr",
+                     "source": "s", "n_chars": len(xx_vocab)})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "documents.parquet")
+
+    out = {r["doc_id"]: r for r in q_dsir_select(spark, str(sf)).collect()}
+    assert min(out[i]["dsir_score"] for i in range(20)) > max(
+        out[i]["dsir_score"] for i in range(20, 40)
+    )
+    assert all(out[i]["dsir_keep"] == 1 for i in range(20))
+    assert all(out[i]["dsir_keep"] == 0 for i in range(20, 40))
