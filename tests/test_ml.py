@@ -254,3 +254,34 @@ def test_basket_affinity_matches_mllib_fpgrowth(spark, sf_dir):
         )
         < 1e-4
     )
+
+
+def test_quality_classifier_separates_reference_from_noise(spark):
+    """fastText-style quality filter on a separable corpus: train on
+    weak labels (reference vocab vs noise vocab), verify held-out
+    perfection on unseen doc_ids and that score_quality's keep flag
+    agrees with the probabilities."""
+    from propensity_spark.ml.quality import (
+        evaluate_quality_classifier,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    ref = "the model trains on curated encyclopedic prose with citations"
+    noise = "zxq wvu qqq click here buy now free prize winner jackpot"
+    rows = [(i, ref, 1.0) for i in range(30)] + [
+        (i + 100, noise, 0.0) for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label double")
+    train = docs.where("doc_id % 5 != 0")
+    test = docs.where("doc_id % 5 = 0")
+
+    model = train_quality_classifier(train)
+    metrics = evaluate_quality_classifier(model, test)
+    assert metrics["auc"] == 1.0 and metrics["accuracy"] == 1.0, metrics
+
+    scored = {r["doc_id"]: r for r in score_quality(model, test).collect()}
+    for d, r in scored.items():
+        expected = 1 if d < 100 else 0
+        assert r["quality_keep"] == expected, (d, r["quality_prob"])
+        assert 0.0 <= r["quality_prob"] <= 1.0
