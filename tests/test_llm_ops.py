@@ -880,3 +880,49 @@ def test_dsir_prefers_target_distribution_docs(spark, tmp_path):
     )
     assert all(out[i]["dsir_keep"] == 1 for i in range(20))
     assert all(out[i]["dsir_keep"] == 0 for i in range(20, 40))
+
+
+def test_vector_index_roundtrip_add_and_partition_pruning(spark, sf_dir, tmp_path):
+    """VectorIndex lifecycle: build -> load -> query recalls >= 0.7 of
+    brute-force truth at nprobe=12/16 (the ann_ivf floor); add() makes
+    a new vector findable at rank 1 / cosine 1 by its own direction
+    WITHOUT rebuilding; and the candidate scan carries the probed
+    clusters as a partition filter (reads ~nprobe/k of the corpus)."""
+    import contextlib
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from propensity_spark.vector.index import VectorIndex, load_vectors
+    from propensity_spark.vector.similarity import cosine_topk
+
+    vecs = load_vectors(spark, sf_dir)
+    idx = VectorIndex.build(spark, vecs, str(tmp_path / "ivf"))
+
+    reloaded = VectorIndex.load(spark, str(tmp_path / "ivf"))
+    queries = vecs.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    got = reloaded.query(queries, top_k=5)
+    truth = cosine_topk(vecs, queries, k=5)
+    truth_pairs = {(r["query_id"], r["vec_id"]) for r in truth.collect()}
+    got_pairs = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+    recall = len(got_pairs & truth_pairs) / len(truth_pairs)
+    assert recall >= 0.7, recall
+
+    # partition pruning: the vectors scan must filter on cluster
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        reloaded.query(queries, top_k=5).explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [cluster" in plan, plan[:2000]
+
+    # incremental add: a brand-new direction becomes its own top hit
+    new_v = [0.0] * 63 + [5.0]
+    new = spark.createDataFrame([(99991, new_v)], "vec_id long, v array<double>")
+    reloaded.add(new)
+    probe = spark.createDataFrame(
+        [(1, new_v)], "query_id long, qv array<double>"
+    )
+    hit = reloaded.query(probe, top_k=1, exclude_self=False).collect()
+    assert hit[0]["vec_id"] == 99991 and hit[0]["cosine"] == 1.0
