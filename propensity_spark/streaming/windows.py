@@ -309,6 +309,61 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, deduped.schema)
 
 
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to the
+    STATIC customer dimension (user_id = c_custkey), then a windowed
+    per-market-segment aggregate — the canonical streaming enrichment
+    shape (dim lookups against a slowly-changing table). The static
+    side is broadcast and, per Structured Streaming semantics,
+    re-planned each micro-batch (so a refreshed dim snapshot is picked
+    up without restarting); no state is held for the join itself —
+    only the downstream windowed agg keeps state. Drained to
+    completion and returned as a batch frame."""
+    import uuid
+
+    from propensity_spark.io import load_table
+
+    name = f"enrich_out_{uuid.uuid4().hex[:8]}"
+    static = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", "1 day")
+        .join(F.broadcast(static), "user_id")
+    )
+    agg = (
+        enriched.groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + 1e-6, 2).alias("sum_value"),
+        )
+        .select(
+            _epoch("w.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.table(name).collect()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.createDataFrame(rows, agg.schema)
+
+
 def stream_stream_join(spark: SparkSession, sf_dir: str, within: str = "1 hour") -> DataFrame:
     """Stream-stream inner join with event-time bounds: each user's
     events joined to their LATER events within `within` (the
@@ -483,6 +538,13 @@ def q_stream_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").alias("n"),
         F.col("sum_value").alias("v"),
     )
+    enrich = stream_static_join(spark, sf_dir).select(
+        F.lit("enrich").alias("section"),
+        F.col("window_start").alias("k1"),
+        F.col("c_mktsegment").alias("k2"),
+        F.col("n_events").alias("n"),
+        F.col("sum_value").alias("v"),
+    )
     session = q_stream_session(spark, sf_dir).select(
         F.lit("session").alias("section"),
         F.col("session_start").alias("k1"),
@@ -496,6 +558,7 @@ def q_stream_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ssj)
         .unionByName(feat)
         .unionByName(session)
+        .unionByName(enrich)
     )
 
 
@@ -542,6 +605,13 @@ ORACLES["stream_ops_suite"] = f"""
     SELECT 'feat', user_id, '{FEAT_DAY}', count(*),
            round(1e-6 + sum(value), 2)
     FROM events GROUP BY user_id
+    UNION ALL
+    -- stream-static enrichment: events joined to the static customer
+    -- dim, windowed per market segment — the batch join is the twin.
+    SELECT 'enrich', CAST(floor(epoch(e.ts) / 3600) * 3600 AS BIGINT),
+           c.c_mktsegment, count(*), round(1e-6 + sum(e.value), 2)
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 2, 3
 """
 
 QUERIES["stream_ops_suite"] = q_stream_ops_suite
