@@ -47,6 +47,14 @@ BENCH_QUERIES = [
     "range_join",
     "doc_profile",
     "salted_agg",
+    # round-4 extension-family representatives (each also timed in DuckDB
+    # on identical SQL, so the <=2x-of-oracle gate covers them too)
+    "bm25_search",
+    "semdedup",
+    "bloom_semijoin",
+    "repetition_signals",
+    "exactsubstr_dedup",
+    "dsir_select",
 ]
 
 

@@ -58,8 +58,14 @@ def train_quality_classifier(
     feat = featurize(docs, text_col).withColumn(
         "label", F.col(label_col).cast("double")
     )
+    from propensity_spark.ml.training import _strip_training_summaries
+
     lr = LogisticRegression(maxIter=max_iter, regParam=reg_param)
-    return lr.fit(feat)
+    model = lr.fit(feat)
+    # Spark 4.1 closure-safety: see _strip_training_summaries — without
+    # this, evaluate() dies if any Observation ran earlier in the session.
+    _strip_training_summaries(model)
+    return model
 
 
 def score_quality(model, docs: DataFrame, text_col: str = "text") -> DataFrame:

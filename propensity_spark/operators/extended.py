@@ -1823,13 +1823,14 @@ BLOOM_K = 3  # hash functions
 BLOOM_BITS_PER_KEY = 14.4
 _BLOOM_PRIORITY = "1-URGENT"  # build-side restriction (selective dim slice)
 
-
-def _bloom_hash_spark(key: str, i: str) -> str:
-    """62-bit positive hash i of `key`: md5 of 'key:i' (15 hex chars)."""
-    return (
-        f"cast(conv(substr(md5(cast(concat(cast({key} as string), ':', "
-        f"cast({i} as string)) as binary)), 1, 15), 16, 10) as bigint)"
-    )
+# Kirsch-Mitzenmacher double hashing: the K hash functions are
+# h_i = h1 + i*h2 (mod m) with h1/h2 = two disjoint 15-hex-char slices
+# of ONE md5 — one digest per row instead of K (the dominant probe
+# cost), with the same fp guarantees (Kirsch & Mitzenmacher 2006).
+_H1_SPARK = "cast(conv(substr(md5(cast(cast({key} as string) as binary)), 1, 15), 16, 10) as bigint)"
+_H2_SPARK = "cast(conv(substr(md5(cast(cast({key} as string) as binary)), 16, 15), 16, 10) as bigint)"
+_H1_DUCK = "CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT)"
+_H2_DUCK = "CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 16, 15)) AS BIGINT)"
 
 
 def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1844,58 +1845,91 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_keys"),
         (62 * F.ceil(F.count(F.lit(1)) * BLOOM_BITS_PER_KEY / 62)).alias("m"),
     )
-    idx = _bloom_hash_spark("key", "i") + " % m"
     words = (
         keys.crossJoin(F.broadcast(stats))
-        .select("key", "m", F.explode(F.expr(f"sequence(0, {BLOOM_K - 1})")).alias("i"))
-        .select(F.expr(f"({idx}) div 62").alias("word"), F.expr(f"({idx}) % 62").alias("bit"))
+        .select(
+            F.expr(_H1_SPARK.format(key="key")).alias("h1"),
+            F.expr(_H2_SPARK.format(key="key")).alias("h2"),
+            "m",
+            F.explode(F.expr(f"sequence(0, {BLOOM_K - 1})")).alias("i"),
+        )
+        .select(F.expr("(h1 + i * h2) % m").alias("idx"))
+        .select(
+            F.expr("idx div 62").alias("word"), F.expr("idx % 62").alias("bit")
+        )
         .groupBy("word")
-        .agg(F.expr("bit_or(shiftleft(cast(1 as bigint), cast(bit as int)))").alias("bits"))
+        .agg(
+            F.expr("bit_or(shiftleft(cast(1 as bigint), cast(bit as int)))").alias(
+                "bits"
+            )
+        )
     )
-    bloom = words.agg(
-        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bf")
-    ).crossJoin(F.broadcast(stats.select("n_keys", "m")))
-    probe_idx = _bloom_hash_spark("l_orderkey", "{i}") + " % m"
-    tests = [
-        f"(coalesce(element_at(bf, ({probe_idx.format(i=i)}) div 62), cast(0 as bigint))"
-        f" & shiftleft(cast(1 as bigint), cast(({probe_idx.format(i=i)}) % 62 as int))) <> 0"
-        for i in range(BLOOM_K)
-    ]
-    probed = lineitem.select("l_orderkey", "l_linenumber", "l_returnflag").crossJoin(
-        F.broadcast(bloom)
+    # The bitset rides into the probe as ONE array literal, not a join:
+    # a broadcast-joined array column is re-materialized into every
+    # probe row's UnsafeRow (~|bitset| bytes x |fact| rows — measured
+    # 4-7 s at sf0.1), while a Literal is a single shared constant the
+    # generated code indexes O(1). The driver fold is bounded by design
+    # (m = 14.4 bits/key -> |words| = m/62; the C4 bounded-collect
+    # rule): this explicit operator demonstrates the semantics Spark's
+    # own runtime row-level bloom (ScalarSubquery + might_contain)
+    # applies when spark.sql.optimizer.runtime.bloomFilter.enabled
+    # kicks in — at 10^9+ build keys you flip that conf instead.
+    stat_row = stats.first()
+    n_keys_v, m_v = int(stat_row["n_keys"]), int(stat_row["m"])
+    n_words = (m_v - 1) // 62 + 1
+    bitset = [0] * n_words
+    for r in words.collect():
+        bitset[int(r["word"])] = int(r["bits"])
+    bf_lit = F.lit(bitset)
+
+    def _probe_test(i: int):
+        # the literal stays INSIDE the filter expression — adding it as
+        # a column would re-materialize the array into every row
+        word_pos = F.expr(f"cast((x{i} div 62) as int) + 1")
+        mask = F.expr(
+            f"shiftleft(cast(1 as bigint), cast(x{i} % 62 as int))"
+        )
+        return F.element_at(bf_lit, word_pos).bitwiseAND(mask) != 0
+
+    probed = lineitem.select(
+        "l_returnflag",
+        F.expr(_H1_SPARK.format(key="l_orderkey")).alias("h1"),
+        F.expr(_H2_SPARK.format(key="l_orderkey")).alias("h2"),
+    ).select(
+        "l_returnflag",
+        *[
+            F.expr(f"(h1 + {i} * h2) % {m_v}").alias(f"x{i}")
+            for i in range(BLOOM_K)
+        ],
     )
-    passed = probed.where(F.expr(" AND ".join(tests)))
+    cond = _probe_test(0)
+    for i in range(1, BLOOM_K):
+        cond = cond & _probe_test(i)
+    passed = probed.where(cond)
     truth = lineitem.join(
         keys.withColumnRenamed("key", "l_orderkey"), "l_orderkey", "left_semi"
-    ).select("l_orderkey", "l_linenumber", "l_returnflag")
-    per_flag = passed.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("double").alias("v")
-    ).select(F.lit("passed_by_flag").alias("section"), F.col("l_returnflag").alias("k"), "v")
-    counts = (
-        passed.agg(F.count(F.lit(1)).alias("n_passed"))
-        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_true")))
-        .crossJoin(stats.select("n_keys"))
     )
-    summary = counts.select(
-        F.explode(
-            F.array(
-                F.struct(F.lit("summary").alias("section"), F.lit("n_keys").alias("k"),
-                         F.col("n_keys").cast("double").alias("v")),
-                F.struct(F.lit("summary").alias("section"), F.lit("n_passed").alias("k"),
-                         F.col("n_passed").cast("double").alias("v")),
-                F.struct(F.lit("summary").alias("section"), F.lit("n_true").alias("k"),
-                         F.col("n_true").cast("double").alias("v")),
-                F.struct(F.lit("summary").alias("section"), F.lit("false_pos").alias("k"),
-                         (F.col("n_passed") - F.col("n_true")).cast("double").alias("v")),
-            )
-        ).alias("s")
-    ).select("s.*")
-    return per_flag.unionByName(summary)
+    # ONE probe pass: per-flag counts are the full accounting (n_passed
+    # is their sum); the flag domain is bounded (C4 bounded-collect
+    # pattern), so the derivation is an O(|flags|) driver fold.
+    flag_rows = sorted(
+        passed.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    n_passed = sum(r["n"] for r in flag_rows)
+    n_true = truth.count()
+    rows = [
+        ("passed_by_flag", r["l_returnflag"], float(r["n"])) for r in flag_rows
+    ] + [
+        ("summary", "n_keys", float(n_keys_v)),
+        ("summary", "n_passed", float(n_passed)),
+        ("summary", "n_true", float(n_true)),
+        ("summary", "false_pos", float(n_passed - n_true)),
+    ]
+    return spark.createDataFrame(rows, "section string, k string, v double")
 
 
-_BLOOM_HASH_DUCK = (
-    "(CAST(('0x' || substr(md5(CAST({key} AS VARCHAR) || ':' || CAST({i} AS VARCHAR)),"
-    " 1, 15)) AS BIGINT) % m)"
+_BLOOM_IDX_DUCK = (
+    "((" + _H1_DUCK + " + {i} * " + _H2_DUCK + ") % m)"
 )
 
 BLOOM_SEMIJOIN_SQL = f"""
@@ -1910,7 +1944,7 @@ BLOOM_SEMIJOIN_SQL = f"""
     ),
     hashes AS (SELECT unnest(range(0, {BLOOM_K})) AS i),
     kbits AS (
-        SELECT {_BLOOM_HASH_DUCK.format(key='key', i='i')} AS idx
+        SELECT {_BLOOM_IDX_DUCK.format(key='key', i='i')} AS idx
         FROM keys, stats, hashes
     ),
     words AS (
@@ -1926,8 +1960,8 @@ BLOOM_SEMIJOIN_SQL = f"""
         FROM lineitem
     ),
     pbits AS (
-        SELECT l.rid, l.l_orderkey, l.l_returnflag,
-               {_BLOOM_HASH_DUCK.format(key='l.l_orderkey', i='h.i')} AS idx
+        SELECT l.rid, l.l_returnflag,
+               {_BLOOM_IDX_DUCK.format(key='l.l_orderkey', i='h.i')} AS idx
         FROM li l, stats, hashes h
     ),
     probed AS (
@@ -1941,8 +1975,8 @@ BLOOM_SEMIJOIN_SQL = f"""
         FROM probed GROUP BY 1, 2 HAVING sum(ok) = {BLOOM_K}
     ),
     truth AS (
-        SELECT l.l_orderkey, l.l_linenumber
-        FROM lineitem l SEMI JOIN keys k ON l.l_orderkey = k.key
+        SELECT l.l_orderkey, l.rid
+        FROM li l SEMI JOIN keys k ON l.l_orderkey = k.key
     )
     SELECT 'passed_by_flag' AS section, l_returnflag AS k,
            CAST(count(*) AS DOUBLE) AS v

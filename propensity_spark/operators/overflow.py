@@ -25,11 +25,13 @@ from propensity_spark.text.dedup import EXACTSUBSTR_SQL, q_exactsubstr_dedup
 from propensity_spark.vector.similarity import SEMDEDUP_SQL, q_semdedup
 from propensity_spark.text.analysis import (
     BM25_SQL,
+    DOC_EMBED_SQL,
     DSIR_SQL,
     REPETITION_SQL,
     PERPLEXITY_SQL,
     VOCAB_HEAVY_HITTERS_SQL,
     q_bm25_search,
+    q_doc_embed,
     q_dsir_select,
     q_repetition_signals,
     q_perplexity_filter,
@@ -46,6 +48,7 @@ QUERIES = {
     "repetition_signals": q_repetition_signals,
     "exactsubstr_dedup": q_exactsubstr_dedup,
     "dsir_select": q_dsir_select,
+    "doc_embed": q_doc_embed,
 }
 
 ORACLES = {
@@ -60,4 +63,5 @@ ORACLES = {
     "repetition_signals": REPETITION_SQL,
     "exactsubstr_dedup": EXACTSUBSTR_SQL,
     "dsir_select": DSIR_SQL,
+    "doc_embed": DOC_EMBED_SQL,
 }

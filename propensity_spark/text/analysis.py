@@ -1240,3 +1240,94 @@ DSIR_SQL = f"""
     GROUP BY f.doc_id
 """
 # dsir_select registers in operators/overflow.py (post-budget).
+
+
+# ---------------------------------------------------------------------------
+# Deterministic document embeddings — the hashing-trick + sign random
+# projection (sparse Johnson-Lindenstrauss / SimHash-style) bridge
+# from `documents` to the vector operators: tokens hash to buckets,
+# each bucket contributes a fixed ±1 weight per output dimension
+# (integer Weyl recurrence, identical literals in both engines), the
+# per-doc sums are L2-normalized. Real pipelines swap in a neural
+# encoder here; everything downstream (semdedup, VectorIndex, ANN)
+# consumes the same (doc_id, vector) shape either way.
+#
+# Scale: one token explode + ONE doc-keyed groupBy computing all
+# EMBED_DIMS conditional sums map-side-combined; no model state, no
+# UDF, no shuffle beyond the single doc aggregation.
+# ---------------------------------------------------------------------------
+
+EMBED_DIMS = 16
+
+
+def _embed_weight(b: str, d: int) -> str:
+    """±1 weight for bucket `b`, dim `d` — (b % 1e5) keeps the Weyl
+    product far from bigint overflow (engines disagree on wraparound)."""
+    return (
+        f"(CASE WHEN (({b} % 100000) * 2654435761 + {d} * 40503) % 1000 < 500"
+        " THEN 1 ELSE -1 END)"
+    )
+
+
+def q_doc_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), w -> length(w) >= 1)")
+        ).alias("t"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "cast(conv(substr(md5(cast(t as binary)), 1, 15), 16, 10) as bigint)"
+        ).alias("b"),
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.expr(f"sum({_embed_weight('b', d)})").alias(f"s{d}")
+            for d in range(EMBED_DIMS)
+        ]
+    )
+    norm = " + ".join(f"s{d} * s{d}" for d in range(EMBED_DIMS))
+    return sums.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"CASE WHEN {norm} = 0 THEN 0.0"
+                f" ELSE round(s{d} / sqrt({norm}) + 1e-9, 6) END"
+            ).alias(f"e{d}")
+            for d in range(EMBED_DIMS)
+        ],
+    )
+
+
+def _doc_embed_sql() -> str:
+    b_duck = "CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)"
+    sums = ", ".join(
+        f"sum({_embed_weight('b', d)}) AS s{d}" for d in range(EMBED_DIMS)
+    )
+    norm = " + ".join(f"s{d} * s{d}" for d in range(EMBED_DIMS))
+    cols = ",\n           ".join(
+        f"CASE WHEN {norm} = 0 THEN 0.0"
+        f" ELSE round(s{d} / sqrt({norm}) + 1e-9, 6) END AS e{d}"
+        for d in range(EMBED_DIMS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {b_duck} AS b
+        FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      w -> len(w) >= 1)) AS t
+            FROM documents
+        )
+    ),
+    sums AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id)
+    SELECT doc_id,
+           {cols}
+    FROM sums
+"""
+
+
+DOC_EMBED_SQL = _doc_embed_sql()
+# doc_embed registers in operators/overflow.py (post-budget).
