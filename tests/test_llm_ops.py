@@ -926,3 +926,40 @@ def test_vector_index_roundtrip_add_and_partition_pruning(spark, sf_dir, tmp_pat
     )
     hit = reloaded.query(probe, top_k=1, exclude_self=False).collect()
     assert hit[0]["vec_id"] == 99991 and hit[0]["cosine"] == 1.0
+
+
+def test_doc_embed_is_unit_norm_and_content_keyed(spark, tmp_path):
+    """Hashed random-projection embeddings: unit L2 norm, identical
+    text -> identical vector, different text -> different vector, and
+    near-identical docs (one word changed) land closer in cosine than
+    unrelated docs — the property semdedup/ANN consumers rely on."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from propensity_spark.text.analysis import EMBED_DIMS, q_doc_embed
+
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(59)) + " zz"
+    far = " ".join(f"q{i}" for i in range(60))
+    rows = [
+        {"doc_id": 1, "text": base, "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 2, "text": base, "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 3, "text": near, "lang": "en", "source": "s", "n_chars": 1},
+        {"doc_id": 4, "text": far, "lang": "en", "source": "s", "n_chars": 1},
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "documents.parquet")
+
+    out = {
+        r["doc_id"]: [r[f"e{d}"] for d in range(EMBED_DIMS)]
+        for r in q_doc_embed(spark, str(sf)).collect()
+    }
+    for v in out.values():
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-3
+    assert out[1] == out[2]
+    assert out[1] != out[4]
+    cos = lambda a, b: sum(x * y for x, y in zip(a, b))
+    assert cos(out[1], out[3]) > cos(out[1], out[4])
