@@ -1,0 +1,182 @@
+"""Graph operators: distributed PageRank (power iteration) over
+DataFrame edge lists — the iterative-algorithm family member next to
+the large-star/small-star connected components in text/dedup.py.
+
+The driver loop holds only the ITERATION COUNT; every step is one
+declarative join + aggregate, so each iteration is a single shuffle
+on the destination key at any graph size. `localCheckpoint` after
+each step cuts the lineage (the standard Spark iterative pattern —
+without it the plan doubles per iteration and the optimizer chokes
+long before numerical convergence matters). Intermediate ranks are
+rounded to 12 dp each step so float-summation order (Spark's
+parallel aggregation vs the oracle's sequential one) can never drift
+across engines.
+
+Gate entry: PageRank over the brand co-purchase graph (the same
+(basket, item) frame the market-basket affinity operator builds —
+edges = frequent pairs, both directions), ranking cross-sell hub
+brands. The oracle unrolls the power iteration as chained CTEs —
+bit-identical by construction, no recursion needed at a fixed
+iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PR_DAMPING = 0.85
+PR_ITERS = 6
+
+
+def pagerank(
+    edges: DataFrame,
+    d: float = PR_DAMPING,
+    iters: int = PR_ITERS,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Power-iteration PageRank on a DIRECTED (src, dst) edge list
+    (pass both directions for an undirected graph). Every vertex must
+    appear as a src (an undirected edge list guarantees it), so there
+    are no dangling nodes. Returns (node, out_deg, rank)."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    verts = edges.select(F.col("src").alias("node")).distinct()
+    nn = verts.agg(F.count(F.lit(1)).alias("n"))
+    ranks = verts.crossJoin(F.broadcast(nn)).select(
+        "node", "n", F.expr("round(cast(1.0 as double) / n, 12)").alias("rank")
+    )
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("rank / out_deg")).alias("c"))
+        )
+        ranks = (
+            verts.crossJoin(F.broadcast(nn))
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                "n",
+                F.expr(
+                    f"round(cast(1 - {d} as double) / n"
+                    f" + {d} * coalesce(c, cast(0 as double)), 12)"
+                ).alias("rank"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.join(
+        deg.select(F.col("src").alias("node"), "out_deg"), "node"
+    ).select("node", "out_deg", "rank")
+
+
+def _affinity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent brand co-purchase pairs as undirected edges — the same
+    bi frame + thresholds as q_basket_affinity's pair section."""
+    from propensity_spark.operators.extended import (
+        MAX_BASKET_ITEMS,
+        MIN_SUPPORT,
+    )
+    from propensity_spark.operators.relational import brand_dim, silver_transactions
+
+    silver = silver_transactions(spark, sf_dir)
+    bi_all = (
+        silver.join(F.broadcast(brand_dim(spark, sf_dir)), "product_id")
+        .select("basket_id", F.col("commodity_desc").alias("item"))
+        .dropDuplicates(["basket_id", "item"])
+    )
+    sizes = bi_all.groupBy("basket_id").agg(F.count(F.lit(1)).alias("__bn"))
+    bi = bi_all.join(
+        sizes.where(F.col("__bn") <= MAX_BASKET_ITEMS), "basket_id"
+    ).drop("__bn")
+    nb = bi.agg(F.countDistinct("basket_id").alias("nb"))
+    a, b = bi.alias("a"), bi.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.basket_id") == F.col("b.basket_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("ia"), F.col("b.item").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(nb))
+        .where(F.col("cnt") / F.col("nb") >= MIN_SUPPORT)
+        .select("ia", "ib")
+    )
+    fwd = pairs.select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
+    rev = pairs.select(F.col("ib").alias("src"), F.col("ia").alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def q_pagerank_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = pagerank(_affinity_edges(spark, sf_dir))
+    return ranked.select(
+        F.col("node").alias("item"),
+        F.col("out_deg").cast("int").alias("out_deg"),
+        F.round(F.col("rank") + 1e-9, 6).alias("rank"),
+    )
+
+
+def _pagerank_sql() -> str:
+    from propensity_spark.operators.extended import (
+        MAX_BASKET_ITEMS,
+        MIN_SUPPORT,
+    )
+    from propensity_spark.operators.relational import SILVER_SQL
+
+    d = PR_DAMPING
+    iter_ctes = []
+    for i in range(1, PR_ITERS + 1):
+        prev = f"r{i - 1}"
+        iter_ctes.append(
+            f"""c{i} AS (
+        SELECT e.dst AS node, sum(r.rank / dg.out_deg) AS c
+        FROM edges e
+        JOIN {prev} r ON e.src = r.node
+        JOIN deg dg ON dg.src = e.src
+        GROUP BY e.dst
+    ),
+    r{i} AS (
+        SELECT v.node, round((1 - {d}) / nn.n + {d} * coalesce(c.c, 0.0), 12) AS rank
+        FROM verts v CROSS JOIN nn LEFT JOIN c{i} c ON c.node = v.node
+    )"""
+        )
+    chain = ",\n    ".join(iter_ctes)
+    return f"""
+    WITH s AS ({SILVER_SQL}),
+    bi_all AS (
+        SELECT DISTINCT s.basket_id, p.p_brand AS item
+        FROM s JOIN part p ON s.product_id = p.p_partkey
+    ),
+    bi AS (
+        SELECT * FROM bi_all WHERE basket_id IN (
+            SELECT basket_id FROM bi_all GROUP BY basket_id
+            HAVING count(*) <= {MAX_BASKET_ITEMS}
+        )
+    ),
+    nb AS (SELECT count(DISTINCT basket_id) AS nb FROM bi),
+    pairs AS (
+        SELECT a.item AS ia, b.item AS ib
+        FROM bi a JOIN bi b ON a.basket_id = b.basket_id AND a.item < b.item, nb
+        GROUP BY 1, 2, nb.nb
+        HAVING count(*) * 1.0 / nb >= {MIN_SUPPORT}
+    ),
+    edges AS (
+        SELECT ia AS src, ib AS dst FROM pairs
+        UNION ALL
+        SELECT ib, ia FROM pairs
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM edges GROUP BY src),
+    verts AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM verts),
+    r0 AS (SELECT node, round(1.0 / n, 12) AS rank FROM verts, nn),
+    {chain}
+    SELECT r.node AS item, CAST(dg.out_deg AS INT) AS out_deg,
+           round(r.rank + 1e-9, 6) AS rank
+    FROM r{PR_ITERS} r JOIN deg dg ON dg.src = r.node
+"""
+
+
+PAGERANK_SQL = _pagerank_sql()
+# pagerank_affinity registers in operators/overflow.py (post-budget).

@@ -20,6 +20,7 @@ from propensity_spark.operators.extended import (
     q_basket_affinity,
     q_bloom_semijoin,
 )
+from propensity_spark.operators.graph import PAGERANK_SQL, q_pagerank_affinity
 from propensity_spark.operators.relational import SILVER_SQL
 from propensity_spark.text.dedup import EXACTSUBSTR_SQL, q_exactsubstr_dedup
 from propensity_spark.vector.similarity import SEMDEDUP_SQL, q_semdedup
@@ -49,6 +50,7 @@ QUERIES = {
     "exactsubstr_dedup": q_exactsubstr_dedup,
     "dsir_select": q_dsir_select,
     "doc_embed": q_doc_embed,
+    "pagerank_affinity": q_pagerank_affinity,
 }
 
 ORACLES = {
@@ -64,4 +66,5 @@ ORACLES = {
     "exactsubstr_dedup": EXACTSUBSTR_SQL,
     "dsir_select": DSIR_SQL,
     "doc_embed": DOC_EMBED_SQL,
+    "pagerank_affinity": PAGERANK_SQL,
 }

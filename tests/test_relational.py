@@ -241,3 +241,23 @@ def test_bloom_semijoin_never_drops_true_matches(spark, tmp_path, sf_dir):
     assert real[("summary", "false_pos")] <= 0.05 * (
         n_fact - real[("summary", "n_true")]
     )
+
+
+def test_pagerank_ranks_hub_above_leaves_and_conserves_mass(spark):
+    """Power-iteration PageRank on a hand-built star graph (hub h
+    connected to 4 leaves, undirected): the hub must out-rank every
+    leaf, leaves tie exactly, and total rank mass stays ~1 (the
+    damped random surfer conserves probability when no node dangles)."""
+    from propensity_spark.operators.graph import pagerank
+
+    pairs = [("h", leaf) for leaf in ("a", "b", "c", "d")]
+    edges = spark.createDataFrame(
+        [(s, t) for s, t in pairs] + [(t, s) for s, t in pairs],
+        "src string, dst string",
+    )
+    out = {r["node"]: r for r in pagerank(edges).collect()}
+    assert out["h"]["out_deg"] == 4
+    leaf_ranks = {out[x]["rank"] for x in "abcd"}
+    assert len(leaf_ranks) == 1  # symmetry -> exact tie
+    assert out["h"]["rank"] > max(leaf_ranks) * 2
+    assert abs(sum(r["rank"] for r in out.values()) - 1.0) < 1e-6
