@@ -1862,6 +1862,7 @@ def _bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.where(F.col("o_orderpriority") == _BLOOM_PRIORITY)
         .select(F.col("o_orderkey").alias("key"))
         .distinct()
+        .cache()  # reused by stats, the bitset build, and the truth join
     )
     stats = keys.agg(
         F.count(F.lit(1)).alias("n_keys"),
