@@ -1895,13 +1895,20 @@ def _bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # own runtime row-level bloom (ScalarSubquery + might_contain)
     # applies when spark.sql.optimizer.runtime.bloomFilter.enabled
     # kicks in — at 10^9+ build keys you flip that conf instead.
-    stat_row = stats.first()
-    n_keys_v, m_v = int(stat_row["n_keys"]), int(stat_row["m"])
+    word_rows = words.crossJoin(F.broadcast(stats)).collect()  # ONE action
+    if not word_rows:  # empty build side: nothing can pass the filter
+        sr = stats.first()
+        word_rows, n_keys_v, m_v = [], int(sr["n_keys"]), max(int(sr["m"]), 62)
+    else:
+        n_keys_v, m_v = int(word_rows[0]["n_keys"]), int(word_rows[0]["m"])
     n_words = (m_v - 1) // 62 + 1
     bitset = [0] * n_words
-    for r in words.collect():
+    for r in word_rows:
         bitset[int(r["word"])] = int(r["bits"])
-    bf_lit = F.lit(bitset)
+    # ONE parsed expression, not F.lit(list): lit on a Python list makes
+    # a py4j roundtrip PER ELEMENT (~4 s for 7k words); the SQL string
+    # parses in milliseconds and constant-folds to the same literal.
+    bf_lit = F.expr("array({})".format(",".join(f"{x}L" for x in bitset)))
 
     def _probe_test(i: int):
         # the literal stays INSIDE the filter expression — adding it as
@@ -2022,3 +2029,74 @@ BLOOM_SEMIJOIN_SQL = f"""
     ) t
 """
 # bloom_semijoin registers in operators/overflow.py (post-budget).
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch rollups — the mergeable-sketch pattern that makes
+# incremental analytics work at 100 TB: persist one small HyperLogLog
+# sketch per (day, dimension) partition, answer any coarser-grain
+# distinct-count question by UNIONING sketches — never rescanning the
+# fact history. Built on Spark's Datasketches functions
+# (hll_sketch_agg / hll_union_agg / hll_sketch_estimate).
+#
+# The gate pins (a) the exact distinct counts (DuckDB-checkable), (b)
+# a bounded-error flag for the merged-sketch estimate (default
+# lgConfigK=12 -> ~1.6% standard error; 5% bound), and (c) the
+# re-aggregability property: merging the DAILY sketches must land
+# within HLL_MERGE_BOUND of sketching the month directly — union is
+# lossless on the register level but sparse->dense promotion makes the
+# estimates differ by a fraction of the standard error (measured 0.4%
+# at sf0.1), so exact equality is deliberately NOT asserted.
+# ---------------------------------------------------------------------------
+
+HLL_ERR_BOUND = 0.05
+HLL_MERGE_BOUND = 0.02
+
+
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+        F.to_date("ts").alias("day"),
+        "event_type",
+        "user_id",
+    )
+    daily = base.groupBy("month", "day", "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("month", "event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = base.groupBy("month", "event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return merged.join(direct, ["month", "event_type"]).select(
+        "month",
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est_merged") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= HLL_ERR_BOUND
+        )
+        .cast("int")
+        .alias("est_ok"),
+        (
+            F.abs(F.col("est_merged") - F.col("est_direct"))
+            / F.col("exact_users")
+            <= HLL_MERGE_BOUND
+        )
+        .cast("int")
+        .alias("rollup_consistent"),
+    )
+
+
+HLL_ROLLUP_SQL = """
+    SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           1 AS est_ok, 1 AS rollup_consistent
+    FROM events
+    GROUP BY 1, 2
+"""
+# hll_rollup registers in operators/overflow.py (post-budget).

@@ -15,10 +15,12 @@ from __future__ import annotations
 from propensity_spark.operators.extended import (
     _BASKET_AFFINITY_SQL,
     BLOOM_SEMIJOIN_SQL,
+    HLL_ROLLUP_SQL,
     MAX_BASKET_ITEMS,
     MIN_SUPPORT,
     q_basket_affinity,
     q_bloom_semijoin,
+    q_hll_rollup,
 )
 from propensity_spark.operators.graph import PAGERANK_SQL, q_pagerank_affinity
 from propensity_spark.operators.relational import SILVER_SQL
@@ -51,6 +53,7 @@ QUERIES = {
     "dsir_select": q_dsir_select,
     "doc_embed": q_doc_embed,
     "pagerank_affinity": q_pagerank_affinity,
+    "hll_rollup": q_hll_rollup,
 }
 
 ORACLES = {
@@ -67,4 +70,5 @@ ORACLES = {
     "dsir_select": DSIR_SQL,
     "doc_embed": DOC_EMBED_SQL,
     "pagerank_affinity": PAGERANK_SQL,
+    "hll_rollup": HLL_ROLLUP_SQL,
 }

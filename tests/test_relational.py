@@ -261,3 +261,31 @@ def test_pagerank_ranks_hub_above_leaves_and_conserves_mass(spark):
     assert len(leaf_ranks) == 1  # symmetry -> exact tie
     assert out["h"]["rank"] > max(leaf_ranks) * 2
     assert abs(sum(r["rank"] for r in out.values()) - 1.0) < 1e-6
+
+
+def test_hll_rollup_flags_and_exactness(spark, sf_dir):
+    """Mergeable-sketch rollup: exact distinct counts match a direct
+    computation, the merged-daily estimate is within the error bound,
+    and daily-merge vs direct-month sketches agree within
+    HLL_MERGE_BOUND — on every (month, event_type) group."""
+    from pyspark.sql import functions as F
+
+    from propensity_spark.io import load_table
+    from propensity_spark.operators.extended import q_hll_rollup
+
+    out = q_hll_rollup(spark, sf_dir).collect()
+    assert out, "no groups"
+    assert all(r["est_ok"] == 1 for r in out)
+    assert all(r["rollup_consistent"] == 1 for r in out)
+
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        (r["month"], r["event_type"]): r["n"]
+        for r in events.groupBy(
+            F.date_trunc("month", "ts").cast("date").alias("month"), "event_type"
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in out:
+        assert exact[(r["month"], r["event_type"])] == r["exact_users"]
