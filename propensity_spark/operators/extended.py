@@ -2100,3 +2100,72 @@ HLL_ROLLUP_SQL = """
     GROUP BY 1, 2
 """
 # hll_rollup registers in operators/overflow.py (post-budget).
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2 dimension build — the slowly-changing-dimension pattern
+# every warehouse maintains next to its fact pipeline: fold a change
+# log into versioned history rows (valid_from / valid_to / is_current
+# / version). The whole fold is ONE window over (entity, change-time):
+# valid_to = lead(valid_from) (NULL while current), version =
+# row_number — no self-join, no MERGE loop; at 100 TB it is a single
+# entity-keyed shuffle with whatever partition pruning the change-log
+# scan allows. Consecutive same-value rows are collapsed first (the
+# no-op-update guard) via lag() inside the same window partitioning,
+# so the two window passes share one Exchange.
+#
+# Source here: the events stream read as a change log of each user's
+# `value` attribute (ts = change time); ties on ts break by event_id
+# so history is total-ordered and both engines agree.
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    log = events.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        "event_id",
+        F.round(F.col("value") + 1e-9, 2).alias("value"),
+    )
+    w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    changed = (
+        log.withColumn("__prev", F.lag("value").over(w))
+        .where(F.col("__prev").isNull() | (F.col("__prev") != F.col("value")))
+        .drop("__prev")
+    )
+    return changed.select(
+        "user_id",
+        "value",
+        F.unix_timestamp("valid_from").alias("valid_from"),
+        F.unix_timestamp(F.lead("valid_from").over(w)).alias("valid_to"),
+        F.lead("valid_from").over(w).isNull().cast("int").alias("is_current"),
+        F.row_number().over(w).cast("int").alias("version"),
+    )
+
+
+SCD2_SQL = """
+    WITH log AS (
+        SELECT user_id, ts AS valid_from, event_id,
+               round(value + 1e-9, 2) AS value
+        FROM events
+    ),
+    changed AS (
+        SELECT * FROM (
+            SELECT l.*,
+                   lag(value) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from, event_id) AS prev
+            FROM log l
+        ) WHERE prev IS NULL OR prev <> value
+    )
+    SELECT user_id, value,
+           CAST(floor(epoch(valid_from)) AS BIGINT) AS valid_from,
+           CAST(floor(epoch(lead(valid_from) OVER w)) AS BIGINT) AS valid_to,
+           CAST(lead(valid_from) OVER w IS NULL AS INT) AS is_current,
+           CAST(row_number() OVER w AS INT) AS version
+    FROM changed
+    WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+"""
+# scd2_history registers in operators/overflow.py (post-budget).

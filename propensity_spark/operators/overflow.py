@@ -16,11 +16,13 @@ from propensity_spark.operators.extended import (
     _BASKET_AFFINITY_SQL,
     BLOOM_SEMIJOIN_SQL,
     HLL_ROLLUP_SQL,
+    SCD2_SQL,
     MAX_BASKET_ITEMS,
     MIN_SUPPORT,
     q_basket_affinity,
     q_bloom_semijoin,
     q_hll_rollup,
+    q_scd2_history,
 )
 from propensity_spark.operators.graph import PAGERANK_SQL, q_pagerank_affinity
 from propensity_spark.operators.relational import SILVER_SQL
@@ -54,6 +56,7 @@ QUERIES = {
     "doc_embed": q_doc_embed,
     "pagerank_affinity": q_pagerank_affinity,
     "hll_rollup": q_hll_rollup,
+    "scd2_history": q_scd2_history,
 }
 
 ORACLES = {
@@ -71,4 +74,5 @@ ORACLES = {
     "doc_embed": DOC_EMBED_SQL,
     "pagerank_affinity": PAGERANK_SQL,
     "hll_rollup": HLL_ROLLUP_SQL,
+    "scd2_history": SCD2_SQL,
 }

@@ -289,3 +289,41 @@ def test_hll_rollup_flags_and_exactness(spark, sf_dir):
     }
     for r in out:
         assert exact[(r["month"], r["event_type"])] == r["exact_users"]
+
+
+def test_scd2_history_collapses_noops_and_chains_validity(spark, tmp_path):
+    """SCD2 fold on a hand-built change log: consecutive same-value
+    updates collapse, valid_to of version N equals valid_from of
+    version N+1, exactly one current row per entity, versions dense."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from propensity_spark.operators.extended import q_scd2_history
+
+    def ev(eid, uid, t, val):
+        return {"event_id": eid, "ts": datetime(2024, 1, t, 12, 0, 0),
+                "user_id": uid, "event_type": "upd", "value": val,
+                "props": "{}"}
+
+    rows = [
+        ev(1, 7, 1, 10.0), ev(2, 7, 2, 10.0),  # no-op update collapses
+        ev(3, 7, 3, 20.0), ev(4, 7, 4, 30.0),
+        ev(5, 8, 1, 5.0),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "events.parquet")
+
+    out = sorted(
+        q_scd2_history(spark, str(sf)).collect(),
+        key=lambda r: (r["user_id"], r["version"]),
+    )
+    u7 = [r for r in out if r["user_id"] == 7]
+    assert [r["value"] for r in u7] == [10.0, 20.0, 30.0]
+    assert [r["version"] for r in u7] == [1, 2, 3]
+    assert u7[0]["valid_to"] == u7[1]["valid_from"]
+    assert u7[1]["valid_to"] == u7[2]["valid_from"]
+    assert [r["is_current"] for r in u7] == [0, 0, 1]
+    u8 = [r for r in out if r["user_id"] == 8]
+    assert len(u8) == 1 and u8[0]["is_current"] == 1 and u8[0]["valid_to"] is None
