@@ -1,0 +1,163 @@
+"""Behavioral analytics over the event stream: funnel conversion and
+cohort retention — the two queries every product/growth deployment
+runs beside a propensity pipeline (extension scope; the reference
+stops at per-category models).
+
+Both are exact, oracle-checked relational folds:
+
+* Funnel — strictly-ordered view -> click -> purchase per user
+  (each stage's timestamp must be AFTER the previous stage's), the
+  classic "earliest qualifying event" chain. Three user-grain
+  conditional aggregates; every join is user-keyed on frames already
+  at user grain, so at 100 TB the whole funnel is one shuffle of the
+  events at user grain + tiny joins.
+
+* Cohort retention — users bucketed by first-activity week, activity
+  matrix (cohort_week x weeks_since) with retention rate against the
+  cohort size. Two aggregates over one scan + a broadcast-sized
+  cohort-size join (|cohorts| rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from propensity_spark.io import load_table
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+COHORT_EPOCH = "2024-01-01"  # week-0 anchor for the fixture's range
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("t")
+    )
+    v = ev.where(F.col("event_type") == FUNNEL_STAGES[0]).groupBy("user_id").agg(
+        F.min("t").alias("t_view")
+    )
+    c = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(v, "user_id")
+        .where(F.col("t") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(c, "user_id")
+        .where(F.col("t") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_click"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchase"))))
+    )
+    return counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("view").alias("stage"),
+                    F.col("n_view").alias("n_users"),
+                    F.lit(1.0).alias("conversion"),
+                ),
+                F.struct(
+                    F.lit("click").alias("stage"),
+                    F.col("n_click").alias("n_users"),
+                    F.round(F.col("n_click") / F.col("n_view") + 1e-9, 6).alias(
+                        "conversion"
+                    ),
+                ),
+                F.struct(
+                    F.lit("purchase").alias("stage"),
+                    F.col("n_purchase").alias("n_users"),
+                    F.round(
+                        F.col("n_purchase") / F.col("n_click") + 1e-9, 6
+                    ).alias("conversion"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+
+
+FUNNEL_SQL = f"""
+    WITH ev AS (
+        SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t
+        FROM events
+    ),
+    v AS (SELECT user_id, min(t) AS t_view FROM ev
+          WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.t) AS t_click
+          FROM ev e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.t > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.t) AS t_purchase
+          FROM ev e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.t > c.t_click
+          GROUP BY e.user_id),
+    n AS (SELECT (SELECT count(*) FROM v) AS n_view,
+                 (SELECT count(*) FROM c) AS n_click,
+                 (SELECT count(*) FROM p) AS n_purchase)
+    SELECT 'view' AS stage, CAST(n_view AS BIGINT) AS n_users,
+           1.0 AS conversion FROM n
+    UNION ALL
+    SELECT 'click', n_click, round(n_click * 1.0 / n_view + 1e-9, 6) FROM n
+    UNION ALL
+    SELECT 'purchase', n_purchase,
+           round(n_purchase * 1.0 / n_click + 1e-9, 6) FROM n
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    weeks = events.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit(COHORT_EPOCH).cast("date")) / 7
+        ).alias("week"),
+    )
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = weeks.distinct()
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_since"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("int").alias("cohort_week"),
+            F.col("weeks_since").cast("int").alias("weeks_since"),
+            "n_active",
+            F.round(F.col("n_active") / F.col("cohort_size") + 1e-9, 6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+COHORT_SQL = f"""
+    WITH weeks AS (
+        SELECT user_id,
+               CAST(floor(date_diff('day', DATE '{COHORT_EPOCH}',
+                                    CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week
+        FROM events
+    ),
+    cohort AS (SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, week FROM weeks),
+    sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+              FROM cohort GROUP BY cohort_week)
+    SELECT CAST(c.cohort_week AS INT) AS cohort_week,
+           CAST(a.week - c.cohort_week AS INT) AS weeks_since,
+           CAST(count(*) AS BIGINT) AS n_active,
+           round(count(*) * 1.0 / any_value(s.cohort_size) + 1e-9, 6) AS retention
+    FROM active a
+    JOIN cohort c ON a.user_id = c.user_id
+    JOIN sizes s ON s.cohort_week = c.cohort_week
+    GROUP BY c.cohort_week, a.week - c.cohort_week
+"""
+# Both register in operators/overflow.py (post-budget).

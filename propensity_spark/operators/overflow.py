@@ -24,6 +24,12 @@ from propensity_spark.operators.extended import (
     q_hll_rollup,
     q_scd2_history,
 )
+from propensity_spark.operators.behavior import (
+    COHORT_SQL,
+    FUNNEL_SQL,
+    q_cohort_retention,
+    q_funnel_conversion,
+)
 from propensity_spark.operators.graph import PAGERANK_SQL, q_pagerank_affinity
 from propensity_spark.operators.relational import SILVER_SQL
 from propensity_spark.text.dedup import EXACTSUBSTR_SQL, q_exactsubstr_dedup
@@ -57,6 +63,8 @@ QUERIES = {
     "pagerank_affinity": q_pagerank_affinity,
     "hll_rollup": q_hll_rollup,
     "scd2_history": q_scd2_history,
+    "funnel_conversion": q_funnel_conversion,
+    "cohort_retention": q_cohort_retention,
 }
 
 ORACLES = {
@@ -75,4 +83,6 @@ ORACLES = {
     "pagerank_affinity": PAGERANK_SQL,
     "hll_rollup": HLL_ROLLUP_SQL,
     "scd2_history": SCD2_SQL,
+    "funnel_conversion": FUNNEL_SQL,
+    "cohort_retention": COHORT_SQL,
 }

@@ -327,3 +327,69 @@ def test_scd2_history_collapses_noops_and_chains_validity(spark, tmp_path):
     assert [r["is_current"] for r in u7] == [0, 0, 1]
     u8 = [r for r in out if r["user_id"] == 8]
     assert len(u8) == 1 and u8[0]["is_current"] == 1 and u8[0]["valid_to"] is None
+
+
+def test_funnel_requires_strict_stage_ordering(spark, tmp_path):
+    """A click BEFORE the user's first view must not convert; a
+    purchase only counts after a qualifying click."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from propensity_spark.operators.behavior import q_funnel_conversion
+
+    def ev(eid, uid, day, typ):
+        return {"event_id": eid, "ts": datetime(2024, 1, day, 12),
+                "user_id": uid, "event_type": typ, "value": 1.0, "props": "{}"}
+
+    rows = [
+        # user 1: full ordered funnel
+        ev(1, 1, 1, "view"), ev(2, 1, 2, "click"), ev(3, 1, 3, "purchase"),
+        # user 2: click precedes the only view -> no click conversion
+        ev(4, 2, 1, "click"), ev(5, 2, 2, "view"), ev(6, 2, 3, "purchase"),
+        # user 3: view+click but purchase BEFORE click -> no purchase
+        ev(7, 3, 1, "view"), ev(8, 3, 3, "click"), ev(9, 3, 2, "purchase"),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "events.parquet")
+
+    out = {r["stage"]: r for r in q_funnel_conversion(spark, str(sf)).collect()}
+    assert out["view"]["n_users"] == 3
+    assert out["click"]["n_users"] == 2  # users 1 and 3
+    assert out["purchase"]["n_users"] == 1  # only user 1
+    assert abs(out["purchase"]["conversion"] - 0.5) < 1e-6
+
+
+def test_cohort_retention_matrix(spark, tmp_path):
+    """Two cohorts with known comeback weeks produce the exact
+    retention matrix (weeks_since 0 is always rate 1.0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from propensity_spark.operators.behavior import q_cohort_retention
+
+    def ev(eid, uid, day):
+        return {"event_id": eid, "ts": datetime(2024, 1, day, 12),
+                "user_id": uid, "event_type": "view", "value": 1.0,
+                "props": "{}"}
+
+    rows = [
+        # cohort week 0: users 1, 2; user 1 returns in week 1
+        ev(1, 1, 2), ev(2, 2, 3), ev(3, 1, 9),
+        # cohort week 1: user 3, never returns
+        ev(4, 3, 10),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "events.parquet")
+
+    out = {
+        (r["cohort_week"], r["weeks_since"]): r
+        for r in q_cohort_retention(spark, str(sf)).collect()
+    }
+    assert out[(0, 0)]["n_active"] == 2 and out[(0, 0)]["retention"] == 1.0
+    assert out[(0, 1)]["n_active"] == 1 and abs(out[(0, 1)]["retention"] - 0.5) < 1e-6
+    assert out[(1, 0)]["n_active"] == 1
+    assert (1, 1) not in out
