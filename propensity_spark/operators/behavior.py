@@ -20,7 +20,7 @@ Both are exact, oracle-checked relational folds:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from propensity_spark.io import load_table
@@ -138,6 +138,81 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary) of customers
+    from their order history — the classic CRM scoring the reference's
+    propensity models would be stacked on. One customer-grain agg over
+    orders, then three `ntile(5)` windows over the 1-row-per-customer
+    frame; the dataset max date comes from a broadcast 1-row aggregate
+    (no driver collect). Score 5 = best (most recent / most frequent /
+    highest spend); the custkey tiebreak makes every ntile ordering
+    total, so both engines bucket identically.
+
+    Scale note: an unpartitioned `ntile` sorts the whole frame on one
+    reducer — fine here because the frame is customer-grain (orders of
+    magnitude smaller than the fact it aggregates), but at 10^9+
+    customers the scale path is `percentile_approx` quintile boundaries
+    (1-row broadcast) + a map-side CASE bucket, trading exact equal-size
+    buckets for a shuffle-free plan."""
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max(F.to_date("o_orderdate")).alias("d_max"))
+    per_cust = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice") + 1e-6, 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "custkey",
+            F.datediff("d_max", "last_day").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r = F.ntile(5).over(
+        Window.orderBy(F.desc("recency_days"), F.asc("custkey"))
+    )
+    f = F.ntile(5).over(Window.orderBy(F.asc("frequency"), F.asc("custkey")))
+    m = F.ntile(5).over(Window.orderBy(F.asc("monetary"), F.asc("custkey")))
+    return per_cust.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+        (r * 100 + f * 10 + m).alias("rfm"),
+    )
+
+
+RFM_SQL = """
+    WITH per_cust AS (
+        SELECT o_custkey AS custkey,
+               date_diff('day', max(CAST(o_orderdate AS DATE)),
+                         (SELECT max(CAST(o_orderdate AS DATE)) FROM orders))
+                   AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               round(sum(o_totalprice) + 1e-6, 2) AS monetary
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey, CAST(recency_days AS INT) AS recency_days,
+           frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY recency_days DESC, custkey) AS INT)
+               AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency, custkey) AS INT)
+               AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary, custkey) AS INT)
+               AS m_score,
+           CAST(ntile(5) OVER (ORDER BY recency_days DESC, custkey) * 100
+                + ntile(5) OVER (ORDER BY frequency, custkey) * 10
+                + ntile(5) OVER (ORDER BY monetary, custkey) AS INT) AS rfm
+    FROM per_cust
+"""
 
 
 COHORT_SQL = f"""

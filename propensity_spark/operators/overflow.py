@@ -27,8 +27,22 @@ from propensity_spark.operators.extended import (
 from propensity_spark.operators.behavior import (
     COHORT_SQL,
     FUNNEL_SQL,
+    RFM_SQL,
     q_cohort_retention,
     q_funnel_conversion,
+    q_rfm_segments,
+)
+from propensity_spark.operators.profiling import (
+    LINKAGE_SQL,
+    PROFILE_SQL,
+    q_record_linkage,
+    q_table_profile,
+)
+from propensity_spark.operators.timeseries import (
+    ATTRIBUTION_SQL,
+    GAPFILL_SQL,
+    q_attribution_last_touch,
+    q_gapfill_revenue,
 )
 from propensity_spark.operators.graph import PAGERANK_SQL, q_pagerank_affinity
 from propensity_spark.operators.relational import SILVER_SQL
@@ -65,6 +79,11 @@ QUERIES = {
     "scd2_history": q_scd2_history,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
+    "rfm_segments": q_rfm_segments,
+    "gapfill_revenue": q_gapfill_revenue,
+    "attribution_last_touch": q_attribution_last_touch,
+    "table_profile": q_table_profile,
+    "record_linkage": q_record_linkage,
 }
 
 ORACLES = {
@@ -85,4 +104,9 @@ ORACLES = {
     "scd2_history": SCD2_SQL,
     "funnel_conversion": FUNNEL_SQL,
     "cohort_retention": COHORT_SQL,
+    "rfm_segments": RFM_SQL,
+    "gapfill_revenue": GAPFILL_SQL,
+    "attribution_last_touch": ATTRIBUTION_SQL,
+    "table_profile": PROFILE_SQL,
+    "record_linkage": LINKAGE_SQL,
 }

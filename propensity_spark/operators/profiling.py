@@ -1,0 +1,169 @@
+"""Data-profiling and entity-resolution operators (extension scope;
+the reference's only profiling is eyeball `display()` cells,
+SURVEY.md §5).
+
+* `profile` — per-column null counts, distinct counts, and numeric
+  ranges for a whole table in ONE aggregation pass: every statistic is
+  an expression in a single global agg, and the per-column rows come
+  from a map-side `stack` unpivot of that 1-row result. Default
+  cardinalities are `approx_count_distinct` (HLL, constant memory —
+  the only sane default at 100 TB); `exact=True` opts into exact
+  distincts, which Spark plans via Expand: an N-column profile expands
+  each row N ways, an acceptable constant blowup for a diagnostics op
+  on a handful of columns (unlike the 369-column feature grid this
+  repo decomposes, operators/features.py:75-109). The gate query runs
+  exact so the DuckDB hash-compare is well-defined.
+
+* `record_linkage` — fuzzy duplicate detection over an entity column
+  (catalog dedup / householding). The classic formulation is an
+  all-pairs edit-distance scan — O(n²), the 100 TB killer. Standard
+  fix (Fellegi-Sunter blocking): names dedup to one row per distinct
+  value with occurrence counts, a cheap deterministic blocking key
+  (first token) partitions candidates, the self-join runs as a hash
+  equi-join on the block, and `levenshtein` filters residues inside
+  blocks only. Cost is sum over blocks of |block|² on DISTINCT values,
+  not rows; skewed blocks would use the salted-agg pattern
+  (operators/extended.py q_salted_agg) upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from propensity_spark.io import load_table
+
+LINKAGE_MAX_DIST = 3
+
+
+def profile(df: DataFrame, exact: bool = False) -> DataFrame:
+    """One-pass column profile: (col_name, n_nulls, n_distinct,
+    min_num, max_num). Numeric ranges are NULL for non-numeric
+    columns. `n_distinct` is approximate (HLL) unless exact=True."""
+    num_types = (T.NumericType,)
+    aggs = []
+    for f in df.schema.fields:
+        c = f.name
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}")
+        )
+        if exact:
+            aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(c).alias(f"__nd_{c}"))
+        if isinstance(f.dataType, num_types):
+            aggs.append(F.min(c).cast("double").alias(f"__mn_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"__mx_{c}"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"__mn_{c}"))
+            aggs.append(F.lit(None).cast("double").alias(f"__mx_{c}"))
+    one = df.agg(*aggs)
+    n = len(df.schema.fields)
+    stack_args = ", ".join(
+        f"'{f.name}', __nn_{f.name}, __nd_{f.name}, __mn_{f.name}, __mx_{f.name}"
+        for f in df.schema.fields
+    )
+    return one.selectExpr(
+        f"stack({n}, {stack_args}) as "
+        "(col_name, n_nulls, n_distinct, min_num, max_num)"
+    )
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact profile of `customer` (5 columns -> 5 rows). Exact so the
+    oracle hash-compares; production calls default to sketches."""
+    return profile(load_table(spark, sf_dir, "customer"), exact=True)
+
+
+PROFILE_SQL = """
+    SELECT 'c_custkey' AS col_name,
+           CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+           CAST(min(c_custkey) AS DOUBLE) AS min_num,
+           CAST(max(c_custkey) AS DOUBLE) AS max_num
+    FROM customer
+    UNION ALL
+    SELECT 'c_name',
+           CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT c_name) AS BIGINT), NULL, NULL
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey',
+           CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT c_nationkey) AS BIGINT),
+           CAST(min(c_nationkey) AS DOUBLE), CAST(max(c_nationkey) AS DOUBLE)
+    FROM customer
+    UNION ALL
+    SELECT 'c_acctbal',
+           CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT c_acctbal) AS BIGINT),
+           CAST(min(c_acctbal) AS DOUBLE), CAST(max(c_acctbal) AS DOUBLE)
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment',
+           CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT), NULL, NULL
+    FROM customer
+"""
+
+
+def record_linkage(
+    entities: DataFrame, name_col: str, max_dist: int = LINKAGE_MAX_DIST
+) -> DataFrame:
+    """Blocked fuzzy self-match over distinct values of `name_col`.
+    Returns (name_a, name_b, dist, n_a, n_b) with name_a < name_b,
+    same blocking key, levenshtein <= max_dist."""
+    names = entities.groupBy(F.col(name_col).alias("name")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    blocked = names.select(
+        F.split_part(F.col("name"), F.lit(" "), F.lit(1)).alias("block"),
+        "name",
+        "n_rows",
+    )
+    a = blocked.select(
+        "block",
+        F.col("name").alias("name_a"),
+        F.col("n_rows").alias("n_a"),
+    )
+    b = blocked.select(
+        "block",
+        F.col("name").alias("name_b"),
+        F.col("n_rows").alias("n_b"),
+    )
+    return (
+        a.join(b, "block")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+    )
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate part names: block on the first token, link at
+    edit distance <= 3 ('small ring' ~ 'small king' in, 'small widget'
+    out)."""
+    return record_linkage(
+        load_table(spark, sf_dir, "part"), "p_name", LINKAGE_MAX_DIST
+    )
+
+
+LINKAGE_SQL = f"""
+    WITH names AS (
+        SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_rows
+        FROM part GROUP BY p_name
+    ),
+    blocked AS (
+        SELECT split_part(name, ' ', 1) AS block, name, n_rows FROM names
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+           a.n_rows AS n_a, b.n_rows AS n_b
+    FROM blocked a JOIN blocked b
+      ON a.block = b.block AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= {LINKAGE_MAX_DIST}
+"""
+# Both register in operators/overflow.py (post-budget).

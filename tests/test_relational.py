@@ -393,3 +393,145 @@ def test_cohort_retention_matrix(spark, tmp_path):
     assert out[(0, 1)]["n_active"] == 1 and abs(out[(0, 1)]["retention"] - 0.5) < 1e-6
     assert out[(1, 0)]["n_active"] == 1
     assert (1, 1) not in out
+
+
+def test_gapfill_forward_fills_interior_gaps_only(spark, tmp_path):
+    """Missing days get the last observed value; days before a brand's
+    first observation stay NULL; observed days are not flagged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from propensity_spark.operators.timeseries import q_gapfill_revenue
+
+    def li(pk, day, price):
+        return {"l_partkey": pk, "l_shipdate": datetime(2024, 1, day),
+                "l_extendedprice": price, "l_discount": 0.0}
+
+    # brand A sells on days 1 and 4 (gap 2-3); brand B only on day 3
+    rows = [li(1, 1, 10.0), li(1, 4, 40.0), li(2, 3, 30.0)]
+    parts = [{"p_partkey": 1, "p_brand": "A"}, {"p_partkey": 2, "p_brand": "B"}]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "lineitem.parquet")
+    pq.write_table(pa.Table.from_pylist(parts), sf / "part.parquet")
+
+    out = {
+        (r["brand"], r["day"].isoformat()): r
+        for r in q_gapfill_revenue(spark, str(sf)).collect()
+    }
+    assert len(out) == 8  # 2 brands x 4-day span
+    a2 = out[("A", "2024-01-02")]
+    assert a2["is_gap"] == 1 and a2["revenue"] is None
+    assert abs(a2["filled_revenue"] - 10.0) < 1e-6
+    assert abs(out[("A", "2024-01-04")]["filled_revenue"] - 40.0) < 1e-6
+    assert out[("A", "2024-01-04")]["is_gap"] == 0
+    # B has no observation before day 3: leading gap stays NULL
+    b1 = out[("B", "2024-01-01")]
+    assert b1["is_gap"] == 1 and b1["filled_revenue"] is None
+    assert abs(out[("B", "2024-01-03")]["filled_revenue"] - 30.0) < 1e-6
+
+
+def test_attribution_picks_latest_strictly_prior_click(spark, tmp_path):
+    """Two prior clicks -> the later one wins; a click after the
+    purchase never attributes; no prior click -> unattributed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from propensity_spark.operators.timeseries import q_attribution_last_touch
+
+    def ev(eid, uid, hour, typ):
+        return {"event_id": eid, "ts": datetime(2024, 1, 1, hour),
+                "user_id": uid, "event_type": typ, "value": 1.0,
+                "props": "{}"}
+
+    rows = [
+        # user 1: clicks at 1h and 3h, purchase at 5h -> attributed to 3h
+        ev(1, 1, 1, "click"), ev(2, 1, 3, "click"), ev(3, 1, 5, "purchase"),
+        # user 2: purchase at 2h, click only afterwards at 4h -> unattributed
+        ev(4, 2, 2, "purchase"), ev(5, 2, 4, "click"),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "events.parquet")
+
+    out = {r["purchase_id"]: r
+           for r in q_attribution_last_touch(spark, str(sf)).collect()}
+    assert out[3]["attributed"] == 1
+    assert out[3]["secs_to_convert"] == 2 * 3600
+    assert out[4]["attributed"] == 0 and out[4]["last_click_t"] is None
+
+
+def test_rfm_scores_rank_best_customers_highest(spark, tmp_path):
+    """With 5 customers of strictly increasing recency/frequency/spend,
+    ntile(5) puts exactly one per bucket and the best customer scores
+    555."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from propensity_spark.operators.behavior import q_rfm_segments
+
+    rows = []
+    oid = 0
+    # customer k (1..5): last order on day 2k (later = more recent is
+    # customer 5), k orders, total spend 100*k
+    for k in range(1, 6):
+        for i in range(k):
+            oid += 1
+            rows.append({
+                "o_orderkey": oid, "o_custkey": k,
+                "o_orderdate": datetime(2024, 1, 2 * k - (1 if i else 0)),
+                "o_totalprice": 100.0 * k / k,
+            })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "orders.parquet")
+
+    out = {r["custkey"]: r for r in q_rfm_segments(spark, str(sf)).collect()}
+    assert out[5]["rfm"] == 555 and out[5]["recency_days"] == 0
+    assert out[1]["r_score"] == 1 and out[1]["f_score"] == 1
+    assert sorted(r["m_score"] for r in out.values()) == [1, 2, 3, 4, 5]
+
+
+def test_profile_one_pass_nulls_distincts_ranges(spark):
+    """profile() counts nulls/distincts per column and bounds numeric
+    columns only; approx default stays within HLL error of exact."""
+    from propensity_spark.operators.profiling import profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", None), (3, None, -2.0), (3, "b", 0.0)],
+        "id: int, tag: string, x: double",
+    )
+    exact = {r["col_name"]: r for r in profile(df, exact=True).collect()}
+    assert exact["id"]["n_nulls"] == 0 and exact["id"]["n_distinct"] == 3
+    assert exact["tag"]["n_nulls"] == 1 and exact["tag"]["n_distinct"] == 2
+    assert exact["tag"]["min_num"] is None
+    assert exact["x"]["min_num"] == -2.0 and exact["x"]["max_num"] == 1.5
+    approx = {r["col_name"]: r for r in profile(df).collect()}
+    for c in ("id", "tag", "x"):
+        assert abs(approx[c]["n_distinct"] - exact[c]["n_distinct"]) <= 1
+
+
+def test_record_linkage_respects_blocks_and_threshold(spark):
+    """Pairs link only within the same first-token block and within
+    the edit-distance threshold; occurrence counts ride along."""
+    from propensity_spark.operators.profiling import record_linkage
+
+    df = spark.createDataFrame(
+        [("small ring",)] * 2 + [("small king",), ("small widget",),
+                                 ("big ring",)],
+        "name: string",
+    )
+    out = {(r["name_a"], r["name_b"]): r
+           for r in record_linkage(df, "name", 3).collect()}
+    # dist("small king","small ring")=1 -> linked, counts 1 and 2
+    pair = out[("small king", "small ring")]
+    assert pair["dist"] == 1 and pair["n_b"] == 2 and pair["n_a"] == 1
+    # "small widget" is 5 edits from "small ring" -> filtered
+    assert not any("widget" in a or "widget" in b for a, b in out)
+    # "big ring" is 4 edits from "small ring" but in another block:
+    # never even compared
+    assert not any("big" in a or "big" in b for a, b in out)
+    assert len(out) == 1
