@@ -2169,3 +2169,67 @@ SCD2_SQL = """
     WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
 """
 # scd2_history registers in operators/overflow.py (post-budget).
+
+
+def cdc_apply(
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Collapse a CDC change log to its final snapshot: keep the
+    highest-sequence change per key, drop keys whose last change is a
+    delete — the read-side half of a lakehouse CDC pipeline (the
+    write-side MERGE is FeatureTable.merge). `scd2` above keeps the
+    full history; this keeps only current state. One key-grain window
+    shuffle; out-of-order arrivals are harmless because ordering is by
+    the log's own sequence columns, not arrival order."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.desc(c) for c in seq_cols]
+    )
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("__rn")
+    )
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events replayed as a change log: purchases delete the user's
+    row, everything else upserts its value. The snapshot is users whose
+    LAST event is a non-purchase, carrying that event's value."""
+    events = load_table(spark, sf_dir, "events")
+    log = events.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("seq_t"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.round(F.col("value") + 1e-9, 2).alias("value"),
+    )
+    snap = cdc_apply(log, ["user_id"], ["seq_t", "event_id"], "op")
+    return snap.select("user_id", "seq_t", "event_id", "value")
+
+
+CDC_APPLY_SQL = """
+    WITH log AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS seq_t,
+               event_id,
+               CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+               round(value + 1e-9, 2) AS value
+        FROM events
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY seq_t DESC, event_id DESC
+        ) AS rn
+        FROM log
+    )
+    SELECT user_id, seq_t, event_id, value
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+# cdc_apply registers in operators/overflow.py (post-budget).

@@ -15,14 +15,24 @@ from __future__ import annotations
 from propensity_spark.operators.extended import (
     _BASKET_AFFINITY_SQL,
     BLOOM_SEMIJOIN_SQL,
+    CDC_APPLY_SQL,
     HLL_ROLLUP_SQL,
     SCD2_SQL,
     MAX_BASKET_ITEMS,
     MIN_SUPPORT,
     q_basket_affinity,
     q_bloom_semijoin,
+    q_cdc_apply,
     q_hll_rollup,
     q_scd2_history,
+)
+from propensity_spark.operators.stats import (
+    CHI_SQUARE_SQL,
+    KEY_SKEW_SQL,
+    QUANTILE_BUCKET_SQL,
+    q_chi_square_assoc,
+    q_key_skew,
+    q_quantile_bucket,
 )
 from propensity_spark.operators.behavior import (
     COHORT_SQL,
@@ -84,6 +94,10 @@ QUERIES = {
     "attribution_last_touch": q_attribution_last_touch,
     "table_profile": q_table_profile,
     "record_linkage": q_record_linkage,
+    "cdc_apply": q_cdc_apply,
+    "chi_square_assoc": q_chi_square_assoc,
+    "quantile_bucket": q_quantile_bucket,
+    "key_skew": q_key_skew,
 }
 
 ORACLES = {
@@ -109,4 +123,8 @@ ORACLES = {
     "attribution_last_touch": ATTRIBUTION_SQL,
     "table_profile": PROFILE_SQL,
     "record_linkage": LINKAGE_SQL,
+    "cdc_apply": CDC_APPLY_SQL,
+    "chi_square_assoc": CHI_SQUARE_SQL,
+    "quantile_bucket": QUANTILE_BUCKET_SQL,
+    "key_skew": KEY_SKEW_SQL,
 }

@@ -1,0 +1,200 @@
+"""Statistical / diagnostic operators (extension scope; the
+reference's statistics stop at class-ratio windows, SURVEY.md §2.5).
+
+* `q_chi_square_assoc` — chi-square test of independence between two
+  categorical columns (market segment x order priority), the standard
+  pre-modeling feature-association screen. One contingency aggregation
+  (|cells| rows, bounded by the category-domain product) and window
+  sums over the tiny cell frame for the marginals; expected counts and
+  per-cell contributions are pure arithmetic. At 100 TB only the first
+  aggregation touches the fact — everything downstream is O(cells).
+
+* `q_quantile_bucket` — quantile discretization (decile binning) of a
+  numeric column: exact decile boundaries as ONE 1-row aggregate,
+  broadcast, and each row bucketed map-side by counting boundaries
+  below it with an array `filter` HOF — no per-row join, no sort of
+  the fact. This is the shuffle-free bucketing pattern the RFM
+  docstring names as the 10^9-row alternative to a global `ntile`
+  (operators/behavior.py): swap the exact `percentile` for
+  `percentile_approx` at scale and nothing else changes.
+
+* `q_key_skew` — join/agg-key skew diagnostic: per-key counts, the
+  top-10 heaviest keys (TakeOrdered, no full sort) with their share of
+  rows and their multiple of the mean key load. Run this before
+  choosing a shuffle key; a skew_ratio in the hundreds is the signal
+  to salt (operators/extended.q_salted_agg) or rely on AQE skew-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from propensity_spark.io import load_table
+
+N_BUCKETS = 10
+TOP_SKEW_KEYS = 10
+
+
+def q_chi_square_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    row_w = Window.partitionBy("segment")
+    col_w = Window.partitionBy("priority")
+    all_w = Window.partitionBy()
+    expected = (
+        F.sum("observed").over(row_w)
+        * F.sum("observed").over(col_w)
+        / F.sum("observed").over(all_w)
+    )
+    return cells.select(
+        "segment",
+        "priority",
+        "observed",
+        F.round(expected + 1e-9, 4).alias("expected"),
+        F.round(
+            F.pow(F.col("observed") - expected, 2) / expected + 1e-9, 4
+        ).alias("contrib"),
+    )
+
+
+CHI_SQUARE_SQL = """
+    WITH cells AS (
+        SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS observed
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ),
+    marg AS (
+        SELECT *,
+               sum(observed) OVER (PARTITION BY segment) * 1.0
+                 * sum(observed) OVER (PARTITION BY priority)
+                 / sum(observed) OVER () AS expected
+        FROM cells
+    )
+    SELECT segment, priority, observed,
+           round(expected + 1e-9, 4) AS expected,
+           round(pow(observed - expected, 2) / expected + 1e-9, 4) AS contrib
+    FROM marg
+"""
+
+
+def quantile_bucket(
+    df: DataFrame, value_col: str, n_buckets: int = N_BUCKETS,
+    exact: bool = True,
+) -> DataFrame:
+    """Map-side quantile discretization: adds `bucket` (1..n_buckets).
+    Boundaries come from one 1-row aggregate (exact `percentile` by
+    default; `exact=False` switches to the `percentile_approx` sketch —
+    the 100 TB path) broadcast to every row; assignment is
+    `1 + |{b : value > b}|` via an array HOF, so the fact is never
+    sorted or shuffled."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    fn_name = "percentile" if exact else "percentile_approx"
+    bounds = df.agg(
+        F.expr(
+            # the D suffix forces DOUBLE literals — bare 0.1 parses as
+            # DECIMAL(1,1) in Spark SQL and percentile rejects it
+            f"transform({fn_name}({value_col}, array({', '.join(f'{q}D' for q in qs)})),"
+            " b -> round(b + 1e-9, 6))"
+        ).alias("__bounds")
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bucket",
+            (
+                F.lit(1)
+                + F.size(
+                    F.expr(f"filter(__bounds, b -> {value_col} > b)")
+                )
+            ).cast("int"),
+        )
+        .drop("__bounds")
+    )
+
+
+def q_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return quantile_bucket(
+        orders.select("o_orderkey", "o_totalprice"), "o_totalprice"
+    )
+
+
+QUANTILE_BUCKET_SQL = f"""
+    WITH bounds AS (
+        SELECT list_transform(
+                   quantile_cont(o_totalprice,
+                       [{', '.join(str(i / N_BUCKETS) for i in range(1, N_BUCKETS))}]),
+                   b -> round(b + 1e-9, 6)) AS bs
+        FROM orders
+    )
+    SELECT o_orderkey, o_totalprice,
+           CAST(1 + len(list_filter(bs, b -> o_totalprice > b)) AS INT)
+               AS bucket
+    FROM orders CROSS JOIN bounds
+"""
+
+
+def key_skew(df: DataFrame, key_col: str, top_k: int = TOP_SKEW_KEYS) -> DataFrame:
+    """Top-`top_k` heaviest values of `key_col` with row share and
+    multiple of the mean per-key load. One key-grain agg; the global
+    stats are a broadcast 1-row aggregate; top-k plans as
+    TakeOrderedAndProject."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = counts.agg(
+        F.sum("cnt").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(top_k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("key")))
+            .alias("rank"),
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("__total") + 1e-9, 6).alias("share"),
+            F.round(
+                F.col("cnt") * F.col("__nkeys") / F.col("__total") + 1e-9, 4
+            ).alias("skew_ratio"),
+        )
+    )
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return key_skew(load_table(spark, sf_dir, "lineitem"), "l_partkey")
+
+
+KEY_SKEW_SQL = f"""
+    WITH counts AS (
+        SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_partkey
+    ),
+    stats AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                     CAST(count(*) AS BIGINT) AS nkeys FROM counts),
+    top AS (
+        SELECT key, cnt FROM counts ORDER BY cnt DESC, key
+        LIMIT {TOP_SKEW_KEYS}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key) AS INT) AS rank,
+           key, cnt,
+           round(cnt * 1.0 / total + 1e-9, 6) AS share,
+           round(cnt * 1.0 * nkeys / total + 1e-9, 4) AS skew_ratio
+    FROM top CROSS JOIN stats
+"""
+# All three register in operators/overflow.py (post-budget).

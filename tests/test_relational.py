@@ -535,3 +535,101 @@ def test_record_linkage_respects_blocks_and_threshold(spark):
     # never even compared
     assert not any("big" in a or "big" in b for a, b in out)
     assert len(out) == 1
+
+
+def test_cdc_apply_latest_wins_and_deletes_drop(spark, tmp_path):
+    """Per key, the highest-sequence change wins; a trailing delete
+    removes the key; a delete followed by a later upsert resurrects."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from propensity_spark.operators.extended import q_cdc_apply
+
+    def ev(eid, uid, hour, typ, val):
+        return {"event_id": eid, "ts": datetime(2024, 1, 1, hour),
+                "user_id": uid, "event_type": typ, "value": val,
+                "props": "{}"}
+
+    rows = [
+        # user 1: two upserts -> latest value survives
+        ev(1, 1, 1, "view", 10.0), ev(2, 1, 2, "view", 20.0),
+        # user 2: upsert then delete -> gone
+        ev(3, 2, 1, "view", 30.0), ev(4, 2, 2, "purchase", 0.0),
+        # user 3: delete then later upsert -> resurrected
+        ev(5, 3, 1, "purchase", 0.0), ev(6, 3, 2, "view", 50.0),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "events.parquet")
+
+    out = {r["user_id"]: r for r in q_cdc_apply(spark, str(sf)).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["value"] == 20.0 and out[1]["event_id"] == 2
+    assert out[3]["value"] == 50.0
+
+
+def test_chi_square_cells_sum_to_statistic(spark, sf_dir):
+    """Expected counts reproduce the independence formula and the
+    contribution column sums to the chi-square statistic computed
+    from the contingency table in Python."""
+    from propensity_spark.operators.stats import q_chi_square_assoc
+
+    rows = q_chi_square_assoc(spark, sf_dir).collect()
+    obs = {(r["segment"], r["priority"]): r["observed"] for r in rows}
+    n = sum(obs.values())
+    row_t = {}
+    col_t = {}
+    for (s, p), o in obs.items():
+        row_t[s] = row_t.get(s, 0) + o
+        col_t[p] = col_t.get(p, 0) + o
+    chi2 = sum(
+        (o - row_t[s] * col_t[p] / n) ** 2 / (row_t[s] * col_t[p] / n)
+        for (s, p), o in obs.items()
+    )
+    got = sum(r["contrib"] for r in rows)
+    assert abs(got - chi2) < 1e-2
+    for r in rows:
+        exp = row_t[r["segment"]] * col_t[r["priority"]] / n
+        assert abs(r["expected"] - exp) < 1e-3
+
+
+def test_quantile_bucket_deciles_are_balanced(spark, sf_dir):
+    """Decile assignment puts ~10% of rows in every bucket and is
+    monotone in the value."""
+    from propensity_spark.operators.stats import q_quantile_bucket
+
+    rows = q_quantile_bucket(spark, sf_dir).collect()
+    n = len(rows)
+    from collections import Counter
+
+    sizes = Counter(r["bucket"] for r in rows)
+    assert set(sizes) == set(range(1, 11))
+    for b, c in sizes.items():
+        assert abs(c - n / 10) <= n * 0.02, (b, c)
+    by_val = sorted(rows, key=lambda r: r["o_totalprice"])
+    buckets = [r["bucket"] for r in by_val]
+    assert buckets == sorted(buckets)
+
+
+def test_key_skew_flags_hot_key(spark, tmp_path):
+    """An injected hot key dominates rank 1 with the right share and
+    skew ratio."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from propensity_spark.operators.stats import key_skew
+
+    # key 7: 90 extra + 1 from the 1..10 run = 91 of 100 rows, 10 keys
+    rows = [{"l_partkey": 7}] * 90 + [{"l_partkey": k} for k in range(1, 11)]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "lineitem.parquet")
+    df = spark.read.parquet(str(sf / "lineitem.parquet"))
+
+    out = key_skew(df, "l_partkey", top_k=3).collect()
+    top = out[0]
+    assert top["rank"] == 1 and top["key"] == 7 and top["cnt"] == 91
+    assert abs(top["share"] - 0.91) < 1e-6
+    # mean load = 100/10 keys = 10 -> ratio 9.1
+    assert abs(top["skew_ratio"] - 9.1) < 1e-3
