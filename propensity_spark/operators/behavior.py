@@ -215,6 +215,104 @@ RFM_SQL = """
 """
 
 
+SESSION_GAP_S = 1800
+TOP_PATHS = 20
+
+
+def q_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top clickstream paths: events sessionized by a 30-minute
+    inactivity gap (gaps-and-islands: lag + running sum of
+    session-start flags — the batch twin of the TRUE streaming session
+    window in streaming/windows.py), each session folded to its
+    ordered event-type string, then the 20 most frequent paths. Two
+    user-keyed windows + one session agg + a tiny path agg — the fact
+    is shuffled once on user, and the path ordering inside
+    `array_sort(struct(t, event_id, ...))` matches the oracle's
+    `ORDER BY t, event_id` exactly, so the fold is deterministic."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    sess = (
+        ev.withColumn("__prev", F.lag("t").over(w))
+        .withColumn(
+            "__new",
+            (
+                F.col("__prev").isNull()
+                | (F.col("t") - F.col("__prev") > SESSION_GAP_S)
+            ).cast("int"),
+        )
+        .withColumn("session_idx", F.sum("__new").over(w))
+    )
+    paths = sess.groupBy("user_id", "session_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("t", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(TOP_PATHS)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_sessions"), F.asc("path")))
+            .cast("int")
+            .alias("rank"),
+            "path",
+            "n_sessions",
+        )
+    )
+
+
+PATH_SQL = f"""
+    WITH ev AS (
+        SELECT user_id, event_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS t
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN lag(t) OVER w IS NULL
+                         OR t - lag(t) OVER w > {SESSION_GAP_S}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    sess AS (
+        SELECT *, sum(is_new) OVER (
+            PARTITION BY user_id ORDER BY t, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_idx
+        FROM flagged
+    ),
+    paths AS (
+        SELECT user_id, session_idx,
+               string_agg(event_type, '>' ORDER BY t, event_id) AS path
+        FROM sess GROUP BY user_id, session_idx
+    ),
+    counted AS (
+        SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        FROM paths GROUP BY path
+        ORDER BY n_sessions DESC, path LIMIT {TOP_PATHS}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS INT)
+               AS rank,
+           path, n_sessions
+    FROM counted
+"""
+
+
 COHORT_SQL = f"""
     WITH weeks AS (
         SELECT user_id,

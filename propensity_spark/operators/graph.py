@@ -71,9 +71,47 @@ def pagerank(
     ).select("node", "out_deg", "rank")
 
 
-def _affinity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent brand co-purchase pairs as undirected edges — the same
-    bi frame + thresholds as q_basket_affinity's pair section."""
+def triangle_count(pairs: DataFrame) -> DataFrame:
+    """Per-node triangle counts on an undirected graph given as
+    canonical pairs (ia < ib, each edge once). Classic two-path +
+    closure plan: enumerate wedges a<b<c by joining pairs on the
+    middle vertex, close them with a semi-join back to the edge set,
+    explode each triangle to its three corners, and count per node —
+    three hash equi-joins and one agg, never an all-pairs product.
+    The a<b<c canonical ordering counts each triangle exactly once;
+    at web scale the standard refinement is to order vertices by
+    degree instead of id (minimizes wedges at skewed hubs) — same
+    plan, different ordering key. Nodes in no triangle report 0."""
+    p = pairs.select(F.col("ia").alias("a"), F.col("ib").alias("b"))
+    wedges = p.join(
+        p.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    )
+    tris = wedges.join(
+        p.select(F.col("a"), F.col("b").alias("c")),
+        ["a", "c"],
+        "leftsemi",
+    )
+    corners = tris.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
+    verts = (
+        p.select(F.col("a").alias("node"))
+        .unionByName(p.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    return (
+        verts.join(
+            corners.groupBy("node").agg(F.count(F.lit(1)).alias("n")),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("n", F.lit(0)).alias("n_triangles"))
+    )
+
+
+def _affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (ia < ib) frequent co-purchase pairs — the undirected
+    edge set behind _affinity_edges, exposed once for both consumers."""
     from propensity_spark.operators.extended import (
         MAX_BASKET_ITEMS,
         MIN_SUPPORT,
@@ -92,7 +130,7 @@ def _affinity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("__bn")
     nb = bi.agg(F.countDistinct("basket_id").alias("nb"))
     a, b = bi.alias("a"), bi.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.basket_id") == F.col("b.basket_id"))
@@ -104,6 +142,72 @@ def _affinity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cnt") / F.col("nb") >= MIN_SUPPORT)
         .select("ia", "ib")
     )
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts over the brand co-purchase graph — the local
+    clustering signal next to pagerank's global centrality."""
+    return triangle_count(_affinity_pairs(spark, sf_dir))
+
+
+def _triangle_sql() -> str:
+    from propensity_spark.operators.extended import (
+        MAX_BASKET_ITEMS,
+        MIN_SUPPORT,
+    )
+    from propensity_spark.operators.relational import SILVER_SQL
+
+    return f"""
+    WITH s AS ({SILVER_SQL}),
+    bi_all AS (
+        SELECT DISTINCT s.basket_id, p.p_brand AS item
+        FROM s JOIN part p ON s.product_id = p.p_partkey
+    ),
+    bi AS (
+        SELECT * FROM bi_all WHERE basket_id IN (
+            SELECT basket_id FROM bi_all GROUP BY basket_id
+            HAVING count(*) <= {MAX_BASKET_ITEMS}
+        )
+    ),
+    nb AS (SELECT count(DISTINCT basket_id) AS nb FROM bi),
+    pairs AS (
+        SELECT a.item AS ia, b.item AS ib
+        FROM bi a JOIN bi b ON a.basket_id = b.basket_id AND a.item < b.item, nb
+        GROUP BY 1, 2, nb.nb
+        HAVING count(*) * 1.0 / nb >= {MIN_SUPPORT}
+    ),
+    tris AS (
+        SELECT e1.ia AS a, e1.ib AS b, e2.ib AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e1.ib = e2.ia
+        WHERE EXISTS (SELECT 1 FROM pairs e3
+                      WHERE e3.ia = e1.ia AND e3.ib = e2.ib)
+    ),
+    corners AS (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+    ),
+    verts AS (
+        SELECT DISTINCT ia AS node FROM pairs
+        UNION SELECT ib FROM pairs
+    )
+    SELECT v.node, CAST(coalesce(c.n, 0) AS BIGINT) AS n_triangles
+    FROM verts v LEFT JOIN (
+        SELECT node, count(*) AS n FROM corners GROUP BY node
+    ) c ON v.node = c.node
+"""
+
+
+TRIANGLE_SQL = _triangle_sql()
+# triangle_count registers in operators/overflow.py (post-budget).
+
+
+def _affinity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent brand co-purchase pairs as directed edges (both
+    directions) — the same bi frame + thresholds as q_basket_affinity's
+    pair section, via _affinity_pairs."""
+    pairs = _affinity_pairs(spark, sf_dir)
     fwd = pairs.select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
     rev = pairs.select(F.col("ib").alias("src"), F.col("ia").alias("dst"))
     return fwd.unionByName(rev)

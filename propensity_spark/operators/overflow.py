@@ -27,19 +27,25 @@ from propensity_spark.operators.extended import (
     q_scd2_history,
 )
 from propensity_spark.operators.stats import (
+    ANOMALY_SQL,
     CHI_SQUARE_SQL,
     KEY_SKEW_SQL,
     QUANTILE_BUCKET_SQL,
+    STRATIFIED_SQL,
+    q_anomaly_mad,
     q_chi_square_assoc,
     q_key_skew,
     q_quantile_bucket,
+    q_stratified_sample,
 )
 from propensity_spark.operators.behavior import (
     COHORT_SQL,
     FUNNEL_SQL,
+    PATH_SQL,
     RFM_SQL,
     q_cohort_retention,
     q_funnel_conversion,
+    q_path_analysis,
     q_rfm_segments,
 )
 from propensity_spark.operators.profiling import (
@@ -54,7 +60,12 @@ from propensity_spark.operators.timeseries import (
     q_attribution_last_touch,
     q_gapfill_revenue,
 )
-from propensity_spark.operators.graph import PAGERANK_SQL, q_pagerank_affinity
+from propensity_spark.operators.graph import (
+    PAGERANK_SQL,
+    TRIANGLE_SQL,
+    q_pagerank_affinity,
+    q_triangle_count,
+)
 from propensity_spark.operators.relational import SILVER_SQL
 from propensity_spark.text.dedup import EXACTSUBSTR_SQL, q_exactsubstr_dedup
 from propensity_spark.vector.similarity import SEMDEDUP_SQL, q_semdedup
@@ -98,6 +109,10 @@ QUERIES = {
     "chi_square_assoc": q_chi_square_assoc,
     "quantile_bucket": q_quantile_bucket,
     "key_skew": q_key_skew,
+    "path_analysis": q_path_analysis,
+    "stratified_sample": q_stratified_sample,
+    "anomaly_mad": q_anomaly_mad,
+    "triangle_count": q_triangle_count,
 }
 
 ORACLES = {
@@ -127,4 +142,8 @@ ORACLES = {
     "chi_square_assoc": CHI_SQUARE_SQL,
     "quantile_bucket": QUANTILE_BUCKET_SQL,
     "key_skew": KEY_SKEW_SQL,
+    "path_analysis": PATH_SQL,
+    "stratified_sample": STRATIFIED_SQL,
+    "anomaly_mad": ANOMALY_SQL,
+    "triangle_count": TRIANGLE_SQL,
 }

@@ -197,4 +197,136 @@ KEY_SKEW_SQL = f"""
            round(cnt * 1.0 * nkeys / total + 1e-9, 4) AS skew_ratio
     FROM top CROSS JOIN stats
 """
-# All three register in operators/overflow.py (post-budget).
+STRATUM_N = 5
+MAD_K = 0.6745  # Phi^-1(0.75): scales MAD to sigma-equivalents
+MAD_THRESHOLD = 3.5  # Iglewicz-Hoaglin modified z-score cutoff
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, key_col: str, n_per_stratum: int = STRATUM_N
+) -> DataFrame:
+    """Exact-n-per-stratum deterministic sample: rank rows inside each
+    stratum by the md5 of their key (append-stable pseudo-random order,
+    same convention as split_by_hash in text/analysis.py) and keep the
+    first n. One stratum-keyed window shuffle; no full-table sort, no
+    driver-side sampling state. Unlike `sampleBy`, the stratum size is
+    exact, and unlike `ORDER BY rand()` the sample is reproducible and
+    stable under appends of other strata."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(key_col).cast("string").cast("binary")), key_col
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= n_per_stratum)
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return stratified_sample(
+        customer.select("c_mktsegment", "c_custkey"), "c_mktsegment", "c_custkey"
+    )
+
+
+STRATIFIED_SQL = f"""
+    SELECT c_mktsegment, c_custkey, CAST(rn AS INT) AS rn
+    FROM (
+        SELECT c_mktsegment, c_custkey,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey
+               ) AS rn
+        FROM customer
+    ) WHERE rn <= {STRATUM_N}
+"""
+
+
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: modified z-scores
+    (Iglewicz-Hoaglin 1993) of daily brand revenue against the brand's
+    median and MAD — median/MAD instead of mean/stddev so the outliers
+    being hunted cannot mask themselves. Two group-grain exact
+    `percentile` aggs (bounded: one value per brand) broadcast back
+    onto the daily frame; a zero MAD (constant series) yields NULL z
+    and no flag in both engines via nullif. At 100 TB swap
+    `percentile` for `percentile_approx` — the brand grain and plan
+    shape are unchanged (same trade documented in quantile_bucket)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    daily = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.to_date("l_shipdate").alias("day"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + 1e-6,
+                2,
+            ).alias("revenue")
+        )
+    )
+    meds = daily.groupBy("brand").agg(
+        F.expr("round(percentile(revenue, 0.5D) + 1e-9, 6)").alias("med")
+    )
+    mads = (
+        daily.join(F.broadcast(meds), "brand")
+        .groupBy("brand")
+        .agg(
+            F.expr(
+                "round(percentile(abs(revenue - med), 0.5D) + 1e-9, 6)"
+            ).alias("mad")
+        )
+    )
+    z = F.round(
+        F.lit(MAD_K)
+        * (F.col("revenue") - F.col("med"))
+        / F.expr("nullif(mad, cast(0 as double))")
+        + 1e-9,
+        4,
+    )
+    return (
+        daily.join(F.broadcast(meds), "brand")
+        .join(F.broadcast(mads), "brand")
+        .select(
+            "brand",
+            "day",
+            "revenue",
+            z.alias("robust_z"),
+            F.when(F.abs(z) > MAD_THRESHOLD, 1).otherwise(0).alias("is_anomaly"),
+        )
+    )
+
+
+ANOMALY_SQL = f"""
+    WITH daily AS (
+        SELECT p_brand AS brand, CAST(l_shipdate AS DATE) AS day,
+               round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+                   AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    ),
+    meds AS (
+        SELECT brand, round(quantile_cont(revenue, 0.5) + 1e-9, 6) AS med
+        FROM daily GROUP BY brand
+    ),
+    mads AS (
+        SELECT d.brand,
+               round(quantile_cont(abs(d.revenue - m.med), 0.5) + 1e-9, 6)
+                   AS mad
+        FROM daily d JOIN meds m ON d.brand = m.brand
+        GROUP BY d.brand
+    )
+    SELECT d.brand, d.day, d.revenue,
+           round({MAD_K} * (d.revenue - m.med) / nullif(a.mad, 0.0) + 1e-9, 4)
+               AS robust_z,
+           CASE WHEN abs(round({MAD_K} * (d.revenue - m.med)
+                               / nullif(a.mad, 0.0) + 1e-9, 4))
+                     > {MAD_THRESHOLD}
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM daily d
+    JOIN meds m ON d.brand = m.brand
+    JOIN mads a ON d.brand = a.brand
+"""
+# All register in operators/overflow.py (post-budget).

@@ -633,3 +633,114 @@ def test_key_skew_flags_hot_key(spark, tmp_path):
     assert abs(top["share"] - 0.91) < 1e-6
     # mean load = 100/10 keys = 10 -> ratio 9.1
     assert abs(top["skew_ratio"] - 9.1) < 1e-3
+
+
+def test_path_analysis_splits_sessions_on_gap(spark, tmp_path):
+    """Events 30+ minutes apart start a new session; paths preserve
+    in-session event order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta
+
+    from propensity_spark.operators.behavior import q_path_analysis
+
+    base = datetime(2024, 1, 1, 12)
+
+    def ev(eid, uid, mins, typ):
+        return {"event_id": eid, "ts": base + timedelta(minutes=mins),
+                "user_id": uid, "event_type": typ, "value": 1.0,
+                "props": "{}"}
+
+    rows = [
+        # user 1, session 1: view>click (5 min apart); session 2 after
+        # a 60-min gap: purchase alone
+        ev(1, 1, 0, "view"), ev(2, 1, 5, "click"), ev(3, 1, 65, "purchase"),
+        # user 2: one session view>click
+        ev(4, 2, 0, "view"), ev(5, 2, 10, "click"),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "events.parquet")
+
+    out = {r["path"]: r["n_sessions"]
+           for r in q_path_analysis(spark, str(sf)).collect()}
+    assert out == {"view>click": 2, "purchase": 1}
+
+
+def test_stratified_sample_exact_n_and_append_stable(spark):
+    """Each stratum yields exactly n rows; adding rows to ANOTHER
+    stratum never changes this stratum's picks."""
+    from propensity_spark.operators.stats import stratified_sample
+
+    base = [("A", k) for k in range(20)] + [("B", k) for k in range(100, 110)]
+    df = spark.createDataFrame(base, "seg: string, key: long")
+    out1 = stratified_sample(df, "seg", "key", 3).collect()
+    by_seg = {}
+    for r in out1:
+        by_seg.setdefault(r["seg"], set()).add(r["key"])
+    assert len(by_seg["A"]) == 3 and len(by_seg["B"]) == 3
+
+    grown = df.union(
+        spark.createDataFrame([("C", k) for k in range(500, 560)],
+                              "seg: string, key: long")
+    )
+    out2 = stratified_sample(grown, "seg", "key", 3).collect()
+    by_seg2 = {}
+    for r in out2:
+        by_seg2.setdefault(r["seg"], set()).add(r["key"])
+    assert by_seg2["A"] == by_seg["A"] and by_seg2["B"] == by_seg["B"]
+    assert len(by_seg2["C"]) == 3
+
+
+def test_anomaly_mad_flags_injected_outlier(spark, tmp_path):
+    """A 100x revenue spike is flagged; ordinary days are not; a
+    constant series (MAD=0) yields NULL z and no flags."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from propensity_spark.operators.stats import q_anomaly_mad
+
+    def li(pk, day, price):
+        return {"l_partkey": pk, "l_shipdate": datetime(2024, 1, day),
+                "l_extendedprice": price, "l_discount": 0.0}
+
+    rows = (
+        # brand A: 10 steady days around 100, one 10000 spike
+        [li(1, d, 100.0 + d) for d in range(1, 11)]
+        + [li(1, 11, 10000.0)]
+        # brand B: constant 50 -> MAD 0
+        + [li(2, d, 50.0) for d in range(1, 6)]
+    )
+    parts = [{"p_partkey": 1, "p_brand": "A"}, {"p_partkey": 2, "p_brand": "B"}]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "lineitem.parquet")
+    pq.write_table(pa.Table.from_pylist(parts), sf / "part.parquet")
+
+    out = q_anomaly_mad(spark, str(sf)).collect()
+    a = [r for r in out if r["brand"] == "A"]
+    flagged = [r for r in a if r["is_anomaly"] == 1]
+    assert len(flagged) == 1 and flagged[0]["revenue"] == 10000.0
+    b = [r for r in out if r["brand"] == "B"]
+    assert all(r["robust_z"] is None and r["is_anomaly"] == 0 for r in b)
+
+
+def test_triangle_count_star_vs_clique(spark):
+    """A star graph has zero triangles; in a 4-clique every node sits
+    in C(3,2)=3 triangles."""
+    from propensity_spark.operators.graph import triangle_count
+
+    star = spark.createDataFrame(
+        [(0, k) for k in range(1, 5)], "ia: long, ib: long"
+    )
+    out = {r["node"]: r["n_triangles"] for r in triangle_count(star).collect()}
+    assert set(out) == {0, 1, 2, 3, 4} and all(v == 0 for v in out.values())
+
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "ia: long, ib: long",
+    )
+    out = {r["node"]: r["n_triangles"]
+           for r in triangle_count(clique).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
