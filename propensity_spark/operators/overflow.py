@@ -51,14 +51,18 @@ from propensity_spark.operators.behavior import (
 from propensity_spark.operators.profiling import (
     LINKAGE_SQL,
     PROFILE_SQL,
+    RI_CHECK_SQL,
     q_record_linkage,
+    q_ri_check,
     q_table_profile,
 )
 from propensity_spark.operators.timeseries import (
     ATTRIBUTION_SQL,
     GAPFILL_SQL,
+    MOVING_AVG_SQL,
     q_attribution_last_touch,
     q_gapfill_revenue,
+    q_moving_average,
 )
 from propensity_spark.operators.graph import (
     PAGERANK_SQL,
@@ -113,6 +117,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "anomaly_mad": q_anomaly_mad,
     "triangle_count": q_triangle_count,
+    "moving_average": q_moving_average,
+    "ri_check": q_ri_check,
 }
 
 ORACLES = {
@@ -146,4 +152,6 @@ ORACLES = {
     "stratified_sample": STRATIFIED_SQL,
     "anomaly_mad": ANOMALY_SQL,
     "triangle_count": TRIANGLE_SQL,
+    "moving_average": MOVING_AVG_SQL,
+    "ri_check": RI_CHECK_SQL,
 }

@@ -166,4 +166,89 @@ LINKAGE_SQL = f"""
       ON a.block = b.block AND a.name < b.name
     WHERE levenshtein(a.name, b.name) <= {LINKAGE_MAX_DIST}
 """
+def ri_orphans(
+    child: DataFrame, parent: DataFrame, fk: str, pk: str
+) -> DataFrame:
+    """Rows of `child` whose `fk` has no match in `parent.pk` — a
+    left-anti join, the orphan half of a referential-integrity audit.
+    Plans as a broadcast anti-join when the parent key set is small;
+    at scale the bloom-filter reduction (operators/extended.
+    q_bloom_semijoin) pre-filters before the exact anti-join."""
+    return child.join(
+        parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
+    )
+
+
+def q_ri_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema's three FK
+    edges (lineitem->orders, lineitem->part, orders->customer): total
+    child rows, orphan rows, and distinct orphan keys per edge. Each
+    edge costs one anti-join plus the child's count — the counts and
+    the anti-join share the scan via a single agg over a
+    null-extended left join (NOT two passes)."""
+    specs = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ]
+    outs = []
+    for edge, child_t, fk, parent_t, pk in specs:
+        child = load_table(spark, sf_dir, child_t).select(
+            F.col(fk).alias("fk")
+        )
+        parent = (
+            load_table(spark, sf_dir, parent_t)
+            .select(F.col(pk).alias("fk"))
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        joined = child.join(parent, "fk", "left")
+        outs.append(
+            joined.agg(
+                F.lit(edge).alias("edge"),
+                F.count(F.lit(1)).alias("child_rows"),
+                F.sum((F.col("__hit").isNull()).cast("long")).alias(
+                    "orphan_rows"
+                ),
+                F.countDistinct(
+                    F.when(F.col("__hit").isNull(), F.col("fk"))
+                ).alias("orphan_keys"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+RI_CHECK_SQL = """
+    SELECT 'lineitem->orders' AS edge,
+           CAST(count(*) AS BIGINT) AS child_rows,
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS orphan_rows,
+           CAST(count(DISTINCT CASE WHEN o.o_orderkey IS NULL
+                                    THEN l.l_orderkey END) AS BIGINT)
+               AS orphan_keys
+    FROM lineitem l
+    LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem->part', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(DISTINCT CASE WHEN p.p_partkey IS NULL
+                                    THEN l.l_partkey END) AS BIGINT)
+    FROM lineitem l
+    LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+      ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'orders->customer', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(DISTINCT CASE WHEN c.c_custkey IS NULL
+                                    THEN o.o_custkey END) AS BIGINT)
+    FROM orders o
+    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON o.o_custkey = c.c_custkey
+"""
 # Both register in operators/overflow.py (post-budget).

@@ -185,4 +185,68 @@ ATTRIBUTION_SQL = """
            CASE WHEN last_click_t IS NOT NULL THEN 1 ELSE 0 END AS attributed
     FROM marked WHERE event_type = 'purchase'
 """
-# Both register in operators/overflow.py (post-budget).
+MA_DAYS = 7
+
+
+def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving sum/average of daily brand revenue using a
+    RANGE frame keyed on the day number — the sparse-aware time window:
+    unlike a ROWS frame, missing days shrink the window's contents
+    (exactly 7 calendar days, not 7 observations), so no spine join is
+    needed (contrast gapfill_ffill above, which densifies first). One
+    brand-keyed window Exchange on top of the daily aggregation; the
+    frame is bounded, so window state is O(7) rows per key."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    daily = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.datediff(
+                F.to_date("l_shipdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day_num"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + 1e-6,
+                2,
+            ).alias("revenue")
+        )
+    )
+    w = (
+        Window.partitionBy("brand")
+        .orderBy("day_num")
+        .rangeBetween(-(MA_DAYS - 1), 0)
+    )
+    return daily.select(
+        "brand",
+        "day_num",
+        "revenue",
+        F.count(F.lit(1)).over(w).alias("days_in_window"),
+        F.round(F.sum("revenue").over(w) + 1e-6, 2).alias("sum_7d"),
+        F.round(
+            F.sum("revenue").over(w) / F.count(F.lit(1)).over(w) + 1e-9, 4
+        ).alias("avg_7d"),
+    )
+
+
+MOVING_AVG_SQL = f"""
+    WITH daily AS (
+        SELECT p_brand AS brand,
+               date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+                   AS day_num,
+               round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+                   AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    )
+    SELECT brand, CAST(day_num AS INT) AS day_num, revenue,
+           CAST(count(*) OVER w AS BIGINT) AS days_in_window,
+           round(sum(revenue) OVER w + 1e-6, 2) AS sum_7d,
+           round(sum(revenue) OVER w / count(*) OVER w + 1e-9, 4) AS avg_7d
+    FROM daily
+    WINDOW w AS (PARTITION BY brand ORDER BY day_num
+                 RANGE BETWEEN {MA_DAYS - 1} PRECEDING AND CURRENT ROW)
+"""
+# All register in operators/overflow.py (post-budget).

@@ -744,3 +744,70 @@ def test_triangle_count_star_vs_clique(spark):
     out = {r["node"]: r["n_triangles"]
            for r in triangle_count(clique).collect()}
     assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_moving_average_range_frame_spans_calendar_days(spark, tmp_path):
+    """The RANGE frame covers 7 calendar days, not 7 observations:
+    a sparse series with a gap keeps the gap out of the window count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from propensity_spark.operators.timeseries import q_moving_average
+
+    def li(day, price):
+        return {"l_partkey": 1, "l_shipdate": datetime(1992, 1, day),
+                "l_extendedprice": price, "l_discount": 0.0}
+
+    # brand A: days 1, 2, then a jump to day 20 (outside any 7d frame)
+    rows = [li(1, 10.0), li(2, 20.0), li(20, 40.0)]
+    parts = [{"p_partkey": 1, "p_brand": "A"}]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "lineitem.parquet")
+    pq.write_table(pa.Table.from_pylist(parts), sf / "part.parquet")
+
+    # day_num is days since 1992-01-01: Jan 1 -> 0, Jan 2 -> 1, Jan 20 -> 19
+    out = {r["day_num"]: r for r in q_moving_average(spark, str(sf)).collect()}
+    assert set(out) == {0, 1, 19}
+    assert out[0]["days_in_window"] == 1 and abs(out[0]["sum_7d"] - 10.0) < 1e-6
+    assert out[1]["days_in_window"] == 2 and abs(out[1]["sum_7d"] - 30.0) < 1e-6
+    # day 20 is alone again: the gap evicted days 1-2 from the frame
+    assert out[19]["days_in_window"] == 1
+    assert abs(out[19]["avg_7d"] - 40.0) < 1e-4
+
+
+def test_ri_check_counts_injected_orphans(spark, tmp_path):
+    """Orphan FK rows are counted per edge, with distinct orphan keys
+    separated from orphan row multiplicity."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from propensity_spark.operators.profiling import q_ri_check
+
+    lineitem = [
+        {"l_orderkey": 1, "l_partkey": 1},
+        {"l_orderkey": 1, "l_partkey": 99},  # orphan part, twice
+        {"l_orderkey": 2, "l_partkey": 99},
+        {"l_orderkey": 7, "l_partkey": 1},   # orphan order
+    ]
+    orders = [
+        {"o_orderkey": 1, "o_custkey": 10},
+        {"o_orderkey": 2, "o_custkey": 11},  # orphan customer
+    ]
+    part = [{"p_partkey": 1}]
+    customer = [{"c_custkey": 10}]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    for name, rows in [("lineitem", lineitem), ("orders", orders),
+                       ("part", part), ("customer", customer)]:
+        pq.write_table(pa.Table.from_pylist(rows), sf / f"{name}.parquet")
+
+    out = {r["edge"]: r for r in q_ri_check(spark, str(sf)).collect()}
+    lo = out["lineitem->orders"]
+    assert (lo["child_rows"], lo["orphan_rows"], lo["orphan_keys"]) == (4, 1, 1)
+    lp = out["lineitem->part"]
+    assert (lp["child_rows"], lp["orphan_rows"], lp["orphan_keys"]) == (4, 2, 1)
+    oc = out["orders->customer"]
+    assert (oc["child_rows"], oc["orphan_rows"], oc["orphan_keys"]) == (2, 1, 1)
