@@ -92,14 +92,15 @@ CHI_SQUARE_SQL = """
 
 def quantile_bucket(
     df: DataFrame, value_col: str, n_buckets: int = N_BUCKETS,
-    exact: bool = True,
+    exact: bool = False,
 ) -> DataFrame:
     """Map-side quantile discretization: adds `bucket` (1..n_buckets).
-    Boundaries come from one 1-row aggregate (exact `percentile` by
-    default; `exact=False` switches to the `percentile_approx` sketch —
-    the 100 TB path) broadcast to every row; assignment is
-    `1 + |{b : value > b}|` via an array HOF, so the fact is never
-    sorted or shuffled."""
+    Boundaries come from one 1-row aggregate — the `percentile_approx`
+    sketch by default (constant memory, the only sane default at
+    100 TB; same convention as the `percentiles()` production API in
+    operators/extended.py), `exact=True` opting into exact boundaries —
+    broadcast to every row; assignment is `1 + |{b : value > b}|` via
+    an array HOF, so the fact is never sorted or shuffled."""
     qs = [i / n_buckets for i in range(1, n_buckets)]
     fn_name = "percentile" if exact else "percentile_approx"
     bounds = df.agg(
@@ -126,9 +127,12 @@ def quantile_bucket(
 
 
 def q_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry runs exact boundaries so the DuckDB hash-compare is
+    well-defined; production callers keep the sketch default."""
     orders = load_table(spark, sf_dir, "orders")
     return quantile_bucket(
-        orders.select("o_orderkey", "o_totalprice"), "o_totalprice"
+        orders.select("o_orderkey", "o_totalprice"), "o_totalprice",
+        exact=True,
     )
 
 

@@ -610,6 +610,19 @@ def test_quantile_bucket_deciles_are_balanced(spark, sf_dir):
     by_val = sorted(rows, key=lambda r: r["o_totalprice"])
     buckets = [r["bucket"] for r in by_val]
     assert buckets == sorted(buckets)
+    # the production default is the percentile_approx sketch: still
+    # 10 buckets, near-balanced within sketch error
+    from propensity_spark.io import load_table
+    from propensity_spark.operators.stats import quantile_bucket
+
+    approx = quantile_bucket(
+        load_table(spark, sf_dir, "orders").select("o_totalprice"),
+        "o_totalprice",
+    ).collect()
+    sizes_a = Counter(r["bucket"] for r in approx)
+    assert set(sizes_a) == set(range(1, 11))
+    for c in sizes_a.values():
+        assert abs(c - n / 10) <= n * 0.05
 
 
 def test_key_skew_flags_hot_key(spark, tmp_path):
