@@ -55,6 +55,11 @@ BENCH_QUERIES = [
     "repetition_signals",
     "exactsubstr_dedup",
     "dsir_select",
+    # round-4 analytics-family representatives (behavioral windows,
+    # sessionized paths, robust statistics)
+    "rfm_segments",
+    "path_analysis",
+    "anomaly_mad",
 ]
 
 
