@@ -23,6 +23,69 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # the committed surface.
 EXPECTED_MIN_QUERIES = 80
 
+# The driver's CORRECTNESS report records the FIRST 50 registered entries;
+# `tools/local_verify.py` checks the whole registry regardless. Round 4
+# added 30 operators past that budget which therefore never appeared in a
+# driver report — this round rotates them to the front, together with the
+# 20 most load-bearing core entries (headline bench queries + the ML /
+# feature-store / pipeline end-to-ends). Everything NOT named here keeps
+# its module registration order after the priority block, and stays
+# covered by local_verify at sf0.01 + sf0.1.
+DRIVER_GATE_PRIORITY = [
+    # -- the 30 round-4 operators, driver-unseen until now --
+    "basket_affinity",
+    "vocab_heavy_hitters",
+    "perplexity_filter",
+    "bm25_search",
+    "semdedup",
+    "bloom_semijoin",
+    "repetition_signals",
+    "exactsubstr_dedup",
+    "dsir_select",
+    "doc_embed",
+    "pagerank_affinity",
+    "hll_rollup",
+    "scd2_history",
+    "funnel_conversion",
+    "cohort_retention",
+    "rfm_segments",
+    "gapfill_revenue",
+    "attribution_last_touch",
+    "table_profile",
+    "record_linkage",
+    "cdc_apply",
+    "chi_square_assoc",
+    "quantile_bucket",
+    "key_skew",
+    "path_analysis",
+    "stratified_sample",
+    "anomaly_mad",
+    "triangle_count",
+    "moving_average",
+    "ri_check",
+    # -- the 20 most load-bearing core entries --
+    "topk_commodities",
+    "silver_projection",
+    "household_agg_suite",
+    "tpch_q1",
+    "labels",
+    "household_features",
+    "commodity_features",
+    "household_commodity_features",
+    "pivot_unpivot_scores",
+    "dedup_exact",
+    "minhash_band_pairs",
+    "ann_cosine_topk",
+    "batch_windows",
+    "stream_ops_suite",
+    "stream_stateful",
+    "asof_join",
+    "range_join",
+    "train_score_propensity",
+    "feature_store_roundtrip",
+    "pipeline_e2e",
+]
+
 
 def _registry():
     from propensity_spark.operators import relational
@@ -69,7 +132,12 @@ def _registry():
             f"registry shrank to {len(queries)} entries (< {EXPECTED_MIN_QUERIES}): "
             "an operator module silently dropped out"
         )
-    return {k: _pinned(v) for k, v in queries.items()}, oracles
+    missing = [n for n in DRIVER_GATE_PRIORITY if n not in queries]
+    if missing:
+        raise RuntimeError(f"DRIVER_GATE_PRIORITY names absent from registry: {missing}")
+    ordered = {n: queries[n] for n in DRIVER_GATE_PRIORITY}
+    ordered.update(queries)  # tail keeps module registration order
+    return {k: _pinned(v) for k, v in ordered.items()}, oracles
 
 
 def _pinned(fn):

@@ -125,19 +125,35 @@ class FeatureTable:
         """Atomically commit version `n` for a day: append to the
         committed list, write-temp + os.replace — the rename is the
         commit point, readers see either the old pointer or the new
-        one, never a torn file."""
+        one, never a torn file. The day's FIRST commit also stamps an
+        immutable `_BORN` marker — GC rewrites `_CURRENT` to the
+        surviving versions only, so `_BORN` is what lets time travel
+        distinguish 'day did not exist yet' (silently excluded) from
+        'day existed but its versions were vacuumed' (raises)."""
         import os
 
         hist = self._committed(day_dir) + [n]
+        if not (day_dir / "_BORN").exists():
+            (day_dir / "_BORN").write_text(str(hist[0]))
         tmp = day_dir / "_CURRENT.tmp"
         tmp.write_text("\n".join(str(v) for v in hist))
         os.replace(tmp, day_dir / "_CURRENT")
+
+    def _born(self, day_dir: Path) -> int | None:
+        try:
+            return int((day_dir / "_BORN").read_text().strip())
+        except (FileNotFoundError, ValueError):
+            return None
 
     def _resolved(self, day=None, version: int | None = None) -> dict[str, Path]:
         """day-string -> version dir, resolved through pointers. With
         `version`, Delta-style time travel: the latest committed
         version <= `version` per day (a day first committed after that
-        version is excluded — it did not exist in that snapshot)."""
+        version is excluded — it did not exist in that snapshot). A day
+        that DID exist in the requested snapshot but whose versions
+        <= `version` were all garbage-collected past the retention
+        horizon raises instead of silently shrinking the snapshot —
+        matching Delta's VERSION AS OF error on unreachable versions."""
         out = {}
         for dd in self._day_dirs():
             dval = dd.name.split("=", 1)[1]
@@ -146,10 +162,22 @@ class FeatureTable:
             hist = self._committed(dd)
             if version is not None:
                 hist = [v for v in hist if v <= version]
+            resolved = None
             for n in reversed(hist):
                 if (dd / f"v={n}").exists():
-                    out[dval] = dd / f"v={n}"
+                    resolved = dd / f"v={n}"
                     break
+            if resolved is not None:
+                out[dval] = resolved
+            elif version is not None:
+                born = self._born(dd)
+                if hist or (born is not None and born <= version):
+                    raise FileNotFoundError(
+                        f"time travel to version {version}: day {dval} "
+                        f"existed in that snapshot (first committed at "
+                        f"version {born}) but its versions <= {version} "
+                        "were garbage-collected past the retention horizon"
+                    )
         return out
 
     def _next_version(self) -> int:
@@ -346,10 +374,22 @@ class FeatureTable:
             return self.create(batch)
         if self.use_delta:
             if allow_new_columns:
-                self.spark.conf.set(
-                    "spark.databricks.delta.schema.autoMerge.enabled", "true"
-                )
-            self._merge_delta(batch)
+                # Session conf: save/restore around the MERGE (same
+                # pattern as partitionOverwriteMode in _write_version)
+                # so evolution stays opt-in PER CALL — leaking the conf
+                # would let every later merge drift schemas silently.
+                key = "spark.databricks.delta.schema.autoMerge.enabled"
+                prev = self.spark.conf.get(key, None)
+                self.spark.conf.set(key, "true")
+                try:
+                    self._merge_delta(batch)
+                finally:
+                    if prev is None:
+                        self.spark.conf.unset(key)
+                    else:
+                        self.spark.conf.set(key, prev)
+            else:
+                self._merge_delta(batch)
             return None
         # A lazily-built batch (e.g. the 300+-column feature aggregation)
         # would otherwise be recomputed three times below (day-collect,

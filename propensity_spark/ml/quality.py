@@ -86,12 +86,18 @@ def score_quality(model, docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def evaluate_quality_classifier(model, docs: DataFrame, label_col: str = "label"):
+def evaluate_quality_classifier(
+    model, docs: DataFrame, label_col: str = "label", text_col: str = "text"
+):
     """AUC + accuracy of the classifier on a labeled frame (both
-    computed distributed via MLlib evaluators / one agg)."""
+    computed distributed via MLlib evaluators / one agg). `text_col`
+    must match the column the model was trained on (same contract as
+    train_quality_classifier / score_quality)."""
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
 
-    feat = featurize(docs).withColumn("label", F.col(label_col).cast("double"))
+    feat = featurize(docs, text_col).withColumn(
+        "label", F.col(label_col).cast("double")
+    )
     pred = model.transform(feat)
     auc = BinaryClassificationEvaluator(metricName="areaUnderROC").evaluate(pred)
     acc = pred.selectExpr(

@@ -29,16 +29,39 @@ PR_DAMPING = 0.85
 PR_ITERS = 6
 
 
+def cut_lineage(
+    df: DataFrame, checkpoint_dir: str | None = None, eager: bool = False
+) -> DataFrame:
+    """Truncate plan lineage between iterations of an iterative graph
+    algorithm (without it the plan doubles per round and the optimizer
+    chokes long before numerical convergence matters). Default is
+    `localCheckpoint` — executor-local blocks, fastest, correct in
+    local mode and on healthy clusters, but LOST if an executor dies
+    mid-job. Passing `checkpoint_dir` switches to reliable
+    `df.checkpoint()` against that path (HDFS/S3 on a real cluster) so
+    a 1000-executor run survives executor loss between iterations, at
+    the cost of one distributed write per round."""
+    if checkpoint_dir:
+        sc = df.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def pagerank(
     edges: DataFrame,
     d: float = PR_DAMPING,
     iters: int = PR_ITERS,
     checkpoint: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank on a DIRECTED (src, dst) edge list
     (pass both directions for an undirected graph). Every vertex must
     appear as a src (an undirected edge list guarantees it), so there
-    are no dangling nodes. Returns (node, out_deg, rank)."""
+    are no dangling nodes. Returns (node, out_deg, rank).
+    `checkpoint_dir` upgrades per-iteration lineage cuts to reliable
+    checkpoints (see cut_lineage); results are bit-identical either
+    way — only failure-recovery behavior differs."""
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     verts = edges.select(F.col("src").alias("node")).distinct()
     nn = verts.agg(F.count(F.lit(1)).alias("n"))
@@ -65,38 +88,83 @@ def pagerank(
             )
         )
         if checkpoint:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = cut_lineage(ranks, checkpoint_dir, eager=False)
     return ranks.join(
         deg.select(F.col("src").alias("node"), "out_deg"), "node"
     ).select("node", "out_deg", "rank")
 
 
+def _oriented(pairs: DataFrame) -> DataFrame:
+    """Orient each undirected edge {x, y} from the LOWER-(degree, id)
+    endpoint to the higher one. Under this total order every vertex's
+    out-degree is O(sqrt(m)) regardless of its undirected degree, so
+    a hub of degree d contributes O(m) total wedge work instead of
+    O(d²) — the standard skew fix for triangle enumeration (degree-
+    ordered / 'forward' algorithm). Returns (u, v, dv) with u ≺ v and
+    dv = undirected degree of v (carried so the wedge join can order
+    the two out-neighbours without re-joining degrees)."""
+    p = pairs.select(F.col("ia").alias("x"), F.col("ib").alias("y"))
+    deg = (
+        p.select(F.col("x").alias("node"))
+        .unionByName(p.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = p.join(
+        deg.select(F.col("node").alias("x"), F.col("d").alias("dx")), "x"
+    ).join(deg.select(F.col("node").alias("y"), F.col("d").alias("dy")), "y")
+    x_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    return e.select(
+        F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("u"),
+        F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("v"),
+        F.when(x_first, F.col("dy")).otherwise(F.col("dx")).alias("dv"),
+    )
+
+
+def _wedges(oriented: DataFrame) -> DataFrame:
+    """Open wedges (u, b, c) from pairs of out-edges of the oriented
+    graph, with b ≺ c in the (degree, id) order so each candidate
+    triangle is generated exactly once."""
+    lhs = oriented.select("u", F.col("v").alias("b"), F.col("dv").alias("db"))
+    rhs = oriented.select("u", F.col("v").alias("c"), F.col("dv").alias("dc"))
+    return (
+        lhs.join(rhs, "u")
+        .where(
+            (F.col("db") < F.col("dc"))
+            | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+        )
+        .select("u", "b", "c")
+    )
+
+
 def triangle_count(pairs: DataFrame) -> DataFrame:
     """Per-node triangle counts on an undirected graph given as
-    canonical pairs (ia < ib, each edge once). Classic two-path +
-    closure plan: enumerate wedges a<b<c by joining pairs on the
-    middle vertex, close them with a semi-join back to the edge set,
-    explode each triangle to its three corners, and count per node —
-    three hash equi-joins and one agg, never an all-pairs product.
-    The a<b<c canonical ordering counts each triangle exactly once;
-    at web scale the standard refinement is to order vertices by
-    degree instead of id (minimizes wedges at skewed hubs) — same
-    plan, different ordering key. Nodes in no triangle report 0."""
-    p = pairs.select(F.col("ia").alias("a"), F.col("ib").alias("b"))
-    wedges = p.join(
-        p.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
-    )
-    tris = wedges.join(
-        p.select(F.col("a"), F.col("b").alias("c")),
-        ["a", "c"],
+    canonical pairs (ia < ib, each edge once). Degree-ordered wedge
+    enumeration: orient every edge from the lower-(degree, id)
+    endpoint (_oriented), enumerate wedges between a vertex's ordered
+    out-neighbour pairs (_wedges), close them with a semi-join back
+    to the oriented edge set ({b, c} with b ≺ c is stored as b→c, so
+    one equi-join suffices), explode each triangle to its three
+    corners, and count per node. Three hash equi-joins and one agg —
+    never an all-pairs product, and a degree-d hub contributes
+    O(sqrt(m)) out-edges instead of O(d²) wedges (power-law safe;
+    pinned by the star-plus-clique pytest). Each triangle a ≺ b ≺ c
+    is generated exactly once at its minimum vertex. Nodes in no
+    triangle report 0."""
+    o = _oriented(pairs)
+    tris = _wedges(o).join(
+        o.select(F.col("u").alias("b"), F.col("v").alias("c")),
+        ["b", "c"],
         "leftsemi",
     )
     corners = tris.select(
-        F.explode(F.array("a", "b", "c")).alias("node")
+        F.explode(F.array("u", "b", "c")).alias("node")
     )
     verts = (
-        p.select(F.col("a").alias("node"))
-        .unionByName(p.select(F.col("b").alias("node")))
+        pairs.select(F.col("ia").alias("node"))
+        .unionByName(pairs.select(F.col("ib").alias("node")))
         .distinct()
     )
     return (

@@ -1,13 +1,14 @@
-"""Gate-overflow registry: operators beyond the driver's 50-row
-correctness budget.
+"""Gate-overflow registry: operators added past the driver's original
+50-row correctness budget.
 
-The driver's CORRECTNESS gate records 50 entries; the 50 registered
-before this module fill that budget, so entries here are deliberately
-LAST in `__spark_entry__._registry` — they carry full DuckDB oracles
-and are hash-verified by `tools/local_verify.py` (which checks the
-whole registry), just not by the driver's per-round report. Keep new
-post-budget operators here so the driver-checked 50 stay stable
-round over round.
+Round 5 rotation: the driver records the FIRST 50 entries of the
+registry, and `__spark_entry__.DRIVER_GATE_PRIORITY` now places these
+30 operators (plus the 20 most load-bearing core entries) at the front
+so each gets a driver-verified CORRECTNESS row. The 30 core entries
+displaced past the budget remain hash-verified by
+`tools/local_verify.py` (which always checks the whole registry) at
+sf0.01 and sf0.1. Keep new operators registering in this module — the
+priority list, not module order, decides what the driver sees.
 """
 
 from __future__ import annotations

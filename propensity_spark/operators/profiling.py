@@ -22,8 +22,9 @@ SURVEY.md §5).
   (first token) partitions candidates, the self-join runs as a hash
   equi-join on the block, and `levenshtein` filters residues inside
   blocks only. Cost is sum over blocks of |block|² on DISTINCT values,
-  not rows; skewed blocks would use the salted-agg pattern
-  (operators/extended.py q_salted_agg) upstream.
+  not rows, and |block| is bounded: oversized blocks are sub-blocked
+  (second token + length) then hard-capped at LINKAGE_MAX_BLOCK names,
+  so a stop-word first token can never make one quadratic mega-block.
 """
 
 from __future__ import annotations
@@ -32,9 +33,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pyspark.sql.window import Window
+
 from propensity_spark.io import load_table
 
 LINKAGE_MAX_DIST = 3
+# Block-size guard: the in-block self-join is quadratic in block size,
+# so a stop-word-ish first token ("the", "new") on a 10^8-name catalog
+# would make one mega-block dominate the join. Blocks larger than this
+# are first SUB-BLOCKED (second token + name length refine the key,
+# preserving recall for truly similar names, which share both) and then
+# HARD-CAPPED by deterministic row_number, bounding worst-case pairs at
+# #blocks * max_block^2 — the same shape as MAX_BASKET_ITEMS
+# (operators/extended.py) for basket self-joins.
+LINKAGE_MAX_BLOCK = 200
 
 
 def profile(df: DataFrame, exact: bool = False) -> DataFrame:
@@ -109,20 +121,56 @@ PROFILE_SQL = """
 """
 
 
-def record_linkage(
-    entities: DataFrame, name_col: str, max_dist: int = LINKAGE_MAX_DIST
+def _blocked_names(
+    entities: DataFrame, name_col: str, max_block: int
 ) -> DataFrame:
-    """Blocked fuzzy self-match over distinct values of `name_col`.
-    Returns (name_a, name_b, dist, n_a, n_b) with name_a < name_b,
-    same blocking key, levenshtein <= max_dist."""
+    """Distinct names with a size-guarded blocking key: (block, name,
+    n_rows). First-token blocks larger than `max_block` are refined by
+    second token + name length (truly-similar names share both), and
+    every final block is hard-capped at `max_block` names via
+    deterministic row_number (names are distinct, so ORDER BY name is
+    total). Cost: two window passes over DISTINCT names only."""
     names = entities.groupBy(F.col(name_col).alias("name")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
-    blocked = names.select(
-        F.split_part(F.col("name"), F.lit(" "), F.lit(1)).alias("block"),
-        "name",
-        "n_rows",
+    b1 = names.withColumn(
+        "blk1", F.split_part(F.col("name"), F.lit(" "), F.lit(1))
+    ).withColumn("c1", F.count(F.lit(1)).over(Window.partitionBy("blk1")))
+    blocked = b1.withColumn(
+        "block",
+        F.when(
+            F.col("c1") > max_block,
+            F.concat(
+                F.col("blk1"),
+                F.lit("|"),
+                F.split_part(F.col("name"), F.lit(" "), F.lit(2)),
+                F.lit("#"),
+                F.length("name").cast("string"),
+            ),
+        ).otherwise(F.col("blk1")),
     )
+    return (
+        blocked.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("block").orderBy("name")),
+        )
+        .where(F.col("rn") <= max_block)
+        .select("block", "name", "n_rows")
+    )
+
+
+def record_linkage(
+    entities: DataFrame,
+    name_col: str,
+    max_dist: int = LINKAGE_MAX_DIST,
+    max_block: int = LINKAGE_MAX_BLOCK,
+) -> DataFrame:
+    """Blocked fuzzy self-match over distinct values of `name_col`.
+    Returns (name_a, name_b, dist, n_a, n_b) with name_a < name_b,
+    same blocking key, levenshtein <= max_dist. Oversized blocks are
+    sub-blocked and capped (see LINKAGE_MAX_BLOCK) so the in-block
+    self-join stays bounded on skewed name distributions."""
+    blocked = _blocked_names(entities, name_col, max_block)
     a = blocked.select(
         "block",
         F.col("name").alias("name_a"),
@@ -156,8 +204,25 @@ LINKAGE_SQL = f"""
         SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_rows
         FROM part GROUP BY p_name
     ),
+    b1 AS (
+        SELECT name, n_rows, split_part(name, ' ', 1) AS blk1,
+               count(*) OVER (PARTITION BY split_part(name, ' ', 1)) AS c1
+        FROM names
+    ),
+    refined AS (
+        SELECT name, n_rows,
+               CASE WHEN c1 > {LINKAGE_MAX_BLOCK}
+                    THEN blk1 || '|' || split_part(name, ' ', 2)
+                         || '#' || CAST(length(name) AS VARCHAR)
+                    ELSE blk1 END AS block
+        FROM b1
+    ),
     blocked AS (
-        SELECT split_part(name, ' ', 1) AS block, name, n_rows FROM names
+        SELECT block, name, n_rows FROM (
+            SELECT block, name, n_rows,
+                   row_number() OVER (PARTITION BY block ORDER BY name) AS rn
+            FROM refined
+        ) WHERE rn <= {LINKAGE_MAX_BLOCK}
     )
     SELECT a.name AS name_a, b.name AS name_b,
            CAST(levenshtein(a.name, b.name) AS INT) AS dist,

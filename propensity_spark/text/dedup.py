@@ -471,27 +471,32 @@ QUERIES = {
 }
 
 
-def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-group assignment: connected components over the LSH
-    band-candidate graph via alternating LARGE-STAR / SMALL-STAR
-    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
-    converges in O(log^2 n) rounds independent of graph diameter,
-    unlike plain min-label propagation (O(diameter) rounds: a 10^6-long
-    dup chain at web scale would need 10^6 rounds).
+def connected_components(
+    edges: DataFrame,
+    max_rounds: int = 12,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Star-forest reduction of an undirected (u, v) edge list via
+    alternating LARGE-STAR / SMALL-STAR (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — converges in O(log^2 n)
+    rounds independent of graph diameter, unlike plain min-label
+    propagation (O(diameter) rounds: a 10^6-long dup chain at web
+    scale would need 10^6 rounds).
 
-    Each round = one large-star + one small-star (2 aggs + 2 joins) and
-    exactly ONE driver action: the eager localCheckpoint that truncates
-    lineage. Convergence (edge-set signature: count + key sums) is
-    checked every 3rd round on the already-checkpointed edges instead
-    of per-round. Output: (doc_id, component) where component = min
-    doc_id reachable; isolated docs map to themselves.
+    Each round = one large-star + one small-star (2 aggs + 2 joins)
+    and exactly ONE driver action: the eager lineage cut. Default is
+    localCheckpoint; pass `checkpoint_dir` for reliable
+    `df.checkpoint()` so a long cluster run survives executor loss
+    (operators/graph.cut_lineage). Convergence (edge-set signature:
+    count + key sums) is checked every 3rd round on the already-
+    checkpointed edges instead of per-round. Returns (node, component)
+    for nodes with at least one edge; component = min reachable id.
     """
-    cand = _band_candidates(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        cand.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    from propensity_spark.operators.graph import cut_lineage
+
+    edges = edges.select(
+        F.col(edges.columns[0]).alias("u"), F.col(edges.columns[1]).alias("v")
+    ).where(F.col("u") != F.col("v")).distinct()
 
     def large_star(e: DataFrame) -> DataFrame:
         """For each node u: attach every LARGER neighbor to u's current
@@ -523,8 +528,10 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         return relinked.where(F.col("u") != F.col("v")).distinct()
 
     prev_sig = None
-    for rnd in range(12):  # O(log^2 n) bound; fixture converges in 2-3
-        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+    for rnd in range(max_rounds):  # O(log^2 n); fixture converges in 2-3
+        edges = cut_lineage(
+            small_star(large_star(edges)), checkpoint_dir, eager=True
+        )
         if rnd % 3 == 2:
             sig = tuple(
                 edges.agg(
@@ -535,7 +542,20 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             prev_sig = sig
     # After convergence the edge set is a star forest: (node, root).
-    roots = edges.groupBy(F.col("u").alias("doc_id")).agg(F.min("v").alias("component"))
+    return edges.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("component")
+    )
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group assignment: connected components over the LSH
+    band-candidate graph (see connected_components for the algorithm
+    and its scale story). Output: (doc_id, component) where component
+    = min doc_id reachable; isolated docs map to themselves."""
+    cand = _band_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    roots = connected_components(
+        cand.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    ).withColumnRenamed("node", "doc_id")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return docs.join(roots, "doc_id", "leftouter").select(
         "doc_id", F.coalesce("component", "doc_id").alias("component")

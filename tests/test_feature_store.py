@@ -562,6 +562,27 @@ def test_time_travel_reads_and_history(spark, store):
         t2.read(version=w1)
 
 
+def test_time_travel_raises_on_partially_gcd_snapshot(spark, store):
+    """A multi-day snapshot where ONE day's versions <= N were all
+    garbage-collected must raise loudly (Delta VERSION AS OF parity),
+    not silently return the surviving days as a partial snapshot."""
+    import pytest as _pytest
+
+    d1, d2 = date(2024, 1, 1), date(2024, 1, 2)
+    t = FeatureTable(
+        spark, "ttgc", ["household_key", "day"], store, keep_versions=1
+    )
+    v1 = t.create(_frame(spark, d1, [1], 1.0))
+    t.merge(_frame(spark, d2, [2], 2.0))  # day2 exists at v1+1
+    t.merge(_frame(spark, d1, [1], 3.0))  # retires day1's v1 (horizon=1)
+    # day2 still resolves at version v1+1, but day1's only version <= v1+1
+    # is gone: the read must raise, not drop day1 from the snapshot.
+    with _pytest.raises(FileNotFoundError, match="garbage"):
+        t.read(version=v1 + 1)
+    # the live read (no version) is unaffected
+    assert t.read().count() == 2
+
+
 def test_time_travel_never_resolves_crashed_versions(spark, store):
     """An unpointed v-dir whose number falls between two commits must
     be invisible to time travel: read(version=junk_n) resolves to the

@@ -263,6 +263,39 @@ def test_pagerank_ranks_hub_above_leaves_and_conserves_mass(spark):
     assert abs(sum(r["rank"] for r in out.values()) - 1.0) < 1e-6
 
 
+def test_iterative_graph_ops_reliable_checkpoint_bit_identical(
+    spark, tmp_path
+):
+    """checkpoint_dir= switches the per-iteration lineage cut from
+    localCheckpoint to reliable df.checkpoint(); results must be
+    bit-identical in both modes for pagerank AND connected
+    components — only failure-recovery behavior differs."""
+    from propensity_spark.operators.graph import pagerank
+    from propensity_spark.text.dedup import connected_components
+
+    pairs = [("h", x) for x in "abcd"] + [("a", "b"), ("c", "d")]
+    edges = spark.createDataFrame(
+        pairs + [(t, s) for s, t in pairs], "src string, dst string"
+    )
+    local = sorted(map(tuple, pagerank(edges).collect()))
+    reliable = sorted(map(tuple, pagerank(
+        edges, checkpoint_dir=str(tmp_path / "ckpt_pr")
+    ).collect()))
+    assert local == reliable  # bit-identical, not approximately
+
+    cc_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (9, 9)], "u: long, v: long"
+    )
+    cc_local = sorted(map(tuple, connected_components(cc_edges).collect()))
+    cc_rel = sorted(map(tuple, connected_components(
+        cc_edges, checkpoint_dir=str(tmp_path / "ckpt_cc")
+    ).collect()))
+    assert cc_local == cc_rel
+    comp = dict(cc_local)
+    assert comp[2] == 1 and comp[3] == 1 and comp[8] == 7
+    assert (tmp_path / "ckpt_pr").exists()  # reliable files really wrote
+
+
 def test_hll_rollup_flags_and_exactness(spark, sf_dir):
     """Mergeable-sketch rollup: exact distinct counts match a direct
     computation, the merged-daily estimate is within the error bound,
@@ -537,6 +570,39 @@ def test_record_linkage_respects_blocks_and_threshold(spark):
     assert len(out) == 1
 
 
+def test_record_linkage_mega_block_guard(spark):
+    """A stop-word first-token block larger than max_block is first
+    sub-blocked (second token + length) and then hard-capped, so the
+    in-block self-join pair count stays bounded at C(max_block, 2)
+    per block instead of C(|block|, 2)."""
+    from propensity_spark.operators.profiling import (
+        _blocked_names,
+        record_linkage,
+    )
+
+    # 50 distinct names sharing first token, second token AND length:
+    # sub-blocking cannot split them, so the hard cap must bite.
+    df = spark.createDataFrame(
+        [(f"the xx {i:03d}",) for i in range(50)], "name: string"
+    )
+    blocked = _blocked_names(df, "name", max_block=10)
+    assert blocked.groupBy("block").count().agg(
+        {"count": "max"}
+    ).collect()[0][0] == 10
+    out = record_linkage(df, "name", max_dist=3, max_block=10)
+    assert out.count() == 45  # C(10,2); unguarded would be C(50,2)=1225
+
+    # Sub-blocking (not just capping) preserves recall: names that
+    # share the refined key (second token + length) still link even
+    # when their first-token block overflows max_block.
+    rows = [(f"new {c} thing",) for c in "abcdefghijklm"]
+    rows += [("new a widge",), ("new a widgf",)]
+    df2 = spark.createDataFrame(rows, "name: string")
+    pairs = {(r["name_a"], r["name_b"])
+             for r in record_linkage(df2, "name", 3, max_block=10).collect()}
+    assert ("new a widge", "new a widgf") in pairs
+
+
 def test_cdc_apply_latest_wins_and_deletes_drop(spark, tmp_path):
     """Per key, the highest-sequence change wins; a trailing delete
     removes the key; a delete followed by a later upsert resurrects."""
@@ -757,6 +823,37 @@ def test_triangle_count_star_vs_clique(spark):
     out = {r["node"]: r["n_triangles"]
            for r in triangle_count(clique).collect()}
     assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_wedges_are_degree_ordered_not_hub_quadratic(spark):
+    """Star-plus-clique: a degree-20 hub must contribute ZERO wedges
+    (its edges all orient inward under the degree order), so the
+    wedge-side row count tracks Σ C(out_deg, 2) of the min-degree
+    orientation — 10 for the K5 — not the Σ d² = C(20,2) + ... an
+    id-ordered enumeration would produce with the hub first by id."""
+    from propensity_spark.operators.graph import (
+        _oriented,
+        _wedges,
+        triangle_count,
+    )
+
+    # Hub named to sort FIRST by id ("a_hub" < "z.."), so an id-ordered
+    # a<b<c scheme would put all 20 star edges out of the hub.
+    star = [("a_hub", f"z{k:02d}") for k in range(20)]
+    k5 = [(f"k{a}", f"k{b}") for a in range(5) for b in range(a + 1, 5)]
+    pairs = spark.createDataFrame(star + k5, "ia: string, ib: string")
+
+    wedges = _wedges(_oriented(pairs))
+    # K5 degree-ordered out-degrees are 4,3,2,1,0 -> 6+3+1+0+0 wedges;
+    # hub and leaves contribute none. id-ordered would add C(20,2)=190.
+    assert wedges.count() == 10
+    assert wedges.where(F.col("u") == "a_hub").count() == 0
+
+    out = {r["node"]: r["n_triangles"]
+           for r in triangle_count(pairs).collect()}
+    assert all(out[f"k{i}"] == 6 for i in range(5))  # C(4,2) per K5 node
+    assert out["a_hub"] == 0
+    assert all(out[f"z{k:02d}"] == 0 for k in range(20))
 
 
 def test_moving_average_range_frame_spans_calendar_days(spark, tmp_path):
