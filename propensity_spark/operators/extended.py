@@ -401,6 +401,10 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MIN_SUPPORT = 0.01  # fraction of baskets an item(set) must appear in
+# Triples dilute support (a 25-brand catalog spreads mass over C(25,3)
+# combos vs C(25,2)); measured max triple support is ~0.006 at sf0.01 and
+# ~0.004 at sf0.1, so the size-3 rung gets its own, lower threshold.
+TRIPLE_MIN_SUPPORT = 0.0035
 MAX_BASKET_ITEMS = 50  # degenerate-basket guard (see q_basket_affinity)
 
 
@@ -422,10 +426,11 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     mega-baskets are degenerate for affinity and are the one input that
     could blow the self-join up; the oracle applies the same cap, and
     the 25-brand fixture never hits it), linear in baskets overall; the
-    support tables and the 1-row basket count broadcast back. For
-    itemsets of size >= 3 the scale path is MLlib FPGrowth over the
-    same (basket, items) frame — pinned equal to this exact
-    computation for sizes 1-2 by pytest."""
+    support tables and the 1-row basket count broadcast back. The
+    size-3 rung is q_basket_affinity_3 (its own gate entry, apriori-
+    pruned); MLlib FPGrowth over the same (basket, items) frame is
+    the general-depth scale path — pytest pins both sizes 1-2 here
+    and the size-3 operator equal to FPGrowth's freqItemsets."""
     from propensity_spark.operators.relational import brand_dim, silver_transactions
 
     silver = silver_transactions(spark, sf_dir)
@@ -484,13 +489,107 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return item_rows.unionByName(pair_rows)
 
 
-_BASKET_AFFINITY_SQL = """
-    WITH s AS ({silver}),
-    bi_all AS (
+def q_basket_affinity_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets — the size-3 rung of the FPGrowth-style
+    scale path that q_basket_affinity stops short of. Apriori pruning
+    makes it linear in FREQUENT structure rather than cubic in basket
+    width: candidate (a, b, c) occurrences are generated only from
+    basket-pair rows whose (a, b) is already a frequent pair (lossless
+    by downward closure: every sub-pair of a frequent triple is at
+    least as frequent), then extended by one more basket-grain
+    equi-join and support-filtered. Same MAX_BASKET_ITEMS mega-basket
+    cap as the pair computation; the oracle runs the unpruned 3-way
+    self-join — identical output, which is exactly the point of the
+    pruning proof."""
+    from propensity_spark.operators.relational import brand_dim, silver_transactions
+
+    silver = silver_transactions(spark, sf_dir)
+    bi_all = (
+        silver.join(F.broadcast(brand_dim(spark, sf_dir)), "product_id")
+        .select("basket_id", F.col("commodity_desc").alias("item"))
+        .dropDuplicates(["basket_id", "item"])
+    )
+    sizes = bi_all.groupBy("basket_id").agg(F.count(F.lit(1)).alias("__bn"))
+    bi = (
+        bi_all.join(sizes.where(F.col("__bn") <= MAX_BASKET_ITEMS), "basket_id")
+        .drop("__bn")
+    )
+    nb = bi.agg(F.countDistinct("basket_id").alias("nb"))
+    a, b = bi.alias("a"), bi.alias("b")
+    basket_pairs = a.join(
+        b,
+        (F.col("a.basket_id") == F.col("b.basket_id"))
+        & (F.col("a.item") < F.col("b.item")),
+    ).select(
+        F.col("a.basket_id").alias("basket_id"),
+        F.col("a.item").alias("ia"),
+        F.col("b.item").alias("ib"),
+    )
+    freq_pairs = (
+        basket_pairs.groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(nb))
+        .where(F.col("cnt") / F.col("nb") >= TRIPLE_MIN_SUPPORT)
+        .select("ia", "ib")
+    )
+    pruned = basket_pairs.join(freq_pairs, ["ia", "ib"], "leftsemi")
+    triples = (
+        pruned.join(
+            bi.select("basket_id", F.col("item").alias("ic")), "basket_id"
+        )
+        .where(F.col("ic") > F.col("ib"))
+        .groupBy("ia", "ib", "ic")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        triples.crossJoin(F.broadcast(nb))
+        .where(F.col("cnt") / F.col("nb") >= TRIPLE_MIN_SUPPORT)
+        .select(
+            F.col("ia").alias("item_a"),
+            F.col("ib").alias("item_b"),
+            F.col("ic").alias("item_c"),
+            F.col("cnt").alias("support_cnt"),
+            F.round(F.col("cnt") / F.col("nb") + 1e-9, 6).alias("support"),
+        )
+    )
+
+
+_BASKET3_SQL = """
+    WITH s AS MATERIALIZED ({silver}),
+    bi_all AS MATERIALIZED (
         SELECT DISTINCT s.basket_id, p.p_brand AS item
         FROM s JOIN part p ON s.product_id = p.p_partkey
     ),
-    bi AS (
+    bi AS MATERIALIZED (
+        SELECT * FROM bi_all WHERE basket_id IN (
+            SELECT basket_id FROM bi_all GROUP BY basket_id
+            HAVING count(*) <= {max_items}
+        )
+    ),
+    nb AS (SELECT count(DISTINCT basket_id) AS nb FROM bi),
+    triples AS (
+        SELECT a.item AS ia, b.item AS ib, c.item AS ic,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM bi a
+        JOIN bi b ON a.basket_id = b.basket_id AND a.item < b.item
+        JOIN bi c ON a.basket_id = c.basket_id AND b.item < c.item
+        GROUP BY 1, 2, 3
+    )
+    SELECT ia AS item_a, ib AS item_b, ic AS item_c,
+           cnt AS support_cnt,
+           round(cnt * 1.0 / nb + 1e-9, 6) AS support
+    FROM triples, nb
+    WHERE cnt * 1.0 / nb >= {minsup}
+"""
+
+
+_BASKET_AFFINITY_SQL = """
+    WITH s AS MATERIALIZED ({silver}),
+    bi_all AS MATERIALIZED (
+        SELECT DISTINCT s.basket_id, p.p_brand AS item
+        FROM s JOIN part p ON s.product_id = p.p_partkey
+    ),
+    bi AS MATERIALIZED (
         SELECT * FROM bi_all WHERE basket_id IN (
             SELECT basket_id FROM bi_all GROUP BY basket_id
             HAVING count(*) <= {max_items}

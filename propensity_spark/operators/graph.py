@@ -226,12 +226,12 @@ def _triangle_sql() -> str:
     from propensity_spark.operators.relational import SILVER_SQL
 
     return f"""
-    WITH s AS ({SILVER_SQL}),
-    bi_all AS (
+    WITH s AS MATERIALIZED ({SILVER_SQL}),
+    bi_all AS MATERIALIZED (
         SELECT DISTINCT s.basket_id, p.p_brand AS item
         FROM s JOIN part p ON s.product_id = p.p_partkey
     ),
-    bi AS (
+    bi AS MATERIALIZED (
         SELECT * FROM bi_all WHERE basket_id IN (
             SELECT basket_id FROM bi_all GROUP BY basket_id
             HAVING count(*) <= {MAX_BASKET_ITEMS}
@@ -316,12 +316,12 @@ def _pagerank_sql() -> str:
         )
     chain = ",\n    ".join(iter_ctes)
     return f"""
-    WITH s AS ({SILVER_SQL}),
-    bi_all AS (
+    WITH s AS MATERIALIZED ({SILVER_SQL}),
+    bi_all AS MATERIALIZED (
         SELECT DISTINCT s.basket_id, p.p_brand AS item
         FROM s JOIN part p ON s.product_id = p.p_partkey
     ),
-    bi AS (
+    bi AS MATERIALIZED (
         SELECT * FROM bi_all WHERE basket_id IN (
             SELECT basket_id FROM bi_all GROUP BY basket_id
             HAVING count(*) <= {MAX_BASKET_ITEMS}

@@ -15,13 +15,16 @@ from __future__ import annotations
 
 from propensity_spark.operators.extended import (
     _BASKET_AFFINITY_SQL,
+    _BASKET3_SQL,
     BLOOM_SEMIJOIN_SQL,
     CDC_APPLY_SQL,
     HLL_ROLLUP_SQL,
     SCD2_SQL,
     MAX_BASKET_ITEMS,
     MIN_SUPPORT,
+    TRIPLE_MIN_SUPPORT,
     q_basket_affinity,
+    q_basket_affinity_3,
     q_bloom_semijoin,
     q_cdc_apply,
     q_hll_rollup,
@@ -91,6 +94,7 @@ from propensity_spark.text.analysis import (
 
 QUERIES = {
     "basket_affinity": q_basket_affinity,
+    "basket_affinity_3": q_basket_affinity_3,
     "vocab_heavy_hitters": q_vocab_heavy_hitters,
     "perplexity_filter": q_perplexity_filter,
     "bm25_search": q_bm25_search,
@@ -125,6 +129,9 @@ QUERIES = {
 ORACLES = {
     "basket_affinity": _BASKET_AFFINITY_SQL.format(
         silver=SILVER_SQL, minsup=MIN_SUPPORT, max_items=MAX_BASKET_ITEMS
+    ),
+    "basket_affinity_3": _BASKET3_SQL.format(
+        silver=SILVER_SQL, minsup=TRIPLE_MIN_SUPPORT, max_items=MAX_BASKET_ITEMS
     ),
     "vocab_heavy_hitters": VOCAB_HEAVY_HITTERS_SQL,
     "perplexity_filter": PERPLEXITY_SQL,

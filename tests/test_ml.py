@@ -256,6 +256,43 @@ def test_basket_affinity_matches_mllib_fpgrowth(spark, sf_dir):
     )
 
 
+def test_basket_affinity_3_matches_mllib_fpgrowth(spark, sf_dir):
+    """The apriori-pruned triple supports in q_basket_affinity_3 must
+    equal MLlib FPGrowth's size-3 freqItemsets at TRIPLE_MIN_SUPPORT —
+    pinning that the pair-pruning semi-join is lossless (downward
+    closure) against the FP-tree reference."""
+    from pyspark.ml.fpm import FPGrowth
+
+    from propensity_spark.operators.extended import (
+        TRIPLE_MIN_SUPPORT,
+        q_basket_affinity_3,
+    )
+    from propensity_spark.operators.relational import brand_dim, silver_transactions
+
+    got = {
+        (r["item_a"], r["item_b"], r["item_c"]): r["support_cnt"]
+        for r in q_basket_affinity_3(spark, sf_dir).collect()
+    }
+    assert got  # non-vacuous at the fixture SF
+
+    bi = (
+        silver_transactions(spark, sf_dir)
+        .join(F.broadcast(brand_dim(spark, sf_dir)), "product_id")
+        .select("basket_id", F.col("commodity_desc").alias("item"))
+        .dropDuplicates(["basket_id", "item"])
+    )
+    baskets = bi.groupBy("basket_id").agg(F.collect_set("item").alias("items"))
+    model = FPGrowth(
+        itemsCol="items", minSupport=TRIPLE_MIN_SUPPORT, minConfidence=0.0
+    ).fit(baskets)
+    fp = {
+        tuple(sorted(r["items"])): r["freq"]
+        for r in model.freqItemsets.collect()
+        if len(r["items"]) == 3
+    }
+    assert got == fp
+
+
 def test_quality_classifier_separates_reference_from_noise(spark):
     """fastText-style quality filter on a separable corpus: train on
     weak labels (reference vocab vs noise vocab), verify held-out

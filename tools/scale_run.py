@@ -34,6 +34,13 @@ QUERIES = [
     "minhash_band_pairs",
     "labels",
     "tpch_q1",
+    # round-4 headliners (judge r4 item 4: exponents were unmeasured)
+    "bloom_semijoin",
+    "dsir_select",
+    "exactsubstr_dedup",
+    "path_analysis",
+    "anomaly_mad",
+    "pagerank_affinity",
 ]
 
 
