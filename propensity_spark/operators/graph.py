@@ -62,8 +62,18 @@ def pagerank(
     `checkpoint_dir` upgrades per-iteration lineage cuts to reliable
     checkpoints (see cut_lineage); results are bit-identical either
     way — only failure-recovery behavior differs."""
+    if checkpoint:
+        # The edge list is loop-INVARIANT but sits in every iteration's
+        # lineage: without its own cut, each rank step re-evaluates the
+        # caller's whole edge derivation (for the co-purchase graph
+        # that is a basket self-join — measured 6x recompute at sf0.1).
+        # deg/verts get the same treatment: joined/rebuilt every round.
+        edges = cut_lineage(edges, checkpoint_dir, eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     verts = edges.select(F.col("src").alias("node")).distinct()
+    if checkpoint:
+        deg = cut_lineage(deg, checkpoint_dir, eager=False)
+        verts = cut_lineage(verts, checkpoint_dir, eager=False)
     nn = verts.agg(F.count(F.lit(1)).alias("n"))
     ranks = verts.crossJoin(F.broadcast(nn)).select(
         "node", "n", F.expr("round(cast(1.0 as double) / n, 12)").alias("rank")

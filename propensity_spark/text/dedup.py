@@ -497,6 +497,11 @@ def connected_components(
     edges = edges.select(
         F.col(edges.columns[0]).alias("u"), F.col(edges.columns[1]).alias("v")
     ).where(F.col("u") != F.col("v")).distinct()
+    # The first star round references the input edge frame on several
+    # plan branches (union both directions + per-node min join); cut its
+    # lineage once so an expensive upstream derivation (e.g. the LSH
+    # band-candidate pipeline) is evaluated once, not per branch.
+    edges = cut_lineage(edges, checkpoint_dir, eager=False)
 
     def large_star(e: DataFrame) -> DataFrame:
         """For each node u: attach every LARGER neighbor to u's current
