@@ -61,8 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--tune", action="store_true")
             # reference parity: >=50 hyperopt trials per commodity
             # (04b_Task__Model_Training.py:392-395); seeded random
-            # search at the same breadth.
+            # search at the same breadth, or --tuner tpe for the
+            # adaptive TPE analogue of hyperopt's tpe.suggest.
             p.add_argument("--n-trials", type=int, default=50)
+            p.add_argument(
+                "--tuner", choices=("random", "tpe"), default="random"
+            )
         if name in ("daily", "drift"):
             p.add_argument("--psi-threshold", type=float, default=0.25)
     return ap
@@ -120,9 +124,10 @@ def run(args, spark=None) -> int:
                 day=day,
                 tune=args.tune,
                 model_type=args.model_type,
-                # --tune at reference breadth: seeded random search over
-                # the continuous space, --n-trials (default 50) maps.
-                search="random" if args.tune else "grid",
+                # --tune at reference breadth: --n-trials (default 50)
+                # seeded random-search maps, or adaptive TPE proposals
+                # over the same space with --tuner tpe.
+                search=args.tuner if args.tune else "grid",
                 n_trials=args.n_trials if args.tune else None,
             )
         )

@@ -101,7 +101,9 @@ def _search_maps(clf, model_type: str, search: str, n_trials: int, seed: int = S
     stepSize for `learning_rate` (04b:383-395); `random` is the seeded
     random-search sampler (Bergstra & Bengio 2012) over the same ranges
     with log-uniform draws for the learning-rate/regularization axes,
-    at whatever trial count the caller budgets."""
+    at whatever trial count the caller budgets; the ADAPTIVE analogue
+    of the reference's hyperopt TPE lives in ml/tuning_tpe.py and is
+    selected with search='tpe'."""
     if search == "grid":
         if model_type == "gbt":
             return (
@@ -230,6 +232,16 @@ def make_pipeline(
         est = SessionSafePipeline(stages=[assembler, clf])
         est.n_search_trials = 1
         return est
+    if search == "tpe":
+        # Adaptive path (reference: hyperopt tpe.suggest, 04b:392-395).
+        # Same search space and trial budget as 'random'; proposals
+        # concentrate where earlier trials scored well. Returns an
+        # object with .bestModel like TrainValidationSplit.
+        from propensity_spark.ml.tuning_tpe import TPESearch
+
+        return TPESearch(
+            assembler, clf, model_type, n_trials or N_SEARCH_TRIALS, SEED
+        )
     grid = _search_maps(clf, model_type, search, n_trials)
     from pyspark.sql import SparkSession
 

@@ -322,3 +322,83 @@ def test_quality_classifier_separates_reference_from_noise(spark):
         expected = 1 if d < 100 else 0
         assert r["quality_keep"] == expected, (d, r["quality_prob"])
         assert 0.0 <= r["quality_prob"] <= 1.0
+
+
+def test_tpe_proposals_adapt_toward_good_region():
+    """Driver-side TPE arithmetic (no Spark): on a known quadratic
+    loss over the lr space, adaptive proposals achieve lower mean loss
+    than seeded random sampling at the same budget, stay in bounds,
+    and the proposal stream is deterministic for a fixed seed."""
+    import math
+    import random
+
+    from propensity_spark.ml.tuning_tpe import SPACES, propose
+
+    dims = SPACES["lr"]
+
+    def loss(p):
+        # optimum at regParam=0.01 (log space), elasticNetParam=0.3
+        return (math.log(p["regParam"]) - math.log(0.01)) ** 2 + 4 * (
+            p["elasticNetParam"] - 0.3
+        ) ** 2
+
+    def run(seed):
+        rng = random.Random(seed)
+        history = [
+            (p, loss(p))
+            for p in ({d.name: d.sample(rng) for d in dims} for _ in range(10))
+        ]
+        proposals = []
+        for _ in range(20):
+            p = propose(history, dims, rng)
+            history.append((p, loss(p)))
+            proposals.append(p)
+        return proposals
+
+    proposals = run(7)
+    again = run(7)
+    assert proposals == again  # deterministic
+
+    rng = random.Random(99)
+    random_pts = [{d.name: d.sample(rng) for d in dims} for _ in range(20)]
+    mean_tpe = sum(loss(p) for p in proposals) / len(proposals)
+    mean_rand = sum(loss(p) for p in random_pts) / len(random_pts)
+    assert mean_tpe < mean_rand  # adaptivity: concentrates near optimum
+    for p in proposals:
+        assert 1e-4 <= p["regParam"] <= 1.0
+        assert 0.0 <= p["elasticNetParam"] <= 1.0
+
+
+def test_tpe_search_end_to_end_deterministic(spark):
+    """TPESearch over MLlib LR on a separable frame: runs the full
+    budget, exposes TrainValidationSplit-shaped results, repeats
+    bit-identically under the same seed, and the refit best model
+    scores the training frame."""
+    import random
+
+    from propensity_spark.ml.training import make_pipeline
+
+    rnd = random.Random(3)
+    rows = []
+    for _ in range(300):
+        y = rnd.random() < 0.5
+        x1 = (1.0 if y else -1.0) + rnd.gauss(0, 0.6)
+        rows.append((float(y), x1, rnd.gauss(0, 1.0), 1.0))
+    df = spark.createDataFrame(
+        rows, "purchased double, f1 double, f2 double, class_weight double"
+    )
+
+    def run():
+        est = make_pipeline(
+            ["f1", "f2"], tune=True, model_type="lr", search="tpe", n_trials=6
+        )
+        assert est.n_search_trials == 6
+        return est.fit(df)
+
+    m1, m2 = run(), run()
+    assert [p for p, _ in m1.trials] == [p for p, _ in m2.trials]
+    assert len(m1.validationMetrics) == 6
+    assert max(m1.validationMetrics) > 0.8  # separable -> good AUPR
+    assert m1.bestModel.transform(df).count() == 300
+    # the winner's params are one of the evaluated trials
+    assert m1.bestParams in [p for p, _ in m1.trials]
