@@ -90,6 +90,10 @@ from propensity_spark.text.analysis import (
     q_repetition_signals,
     q_perplexity_filter,
     q_vocab_heavy_hitters,
+    CHAR_ENTROPY_SQL,
+    WEIGHTED_SAMPLE_SQL,
+    q_char_entropy,
+    q_weighted_sample,
 )
 
 QUERIES = {
@@ -124,6 +128,8 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "moving_average": q_moving_average,
     "ri_check": q_ri_check,
+    "weighted_sample": q_weighted_sample,
+    "char_entropy": q_char_entropy,
 }
 
 ORACLES = {
@@ -162,4 +168,6 @@ ORACLES = {
     "triangle_count": TRIANGLE_SQL,
     "moving_average": MOVING_AVG_SQL,
     "ri_check": RI_CHECK_SQL,
+    "weighted_sample": WEIGHTED_SAMPLE_SQL,
+    "char_entropy": CHAR_ENTROPY_SQL,
 }

@@ -1331,3 +1331,133 @@ def _doc_embed_sql() -> str:
 
 DOC_EMBED_SQL = _doc_embed_sql()
 # doc_embed registers in operators/overflow.py (post-budget).
+
+
+# ---------------------------------------------------------------------------
+# Weighted priority sampling (Efraimidis & Spiliopoulos 2006, "Weighted
+# random sampling with a reservoir"): a size-k sample where inclusion
+# probability tracks a per-row weight, computed WITHOUT a reservoir —
+# each row gets priority u^(1/w) (equivalently ln(u)/w, monotone) from
+# a deterministic md5-uniform, and the global top-k by priority IS the
+# weighted sample. Spark plans the orderBy+limit as TakeOrderedAndProject
+# (per-partition heaps + one k-row merge — no global sort, no single-
+# partition window), so the op is one scan at any corpus size; the same
+# stable-under-append / stable-under-repartition determinism story as
+# split_by_hash. Training-data use: length- or quality-weighted corpus
+# subsampling where heavier docs must be kept more often but the sample
+# must stay reproducible across rebuilds.
+# Priorities are rounded to 12 dp in BOTH engines (ln's last-ulp may
+# differ across libm implementations) and ties break on doc_id, so the
+# selected set is engine-independent.
+# ---------------------------------------------------------------------------
+
+PRIORITY_SAMPLE_K = 100
+
+
+def weighted_priority_sample(
+    docs: DataFrame, weight_col: str, k: int = PRIORITY_SAMPLE_K
+) -> DataFrame:
+    """Deterministic weighted sample of k docs: top-k by
+    round(ln(u)/w, 12) with u = md5-uniform of doc_id (u > 0) and
+    w = max(weight, 1). Returns (doc_id, weight, priority)."""
+    u = (
+        "((cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 8),"
+        " 16, 10) as bigint) % 1000000) + 1) / 1000000.0"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.greatest(F.col(weight_col), F.lit(1)).cast("double").alias("weight"),
+        )
+        .withColumn("priority", F.expr(f"round(ln({u}) / weight, 12)"))
+        .orderBy(F.col("priority").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus subsample: n_chars-weighted priority
+    sampling of PRIORITY_SAMPLE_K documents."""
+    return weighted_priority_sample(
+        load_table(spark, sf_dir, "documents"), "n_chars"
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+    SELECT doc_id, weight, priority FROM (
+        SELECT doc_id,
+               CAST(greatest(n_chars, 1) AS DOUBLE) AS weight,
+               round(ln((((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           ::BIGINT % 1000000) + 1) / 1000000.0))
+                     / CAST(greatest(n_chars, 1) AS DOUBLE), 12) AS priority
+        FROM documents
+    )
+    ORDER BY priority DESC, doc_id
+    LIMIT {PRIORITY_SAMPLE_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal: Shannon entropy (bits/char) of each
+# document's character distribution plus the modal-character fraction.
+# Low entropy or a dominant character flags boilerplate, padding, and
+# degenerate machine text that n-gram repetition fractions (Gopher
+# grid) can miss — the cheap cousin of the compression-ratio filter in
+# CCNet-descended pipelines (zlib isn't cross-engine deterministic;
+# the entropy of the char histogram is). One explode + one (doc, char)
+# agg + one doc agg — two shuffles at doc grain, no joins; the float
+# sum is rounded with the repo's 1e-9 nudge in both engines since
+# parallel-vs-sequential summation order differs.
+# ---------------------------------------------------------------------------
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc character statistics: (doc_id, n_chars_counted,
+    n_distinct_chars, entropy_bits, max_char_frac). The per-doc total
+    rides as a window over the (doc, char) frequency table — the
+    window shares the groupBy's doc_id partitioning, so it costs no
+    extra shuffle."""
+    from pyspark.sql.window import Window
+
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.lower(text_col), "")).alias("ch")
+    ).where(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    freq = freq.withColumn(
+        "n", F.sum("c").over(Window.partitionBy("doc_id"))
+    )
+    return freq.groupBy("doc_id").agg(
+        F.max("n").alias("n_chars_counted"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.expr(
+            "round(-sum((c / n) * log2(c / n)) + 1e-9, 6)"
+        ).alias("entropy_bits"),
+        F.expr("round(max(c) / max(n) + 1e-9, 6)").alias("max_char_frac"),
+    )
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+CHAR_ENTROPY_SQL = """
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split(lower(text), '')) AS ch
+        FROM documents
+    ),
+    freq AS (
+        SELECT doc_id, ch, count(*) AS c FROM chars
+        WHERE ch != '' GROUP BY doc_id, ch
+    ),
+    freq2 AS (
+        SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM freq
+    )
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_chars_counted,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           round(-sum((c * 1.0 / n) * log2(c * 1.0 / n)) + 1e-9, 6)
+               AS entropy_bits,
+           round(max(c) * 1.0 / max(n) + 1e-9, 6) AS max_char_frac
+    FROM freq2
+    GROUP BY doc_id
+"""

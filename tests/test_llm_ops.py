@@ -963,3 +963,42 @@ def test_doc_embed_is_unit_norm_and_content_keyed(spark, tmp_path):
     assert out[1] != out[4]
     cos = lambda a, b: sum(x * y for x, y in zip(a, b))
     assert cos(out[1], out[3]) > cos(out[1], out[4])
+
+
+def test_weighted_priority_sample_biased_deterministic_partition_stable(spark):
+    """Efraimidis-Spiliopoulos weighted sampling: heavy docs dominate
+    the sample, the selection is identical across runs AND across
+    repartitionings (priorities depend only on doc_id + weight), and
+    exactly k rows come back."""
+    from propensity_spark.text.analysis import weighted_priority_sample
+
+    rows = [(i, 10_000 if i < 50 else 10) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = weighted_priority_sample(df, "w", k=40).collect()
+    assert len(got) == 40
+    heavy = sum(1 for r in got if r["doc_id"] < 50)
+    # 50 heavy docs at 1000x weight should dominate a 40-doc sample
+    assert heavy >= 30
+    again = weighted_priority_sample(df.repartition(7), "w", k=40).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_char_entropy_hand_computed(spark):
+    """Shannon entropy of the char histogram on hand-checkable docs:
+    constant text -> 0 bits; two/four equiprobable chars -> 1/2 bits;
+    case folds before counting; modal fraction rides along."""
+    from propensity_spark.text.analysis import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "AaBb")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert out[1]["entropy_bits"] == 0.0 and out[1]["max_char_frac"] == 1.0
+    assert out[1]["n_distinct_chars"] == 1
+    assert abs(out[2]["entropy_bits"] - 1.0) < 1e-5
+    assert abs(out[2]["max_char_frac"] - 0.5) < 1e-5
+    assert abs(out[3]["entropy_bits"] - 2.0) < 1e-5
+    assert out[4]["n_distinct_chars"] == 2  # AaBb folds to aabb
+    assert abs(out[4]["entropy_bits"] - 1.0) < 1e-5
+    assert all(r["n_chars_counted"] == 4 for r in out.values())
