@@ -1405,18 +1405,18 @@ WEIGHTED_SAMPLE_SQL = f"""
 # grid) can miss — the cheap cousin of the compression-ratio filter in
 # CCNet-descended pipelines (zlib isn't cross-engine deterministic;
 # the entropy of the char histogram is). One explode + one (doc, char)
-# agg + one doc agg — two shuffles at doc grain, no joins; the float
-# sum is rounded with the repo's 1e-9 nudge in both engines since
-# parallel-vs-sequential summation order differs.
+# agg + window + one doc agg — exactly two shuffles, no joins; the
+# float sum is rounded with the repo's 1e-9 nudge in both engines
+# since parallel-vs-sequential summation order differs.
 # ---------------------------------------------------------------------------
 
 
 def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc character statistics: (doc_id, n_chars_counted,
-    n_distinct_chars, entropy_bits, max_char_frac). The per-doc total
-    rides as a window over the (doc, char) frequency table — the
-    window shares the groupBy's doc_id partitioning, so it costs no
-    extra shuffle."""
+    n_distinct_chars, entropy_bits, max_char_frac). Two exchanges
+    total — (doc, char) for the frequency agg, then doc for the
+    window — and the final doc-grain aggregate reuses the window's
+    partitioning exchange-free (verified in the formatted plan)."""
     from pyspark.sql.window import Window
 
     chars = docs.select(
