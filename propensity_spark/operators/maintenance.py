@@ -1,0 +1,161 @@
+"""Incremental maintenance + integrity operators (extension scope;
+the reference recomputes from scratch each run — these are the two
+patterns a 100 TB deployment adds first).
+
+* Incremental aggregate maintenance (materialized-view delta
+  maintenance): keep a (group, day)-grain PARTIAL-aggregate state
+  table; a new day of facts contributes one aggregation over ITS OWN
+  slice only, and report-grain totals come from combining partials —
+  history is never rescanned. Works for any commutative-associative
+  aggregate (count/sum/min/max here; avg derives as sum/count at
+  report time, exact count-distinct is NOT mergeable — that's what
+  the HLL rollup operator (operators/extended.q_hll_rollup) is for).
+  The gate entry PROVES the algebra: an incrementally-maintained
+  state (history scan + day-slice scan, merged) must hash-match a
+  full-table GROUP BY oracle.
+
+* Order-insensitive table fingerprint: one number pair per table —
+  SUM and XOR of a per-row md5-derived hash — that two environments
+  can compare to validate a replication/migration without sorting or
+  co-locating anything. Map-only + one 1-row agg per table; XOR is
+  overflow-free and SUM stays < 2^63 for < 2^32 rows with the 31-bit
+  row hash (beyond that, tree the sum: per-bucket sums mod p, then
+  combine — same trick as the salted agg). Double columns are
+  excluded from the hashed projection by contract: float-to-string
+  rendering is not cross-engine canonical; integer/string/date
+  columns render identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from propensity_spark.io import load_table
+
+# Gate cutoff: the last event day arrives as "the new batch"; state
+# covers everything before it. Fixture events span 2024-01-01..30.
+INCR_CUTOFF = "2024-01-28"
+
+
+def partial_agg_state(
+    facts: DataFrame, keys: list[str], day_col: str, value_col: str
+) -> DataFrame:
+    """(keys, day)-grain partial aggregates — the mergeable state a
+    materialized view stores per partition."""
+    return facts.groupBy(*keys, day_col).agg(
+        F.count(F.lit(1)).alias("p_cnt"),
+        F.sum(value_col).alias("p_sum"),
+        F.min(value_col).alias("p_min"),
+        F.max(value_col).alias("p_max"),
+    )
+
+
+def combine_agg_state(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Report-grain totals from partials only: count/sum re-sum,
+    min/max re-extremize, avg derives. The only scan is the (small)
+    state table — never the facts."""
+    return state.groupBy(*keys).agg(
+        F.sum("p_cnt").alias("n_events"),
+        F.expr("round(sum(p_sum) + 1e-9, 6)").alias("total_value"),
+        F.expr("round(min(p_min) + 1e-9, 6)").alias("min_value"),
+        F.expr("round(max(p_max) + 1e-9, 6)").alias("max_value"),
+        F.expr("round(sum(p_sum) / sum(p_cnt) + 1e-9, 6)").alias("avg_value"),
+    )
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-maintain per-event-type aggregates: state from the
+    history slice (day < cutoff), one partial agg over ONLY the
+    cutoff-day slice, union, combine. The oracle is a full-table
+    GROUP BY — equality proves the merge algebra, and the Spark plan
+    shows the batch side scanning one day, not history."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    hist = ev.where(F.col("day") < F.lit(INCR_CUTOFF).cast("date"))
+    batch = ev.where(F.col("day") >= F.lit(INCR_CUTOFF).cast("date"))
+    state = partial_agg_state(hist, ["event_type"], "day", "value")
+    delta = partial_agg_state(batch, ["event_type"], "day", "value")
+    return combine_agg_state(state.unionByName(delta), ["event_type"])
+
+
+INCREMENTAL_AGG_SQL = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value) + 1e-9, 6) AS total_value,
+           round(min(value) + 1e-9, 6) AS min_value,
+           round(max(value) + 1e-9, 6) AS max_value,
+           round(sum(value) / count(*) + 1e-9, 6) AS avg_value
+    FROM events
+    GROUP BY event_type
+"""
+
+
+def table_fingerprint(
+    df: DataFrame, cols: list[str], table_name: str
+) -> DataFrame:
+    """One-row fingerprint (table_name, n_rows, hash_sum, hash_xor)
+    over the named columns. Row hash = first 8 md5 hex chars of the
+    unit-separator-joined string projection, mod 2^31-1 — the same
+    md5 idiom as split_by_hash, so both engines agree byte-for-byte.
+    NULLs render as a sentinel so (NULL, 'a') != ('a', NULL)."""
+    joined = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    )
+    h = (
+        "cast(conv(substr(md5(cast(__joined as binary)), 1, 8), 16, 10) as bigint)"
+        " % 2147483647"
+    )
+    return (
+        df.select(joined.alias("__joined"))
+        .select(F.expr(h).alias("__h"))
+        .agg(
+            F.lit(table_name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__h").alias("hash_sum"),
+            F.expr("bit_xor(__h)").alias("hash_xor"),
+        )
+    )
+
+
+# (table, hashed columns) — key/string/date columns only (doubles are
+# excluded by the cross-engine-rendering contract in the module doc).
+FINGERPRINT_SPECS = [
+    ("orders", ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"]),
+    ("customer", ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]),
+    ("part", ["p_partkey", "p_name", "p_brand"]),
+]
+
+
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = [
+        table_fingerprint(load_table(spark, sf_dir, t), cols, t)
+        for t, cols in FINGERPRINT_SPECS
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _fingerprint_sql() -> str:
+    parts = []
+    for t, cols in FINGERPRINT_SPECS:
+        joined = " || chr(31) || ".join(
+            f"coalesce(CAST({c} AS VARCHAR), chr(0))" for c in cols
+        )
+        parts.append(f"""
+    SELECT '{t}' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h) AS BIGINT) AS hash_sum,
+           CAST(bit_xor(h) AS BIGINT) AS hash_xor
+    FROM (
+        SELECT ('0x' || substr(md5({joined}), 1, 8))::BIGINT % 2147483647 AS h
+        FROM {t}
+    )""")
+    return "\nUNION ALL\n".join(parts)
+
+
+FINGERPRINT_SQL = _fingerprint_sql()
+# Both register in operators/overflow.py (post-priority tail).

@@ -68,6 +68,12 @@ from propensity_spark.operators.timeseries import (
     q_gapfill_revenue,
     q_moving_average,
 )
+from propensity_spark.operators.maintenance import (
+    FINGERPRINT_SQL,
+    INCREMENTAL_AGG_SQL,
+    q_incremental_agg,
+    q_table_fingerprint,
+)
 from propensity_spark.operators.graph import (
     PAGERANK_SQL,
     TRIANGLE_SQL,
@@ -130,6 +136,8 @@ QUERIES = {
     "ri_check": q_ri_check,
     "weighted_sample": q_weighted_sample,
     "char_entropy": q_char_entropy,
+    "incremental_agg": q_incremental_agg,
+    "table_fingerprint_suite": q_table_fingerprint,
 }
 
 ORACLES = {
@@ -170,4 +178,6 @@ ORACLES = {
     "ri_check": RI_CHECK_SQL,
     "weighted_sample": WEIGHTED_SAMPLE_SQL,
     "char_entropy": CHAR_ENTROPY_SQL,
+    "incremental_agg": INCREMENTAL_AGG_SQL,
+    "table_fingerprint_suite": FINGERPRINT_SQL,
 }

@@ -921,3 +921,78 @@ def test_ri_check_counts_injected_orphans(spark, tmp_path):
     assert (lp["child_rows"], lp["orphan_rows"], lp["orphan_keys"]) == (4, 2, 1)
     oc = out["orders->customer"]
     assert (oc["child_rows"], oc["orphan_rows"], oc["orphan_keys"]) == (2, 1, 1)
+
+
+def test_incremental_agg_state_matches_full_recompute(spark):
+    """Materialized-view delta maintenance: folding each day's partial
+    aggregates into the state, one day at a time, yields exactly the
+    totals of a from-scratch aggregation over all days — for every
+    aggregate in the state (count/sum/min/max) plus derived avg."""
+    from datetime import date
+
+    from propensity_spark.operators.maintenance import (
+        combine_agg_state,
+        partial_agg_state,
+    )
+
+    rows = []
+    for d, vals in [
+        (date(2024, 1, 1), [1.0, 5.0, -2.0]),
+        (date(2024, 1, 2), [10.0]),
+        (date(2024, 1, 3), [0.5, 0.5]),
+    ]:
+        rows += [("click", d, v) for v in vals]
+        rows += [("view", d, v * 2) for v in vals]
+    df = spark.createDataFrame(rows, "event_type string, day date, value double")
+
+    # day-at-a-time state accumulation (what the nightly job does)
+    state = None
+    for d in [date(2024, 1, 1), date(2024, 1, 2), date(2024, 1, 3)]:
+        delta = partial_agg_state(
+            df.where(F.col("day") == d), ["event_type"], "day", "value"
+        )
+        state = delta if state is None else state.unionByName(delta)
+    incr = {r["event_type"]: r for r in combine_agg_state(state, ["event_type"]).collect()}
+
+    full = {
+        r["event_type"]: r
+        for r in combine_agg_state(
+            partial_agg_state(df, ["event_type"], "day", "value"),
+            ["event_type"],
+        ).collect()
+    }
+    assert incr == full
+    assert incr["click"]["n_events"] == 6
+    assert incr["click"]["min_value"] == -2.0 + 1e-9 or abs(incr["click"]["min_value"] - -2.0) < 1e-6
+    assert abs(incr["click"]["total_value"] - 15.0) < 1e-6
+    assert abs(incr["click"]["avg_value"] - 2.5) < 1e-6
+
+
+def test_table_fingerprint_order_insensitive_and_change_sensitive(spark):
+    """The fingerprint is invariant to row order and partitioning,
+    changes when any hashed cell changes, and distinguishes NULL
+    position ((NULL,'a') vs ('a',NULL))."""
+    from propensity_spark.operators.maintenance import table_fingerprint
+
+    rows = [(1, "a"), (2, "b"), (3, None)]
+    df = spark.createDataFrame(rows, "k long, s string")
+
+    def fp(frame):
+        r = table_fingerprint(frame, ["k", "s"], "t").collect()[0]
+        return (r["n_rows"], r["hash_sum"], r["hash_xor"])
+
+    base = fp(df)
+    shuffled = fp(
+        spark.createDataFrame(list(reversed(rows)), "k long, s string")
+        .repartition(7)
+    )
+    assert base == shuffled
+
+    changed = fp(spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, None)], "k long, s string"
+    ))
+    assert changed != base
+
+    a = fp(spark.createDataFrame([(None, "a")], "k string, s string"))
+    b = fp(spark.createDataFrame([("a", None)], "k string, s string"))
+    assert a != b
