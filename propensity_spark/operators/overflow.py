@@ -53,9 +53,11 @@ from propensity_spark.operators.behavior import (
     q_rfm_segments,
 )
 from propensity_spark.operators.profiling import (
+    HISTOGRAM_SQL,
     LINKAGE_SQL,
     PROFILE_SQL,
     RI_CHECK_SQL,
+    q_column_histogram,
     q_record_linkage,
     q_ri_check,
     q_table_profile,
@@ -138,6 +140,7 @@ QUERIES = {
     "char_entropy": q_char_entropy,
     "incremental_agg": q_incremental_agg,
     "table_fingerprint_suite": q_table_fingerprint,
+    "column_histogram": q_column_histogram,
 }
 
 ORACLES = {
@@ -180,4 +183,5 @@ ORACLES = {
     "char_entropy": CHAR_ENTROPY_SQL,
     "incremental_agg": INCREMENTAL_AGG_SQL,
     "table_fingerprint_suite": FINGERPRINT_SQL,
+    "column_histogram": HISTOGRAM_SQL,
 }

@@ -317,3 +317,112 @@ RI_CHECK_SQL = """
       ON o.o_custkey = c.c_custkey
 """
 # Both register in operators/overflow.py (post-budget).
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histograms — the distribution half of table profiling
+# (profile() gives bounds/nulls/cardinality; this gives shape). Two
+# aggregations: a 1-row bounds agg broadcast back, then one bucket agg;
+# the bin spine (sequence-explode, B rows) left-joins so empty bins
+# report 0 — a histogram with silent holes misleads. Bin assignment is
+# floor((x - min) / width) clamped to B-1 (the max value lands in the
+# last bin), computed with the identical expression in both engines so
+# IEEE doubles bucket identically. Complements quantile_bucket
+# (operators/stats.py): equi-WIDTH shows distribution shape,
+# equi-HEIGHT balances bucket populations.
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 20
+
+
+def column_histogram(
+    df: DataFrame, col: str, n_bins: int = HIST_BINS
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: (bin_id, lo, hi, cnt)
+    for ALL n_bins bins (empty ones included, cnt=0); NULLs excluded.
+    Degenerate min==max collapses to bin 0."""
+    vals = df.select(F.col(col).cast("double").alias("x")).where(
+        F.col("x").isNotNull()
+    )
+    bounds = vals.agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    ).withColumn(
+        "w",
+        F.expr(f"greatest((mx - mn) / {n_bins}, cast(1e-12 as double))"),
+    )
+    binned = (
+        vals.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(
+                f"least(cast(floor((x - mn) / w) as int), {n_bins - 1})"
+            ).alias("bin_id")
+        )
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = (
+        df.sparkSession.range(n_bins)
+        .select(F.col("id").cast("int").alias("bin_id"))
+        .crossJoin(F.broadcast(bounds))
+    )
+    return (
+        spine.join(binned, "bin_id", "left")
+        .select(
+            "bin_id",
+            F.expr("round(mn + bin_id * w + 1e-9, 6)").alias("lo"),
+            F.expr("round(mn + (bin_id + 1) * w + 1e-9, 6)").alias("hi"),
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+    )
+
+
+def q_column_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged 2-section suite: 20-bin equi-width histograms of
+    events.value and customer.c_acctbal."""
+    ev = column_histogram(
+        load_table(spark, sf_dir, "events"), "value"
+    ).select(F.lit("events.value").alias("col_name"), "*")
+    cb = column_histogram(
+        load_table(spark, sf_dir, "customer"), "c_acctbal"
+    ).select(F.lit("customer.c_acctbal").alias("col_name"), "*")
+    return ev.unionByName(cb)
+
+
+def _hist_section_sql(table: str, col: str, label: str) -> str:
+    b = HIST_BINS
+    return f"""
+    SELECT '{label}' AS col_name, s.bin_id,
+           round(mn + s.bin_id * w + 1e-9, 6) AS lo,
+           round(mn + (s.bin_id + 1) * w + 1e-9, 6) AS hi,
+           CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+    FROM (SELECT unnest(generate_series(0, {b - 1})) AS bin_id) s
+    CROSS JOIN (
+        SELECT min(CAST({col} AS DOUBLE)) AS mn,
+               greatest((max(CAST({col} AS DOUBLE))
+                         - min(CAST({col} AS DOUBLE))) / {b},
+                        CAST(1e-12 AS DOUBLE)) AS w
+        FROM {table} WHERE {col} IS NOT NULL
+    )
+    LEFT JOIN (
+        SELECT least(CAST(floor((CAST({col} AS DOUBLE) - b2.mn) / b2.w)
+                          AS INT), {b - 1}) AS bin_id,
+               count(*) AS cnt
+        FROM {table} CROSS JOIN (
+            SELECT min(CAST({col} AS DOUBLE)) AS mn,
+                   greatest((max(CAST({col} AS DOUBLE))
+                             - min(CAST({col} AS DOUBLE))) / {b},
+                            CAST(1e-12 AS DOUBLE)) AS w
+            FROM {table} WHERE {col} IS NOT NULL
+        ) b2
+        WHERE {col} IS NOT NULL
+        GROUP BY 1
+    ) c ON c.bin_id = s.bin_id
+"""
+
+
+HISTOGRAM_SQL = (
+    _hist_section_sql("events", "value", "events.value")
+    + "\nUNION ALL\n"
+    + _hist_section_sql("customer", "c_acctbal", "customer.c_acctbal")
+)
+# q_column_histogram registers in operators/overflow.py.

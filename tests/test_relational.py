@@ -996,3 +996,28 @@ def test_table_fingerprint_order_insensitive_and_change_sensitive(spark):
     a = fp(spark.createDataFrame([(None, "a")], "k string, s string"))
     b = fp(spark.createDataFrame([("a", None)], "k string, s string"))
     assert a != b
+
+
+def test_column_histogram_bins_cover_and_count(spark):
+    """Equi-width histogram: all bins present (empty ones at 0), counts
+    sum to the non-null row count, the max value lands in the LAST bin
+    (not an overflow bin), and degenerate min==max collapses safely."""
+    from propensity_spark.operators.profiling import column_histogram
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [0, 1, 2, 5, 9, 9, 10]] + [(None,)],
+        "x double",
+    )
+    out = {r["bin_id"]: r for r in column_histogram(df, "x", n_bins=5).collect()}
+    assert sorted(out) == [0, 1, 2, 3, 4]  # full spine, width 2
+    assert sum(r["cnt"] for r in out.values()) == 7  # NULL excluded
+    assert out[4]["cnt"] == 3  # 9, 9, and the max value 10 clamped in
+    assert out[0]["cnt"] == 2 and out[1]["cnt"] == 1  # [0,2): 0,1; [2,4): 2
+    assert out[3]["cnt"] == 0  # empty bin reported, not dropped
+    assert abs(out[0]["lo"] - 0.0) < 1e-6 and abs(out[4]["hi"] - 10.0) < 1e-6
+
+    flat = column_histogram(
+        spark.createDataFrame([(3.0,), (3.0,)], "x double"), "x", n_bins=4
+    ).collect()
+    assert sum(r["cnt"] for r in flat) == 2
+    assert all(r["cnt"] == 0 for r in flat if r["bin_id"] > 0)
