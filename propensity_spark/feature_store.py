@@ -344,6 +344,57 @@ class FeatureTable:
                 out[dd.name.split("=", 1)[1]] = hist
         return out
 
+    def diff(self, v_old: int, v_new: int) -> DataFrame:
+        """Keyed diff between two committed snapshots — the CDC view
+        of a pair of `read(version=)` targets: per day, how many PK
+        rows were added, removed, changed (any non-PK column differs,
+        via an md5 row hash over the union of both schemas so
+        evolution-added columns count as changes), and unchanged.
+        One full-outer PK join between the two snapshots — both sides
+        are partition-pruned version dirs, and the join keys on the
+        PK, so at 100 TB this is one co-partitioned shuffle of the
+        two snapshots and nothing else."""
+        old, new = self.read(version=v_old), self.read(version=v_new)
+        val_cols = sorted(
+            (set(old.columns) | set(new.columns)) - set(self.pk)
+        )
+
+        def hashed(df: DataFrame, tag: str) -> DataFrame:
+            proj = [
+                (
+                    F.col(c) if c in df.columns else F.lit(None)
+                ).cast("string")
+                for c in val_cols
+            ]
+            return df.select(
+                *self.pk,
+                F.md5(
+                    F.concat_ws(
+                        "\x1f", *[F.coalesce(p, F.lit("\x00")) for p in proj]
+                    )
+                ).alias(f"__h_{tag}"),
+            )
+
+        joined = hashed(old, "old").join(hashed(new, "new"), self.pk, "full_outer")
+        status = (
+            F.when(F.col("__h_old").isNull(), F.lit("added"))
+            .when(F.col("__h_new").isNull(), F.lit("removed"))
+            .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+        )
+        return (
+            joined.withColumn("__status", status)
+            .groupBy("day")
+            .agg(
+                F.sum((F.col("__status") == "added").cast("long")).alias("added"),
+                F.sum((F.col("__status") == "removed").cast("long")).alias("removed"),
+                F.sum((F.col("__status") == "changed").cast("long")).alias("changed"),
+                F.sum((F.col("__status") == "unchanged").cast("long")).alias(
+                    "unchanged"
+                ),
+            )
+        )
+
     def _merge_delta(self, batch: DataFrame) -> None:
         """Transactional MERGE INTO keyed on the PK — the reference's
         Delta write path (04a:612-630) verbatim: matched rows update

@@ -662,3 +662,30 @@ def test_merge_schema_evolution_opt_in(spark, store):
     assert rows[(2, d1)] == (5.0, 0.9)
     assert rows[(1, d1)] == (1.0, None)  # survivor: NULL for the new column
     assert rows[(1, d2)] == (1.0, None)  # untouched partition reads NULL too
+
+
+def test_version_diff_counts_added_removed_changed(spark, store):
+    """diff(v_old, v_new) is the CDC view between two snapshots:
+    updated PK rows count as changed, new-day rows as added, and
+    untouched rows as unchanged; reading against a version where the
+    day did not exist reports the whole day as added."""
+    d1, d2 = date(2024, 1, 1), date(2024, 1, 2)
+    t = FeatureTable(
+        spark, "ttdiff", ["household_key", "day"], store, keep_versions=5
+    )
+    v1 = t.create(_frame(spark, d1, [1, 2, 3], 1.0))
+    v2 = t.merge(_frame(spark, d1, [2], 9.0))      # key 2 changes
+    v3 = t.merge(_frame(spark, d2, [7, 8], 5.0))   # new day appears
+
+    d12 = {str(r["day"]): r for r in t.diff(v1, v2).collect()}
+    assert d12[str(d1)]["changed"] == 1
+    assert d12[str(d1)]["unchanged"] == 2
+    assert d12[str(d1)]["added"] == 0 and d12[str(d1)]["removed"] == 0
+
+    d13 = {str(r["day"]): r for r in t.diff(v1, v3).collect()}
+    assert d13[str(d2)]["added"] == 2  # whole new day
+    assert d13[str(d1)]["changed"] == 1 and d13[str(d1)]["unchanged"] == 2
+
+    # symmetric direction: the new day reads as removed going backward
+    d31 = {str(r["day"]): r for r in t.diff(v3, v1).collect()}
+    assert d31[str(d2)]["removed"] == 2
