@@ -66,15 +66,19 @@ def combine_agg_state(state: DataFrame, keys: list[str]) -> DataFrame:
 
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-maintain per-event-type aggregates: state from the
-    history slice (day < cutoff), one partial agg over ONLY the
-    cutoff-day slice, union, combine. The oracle is a full-table
-    GROUP BY — equality proves the merge algebra, and the Spark plan
-    shows the batch side scanning one day, not history."""
+    history slice, one partial agg over ONLY the new slice, union,
+    combine. The slices filter on raw `ts` — a pushable predicate
+    that reaches the parquet scan (PushedFilters) — NOT on the
+    derived day column, which would defeat both row-group skipping
+    here and partition pruning on a day-partitioned 100 TB fact
+    table. The oracle is a full-table GROUP BY — equality proves the
+    merge algebra."""
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day", F.to_date("ts")
     )
-    hist = ev.where(F.col("day") < F.lit(INCR_CUTOFF).cast("date"))
-    batch = ev.where(F.col("day") >= F.lit(INCR_CUTOFF).cast("date"))
+    cut = F.lit(INCR_CUTOFF + " 00:00:00").cast("timestamp")
+    hist = ev.where(F.col("ts") < cut)
+    batch = ev.where(F.col("ts") >= cut)
     state = partial_agg_state(hist, ["event_type"], "day", "value")
     delta = partial_agg_state(batch, ["event_type"], "day", "value")
     return combine_agg_state(state.unionByName(delta), ["event_type"])
