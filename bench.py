@@ -60,6 +60,12 @@ BENCH_QUERIES = [
     "rfm_segments",
     "path_analysis",
     "anomaly_mad",
+    # round-5 additions (additive — the earlier entries stay unchanged
+    # so cross-round per-query deltas remain comparable)
+    "basket_affinity_3",
+    "weighted_sample",
+    "char_entropy",
+    "incremental_agg",
 ]
 
 

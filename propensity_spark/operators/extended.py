@@ -525,6 +525,11 @@ def q_basket_affinity_3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.item").alias("ia"),
         F.col("b.item").alias("ib"),
     )
+    # basket_pairs feeds two branches (frequent-pair agg + semi-join
+    # probe). Deliberately NOT checkpointed: measured no wall-clock
+    # gain (the triple-extension join dominates, not the self-join),
+    # and at scale storing this basket-quadratic intermediate as
+    # executor blocks costs more than recomputing its one cheap join.
     freq_pairs = (
         basket_pairs.groupBy("ia", "ib")
         .agg(F.count(F.lit(1)).alias("cnt"))
