@@ -284,3 +284,51 @@ def test_multi_day_features_equal_per_day_on_arbitrary_facts(spark, rows, anchor
                 if k != "household_key":
                     assert have[k] == v, (a, k, have[k], v)
     assert set(got) == expected_keys
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),              # group key
+            st.integers(min_value=0, max_value=4),    # day index
+            st.integers(min_value=-100, max_value=100),  # value (ints:
+        ),                                            # exact equality)
+        min_size=1,
+        max_size=50,
+    ),
+    split=st.integers(min_value=0, max_value=4),
+)
+@SLOW
+def test_incremental_agg_split_invariant(spark, rows, split):
+    """Materialized-view delta maintenance: for ANY facts and ANY
+    history/batch split point, state(hist) ∪ partials(batch) combined
+    == combine(partials(all)) — the merge algebra is split-invariant."""
+    from datetime import date
+
+    from pyspark.sql import functions as F
+
+    from propensity_spark.operators.maintenance import (
+        combine_agg_state,
+        partial_agg_state,
+    )
+
+    data = [(k, date(2024, 1, 1 + d), float(v)) for k, d, v in rows]
+    df = spark.createDataFrame(data, "k string, day date, value double")
+    cut = date(2024, 1, 1 + split)
+
+    whole = combine_agg_state(
+        partial_agg_state(df, ["k"], "day", "value"), ["k"]
+    )
+    merged = combine_agg_state(
+        partial_agg_state(
+            df.where(F.col("day") < cut), ["k"], "day", "value"
+        ).unionByName(
+            partial_agg_state(
+                df.where(F.col("day") >= cut), ["k"], "day", "value"
+            )
+        ),
+        ["k"],
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
