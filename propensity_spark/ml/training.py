@@ -454,6 +454,111 @@ def classification_metrics(scored: DataFrame, threshold: float = 0.5) -> DataFra
     )
 
 
+def fold_expr(fold_key: str, k: int):
+    """Deterministic fold id in [0, k): md5-uniform of the key mod k.
+    Same hash family as split_by_hash — append-stable and group-aware
+    (every row sharing fold_key gets the same fold). Map-only."""
+    u = (
+        f"cast(conv(substr(md5(cast(cast({fold_key} as string) as binary)), 1, 8),"
+        " 16, 10) as bigint)"
+    )
+    return F.pmod(F.expr(u), F.lit(k)).cast("int")
+
+
+def cross_validate(
+    ts: DataFrame,
+    feature_cols: list[str],
+    k: int = 5,
+    fold_key: str = "household_key",
+    model_type: str = "lr",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """K-fold cross-validation with deterministic GROUP-AWARE folds —
+    the evaluation the reference's single train/test split (04b:366)
+    lacks when the metric must carry error bars.
+
+    Fold = md5-uniform(fold_key) mod k, the same append-stable hash
+    family as ``split_by_hash`` (text/analysis.py): all rows of one
+    entity land in one fold (sklearn GroupKFold semantics), so
+    correlated rows of a household never straddle train/test — the
+    leak a row-wise randomSplit CV silently admits. Map-only fold
+    assignment; stable across runs, partitionings, and appends.
+
+    Class weights are computed from the TRAIN portion of each fold
+    (one 1-row agg per fold — bounded, C4-style), never from the
+    held-out slice. Each of the k fits is a fully distributed MLlib
+    job; the input is persisted DISK-spillable for the k passes and
+    unpersisted before return (at 100 TB, pre-materialize the
+    assembled training set to parquet instead — build_training_set
+    already supports materialize=True — and the persist here is a
+    cheap no-op on top of the parquet scan).
+
+    Returns a k-row DataFrame (fold, n_train, n_test, aupr,
+    balanced_accuracy, mcc) — aggregate mean/std downstream."""
+    from pyspark import StorageLevel
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    folded = ts.withColumn("__fold", fold_expr(fold_key, k))
+    folded = folded.persist(StorageLevel.MEMORY_AND_DISK)
+    evaluator = BinaryClassificationEvaluator(
+        labelCol="purchased", rawPredictionCol="probability", metricName="areaUnderPR"
+    )
+    rows = []
+    try:
+        for fold in range(k):
+            train = folded.where(F.col("__fold") != fold)
+            test = folded.where(F.col("__fold") == fold)
+            # Per-fold imbalance weight from TRAIN only (no holdout leak).
+            stats = train.agg(
+                F.avg(F.col("purchased").cast("double")).alias("pos_ratio"),
+                F.count(F.lit(1)).alias("n_train"),
+            ).collect()[0]
+            if not stats["n_train"] or stats["pos_ratio"] in (None, 0.0, 1.0):
+                raise ValueError(
+                    f"fold {fold}: training slice has a single class "
+                    f"(pos_ratio={stats['pos_ratio']}) — increase data or lower k"
+                )
+            train = train.withColumn(
+                "class_weight",
+                F.when(
+                    F.col("purchased") == 1, F.lit(1.0 / max(stats["pos_ratio"], 1e-6))
+                ).otherwise(F.lit(1.0)),
+            )
+            model = make_pipeline(feature_cols, model_type=model_type).fit(train)
+            scored = model.transform(
+                test.withColumn("class_weight", F.lit(1.0))
+            )
+            aupr = float(evaluator.evaluate(scored))
+            from pyspark.ml.functions import vector_to_array
+
+            m = classification_metrics(
+                scored.select(
+                    "purchased",
+                    vector_to_array("probability")[1].alias("prediction"),
+                ),
+                threshold=threshold,
+            ).collect()[0]
+            rows.append(
+                (
+                    fold,
+                    int(stats["n_train"]),
+                    int(m["tp"] + m["fp"] + m["tn"] + m["fn"]),
+                    round(aupr, 6),
+                    float(m["balanced_accuracy"]),
+                    float(m["mcc"]),
+                )
+            )
+    finally:
+        folded.unpersist()
+    spark = SparkSession.getActiveSession()
+    return spark.createDataFrame(
+        rows,
+        "fold int, n_train bigint, n_test bigint, aupr double, "
+        "balanced_accuracy double, mcc double",
+    )
+
+
 class ModelRegistry:
     """M6 registry lifecycle (04b:424-443 semantics, MLflow-free):
     a parquet manifest of (commodity_desc, commodity_clean, model_path,

@@ -402,3 +402,42 @@ def test_tpe_search_end_to_end_deterministic(spark):
     assert m1.bestModel.transform(df).count() == 300
     # the winner's params are one of the evaluated trials
     assert m1.bestParams in [p for p, _ in m1.trials]
+
+
+def test_cross_validate_group_aware_deterministic_and_separable(spark):
+    """cross_validate: (1) folds partition rows and are group-aware
+    (all rows of one key share a fold — fold_expr checked directly);
+    (2) two runs are bit-identical (hash folds, seeded fits); (3) on
+    linearly separable data every fold scores near-perfect AUPR."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for key in range(120):
+        label = key % 2
+        for _ in range(3):  # 3 correlated rows per household
+            x = (2.0 if label else -2.0) + rng.gauss(0, 0.3)
+            rows.append((key, float(x), rng.gauss(0, 1.0), label))
+    df = spark.createDataFrame(
+        rows, "household_key bigint, f1 double, f2 double, purchased int"
+    )
+
+    # group-awareness of the fold assignment itself
+    withf = df.withColumn("fold", M.fold_expr("household_key", 4))
+    assert (
+        withf.select("household_key", "fold").distinct().count()
+        == withf.select("household_key").distinct().count()
+    )
+
+    cv1 = M.cross_validate(df, ["f1", "f2"], k=4, model_type="lr").collect()
+    cv2 = M.cross_validate(df, ["f1", "f2"], k=4, model_type="lr").collect()
+    assert [tuple(r) for r in cv1] == [tuple(r) for r in cv2]
+    assert len(cv1) == 4
+    assert sum(r["n_test"] for r in cv1) == df.count()
+    for r in cv1:
+        assert r["n_train"] + r["n_test"] == df.count()
+        assert r["aupr"] > 0.95, r
+        assert r["balanced_accuracy"] > 0.9, r
+
+    with pytest.raises(ValueError, match="k must be"):
+        M.cross_validate(df, ["f1"], k=1)
