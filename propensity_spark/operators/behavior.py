@@ -313,6 +313,63 @@ PATH_SQL = f"""
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the clickstream: for
+    every consecutive event pair within a user's timeline, the count
+    and row-normalized probability of `from_type -> to_type`. The
+    sequence-mining primitive behind next-action prediction and
+    anomalous-flow detection, complementing `q_path_analysis` (whole
+    paths) with the memoryless pairwise view.
+
+    Plan: ONE user-keyed window Exchange produces the `lead` pairs
+    (deterministic order: ts then event_id tie-break), then a
+    |event_types|^2-bounded aggregation; the row-marginal
+    normalization is a window over that tiny frame — O(cells), never
+    re-touching the fact. At 100 TB this is exactly the path-analysis
+    shuffle profile: one shuffle of the events fact by user, and
+    everything after is bounded by the type-domain product."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .where(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("from_type"), "to_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    marg = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(marg) + 1e-9, 6
+        ).alias("prob"),
+    )
+
+
+TRANSITIONS_SQL = """
+    WITH pairs AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    ),
+    counts AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM pairs WHERE to_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE)
+                 / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
+                 + 1e-9, 6) AS prob
+    FROM counts
+"""
+
+
 COHORT_SQL = f"""
     WITH weeks AS (
         SELECT user_id,

@@ -33,11 +33,13 @@ from propensity_spark.operators.extended import (
 from propensity_spark.operators.stats import (
     ANOMALY_SQL,
     CHI_SQUARE_SQL,
+    CV_FOLDS_SQL,
     KEY_SKEW_SQL,
     QUANTILE_BUCKET_SQL,
     STRATIFIED_SQL,
     q_anomaly_mad,
     q_chi_square_assoc,
+    q_cv_fold_audit,
     q_key_skew,
     q_quantile_bucket,
     q_stratified_sample,
@@ -47,7 +49,9 @@ from propensity_spark.operators.behavior import (
     FUNNEL_SQL,
     PATH_SQL,
     RFM_SQL,
+    TRANSITIONS_SQL,
     q_cohort_retention,
+    q_event_transitions,
     q_funnel_conversion,
     q_path_analysis,
     q_rfm_segments,
@@ -64,9 +68,11 @@ from propensity_spark.operators.profiling import (
 )
 from propensity_spark.operators.timeseries import (
     ATTRIBUTION_SQL,
+    EWMA_SQL,
     GAPFILL_SQL,
     MOVING_AVG_SQL,
     q_attribution_last_touch,
+    q_ewma_revenue,
     q_gapfill_revenue,
     q_moving_average,
 )
@@ -141,6 +147,9 @@ QUERIES = {
     "incremental_agg": q_incremental_agg,
     "table_fingerprint_suite": q_table_fingerprint,
     "column_histogram": q_column_histogram,
+    "event_transitions": q_event_transitions,
+    "ewma_revenue": q_ewma_revenue,
+    "cv_fold_audit": q_cv_fold_audit,
 }
 
 ORACLES = {
@@ -184,4 +193,7 @@ ORACLES = {
     "incremental_agg": INCREMENTAL_AGG_SQL,
     "table_fingerprint_suite": FINGERPRINT_SQL,
     "column_histogram": HISTOGRAM_SQL,
+    "event_transitions": TRANSITIONS_SQL,
+    "ewma_revenue": EWMA_SQL,
+    "cv_fold_audit": CV_FOLDS_SQL,
 }

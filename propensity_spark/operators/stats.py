@@ -333,4 +333,41 @@ ANOMALY_SQL = f"""
     JOIN meds m ON d.brand = m.brand
     JOIN mads a ON d.brand = a.brand
 """
+CV_FOLDS_K = 5
+
+
+def q_cv_fold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validation fold audit: assign every order to one of
+    CV_FOLDS_K folds by the GROUP-AWARE deterministic hash that
+    `ml.training.cross_validate` uses (md5-uniform of the customer
+    key mod k — all of a customer's rows share a fold), then report
+    per-fold row count, distinct-customer count, and revenue. This is
+    the balance sheet read before trusting a CV estimate: fold sizes
+    within a few percent of each other and customer counts that sum
+    to the distinct-customer total (folds partition entities, never
+    split them). Map-only fold assignment + one aggregation — the
+    audit costs one shuffle at any scale."""
+    from propensity_spark.ml.training import fold_expr
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("fold", fold_expr("o_custkey", CV_FOLDS_K))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice") + 1e-6, 2).alias("revenue"),
+        )
+    )
+
+
+CV_FOLDS_SQL = f"""
+    SELECT CAST(CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+                     AS BIGINT) % {CV_FOLDS_K} AS INT) AS fold,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           round(sum(o_totalprice) + 1e-6, 2) AS revenue
+    FROM orders
+    GROUP BY 1
+"""
 # All register in operators/overflow.py (post-budget).

@@ -231,6 +231,86 @@ def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_ALPHA = 0.3
+EWMA_TERMS = 8
+# FIR truncation of the exponential kernel: w_j = a(1-a)^j for the
+# last EWMA_TERMS observations, renormalized over the weights actually
+# present. Weights are Python float literals embedded IDENTICALLY in
+# the Spark expression and the DuckDB oracle, so both engines run the
+# same IEEE multiply/add chain — no libm pow() divergence.
+EWMA_WEIGHTS = [
+    EWMA_ALPHA * (1 - EWMA_ALPHA) ** j for j in range(EWMA_TERMS)
+]
+
+
+def ewma(
+    daily: DataFrame, key_col: str, order_col: str, value_col: str
+) -> DataFrame:
+    """Exponentially weighted moving average per key: trailing
+    EWMA_TERMS-observation FIR approximation of the classic recursive
+    smoother y_t = a*x_t + (1-a)*y_{t-1}. The recursion itself is
+    order-dependent and unbounded-memory; truncating at 8 terms keeps
+    >94% of the kernel mass (1-(1-a)^8) and makes the operator a pure
+    bounded window — O(TERMS) state per key, one keyed Exchange,
+    append-friendly (a new day only needs the trailing 8 rows).
+
+    Built as an explicit lag-weighted sum rather than an aggregate
+    over a frame because the weight depends on distance from the
+    CURRENT row — exactly what per-lag `lag(value, j)` expresses and
+    frame aggregates cannot."""
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    num = None
+    den = None
+    for j, wt in enumerate(EWMA_WEIGHTS):
+        x = F.col(value_col) if j == 0 else F.lag(value_col, j).over(w)
+        term = F.lit(wt) * F.coalesce(x, F.lit(0.0))
+        wgt = F.lit(wt) * x.isNotNull().cast("double")
+        num = term if num is None else num + term
+        den = wgt if den is None else den + wgt
+    return daily.withColumn(
+        "ewma", F.round(num / den + F.lit(1e-9), 4)
+    )
+
+
+def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-smoothed daily revenue per order priority: the trend line
+    a demand-forecast or drift monitor reads instead of the raw spiky
+    series. One daily aggregation shuffle + one priority-keyed window
+    Exchange; window state is the trailing 8 rows per key."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(F.round(F.sum("o_totalprice") + 1e-6, 2).alias("revenue"))
+    return ewma(daily, "priority", "day", "revenue")
+
+
+def _ewma_sql_terms() -> tuple[str, str]:
+    nums, dens = [], []
+    for j, wt in enumerate(EWMA_WEIGHTS):
+        x = "revenue" if j == 0 else f"lag(revenue, {j}) OVER w"
+        nums.append(f"{wt!r} * coalesce({x}, 0.0)")
+        dens.append(
+            f"{wt!r} * CAST(({x}) IS NOT NULL AS DOUBLE)"
+        )
+    return " + ".join(nums), " + ".join(dens)
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_sql_terms()
+
+EWMA_SQL = f"""
+    WITH daily AS (
+        SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+               round(sum(o_totalprice) + 1e-6, 2) AS revenue
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT priority, day, revenue,
+           round(({_EWMA_NUM}) / ({_EWMA_DEN}) + 1e-9, 4) AS ewma
+    FROM daily
+    WINDOW w AS (PARTITION BY priority ORDER BY day)
+"""
+
+
 MOVING_AVG_SQL = f"""
     WITH daily AS (
         SELECT p_brand AS brand,

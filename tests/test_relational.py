@@ -1021,3 +1021,93 @@ def test_column_histogram_bins_cover_and_count(spark):
     ).collect()
     assert sum(r["cnt"] for r in flat) == 2
     assert all(r["cnt"] == 0 for r in flat if r["bin_id"] > 0)
+
+
+def test_event_transitions_counts_and_row_normalization(spark, tmp_path):
+    """Markov transitions: consecutive pairs counted in (ts, event_id)
+    order per user, rows never pair across users, and probabilities
+    row-normalize to 1 within each from_type."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from propensity_spark.operators.behavior import q_event_transitions
+
+    def ev(eid, uid, minute, etype):
+        return {"event_id": eid, "user_id": uid,
+                "ts": datetime(2024, 1, 1, 0, minute), "event_type": etype}
+
+    rows = [
+        # user 1: view > click > purchase  (two pairs)
+        ev(0, 1, 0, "view"), ev(1, 1, 1, "click"), ev(2, 1, 2, "purchase"),
+        # user 2: view > click             (one pair; no cross-user pair)
+        ev(3, 2, 0, "view"), ev(4, 2, 5, "click"),
+        # user 3: view > view              (self-transition)
+        ev(5, 3, 0, "view"), ev(6, 3, 1, "view"),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "events.parquet")
+
+    out = {(r["from_type"], r["to_type"]): r
+           for r in q_event_transitions(spark, str(sf)).collect()}
+    assert out[("view", "click")]["n"] == 2
+    assert out[("click", "purchase")]["n"] == 1
+    assert out[("view", "view")]["n"] == 1
+    assert ("click", "view") not in out  # no backwards or cross-user pair
+    assert abs(out[("view", "click")]["prob"] - 2 / 3) < 1e-5
+    assert abs(out[("view", "view")]["prob"] - 1 / 3) < 1e-5
+    assert abs(out[("click", "purchase")]["prob"] - 1.0) < 1e-5
+
+
+def test_ewma_matches_python_reference_and_renormalizes_head(spark):
+    """ewma == the truncated-kernel formula computed in plain Python:
+    leading rows (fewer than EWMA_TERMS lags) renormalize over the
+    weights present, so row 0's ewma equals its own value."""
+    from propensity_spark.operators.timeseries import (
+        EWMA_TERMS,
+        EWMA_WEIGHTS,
+        ewma,
+    )
+
+    series = [10.0, 20.0, 15.0, 40.0, 5.0, 30.0, 25.0, 35.0, 50.0, 45.0]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(series)],
+        "key string, t int, revenue double",
+    )
+    out = {r["t"]: r["ewma"] for r in ewma(df, "key", "t", "revenue").collect()}
+
+    for t in range(len(series)):
+        num = den = 0.0
+        for j, w in enumerate(EWMA_WEIGHTS):
+            if t - j >= 0:
+                num += w * series[t - j]
+                den += w
+        assert abs(out[t] - num / den) < 1e-3, (t, out[t], num / den)
+    assert abs(out[0] - series[0]) < 1e-3  # head renormalization
+    assert EWMA_TERMS == len(EWMA_WEIGHTS)
+    # recency bias: after the 40.0 spike at t=3, ewma(3) > ewma(2)
+    assert out[3] > out[2]
+
+
+def test_cv_fold_audit_partitions_customers(spark, tmp_path):
+    """Fold audit: every customer lands in exactly one fold, so
+    distinct-customer counts sum to the global distinct total and
+    order counts sum to the table size."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from propensity_spark.operators.stats import CV_FOLDS_K, q_cv_fold_audit
+
+    rows = [
+        {"o_orderkey": i, "o_custkey": i % 37, "o_totalprice": float(i)}
+        for i in range(300)
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "orders.parquet")
+
+    out = q_cv_fold_audit(spark, str(sf)).collect()
+    assert 1 < len(out) <= CV_FOLDS_K
+    assert sum(r["n_orders"] for r in out) == 300
+    assert sum(r["n_customers"] for r in out) == 37  # disjoint partition
