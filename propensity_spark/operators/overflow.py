@@ -34,12 +34,14 @@ from propensity_spark.operators.stats import (
     ANOMALY_SQL,
     CHI_SQUARE_SQL,
     CV_FOLDS_SQL,
+    FEATURE_SCALING_SQL,
     KEY_SKEW_SQL,
     QUANTILE_BUCKET_SQL,
     STRATIFIED_SQL,
     q_anomaly_mad,
     q_chi_square_assoc,
     q_cv_fold_audit,
+    q_feature_scaling,
     q_key_skew,
     q_quantile_bucket,
     q_stratified_sample,
@@ -57,11 +59,13 @@ from propensity_spark.operators.behavior import (
     q_rfm_segments,
 )
 from propensity_spark.operators.profiling import (
+    CORR_SQL,
     HISTOGRAM_SQL,
     LINKAGE_SQL,
     PROFILE_SQL,
     RI_CHECK_SQL,
     q_column_histogram,
+    q_corr_matrix,
     q_record_linkage,
     q_ri_check,
     q_table_profile,
@@ -150,6 +154,8 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "ewma_revenue": q_ewma_revenue,
     "cv_fold_audit": q_cv_fold_audit,
+    "corr_matrix": q_corr_matrix,
+    "feature_scaling": q_feature_scaling,
 }
 
 ORACLES = {
@@ -196,4 +202,6 @@ ORACLES = {
     "event_transitions": TRANSITIONS_SQL,
     "ewma_revenue": EWMA_SQL,
     "cv_fold_audit": CV_FOLDS_SQL,
+    "corr_matrix": CORR_SQL,
+    "feature_scaling": FEATURE_SCALING_SQL,
 }

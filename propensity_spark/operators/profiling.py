@@ -426,3 +426,57 @@ HISTOGRAM_SQL = (
     + _hist_section_sql("customer", "c_acctbal", "customer.c_acctbal")
 )
 # q_column_histogram registers in operators/overflow.py.
+
+
+# ---------------------------------------------------------------------------
+# Pairwise correlation matrix: the profiling step before feature
+# selection — which numeric columns are redundant or leaking.
+
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pearson correlation of every column pair in ONE aggregation
+    pass: all k(k-1)/2 `corr` co-moment accumulators run inside a
+    single partial-agg tree, so the fact is scanned once and shuffled
+    once (a 1-row exchange of the combined state) regardless of k.
+    Contrast the naive loop of k^2/2 separate `.corr()` actions — at
+    100 TB that's k^2/2 full scans. Long-format output (col_a, col_b,
+    corr) feeds heatmaps and |corr|>threshold pruning directly."""
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]
+    ]
+    aggs = [
+        F.round(F.corr(a, b) + F.lit(1e-9), 6).alias(f"{a}|{b}")
+        for a, b in pairs
+    ] + [F.count(F.lit(1)).alias("__n")]
+    wide = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{a}', '{b}', `{a}|{b}`" for a, b in pairs
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(pairs)}, {stacked}) AS (col_a, col_b, corr)"
+        ),
+        F.col("__n").alias("n"),
+    )
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return corr_matrix(lineitem, CORR_COLS)
+
+
+CORR_SQL = (
+    "SELECT col_a, col_b, corr, n FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+               round(corr({a}, {b}) + 1e-9, 6) AS corr,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem"""
+        for i, a in enumerate(CORR_COLS)
+        for b in CORR_COLS[i + 1 :]
+    )
+    + "\n)"
+)
+# q_corr_matrix registers in operators/overflow.py.

@@ -371,3 +371,75 @@ CV_FOLDS_SQL = f"""
     GROUP BY 1
 """
 # All register in operators/overflow.py (post-budget).
+
+
+# ---------------------------------------------------------------------------
+# Feature scaling: the standardization pass between feature assembly
+# and model fitting (MLlib's StandardScaler/MinMaxScaler semantics,
+# expressed relationally so the stats are auditable and the transform
+# is a map-side expression instead of an opaque model object).
+
+WINSOR_LO, WINSOR_HI = 0.01, 0.99
+
+
+def scale_features(
+    df: DataFrame, value_col: str, exact: bool = False
+) -> DataFrame:
+    """Z-score, min-max, and winsorized variants of `value_col` from
+    ONE 1-row stats aggregate (mean/stddev/min/max/p01/p99)
+    broadcast-joined back — the input is scanned once for stats and
+    once for the transform; the transform itself is pure map-side
+    arithmetic, so at 100 TB this is two scans and zero data shuffles
+    (MLlib StandardScaler/MinMaxScaler semantics, relational and
+    auditable). Winsor bounds default to the `percentile_approx`
+    sketch (constant memory — the only sane default at scale; same
+    convention as `quantile_bucket` above); `exact=True` opts into
+    exact percentiles for the oracle gate."""
+    fn = "percentile" if exact else "percentile_approx"
+    stats = df.agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_samp(value_col).alias("__sd"),
+        F.min(value_col).alias("__lo"),
+        F.max(value_col).alias("__hi"),
+        F.expr(f"{fn}({value_col}, {WINSOR_LO}D)").alias("__p01"),
+        F.expr(f"{fn}({value_col}, {WINSOR_HI}D)").alias("__p99"),
+    )
+    v = F.col(value_col)
+    return df.crossJoin(F.broadcast(stats)).select(
+        *[c for c in df.columns],
+        F.round((v - F.col("__mu")) / F.col("__sd") + 1e-9, 6).alias("zscore"),
+        F.round(
+            (v - F.col("__lo")) / (F.col("__hi") - F.col("__lo")) + 1e-9, 6
+        ).alias("minmax"),
+        F.round(
+            F.least(F.greatest(v, F.col("__p01")), F.col("__p99")) + 1e-9, 4
+        ).alias("winsorized"),
+    )
+
+
+def q_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: exact percentile bounds so the DuckDB hash-compare
+    is well-defined; production callers keep the sketch default."""
+    customer = load_table(spark, sf_dir, "customer")
+    return scale_features(
+        customer.select("c_custkey", F.col("c_acctbal").alias("acctbal")),
+        "acctbal",
+        exact=True,
+    )
+
+
+FEATURE_SCALING_SQL = f"""
+    WITH stats AS (
+        SELECT avg(c_acctbal) AS mu, stddev_samp(c_acctbal) AS sd,
+               min(c_acctbal) AS lo, max(c_acctbal) AS hi,
+               quantile_cont(c_acctbal, {WINSOR_LO}) AS p01,
+               quantile_cont(c_acctbal, {WINSOR_HI}) AS p99
+        FROM customer
+    )
+    SELECT c_custkey, c_acctbal AS acctbal,
+           round((c_acctbal - mu) / sd + 1e-9, 6) AS zscore,
+           round((c_acctbal - lo) / (hi - lo) + 1e-9, 6) AS minmax,
+           round(least(greatest(c_acctbal, p01), p99) + 1e-9, 4) AS winsorized
+    FROM customer CROSS JOIN stats
+"""
+# Registers in operators/overflow.py.

@@ -1111,3 +1111,56 @@ def test_cv_fold_audit_partitions_customers(spark, tmp_path):
     assert 1 < len(out) <= CV_FOLDS_K
     assert sum(r["n_orders"] for r in out) == 300
     assert sum(r["n_customers"] for r in out) == 37  # disjoint partition
+
+
+def test_corr_matrix_single_pass_and_known_values(spark):
+    """corr_matrix: values match known correlations (perfectly
+    correlated, anti-correlated, and independent-ish columns), the
+    output enumerates each unordered pair once, and the whole matrix
+    plans as ONE aggregation over the input (single-pass claim)."""
+    from propensity_spark.operators.profiling import corr_matrix
+
+    rows = [(float(i), 2.0 * i, -3.0 * i, float((i * 7) % 5)) for i in range(50)]
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    out = {(r["col_a"], r["col_b"]): r for r in corr_matrix(df, ["a", "b", "c", "d"]).collect()}
+
+    assert len(out) == 6  # 4 choose 2, each pair once
+    assert abs(out[("a", "b")]["corr"] - 1.0) < 1e-5
+    assert abs(out[("a", "c")]["corr"] + 1.0) < 1e-5
+    assert abs(out[("b", "c")]["corr"] + 1.0) < 1e-5
+    assert abs(out[("a", "d")]["corr"]) < 0.3  # decorrelated mod pattern
+    assert all(r["n"] == 50 for r in out.values())
+
+    # single aggregation: exactly one HashAggregate pair (partial+final)
+    plan = corr_matrix(df, ["a", "b", "c", "d"])._jdf.queryExecution().executedPlan().toString()
+    n_aggs = plan.count("HashAggregate") + plan.count("SortAggregate") + plan.count("ObjectHashAggregate")
+    assert n_aggs <= 2, plan
+
+
+def test_feature_scaling_formulas(spark, tmp_path):
+    """feature_scaling: zscore standardizes (mean 0, known extremes),
+    minmax hits [0,1] at the bounds, winsorized clips at p01/p99."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from propensity_spark.operators.stats import q_feature_scaling
+
+    vals = [float(v) for v in range(1, 100)] + [1000.0]  # outlier at the top
+    rows = [{"c_custkey": i, "c_acctbal": v} for i, v in enumerate(vals)]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "customer.parquet")
+
+    out = {r["c_custkey"]: r for r in q_feature_scaling(spark, str(sf)).collect()}
+    assert len(out) == 100
+    # min-max bounds
+    assert abs(out[0]["minmax"] - 0.0) < 1e-6
+    assert abs(out[99]["minmax"] - 1.0) < 1e-6
+    # z-scores average to ~0
+    assert abs(sum(r["zscore"] for r in out.values()) / 100) < 1e-6
+    # the outlier is clipped to p99, the minimum to p01
+    assert out[99]["winsorized"] < 1000.0
+    assert out[0]["winsorized"] > 1.0
+    # winsorized stays within [p01, p99] for every row
+    ws = [r["winsorized"] for r in out.values()]
+    assert max(ws) == out[99]["winsorized"] and min(ws) == out[0]["winsorized"]

@@ -41,6 +41,15 @@ QUERIES = [
     "path_analysis",
     "anomaly_mad",
     "pagerank_affinity",
+    # round-5 additions: exponents unmeasured before this round
+    "basket_affinity_3",
+    "incremental_agg",
+    "table_fingerprint_suite",
+    "column_histogram",
+    "weighted_sample",
+    "char_entropy",
+    "event_transitions",
+    "ewma_revenue",
 ]
 
 
