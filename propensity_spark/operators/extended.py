@@ -400,6 +400,72 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SALT_BUCKETS = 8
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salt: int = SALT_BUCKETS,
+) -> DataFrame:
+    """Skew-mitigated equi-join — the JOIN-side complement of
+    `q_salted_agg`. The fact side gets a deterministic per-row salt
+    (hash of the whole row mod n_salt — re-runs agree); the dim side
+    is replicated once per salt value via a map-side
+    `explode(sequence(...))`; joining on (key, salt) spreads a hot
+    key's rows over n_salt reducer partitions instead of one.
+
+    Cost model: dim bytes x n_salt extra shuffle volume buys a
+    n_salt-way split of the hottest key — the classic trade when the
+    dim is too big to broadcast AND the fact key is skewed (run
+    `q_key_skew` first; prefer AQE's skewJoin when its thresholds
+    catch the skew — this is the manual fallback, e.g. when the skew
+    is in a grouping+join composite AQE can't see). Exactness: every
+    fact row matches exactly one replica of its dim row, so the result
+    is row-identical to the plain join — which is precisely what the
+    oracle pins."""
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salt))
+    )
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return salted_fact.join(salted_dim, [key, "__salt"]).drop("__salt")
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: lineitem joined to orders through the salted path,
+    folded to per-priority revenue — hash-identical to the plain-join
+    oracle, proving the salt decomposition changes the physical
+    distribution and nothing else."""
+    from propensity_spark.io import load_table
+
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(lineitem, orders, "l_orderkey")
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-6,
+            2,
+        ).alias("revenue"),
+    )
+
+
+SALTED_JOIN_SQL = """
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+"""
+
+
 MIN_SUPPORT = 0.01  # fraction of baskets an item(set) must appear in
 # Triples dilute support (a 25-brand catalog spreads mass over C(25,3)
 # combos vs C(25,2)); measured max triple support is ~0.006 at sf0.01 and

@@ -19,6 +19,7 @@ from propensity_spark.operators.extended import (
     BLOOM_SEMIJOIN_SQL,
     CDC_APPLY_SQL,
     HLL_ROLLUP_SQL,
+    SALTED_JOIN_SQL,
     SCD2_SQL,
     MAX_BASKET_ITEMS,
     MIN_SUPPORT,
@@ -28,6 +29,7 @@ from propensity_spark.operators.extended import (
     q_bloom_semijoin,
     q_cdc_apply,
     q_hll_rollup,
+    q_salted_join,
     q_scd2_history,
 )
 from propensity_spark.operators.stats import (
@@ -156,6 +158,7 @@ QUERIES = {
     "cv_fold_audit": q_cv_fold_audit,
     "corr_matrix": q_corr_matrix,
     "feature_scaling": q_feature_scaling,
+    "salted_join": q_salted_join,
 }
 
 ORACLES = {
@@ -204,4 +207,5 @@ ORACLES = {
     "cv_fold_audit": CV_FOLDS_SQL,
     "corr_matrix": CORR_SQL,
     "feature_scaling": FEATURE_SCALING_SQL,
+    "salted_join": SALTED_JOIN_SQL,
 }

@@ -1164,3 +1164,36 @@ def test_feature_scaling_formulas(spark, tmp_path):
     # winsorized stays within [p01, p99] for every row
     ws = [r["winsorized"] for r in out.values()]
     assert max(ws) == out[99]["winsorized"] and min(ws) == out[0]["winsorized"]
+
+
+def test_salted_join_row_identical_and_spreads_hot_key(spark):
+    """salted_join == plain join row-for-row on a skewed input, and
+    the hot key's rows actually land in multiple salt buckets (the
+    point of the operator)."""
+    from propensity_spark.operators.extended import salted_join
+
+    # key 1 is hot: 500 of 520 fact rows
+    fact = spark.createDataFrame(
+        [(1, float(i)) for i in range(500)]
+        + [(k, float(k)) for k in range(2, 22)],
+        "k int, v double",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(1, 22)], "k int, name string"
+    )
+
+    out = salted_join(fact, dim, "k", n_salt=8)
+    plain = fact.join(dim, "k")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+    assert out.columns == plain.columns  # salt column dropped
+
+    # the hot key's 500 rows occupy >1 salt bucket
+    from pyspark.sql import functions as FF
+
+    salted = fact.withColumn(
+        "__salt", FF.pmod(FF.hash(*[FF.col(c) for c in fact.columns]), FF.lit(8))
+    )
+    n_buckets = (
+        salted.where(FF.col("k") == 1).select("__salt").distinct().count()
+    )
+    assert n_buckets > 1, "hot key not spread across salt buckets"
