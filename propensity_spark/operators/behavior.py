@@ -391,3 +391,79 @@ COHORT_SQL = f"""
     GROUP BY c.cohort_week, a.week - c.cohort_week
 """
 # Both register in operators/overflow.py (post-budget).
+
+
+ACTIVE_WINDOWS = {"dau": 1, "wau": 7, "mau": 30}
+
+
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active-user counts per calendar day: DAU plus distinct
+    users over the trailing 7 (WAU) and 30 days (MAU) — the
+    engagement dashboard triple. COUNT DISTINCT over a sliding RANGE
+    frame has no direct window form, so each user-day is EXPANDED to
+    the trailing days it keeps the user active in (`explode(sequence)`
+    per window length) and each (window, day) re-distincts users —
+    semantically exact, and the blow-up is bounded by the window sum
+    (38 rows per user-day here), LINEAR in user-days, never quadratic.
+    Only days with actual activity are reported (no spine join —
+    compose with gapfill_ffill to densify).
+
+    At 100 TB: the expansion is map-side; the single shuffle is the
+    (window, day, user) distinct with partial aggregation. For
+    month-windows over billions of user-days, swap the exact distinct
+    for per-day HLL sketches merged over the frame
+    (`q_hll_rollup`'s mergeable-sketch pattern) — the expansion
+    then carries |days| sketch rows, not user rows."""
+    events = load_table(spark, sf_dir, "events")
+    user_days = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    max_day = user_days.agg(F.max("day").alias("__max_day"))
+    spans = ", ".join(
+        f"named_struct('win', '{name}', 'len', {n})"
+        for name, n in ACTIVE_WINDOWS.items()
+    )
+    expanded = (
+        user_days.crossJoin(F.broadcast(max_day))
+        .select(
+            "user_id",
+            "day",
+            "__max_day",
+            F.explode(F.expr(f"array({spans})")).alias("w"),
+        )
+        .select(
+            "user_id",
+            F.col("w.win").alias("win"),
+            F.explode(
+                F.expr(
+                    "sequence(day, least(date_add(day, w.len - 1), __max_day))"
+                )
+            ).alias("day"),
+        )
+    )
+    return expanded.groupBy("win", "day").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+
+
+ACTIVE_USERS_SQL = f"""
+    WITH user_days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    bounds AS (SELECT max(day) AS max_day FROM user_days),
+    spans AS (
+        SELECT * FROM (VALUES {", ".join(f"('{k}', {v})" for k, v in ACTIVE_WINDOWS.items())})
+            AS t(win, len)
+    ),
+    expanded AS (
+        SELECT u.user_id, s.win,
+               unnest(generate_series(CAST(u.day AS TIMESTAMP),
+                   CAST(least(u.day + (s.len - 1) * INTERVAL 1 DAY,
+                              CAST(b.max_day AS TIMESTAMP)) AS TIMESTAMP),
+                   INTERVAL 1 DAY)) AS day
+        FROM user_days u CROSS JOIN spans s CROSS JOIN bounds b
+    )
+    SELECT win, CAST(day AS DATE) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM expanded GROUP BY 1, 2
+"""

@@ -49,11 +49,13 @@ from propensity_spark.operators.stats import (
     q_stratified_sample,
 )
 from propensity_spark.operators.behavior import (
+    ACTIVE_USERS_SQL,
     COHORT_SQL,
     FUNNEL_SQL,
     PATH_SQL,
     RFM_SQL,
     TRANSITIONS_SQL,
+    q_active_users,
     q_cohort_retention,
     q_event_transitions,
     q_funnel_conversion,
@@ -159,6 +161,7 @@ QUERIES = {
     "corr_matrix": q_corr_matrix,
     "feature_scaling": q_feature_scaling,
     "salted_join": q_salted_join,
+    "active_users": q_active_users,
 }
 
 ORACLES = {
@@ -208,4 +211,5 @@ ORACLES = {
     "corr_matrix": CORR_SQL,
     "feature_scaling": FEATURE_SCALING_SQL,
     "salted_join": SALTED_JOIN_SQL,
+    "active_users": ACTIVE_USERS_SQL,
 }

@@ -1197,3 +1197,45 @@ def test_salted_join_row_identical_and_spreads_hot_key(spark):
         salted.where(FF.col("k") == 1).select("__salt").distinct().count()
     )
     assert n_buckets > 1, "hot key not spread across salt buckets"
+
+
+def test_active_users_windows_hand_computed(spark, tmp_path):
+    """DAU/WAU/MAU: a user active on day D counts toward WAU for the
+    next 7 calendar days (clamped at the data's max day), distinct
+    within each (window, day), multiple same-day events count once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import date, datetime
+
+    from propensity_spark.operators.behavior import q_active_users
+
+    def ev(eid, uid, day, hour=0):
+        return {"event_id": eid, "user_id": uid,
+                "ts": datetime(2024, 1, day, hour), "event_type": "view"}
+
+    rows = [
+        ev(0, 1, 1), ev(1, 1, 1, 5),   # user 1 twice on day 1 -> counts once
+        ev(2, 2, 1),                    # user 2 on day 1
+        ev(3, 1, 5),                    # user 1 again on day 5
+        ev(4, 3, 9),                    # user 3 on day 9 (last day)
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "events.parquet")
+
+    out = {(r["win"], r["day"]): r["n_active"]
+           for r in q_active_users(spark, str(sf)).collect()}
+
+    # DAU: only days with activity, dedup within day
+    assert out[("dau", date(2024, 1, 1))] == 2
+    assert out[("dau", date(2024, 1, 5))] == 1
+    assert out[("dau", date(2024, 1, 9))] == 1
+    assert ("dau", date(2024, 1, 2)) not in out
+    # WAU on day 5: users 1,2 active in [day -6, day] window projected
+    # forward — day-1 activity covers days 1..7, day-5 covers 5..9(max)
+    assert out[("wau", date(2024, 1, 5))] == 2
+    assert out[("wau", date(2024, 1, 7))] == 2   # day-1 activity still in
+    assert out[("wau", date(2024, 1, 8))] == 1   # day-1 aged out; user 1 via day 5
+    assert out[("wau", date(2024, 1, 9))] == 2   # user 1 (day 5) + user 3
+    # MAU covers everything up to the clamp
+    assert out[("mau", date(2024, 1, 9))] == 3
