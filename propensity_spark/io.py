@@ -321,3 +321,28 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
                 f"shiftleft(shiftright({quantized[i]}, {b}) & 1, {b * n + i})"
             )
     return F.expr(" + ".join(terms))
+
+
+def sorted_export(
+    df: DataFrame, path: str, sort_cols: list[str], n_files: int
+) -> None:
+    """Range-partitioned, within-file-sorted parquet export — the
+    data-layout write for hand-off to downstream engines. Rows are
+    range-partitioned on `sort_cols` (Spark samples the key
+    distribution to pick balanced split points — no manual histogram)
+    and sorted inside each partition, so every output file covers a
+    DISJOINT key range and carries tight parquet min/max stats: a
+    reader filtering on the sort key prunes whole files (the same
+    mechanism FeatureTable.compact uses for Z-order multi-column
+    locality, io.py:261; use this one for single-dimension range
+    predicates and merge-join-friendly layout).
+
+    At 100 TB: one range-exchange shuffle (sampling pass + shuffle);
+    the per-partition sort spills. Pick n_files so each file lands
+    near the HDFS/S3 sweet spot (~128-1024 MB)."""
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -1239,3 +1239,39 @@ def test_active_users_windows_hand_computed(spark, tmp_path):
     assert out[("wau", date(2024, 1, 9))] == 2   # user 1 (day 5) + user 3
     # MAU covers everything up to the clamp
     assert out[("mau", date(2024, 1, 9))] == 3
+
+
+def test_sorted_export_disjoint_file_ranges_and_roundtrip(spark, tmp_path):
+    """sorted_export: files carry pairwise-DISJOINT sort-key ranges
+    (parquet footer min/max — what lets a range predicate prune whole
+    files), rows are sorted within each file, and the round-trip loses
+    nothing."""
+    import pyarrow.parquet as pq
+
+    from propensity_spark.io import sorted_export
+
+    df = spark.createDataFrame(
+        [((i * 37) % 1000, f"v{i}") for i in range(1000)], "k int, v string"
+    )
+    out = str(tmp_path / "out")
+    sorted_export(df, out, ["k"], n_files=4)
+
+    ranges = []
+    total = 0
+    for f in sorted((tmp_path / "out").glob("part-*.parquet")):
+        pf = pq.ParquetFile(f)
+        total += pf.metadata.num_rows
+        if pf.metadata.num_rows == 0:
+            continue
+        ks = pf.read(columns=["k"]).column("k").to_pylist()
+        assert ks == sorted(ks), f"{f.name} not sorted within file"
+        ranges.append((min(ks), max(ks)))
+    assert total == 1000
+    assert len(ranges) >= 3  # range partitioner actually split
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges {(lo1, hi1)} {(lo2, hi2)}"
+
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
