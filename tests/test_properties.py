@@ -332,3 +332,61 @@ def test_incremental_agg_split_invariant(spark, rows, split):
     assert sorted(map(tuple, whole.collect())) == sorted(
         map(tuple, merged.collect())
     )
+
+
+@given(
+    fact=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),  # join key, few -> hot
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    n_salt=st.sampled_from([1, 2, 8]),
+)
+@SLOW
+def test_salted_join_equals_plain_join(spark, fact, n_salt):
+    """salted_join == plain inner join for arbitrary fact/dim and any
+    salt width — including keys missing from the dim (dropped by both)
+    and duplicate fact rows (each matches its replica exactly once)."""
+    from propensity_spark.operators.extended import salted_join
+
+    f = spark.createDataFrame(fact, "k int, v int")
+    d = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 5)], "k int, name string"
+    )
+    out = sorted(map(tuple, salted_join(f, d, "k", n_salt=n_salt).collect()))
+    plain = sorted(map(tuple, f.join(d, "k").collect()))
+    assert out == plain
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False),
+        min_size=1,
+        max_size=30,
+    ),
+    shift=st.floats(min_value=-50, max_value=50, allow_nan=False),
+)
+@SLOW
+def test_ewma_affine_equivariance(spark, vals, shift):
+    """EWMA of (a*x + c) == a*EWMA(x) + c for any series — the FIR
+    kernel is a convex combination (weights renormalize to 1 at every
+    row), so affine maps commute with it. Catches weight or
+    renormalization bugs on arbitrary data."""
+    from propensity_spark.operators.timeseries import ewma
+
+    a = 2.0
+    df1 = spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate(vals)],
+        "key string, t int, revenue double",
+    )
+    df2 = spark.createDataFrame(
+        [("k", i, a * float(v) + shift) for i, v in enumerate(vals)],
+        "key string, t int, revenue double",
+    )
+    e1 = {r["t"]: r["ewma"] for r in ewma(df1, "key", "t", "revenue").collect()}
+    e2 = {r["t"]: r["ewma"] for r in ewma(df2, "key", "t", "revenue").collect()}
+    for t in e1:
+        assert abs(e2[t] - (a * e1[t] + shift)) < 1e-2, (t, e1[t], e2[t])
