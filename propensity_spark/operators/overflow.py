@@ -34,6 +34,7 @@ from propensity_spark.operators.extended import (
 )
 from propensity_spark.operators.stats import (
     ANOMALY_SQL,
+    BENFORD_SQL,
     CHI_SQUARE_SQL,
     CV_FOLDS_SQL,
     FEATURE_SCALING_SQL,
@@ -41,6 +42,7 @@ from propensity_spark.operators.stats import (
     QUANTILE_BUCKET_SQL,
     STRATIFIED_SQL,
     q_anomaly_mad,
+    q_benford_audit,
     q_chi_square_assoc,
     q_cv_fold_audit,
     q_feature_scaling,
@@ -79,10 +81,12 @@ from propensity_spark.operators.timeseries import (
     EWMA_SQL,
     GAPFILL_SQL,
     MOVING_AVG_SQL,
+    SEASONALITY_SQL,
     q_attribution_last_touch,
     q_ewma_revenue,
     q_gapfill_revenue,
     q_moving_average,
+    q_seasonality_dow,
 )
 from propensity_spark.operators.maintenance import (
     FINGERPRINT_SQL,
@@ -162,6 +166,8 @@ QUERIES = {
     "feature_scaling": q_feature_scaling,
     "salted_join": q_salted_join,
     "active_users": q_active_users,
+    "seasonality_dow": q_seasonality_dow,
+    "benford_audit": q_benford_audit,
 }
 
 ORACLES = {
@@ -212,4 +218,6 @@ ORACLES = {
     "feature_scaling": FEATURE_SCALING_SQL,
     "salted_join": SALTED_JOIN_SQL,
     "active_users": ACTIVE_USERS_SQL,
+    "seasonality_dow": SEASONALITY_SQL,
+    "benford_audit": BENFORD_SQL,
 }

@@ -443,3 +443,76 @@ FEATURE_SCALING_SQL = f"""
     FROM customer CROSS JOIN stats
 """
 # Registers in operators/overflow.py.
+
+
+BENFORD = [0.30103, 0.17609, 0.12494, 0.09691, 0.07918,
+           0.06695, 0.05799, 0.05115, 0.04576]  # log10(1 + 1/d)
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the
+    fabricated-data / unit-mixup screen auditors run on financial
+    facts: observed first-significant-digit frequencies vs the
+    log10(1+1/d) expectation, with per-digit chi-square contributions.
+    First digit is string surgery on the absolute value (no float log
+    — identical in both engines); one 9-row aggregation, map-side
+    partials; the expectation is a 9-literal array. O(9) tail at any
+    scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.regexp_replace(
+            F.format_string("%.2f", F.abs(F.col("o_totalprice"))), "[.0]", ""
+        ),
+        1,
+        1,
+    ).cast("int")
+    counts = (
+        orders.where(F.abs(F.col("o_totalprice")) >= 1.0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    total = counts.agg(F.sum("observed").alias("__n"))
+    expected_expr = "element_at(array({}), digit)".format(
+        ", ".join(f"{p!r}D" for p in BENFORD)
+    )
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "observed",
+        F.round(F.col("observed") / F.col("__n") + 1e-9, 6).alias("obs_frac"),
+        F.expr(expected_expr).alias("benford_frac"),
+        F.round(
+            F.pow(
+                F.col("observed") - F.expr(expected_expr) * F.col("__n"), 2
+            )
+            / (F.expr(expected_expr) * F.col("__n"))
+            + 1e-9,
+            4,
+        ).alias("chi2_contrib"),
+    )
+
+
+BENFORD_SQL = f"""
+    WITH digits AS (
+        SELECT CAST(substr(regexp_replace(
+                   printf('%.2f', abs(o_totalprice)), '[.0]', '', 'g'),
+                   1, 1) AS INT) AS digit
+        FROM orders WHERE abs(o_totalprice) >= 1.0
+    ),
+    counts AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS observed
+        FROM digits GROUP BY digit
+    ),
+    total AS (SELECT sum(observed) AS n FROM counts),
+    exp_tbl AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"({d + 1}, {p!r})" for d, p in enumerate(BENFORD))})
+            AS t(digit, benford_frac)
+    )
+    SELECT c.digit, c.observed,
+           round(c.observed * 1.0 / n + 1e-9, 6) AS obs_frac,
+           CAST(e.benford_frac AS DOUBLE) AS benford_frac,
+           round(pow(c.observed - e.benford_frac * n, 2)
+                 / (e.benford_frac * n) + 1e-9, 4) AS chi2_contrib
+    FROM counts c JOIN exp_tbl e ON c.digit = e.digit CROSS JOIN total
+"""

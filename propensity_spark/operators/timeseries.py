@@ -330,3 +330,61 @@ MOVING_AVG_SQL = f"""
                  RANGE BETWEEN {MA_DAYS - 1} PRECEDING AND CURRENT ROW)
 """
 # All register in operators/overflow.py (post-budget).
+
+
+def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile of order revenue: per-weekday
+    mean daily revenue, share of the weekly total, and each day's
+    deviation ratio vs its weekday mean — the decomposition read
+    before alerting on a "low" Sunday that is merely a normal Sunday
+    (compose with q_anomaly_mad, which is seasonality-blind). Two
+    aggs over one daily series + a broadcast 7-row join; at 100 TB
+    only the daily aggregation touches the fact."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.round(F.sum("o_totalprice") + 1e-6, 2).alias("revenue"))
+    # dayofweek: 1=Sunday..7=Saturday in Spark; ISO via weekday()+1
+    daily = daily.withColumn("dow", F.weekday("day") + F.lit(1))
+    dow_stats = daily.groupBy("dow").agg(
+        F.round(F.avg("revenue") + 1e-9, 4).alias("dow_mean"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    total = dow_stats.agg(F.sum(F.col("dow_mean")).alias("__week_total"))
+    return (
+        daily.join(F.broadcast(dow_stats), "dow")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "day",
+            "dow",
+            "revenue",
+            "dow_mean",
+            "n_days",
+            F.round(F.col("dow_mean") / F.col("__week_total") + 1e-9, 6).alias(
+                "dow_share"
+            ),
+            F.round(F.col("revenue") / F.col("dow_mean") + 1e-9, 4).alias(
+                "deviation"
+            ),
+        )
+    )
+
+
+SEASONALITY_SQL = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(sum(o_totalprice) + 1e-6, 2) AS revenue
+        FROM orders GROUP BY 1
+    ),
+    tagged AS (SELECT *, isodow(day) AS dow FROM daily),
+    dow_stats AS (
+        SELECT dow, round(avg(revenue) + 1e-9, 4) AS dow_mean,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM tagged GROUP BY dow
+    ),
+    total AS (SELECT sum(dow_mean) AS week_total FROM dow_stats)
+    SELECT t.day, t.dow, t.revenue, s.dow_mean, s.n_days,
+           round(s.dow_mean / week_total + 1e-9, 6) AS dow_share,
+           round(t.revenue / s.dow_mean + 1e-9, 4) AS deviation
+    FROM tagged t JOIN dow_stats s ON t.dow = s.dow CROSS JOIN total
+"""

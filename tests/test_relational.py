@@ -1275,3 +1275,65 @@ def test_sorted_export_disjoint_file_ranges_and_roundtrip(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 1000
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_seasonality_dow_profile(spark, tmp_path):
+    """Seasonality: a series where one weekday is systematically 2x
+    gets a dow_mean 2x the others, and each day's deviation vs its own
+    weekday mean is ~1.0 (the seasonal component fully explains it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import date
+
+    from propensity_spark.operators.timeseries import q_seasonality_dow
+
+    rows = []
+    oid = 0
+    # 4 weeks: Mondays get 200, everything else 100 (one order per day)
+    for d in range(1, 29):
+        day = date(2024, 1, d)
+        price = 200.0 if day.isoweekday() == 1 else 100.0
+        rows.append({"o_orderkey": oid, "o_custkey": 1,
+                     "o_orderdate": day, "o_totalprice": price})
+        oid += 1
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "orders.parquet")
+
+    out = q_seasonality_dow(spark, str(sf)).collect()
+    assert len(out) == 28
+    for r in out:
+        if r["dow"] == 1:
+            assert abs(r["dow_mean"] - 200.0) < 1e-6
+        else:
+            assert abs(r["dow_mean"] - 100.0) < 1e-6
+        assert abs(r["deviation"] - 1.0) < 1e-4  # pure seasonality
+        assert r["n_days"] == 4
+    mon = next(r for r in out if r["dow"] == 1)
+    # Monday's share: 200 / (200 + 6*100) = 0.25
+    assert abs(mon["dow_share"] - 0.25) < 1e-5
+
+
+def test_benford_audit_digits_and_chi2(spark, tmp_path):
+    """Benford audit: first significant digits counted correctly
+    (ignores leading sign/decimals), fractions sum to 1, and a
+    constructed all-1s dataset concentrates mass on digit 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from propensity_spark.operators.stats import q_benford_audit
+
+    vals = [1.23, 19.99, 150.0, 2.5, 29.01, 3.14, 0.5]  # 0.5 filtered (<1)
+    rows = [{"o_orderkey": i, "o_custkey": 1, "o_orderdate": None,
+             "o_totalprice": v} for i, v in enumerate(vals)]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "orders.parquet")
+
+    out = {r["digit"]: r for r in q_benford_audit(spark, str(sf)).collect()}
+    assert out[1]["observed"] == 3  # 1.23, 19.99, 150.0
+    assert out[2]["observed"] == 2  # 2.5, 29.01
+    assert out[3]["observed"] == 1  # 3.14
+    assert abs(sum(r["obs_frac"] for r in out.values()) - 1.0) < 1e-4
+    assert abs(out[1]["benford_frac"] - 0.30103) < 1e-9
+    assert all(r["chi2_contrib"] >= 0 for r in out.values())
