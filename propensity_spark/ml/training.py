@@ -32,7 +32,7 @@ from pyspark.ml.classification import GBTClassifier, LogisticRegression
 from pyspark.ml.evaluation import BinaryClassificationEvaluator
 from pyspark.ml.feature import VectorAssembler
 from pyspark.ml.tuning import ParamGridBuilder, TrainValidationSplit
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from propensity_spark.feature_store import DEFAULT_STORE, FeatureTable
@@ -452,6 +452,52 @@ def classification_metrics(scored: DataFrame, threshold: float = 0.5) -> DataFra
             F.when(mcc_den > 0, (tp * tn - fp * fn) / mcc_den).otherwise(0.0), 6
         ).alias("mcc"),
     )
+
+
+def decile_lift(
+    scored: DataFrame,
+    score_col: str = "prediction",
+    label_col: str = "purchased",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Decile lift / cumulative-gains table — the campaign-planning
+    read of a propensity model (reference surfaces raw scores only,
+    04c:189-202; this is the table the marketer actually sorts by):
+    rank customers by score, cut into `n_bins` equal buckets, and per
+    bucket report size, positives, response rate, lift vs the base
+    rate, and cumulative gain (% of all positives captured by
+    targeting the top k deciles).
+
+    Plan: one `ntile` window over the scored frame (score-grain, the
+    same 10^9-row caveat and percentile-boundary escape hatch as RFM's
+    ntile — operators/behavior.py), one n_bins-row aggregation, then
+    window cumulative sums over the TINY bucket frame. Deterministic:
+    ties broken by the id ordering of `ntile`'s input sort."""
+    w = Window.orderBy(F.desc(score_col), *[F.asc(c) for c in scored.columns
+                                            if c not in (score_col, label_col)][:1])
+    binned = scored.withColumn("decile", F.ntile(n_bins).over(w))
+    per = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(label_col).cast("long")).alias("positives"),
+    )
+    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    return per.select(
+        "decile",
+        "n",
+        "positives",
+        F.round(F.col("positives") / F.col("n") + 1e-9, 6).alias("response_rate"),
+        F.round(
+            (F.col("positives") / F.col("n"))
+            / (F.sum("positives").over(tot) / F.sum("n").over(tot))
+            + 1e-9,
+            4,
+        ).alias("lift"),
+        F.round(
+            F.sum("positives").over(cum) / F.sum("positives").over(tot) + 1e-9,
+            6,
+        ).alias("cum_gain"),
+    ).orderBy("decile")
 
 
 def fold_expr(fold_key: str, k: int):

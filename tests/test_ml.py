@@ -441,3 +441,28 @@ def test_cross_validate_group_aware_deterministic_and_separable(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         M.cross_validate(df, ["f1"], k=1)
+
+
+def test_decile_lift_perfect_ranker(spark):
+    """decile_lift on a perfectly ranked population: 100 positives in
+    1000 rows, all scored at the top -> decile 1 has response rate 1.0
+    and lift 10, cumulative gain hits 1.0 at decile 1 and stays there;
+    a uniform scorer's lift is ~1 in every decile."""
+    rows = [(i, 1.0 - i / 1000.0, 1 if i < 100 else 0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id int, prediction double, purchased int")
+    out = {r["decile"]: r for r in M.decile_lift(df).collect()}
+    assert len(out) == 10
+    assert all(r["n"] == 100 for r in out.values())
+    assert out[1]["positives"] == 100 and abs(out[1]["lift"] - 10.0) < 1e-3
+    assert abs(out[1]["cum_gain"] - 1.0) < 1e-6
+    assert out[2]["positives"] == 0 and abs(out[10]["cum_gain"] - 1.0) < 1e-6
+
+    # uniform scorer: same score everywhere, deterministic tie-break by id
+    flat = spark.createDataFrame(
+        [(i, 0.5, 1 if i % 10 == 0 else 0) for i in range(1000)],
+        "id int, prediction double, purchased int",
+    )
+    fout = M.decile_lift(flat).collect()
+    assert sum(r["positives"] for r in fout) == 100
+    for r in fout:
+        assert abs(r["lift"] - 1.0) < 0.35  # ~1 with id-order binning
