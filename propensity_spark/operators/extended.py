@@ -596,6 +596,11 @@ def q_basket_affinity_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gain (the triple-extension join dominates, not the self-join),
     # and at scale storing this basket-quadratic intermediate as
     # executor blocks costs more than recomputing its one cheap join.
+    # Same verdict for cutting `bi` itself: a localCheckpoint there
+    # collapses the plan from 42 scans to 0 but wall-clock is flat
+    # (3.6 s vs 3.5 s at sf0.1) — re-scanning the column-pruned
+    # parquet is cheaper than it looks, and the checkpoint adds
+    # accumulator-GC noise on Spark 4.1. Shuffles dominate, not scans.
     freq_pairs = (
         basket_pairs.groupBy("ia", "ib")
         .agg(F.count(F.lit(1)).alias("cnt"))
