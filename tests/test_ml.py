@@ -257,7 +257,7 @@ def test_basket_affinity_matches_mllib_fpgrowth(spark, sf_dir):
 
 
 def test_basket_affinity_3_matches_mllib_fpgrowth(spark, sf_dir):
-    """The apriori-pruned triple supports in q_basket_affinity_3 must
+    """The HOF combination-explode triple supports in q_basket_affinity_3 must
     equal MLlib FPGrowth's size-3 freqItemsets at TRIPLE_MIN_SUPPORT —
     pinning that the pair-pruning semi-join is lossless (downward
     closure) against the FP-tree reference."""
