@@ -66,6 +66,11 @@ BENCH_QUERIES = [
     "weighted_sample",
     "char_entropy",
     "incremental_agg",
+    # late-round-5 additions (three distinct plan shapes: user-window
+    # sequence pairs, window-expansion distinct, single-agg co-moments)
+    "event_transitions",
+    "active_users",
+    "corr_matrix",
 ]
 
 

@@ -405,12 +405,14 @@ def scale_features(
         F.expr(f"{fn}({value_col}, {WINSOR_HI}D)").alias("__p99"),
     )
     v = F.col(value_col)
+    # nullif guards: a constant column (sd = 0, hi = lo) yields NULL
+    # scores in BOTH engines instead of Spark-NULL-vs-DuckDB-inf drift
+    sd = F.nullif(F.col("__sd"), F.lit(0.0))
+    span = F.nullif(F.col("__hi") - F.col("__lo"), F.lit(0.0))
     return df.crossJoin(F.broadcast(stats)).select(
         *[c for c in df.columns],
-        F.round((v - F.col("__mu")) / F.col("__sd") + 1e-9, 6).alias("zscore"),
-        F.round(
-            (v - F.col("__lo")) / (F.col("__hi") - F.col("__lo")) + 1e-9, 6
-        ).alias("minmax"),
+        F.round((v - F.col("__mu")) / sd + 1e-9, 6).alias("zscore"),
+        F.round((v - F.col("__lo")) / span + 1e-9, 6).alias("minmax"),
         F.round(
             F.least(F.greatest(v, F.col("__p01")), F.col("__p99")) + 1e-9, 4
         ).alias("winsorized"),
@@ -437,8 +439,8 @@ FEATURE_SCALING_SQL = f"""
         FROM customer
     )
     SELECT c_custkey, c_acctbal AS acctbal,
-           round((c_acctbal - mu) / sd + 1e-9, 6) AS zscore,
-           round((c_acctbal - lo) / (hi - lo) + 1e-9, 6) AS minmax,
+           round((c_acctbal - mu) / nullif(sd, 0.0) + 1e-9, 6) AS zscore,
+           round((c_acctbal - lo) / nullif(hi - lo, 0.0) + 1e-9, 6) AS minmax,
            round(least(greatest(c_acctbal, p01), p99) + 1e-9, 4) AS winsorized
     FROM customer CROSS JOIN stats
 """

@@ -1337,3 +1337,23 @@ def test_benford_audit_digits_and_chi2(spark, tmp_path):
     assert abs(sum(r["obs_frac"] for r in out.values()) - 1.0) < 1e-4
     assert abs(out[1]["benford_frac"] - 0.30103) < 1e-9
     assert all(r["chi2_contrib"] >= 0 for r in out.values())
+
+
+def test_feature_scaling_constant_column_nulls(spark, tmp_path):
+    """A constant column (sd = 0, hi = lo) yields NULL zscore/minmax
+    rather than inf/error — same in the oracle via nullif."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from propensity_spark.operators.stats import q_feature_scaling
+
+    rows = [{"c_custkey": i, "c_acctbal": 42.0} for i in range(5)]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "customer.parquet")
+
+    out = q_feature_scaling(spark, str(sf)).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["zscore"] is None and r["minmax"] is None
+        assert abs(r["winsorized"] - 42.0) < 1e-6  # clip still well-defined
