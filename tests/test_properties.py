@@ -390,3 +390,52 @@ def test_ewma_affine_equivariance(spark, vals, shift):
     e2 = {r["t"]: r["ewma"] for r in ewma(df2, "key", "t", "revenue").collect()}
     for t in e1:
         assert abs(e2[t] - (a * e1[t] + shift)) < 1e-2, (t, e1[t], e2[t])
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # user_id
+            st.integers(min_value=1, max_value=20),  # day of month
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SLOW
+def test_active_users_matches_bruteforce(spark, tmp_path_factory, events):
+    """q_active_users == the python brute force (distinct users whose
+    activity falls in the trailing window ending at each reported
+    day) for arbitrary event sets — validates the forward-expansion
+    rewrite of the sliding COUNT DISTINCT."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import date, datetime
+
+    from propensity_spark.operators.behavior import ACTIVE_WINDOWS, q_active_users
+
+    rows = [
+        {"event_id": i, "user_id": u, "ts": datetime(2024, 1, d),
+         "event_type": "view"}
+        for i, (u, d) in enumerate(events)
+    ]
+    sf = tmp_path_factory.mktemp("au") / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "events.parquet")
+
+    got = {(r["win"], r["day"]): r["n_active"]
+           for r in q_active_users(spark, str(sf)).collect()}
+
+    user_days = {(u, date(2024, 1, d)) for u, d in events}
+    all_days = sorted({d for _, d in user_days})
+    max_day = max(all_days)
+    expected = {}
+    for win, length in ACTIVE_WINDOWS.items():
+        # a day is reported iff some user-day projects onto it
+        for u, d in user_days:
+            horizon = min(max_day.toordinal(), d.toordinal() + length - 1)
+            for o in range(d.toordinal(), horizon + 1):
+                key = (win, date.fromordinal(o))
+                expected.setdefault(key, set()).add(u)
+    expected = {k: len(v) for k, v in expected.items()}
+    assert got == expected
