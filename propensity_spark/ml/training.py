@@ -500,6 +500,55 @@ def decile_lift(
     ).orderBy("decile")
 
 
+def reliability_table(
+    scored: DataFrame,
+    score_col: str = "prediction",
+    label_col: str = "purchased",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Calibration / reliability table: fixed-width probability bins
+    (scores are already in [0,1]) with mean predicted probability vs
+    observed positive rate and the per-bin calibration gap — the
+    diagnostic that says whether `score_batch`'s isotonic calibration
+    actually earned its keep. Unlike decile_lift's rank bins, these
+    are VALUE bins: map-side assignment (no ntile sort), one n_bins
+    aggregation — shuffle-free except the n_bins-row exchange, the
+    cheapest possible plan at any scale. `ece` (expected calibration
+    error contribution, |gap| weighted by bin mass) sums to the
+    standard ECE across rows."""
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    per = (
+        scored.withColumn("bin", b)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(score_col) + 1e-9, 6).alias("mean_predicted"),
+            F.round(
+                F.avg(F.col(label_col).cast("double")) + 1e-9, 6
+            ).alias("observed_rate"),
+        )
+    )
+    tot = Window.partitionBy()
+    return per.select(
+        "bin",
+        "n",
+        "mean_predicted",
+        "observed_rate",
+        F.round(
+            F.col("observed_rate") - F.col("mean_predicted") + 1e-9, 6
+        ).alias("gap"),
+        F.round(
+            F.abs(F.col("observed_rate") - F.col("mean_predicted"))
+            * F.col("n")
+            / F.sum("n").over(tot)
+            + 1e-9,
+            6,
+        ).alias("ece"),
+    ).orderBy("bin")
+
+
 def fold_expr(fold_key: str, k: int):
     """Deterministic fold id in [0, k): md5-uniform of the key mod k.
     Same hash family as split_by_hash — append-stable and group-aware

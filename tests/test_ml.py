@@ -466,3 +466,39 @@ def test_decile_lift_perfect_ranker(spark):
     assert sum(r["positives"] for r in fout) == 100
     for r in fout:
         assert abs(r["lift"] - 1.0) < 0.35  # ~1 with id-order binning
+
+
+def test_reliability_table_calibrated_vs_miscalibrated(spark):
+    """reliability_table: a perfectly calibrated scorer (observed rate
+    == predicted in every bin) has ~zero gap and ECE; an overconfident
+    scorer shows the systematic negative gap; bin edges are value
+    bins (score 1.0 folds into the last bin)."""
+    import random
+
+    rng = random.Random(11)
+    cal = [(p, 1 if rng.random() < p else 0)
+           for p in [i / 1000 for i in range(1000)]]
+    df = spark.createDataFrame(cal, "prediction double, purchased int")
+    out = M.reliability_table(df).collect()
+    assert len(out) == 10
+    assert sum(r["n"] for r in out) == 1000
+    ece = sum(r["ece"] for r in out)
+    assert ece < 0.08, ece  # statistically near-calibrated
+    for r in out:
+        assert abs(r["gap"]) < 0.2
+
+    # overconfident: predicts 0.9 but true rate is 0.5
+    over = spark.createDataFrame(
+        [(0.9, 1 if i % 2 == 0 else 0) for i in range(400)],
+        "prediction double, purchased int",
+    )
+    o = M.reliability_table(over).collect()
+    assert len(o) == 1 and o[0]["bin"] == 9
+    assert abs(o[0]["gap"] + 0.4) < 1e-3  # 0.5 observed - 0.9 predicted
+    assert abs(o[0]["ece"] - 0.4) < 1e-3
+
+    # score exactly 1.0 folds into bin 9, not a phantom bin 10
+    edge = M.reliability_table(
+        spark.createDataFrame([(1.0, 1)], "prediction double, purchased int")
+    ).collect()
+    assert edge[0]["bin"] == 9
