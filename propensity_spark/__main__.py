@@ -67,6 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument(
                 "--tuner", choices=("random", "tpe"), default="random"
             )
+            # ship per-model decile-lift + calibration tables next to
+            # each saved model (<model>__eval/{lift,reliability})
+            p.add_argument("--eval-tables", action="store_true")
         if name in ("daily", "drift"):
             p.add_argument("--psi-threshold", type=float, default=0.25)
     return ap
@@ -129,6 +132,7 @@ def run(args, spark=None) -> int:
                 # over the same space with --tuner tpe.
                 search=args.tuner if args.tune else "grid",
                 n_trials=args.n_trials if args.tune else None,
+                eval_tables=args.eval_tables,
             )
         )
         print(json.dumps({"cmd": "weekly", "day": str(day), "manifest": rows}, default=str))

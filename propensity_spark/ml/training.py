@@ -272,13 +272,20 @@ def train_commodity_models(
     model_type: str = "gbt",
     search: str = "grid",
     n_trials: int = N_SEARCH_TRIALS,
+    eval_tables: bool = False,
 ) -> DataFrame:
     """Per-commodity training loop (04b:330-338) + manifest registry
     (M6). Each commodity trains inside try/except (04b:400-417): one
     bad category records a 'failed' manifest row instead of killing the
     weekly job; healthy commodities still ship. Returns the manifest
     DataFrame (commodity, model_path, metric_aupr, stage, n_trials) —
-    n_trials records the search breadth that produced the model."""
+    n_trials records the search breadth that produced the model.
+
+    `eval_tables=True` additionally writes the decile-lift and
+    calibration-reliability tables of each model's held-out test
+    split to `<model_path>__eval/{lift,reliability}` — reuses the one
+    test-set transform the AUPR evaluation already runs, so the only
+    extra cost is two tiny (n_bins-row) writes per commodity."""
     store_base = store_base or str(DEFAULT_STORE / "training")
     # Models live UNDER the run's store dir: per-run isolation (two
     # concurrent runs never collide on model paths) and the caller's
@@ -328,9 +335,23 @@ def train_commodity_models(
             )
             model = est.fit(train)
             pipeline_model = model.bestModel if tune else model
-            aupr = float(evaluator.evaluate(pipeline_model.transform(test)))
+            scored_test = pipeline_model.transform(test)
+            aupr = float(evaluator.evaluate(scored_test))
             path = str(Path(models_base) / clean)
             pipeline_model.write().overwrite().save(path)
+            if eval_tables:
+                from pyspark.ml.functions import vector_to_array
+
+                st = scored_test.select(
+                    "purchased",
+                    vector_to_array("probability")[1].alias("prediction"),
+                )
+                decile_lift(st).write.mode("overwrite").parquet(
+                    str(Path(f"{path}__eval") / "lift")
+                )
+                reliability_table(st).write.mode("overwrite").parquet(
+                    str(Path(f"{path}__eval") / "reliability")
+                )
             manifest_rows.append(
                 (commodity, clean, path, aupr, "Production", est.n_search_trials, None)
             )

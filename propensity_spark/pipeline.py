@@ -320,12 +320,14 @@ class Pipeline:
         model_type: str = "gbt",
         search: str = "grid",
         n_trials: int | None = None,
+        eval_tables: bool = False,
     ) -> DataFrame:
         """Features for `day` must already be in the store (run_init /
         engineer_features put them there); training only looks up.
         `search`/`n_trials` select the tuning breadth when `tune`
         (the CLI passes search='random', n_trials=50 for reference
-        parity with the >=50 hyperopt trials at 04b:392-395)."""
+        parity with the >=50 hyperopt trials at 04b:392-395);
+        `eval_tables` ships per-model lift + calibration tables."""
         from propensity_spark.ml.training import N_SEARCH_TRIALS
 
         return train_commodity_models(
@@ -340,6 +342,7 @@ class Pipeline:
             model_type=model_type,
             search=search,
             n_trials=N_SEARCH_TRIALS if n_trials is None else n_trials,
+            eval_tables=eval_tables,
         )
 
     def run_init(

@@ -502,3 +502,26 @@ def test_reliability_table_calibrated_vs_miscalibrated(spark):
         spark.createDataFrame([(1.0, 1)], "prediction double, purchased int")
     ).collect()
     assert edge[0]["bin"] == 9
+
+
+def test_train_commodity_models_eval_tables(spark, sf_dir, tmp_path):
+    """eval_tables=True writes lift + reliability parquet next to each
+    shipped model; the tables are well-formed (bins partition the test
+    rows; cum_gain ends at 1.0 when positives exist)."""
+    manifest = M.train_commodity_models(
+        spark,
+        sf_dir,
+        commodities=1,
+        store_base=str(tmp_path / "store"),
+        model_type="lr",
+        eval_tables=True,
+    )
+    row = manifest.collect()[0]
+    assert row["stage"] == "Production", row
+    lift = spark.read.parquet(row["model_path"] + "__eval/lift").collect()
+    rel = spark.read.parquet(row["model_path"] + "__eval/reliability").collect()
+    assert 1 <= len(lift) <= 10 and 1 <= len(rel) <= 10
+    total_pos = sum(r["positives"] for r in lift)
+    if total_pos:
+        assert abs(max(r["cum_gain"] for r in lift) - 1.0) < 1e-6
+    assert sum(r["n"] for r in lift) == sum(r["n"] for r in rel)

@@ -50,6 +50,12 @@ QUERIES = [
     "char_entropy",
     "event_transitions",
     "ewma_revenue",
+    # late-round-5 additions
+    "salted_join",
+    "active_users",
+    "corr_matrix",
+    "feature_scaling",
+    "seasonality_dow",
 ]
 
 
