@@ -467,3 +467,208 @@ ACTIVE_USERS_SQL = f"""
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
     FROM expanded GROUP BY 1, 2
 """
+
+
+SESSION_GAP_S = 1800  # 30-minute inactivity gap, the industry default
+
+
+def sessionize(
+    events: DataFrame, gap_s: int = SESSION_GAP_S
+) -> DataFrame:
+    """Gap-based sessionization: a user's events are split into
+    sessions wherever the inactivity gap exceeds `gap_s`. The classic
+    streaming-warehouse pattern — `lag` marks session starts, a
+    running sum of the marks numbers the sessions — so the whole
+    assignment is ONE user-keyed window Exchange (both window
+    functions share the frame), no self-join, no per-user fan-out.
+    Returns the events annotated with (session_seq, is_new_session);
+    state per key is a single previous-timestamp value, so the same
+    plan holds at any event volume. Streaming twin: the native
+    `session_window` aggregation in streaming/windows.py."""
+    ev = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("value"),
+        F.unix_timestamp("ts").alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("t") - F.lag("t").over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+    return ev.withColumn("is_new_session", is_new).withColumn(
+        "session_seq", F.sum("is_new_session").over(run)
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollup: bounds, duration, event mix, purchase
+    revenue, bounce flag. One user-keyed window Exchange (the
+    sessionize pass) + one (user, session) hash agg."""
+    events = load_table(spark, sf_dir, "events")
+    s = sessionize(events)
+    return s.groupBy("user_id", "session_seq").agg(
+        F.min("t").alias("session_start_t"),
+        F.max("t").alias("session_end_t"),
+        (F.max("t") - F.min("t")).alias("duration_s"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value"))
+                ),
+                F.lit(0.0),
+            )
+            + 1e-6,
+            2,
+        ).alias("revenue"),
+        F.when(F.count(F.lit(1)) == 1, 1).otherwise(0).alias("is_bounce"),
+    )
+
+
+SESSIONIZE_SQL = f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, value,
+               CAST(floor(epoch(ts)) AS BIGINT) AS t
+        FROM events
+    ),
+    marked AS (
+        SELECT *,
+               CASE WHEN t - lag(t) OVER (
+                        PARTITION BY user_id ORDER BY t, event_id)
+                        > {SESSION_GAP_S}
+                      OR lag(t) OVER (
+                        PARTITION BY user_id ORDER BY t, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM ev
+    ),
+    numbered AS (
+        SELECT *,
+               sum(is_new_session) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_seq
+        FROM marked
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           min(t) AS session_start_t, max(t) AS session_end_t,
+           max(t) - min(t) AS duration_s,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+               AS n_purchases,
+           round(coalesce(sum(value) FILTER (event_type = 'purchase'),
+                          0.0) + 1e-6, 2) AS revenue,
+           CASE WHEN count(*) = 1 THEN 1 ELSE 0 END AS is_bounce
+    FROM numbered GROUP BY 1, 2
+"""
+
+
+def q_attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear + position-based (U-shaped) multi-touch attribution:
+    every click is credited to the user's NEXT purchase (the
+    conversion it fed), linear credit splits 1/n across the path,
+    position-based gives 40% to the first and last touches and
+    spreads 20% over the middles (collapsing to 1.0 / 0.5+0.5 for
+    1- and 2-click paths). Companion to last-touch attribution in
+    operators/timeseries.py.
+
+    Path assembly is join-free: a DESCENDING user-ordered running
+    count of purchases labels every event with the purchase at-or-
+    after it (clicks sharing a label form that purchase's path), then
+    ascending per-(user, path) windows rank the clicks. Two keyed
+    window Exchanges, zero joins, O(1) window state — no
+    purchase x click range-join fan-out at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("t"),
+    ).where(F.col("event_type").isin("click", "purchase"))
+    is_purchase = (F.col("event_type") == "purchase").cast("int")
+    w_desc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("t"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    labeled = ev.withColumn("path_id", F.sum(is_purchase).over(w_desc))
+    # path_id = 0 → click after the user's last purchase: unattributable.
+    labeled = labeled.where(F.col("path_id") > 0)
+    w_path = Window.partitionBy("user_id", "path_id").orderBy(
+        "t", "event_id"
+    )
+    run = w_path.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = w_path.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    is_click = (F.col("event_type") == "click").cast("int")
+    ranked = (
+        labeled.withColumn("click_pos", F.sum(is_click).over(run))
+        .withColumn("n_clicks", F.sum(is_click).over(full))
+        .withColumn(
+            "purchase_id",
+            F.max(F.when(is_purchase == 1, F.col("event_id"))).over(full),
+        )
+    )
+    clicks = ranked.where(F.col("event_type") == "click")
+    n = F.col("n_clicks")
+    pos = F.col("click_pos")
+    credit_pos = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when(pos == 1, F.lit(0.4))
+        .when(pos == n, F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2).cast("double"))
+    )
+    return clicks.select(
+        "user_id",
+        "purchase_id",
+        F.col("event_id").alias("click_id"),
+        "click_pos",
+        "n_clicks",
+        F.round(F.lit(1.0) / n.cast("double") + 1e-9, 6).alias(
+            "credit_linear"
+        ),
+        F.round(credit_pos + 1e-9, 6).alias("credit_position"),
+    )
+
+
+MULTI_TOUCH_SQL = """
+    WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS t
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    labeled AS (
+        SELECT *,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY t DESC, event_id DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS path_id
+        FROM ev
+    ),
+    ranked AS (
+        SELECT *,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id, path_id ORDER BY t, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS click_pos,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id, path_id) AS n_clicks,
+               max(CASE WHEN event_type = 'purchase' THEN event_id END)
+                   OVER (PARTITION BY user_id, path_id) AS purchase_id
+        FROM labeled WHERE path_id > 0
+    )
+    SELECT user_id, purchase_id, event_id AS click_id,
+           CAST(click_pos AS BIGINT) AS click_pos,
+           CAST(n_clicks AS BIGINT) AS n_clicks,
+           round(1.0 / n_clicks + 1e-9, 6) AS credit_linear,
+           round(CASE WHEN n_clicks = 1 THEN 1.0
+                      WHEN n_clicks = 2 THEN 0.5
+                      WHEN click_pos = 1 THEN 0.4
+                      WHEN click_pos = n_clicks THEN 0.4
+                      ELSE 0.2 / (n_clicks - 2) END + 1e-9, 6)
+               AS credit_position
+    FROM ranked WHERE event_type = 'click'
+"""

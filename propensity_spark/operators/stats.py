@@ -518,3 +518,98 @@ BENFORD_SQL = f"""
                  / (e.benford_frac * n) + 1e-9, 4) AS chi2_contrib
     FROM counts c JOIN exp_tbl e ON c.digit = e.digit CROSS JOIN total
 """
+
+
+def mutual_information(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Mutual information between two categorical columns, reported
+    per cell: I(X;Y) = Σ p(x,y)·ln(p(x,y) / (p(x)·p(y))). The joint
+    contingency table is ONE hash aggregate over the scan; the
+    marginals are window sums OVER THE TINY JOINT TABLE (|X|·|Y|
+    rows), not re-scans — so feature-pair screening at 100 TB costs
+    one shuffle per pair regardless of row count. The log argument is
+    the integer ratio (c·n)/(px·py), bit-identical across engines
+    before the single libm call; mi contributions round at 6dp
+    (chi_square_assoc's convention). Sister operator to
+    chi_square_assoc — MI ranks feature pairs on the same table."""
+    joint = df.groupBy(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    wall = Window.partitionBy()
+    m = (
+        joint.withColumn("px_n", F.sum("c").over(wx))
+        .withColumn("py_n", F.sum("c").over(wy))
+        .withColumn("n", F.sum("c").over(wall))
+    )
+    return m.select(
+        "x",
+        "y",
+        F.col("c").alias("n_xy"),
+        F.round(F.col("c") / F.col("n") + 1e-9, 6).alias("p_xy"),
+        F.round(
+            (F.col("c") * F.col("n"))
+            / (F.col("px_n") * F.col("py_n")).cast("double")
+            + 1e-9,
+            6,
+        ).alias("lift"),
+        F.round(
+            (F.col("c") / F.col("n"))
+            * F.log(
+                (F.col("c") * F.col("n"))
+                / (F.col("px_n") * F.col("py_n")).cast("double")
+            )
+            + 1e-9,
+            6,
+        ).alias("mi_contrib"),
+    )
+
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MI cells for two feature pairs, unioned with a pair label:
+    orders (priority vs status) and part (brand vs first type word)."""
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").withColumn(
+        "p_type_head", F.split("p_type", " ")[0]
+    )
+    a = mutual_information(orders, "o_orderpriority", "o_orderstatus")
+    b = mutual_information(part, "p_brand", "p_type_head")
+    return a.select(F.lit("priority_status").alias("pair"), "*").unionByName(
+        b.select(F.lit("brand_type").alias("pair"), "*")
+    )
+
+
+_MI_CELL_SQL = """
+    SELECT '{label}' AS pair, x, y, n_xy,
+           round(n_xy * 1.0 / n + 1e-9, 6) AS p_xy,
+           round((n_xy * n) * 1.0 / (px_n * py_n) + 1e-9, 6) AS lift,
+           round((n_xy * 1.0 / n)
+                 * ln((n_xy * n) * 1.0 / (px_n * py_n)) + 1e-9, 6)
+               AS mi_contrib
+    FROM (
+        SELECT x, y, c AS n_xy,
+               sum(c) OVER (PARTITION BY x) AS px_n,
+               sum(c) OVER (PARTITION BY y) AS py_n,
+               sum(c) OVER () AS n
+        FROM (SELECT {x} AS x, {y} AS y, count(*) AS c
+              FROM {table} GROUP BY 1, 2)
+    )
+"""
+
+MUTUAL_INFO_SQL = (
+    _MI_CELL_SQL.format(
+        label="priority_status",
+        x="o_orderpriority",
+        y="o_orderstatus",
+        table="orders",
+    )
+    + " UNION ALL "
+    + _MI_CELL_SQL.format(
+        label="brand_type",
+        x="p_brand",
+        y="string_split(p_type, ' ')[1]",
+        table="part",
+    )
+)

@@ -388,3 +388,164 @@ SEASONALITY_SQL = """
            round(t.revenue / s.dow_mean + 1e-9, 4) AS deviation
     FROM tagged t JOIN dow_stats s ON t.dow = s.dow CROSS JOIN total
 """
+
+
+def trend_fit(
+    daily: DataFrame, key_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-key OLS trend of y over x: slope, intercept, r² and the
+    fitted endpoint — the dashboard "is this series growing?"
+    primitive. Uses the SQL-standard `regr_*` aggregates (available
+    in both Spark and DuckDB), so the fit is ONE hash aggregate over
+    the series: partial-aggregated map-side, no window, no collect.
+    At 100 TB the input is already at (key, x) grain, so this adds a
+    |keys|-row result to whatever shuffle produced the series."""
+    return daily.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.expr(f"regr_slope({y_col}, {x_col})") + 1e-9, 6).alias(
+            "slope"
+        ),
+        F.round(
+            F.expr(f"regr_intercept({y_col}, {x_col})") + 1e-9, 4
+        ).alias("intercept"),
+        F.round(F.expr(f"regr_r2({y_col}, {x_col})") + 1e-9, 6).alias(
+            "r2"
+        ),
+    )
+
+
+def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue trend per brand: slope/intercept/r² of revenue
+    vs day number. Broadcast dim join -> (brand, day) agg -> brand
+    agg; the second aggregate reuses the first's hash partitioning
+    prefix under AQE."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    daily = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.datediff(
+                F.to_date("l_shipdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day_num"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + 1e-6,
+                2,
+            ).alias("revenue")
+        )
+    )
+    return trend_fit(daily, "brand", "day_num", "revenue")
+
+
+TREND_SQL = """
+    WITH daily AS (
+        SELECT p_brand AS brand,
+               date_diff('day', DATE '1992-01-01',
+                         CAST(l_shipdate AS DATE)) AS day_num,
+               round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+                   AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    )
+    SELECT brand, CAST(count(*) AS BIGINT) AS n_points,
+           round(regr_slope(revenue, day_num) + 1e-9, 6) AS slope,
+           round(regr_intercept(revenue, day_num) + 1e-9, 4) AS intercept,
+           round(regr_r2(revenue, day_num) + 1e-9, 6) AS r2
+    FROM daily GROUP BY brand
+"""
+
+
+def cusum_series(
+    daily: DataFrame, order_col: str, value_col: str
+) -> DataFrame:
+    """CUSUM changepoint statistic over a single series: D_t = running
+    sum of deviations from the series mean; the |D| peak is the
+    most likely level-shift point (Page 1954's cumulative-sum test in
+    its offline scan form). The series mean rides in via a broadcast
+    1-row aggregate; the running sum is one ordered window over the
+    UNPARTITIONED series — safe because the input is already at
+    per-`order_col` grain (|days| rows, thousands, not the fact
+    table), the standard shape for global-series diagnostics. The
+    peak flag compares ROUNDED statistics so both engines flag the
+    same row.
+
+    Determinism: the mean is rounded to 4dp BEFORE the subtraction —
+    an avg's merge-order wobble (~1e-10) would otherwise amplify by t
+    through the running sum (measured ±2.3e-6 at 2.5k days, enough to
+    flip a 2dp rounding boundary); with a fixed 4dp constant both
+    engines run the same sequential IEEE addition chain."""
+    mean = daily.agg(
+        F.round(F.avg(value_col) + 1e-9, 4).alias("__mean")
+    )
+    w = (
+        Window.orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    d = (
+        daily.crossJoin(F.broadcast(mean))
+        .withColumn(
+            "cusum",
+            F.round(
+                F.sum(F.col(value_col) - F.col("__mean")).over(w) + 1e-6,
+                2,
+            ),
+        )
+        .withColumn("abs_cusum", F.abs("cusum"))
+    )
+    return d.select(
+        order_col,
+        F.col(value_col),
+        "cusum",
+        F.when(
+            F.col("abs_cusum") == F.max("abs_cusum").over(full), 1
+        )
+        .otherwise(0)
+        .alias("is_peak"),
+    )
+
+
+def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM over total daily revenue: where did the level shift?"""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    daily = lineitem.groupBy(
+        F.datediff(
+            F.to_date("l_shipdate"), F.lit("1992-01-01").cast("date")
+        ).alias("day_num")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            + 1e-6,
+            2,
+        ).alias("revenue")
+    )
+    return cusum_series(daily, "day_num", "revenue")
+
+
+CUSUM_SQL = """
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1992-01-01',
+                         CAST(l_shipdate AS DATE)) AS day_num,
+               round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+                   AS revenue
+        FROM lineitem GROUP BY 1
+    ),
+    m AS (SELECT round(avg(revenue) + 1e-9, 4) AS mean_rev FROM daily),
+    c AS (
+        SELECT day_num, revenue,
+               round(sum(revenue - mean_rev) OVER (
+                   ORDER BY day_num
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) + 1e-6, 2) AS cusum
+        FROM daily CROSS JOIN m
+    )
+    SELECT day_num, revenue, cusum,
+           CASE WHEN abs(cusum) = max(abs(cusum)) OVER () THEN 1 ELSE 0 END
+               AS is_peak
+    FROM c
+"""

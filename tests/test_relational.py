@@ -1357,3 +1357,153 @@ def test_feature_scaling_constant_column_nulls(spark, tmp_path):
     for r in out:
         assert r["zscore"] is None and r["minmax"] is None
         assert abs(r["winsorized"] - 42.0) < 1e-6  # clip still well-defined
+
+
+def test_sessionize_gap_splits_and_session_metrics(spark, tmp_path):
+    """30-min gap splits sessions; metrics roll up per session:
+    bounds, duration, purchase revenue, bounce flag."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta
+
+    from propensity_spark.operators.behavior import q_sessionize
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, offset_s, etype="view", value=None):
+        return {"event_id": eid, "user_id": uid,
+                "ts": t0 + timedelta(seconds=offset_s),
+                "event_type": etype, "value": value}
+
+    rows = [
+        # user 1: session 1 = events at 0s, 600s (purchase), 1200s;
+        # gap of 1801s after 1200s -> session 2 = single event (bounce)
+        ev(0, 1, 0),
+        ev(1, 1, 600, "purchase", 10.5),
+        ev(2, 1, 1200),
+        ev(3, 1, 1200 + 1801),
+        # user 2: exactly-1800s gap does NOT split (strict >)
+        ev(4, 2, 0),
+        ev(5, 2, 1800),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "events.parquet")
+
+    out = {(r["user_id"], r["session_seq"]): r
+           for r in q_sessionize(spark, str(sf)).collect()}
+    assert len(out) == 3
+    s11 = out[(1, 1)]
+    assert s11["n_events"] == 3 and s11["duration_s"] == 1200
+    assert s11["n_purchases"] == 1 and abs(s11["revenue"] - 10.5) < 1e-6
+    assert s11["is_bounce"] == 0
+    s12 = out[(1, 2)]
+    assert s12["n_events"] == 1 and s12["is_bounce"] == 1
+    assert s12["revenue"] == 0.0
+    assert out[(2, 1)]["n_events"] == 2  # 1800s gap keeps one session
+
+
+def test_multi_touch_attribution_credit_schedules(spark, tmp_path):
+    """Clicks credit the NEXT purchase; linear = 1/n; position-based
+    = 1.0 / 0.5+0.5 / 0.4,0.2/(n-2)...,0.4; trailing clicks after the
+    last purchase are unattributed; credits sum to 1 per purchase."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta
+
+    from propensity_spark.operators.behavior import q_attribution_multi_touch
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(eid, uid, offset_s, etype):
+        return {"event_id": eid, "user_id": uid,
+                "ts": t0 + timedelta(seconds=offset_s),
+                "event_type": etype, "value": None}
+
+    rows = [
+        # user 1: 3 clicks then purchase 100 -> 0.4 / 0.2 / 0.4
+        ev(1, 1, 10, "click"), ev(2, 1, 20, "click"), ev(3, 1, 30, "click"),
+        ev(100, 1, 40, "purchase"),
+        # then 1 click then purchase 101 -> full credit
+        ev(4, 1, 50, "click"), ev(101, 1, 60, "purchase"),
+        # trailing click: no later purchase -> dropped
+        ev(5, 1, 70, "click"),
+        # user 2: 2 clicks -> 0.5 / 0.5; view events are ignored
+        ev(6, 2, 10, "click"), ev(7, 2, 15, "view"), ev(8, 2, 20, "click"),
+        ev(200, 2, 30, "purchase"),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "events.parquet")
+
+    out = {r["click_id"]: r
+           for r in q_attribution_multi_touch(spark, str(sf)).collect()}
+    assert set(out) == {1, 2, 3, 4, 6, 8}
+    assert out[1]["purchase_id"] == 100 and out[4]["purchase_id"] == 101
+    assert abs(out[1]["credit_position"] - 0.4) < 1e-6
+    assert abs(out[2]["credit_position"] - 0.2) < 1e-6
+    assert abs(out[3]["credit_position"] - 0.4) < 1e-6
+    assert abs(out[1]["credit_linear"] - 1 / 3) < 1e-5
+    assert out[4]["credit_position"] == 1.0 and out[4]["credit_linear"] == 1.0
+    assert out[6]["credit_position"] == 0.5 and out[8]["credit_position"] == 0.5
+    # credits sum to ~1 per purchase under both schedules
+    for pid in (100, 101, 200):
+        path = [r for r in out.values() if r["purchase_id"] == pid]
+        assert abs(sum(r["credit_linear"] for r in path) - 1.0) < 1e-5
+        assert abs(sum(r["credit_position"] for r in path) - 1.0) < 1e-5
+
+
+def test_trend_fit_recovers_known_line(spark):
+    """regr_slope/intercept/r2 on an exact line recover it with r2=1;
+    a noisy series gives r2<1 and numpy-polyfit-matching slope."""
+    import numpy as np
+
+    from propensity_spark.operators.timeseries import trend_fit
+
+    xs = list(range(20))
+    exact = [("a", x, 3.5 * x + 7.0) for x in xs]
+    rng = np.random.RandomState(0)
+    noisy_y = [2.0 * x + 5.0 + float(rng.uniform(-3, 3)) for x in xs]
+    noisy = [("b", x, y) for x, y in zip(xs, noisy_y)]
+    df = spark.createDataFrame(
+        exact + noisy, "key string, x int, y double"
+    )
+    out = {r["key"]: r for r in trend_fit(df, "key", "x", "y").collect()}
+    assert abs(out["a"]["slope"] - 3.5) < 1e-6
+    assert abs(out["a"]["intercept"] - 7.0) < 1e-4
+    assert abs(out["a"]["r2"] - 1.0) < 1e-6
+    np_slope, np_icept = np.polyfit(xs, noisy_y, 1)
+    assert abs(out["b"]["slope"] - np_slope) < 1e-5
+    assert abs(out["b"]["intercept"] - np_icept) < 1e-3
+    assert out["b"]["r2"] < 1.0
+
+
+def test_cusum_peaks_at_injected_level_shift(spark):
+    """A series that steps up at t=50 has its |CUSUM| peak exactly at
+    the last pre-shift point (t=49), and the peak is flagged."""
+    from propensity_spark.operators.timeseries import cusum_series
+
+    rows = [(t, 10.0 if t < 50 else 20.0) for t in range(100)]
+    df = spark.createDataFrame(rows, "t int, v double")
+    out = cusum_series(df, "t", "v").collect()
+    peak = [r for r in out if r["is_peak"] == 1]
+    assert len(peak) == 1 and peak[0]["t"] == 49
+    # D_t returns to ~0 at the end (deviations sum to zero)
+    last = max(out, key=lambda r: r["t"])
+    assert abs(last["cusum"]) < 0.05
+
+
+def test_mutual_information_independent_vs_dependent(spark):
+    """MI ~ 0 for independent columns; ln(2) for a perfect copy of a
+    uniform binary column; cell terms match the analytic formula."""
+    import math
+
+    from propensity_spark.operators.stats import mutual_information
+
+    dep = [(i % 2, i % 2) for i in range(100)]
+    ind = [(i % 2, (i // 2) % 2) for i in range(100)]
+    for rows, want in ((dep, math.log(2)), (ind, 0.0)):
+        df = spark.createDataFrame(rows, "x int, y int")
+        cells = mutual_information(df, "x", "y").collect()
+        total = sum(r["mi_contrib"] for r in cells)
+        assert abs(total - want) < 1e-5, (total, want)
