@@ -672,3 +672,131 @@ MULTI_TOUCH_SQL = """
                AS credit_position
     FROM ranked WHERE event_type = 'click'
 """
+
+
+KM_CENSOR_MARGIN_D = 7  # still-active horizon: no churn call this close
+                        # to the observation end
+
+
+def km_survival(
+    spans: DataFrame, duration_col: str, event_col: str
+) -> DataFrame:
+    """Kaplan-Meier survival estimator over (duration, event) spans —
+    event=1 is an observed death/churn, event=0 right-censored. The
+    life table is a |distinct durations|-row aggregate; at-risk counts
+    and the survival product are ordered windows OVER THAT TINY TABLE,
+    so the estimator costs one duration-grain agg regardless of
+    subject count. The product Π(1 - d/n) is computed as
+    exp(Σ ln((n-d)/n)) — a cumulative product has no SQL aggregate,
+    but its log is a plain running sum; if the risk set ever hits
+    n = d the curve drops to exactly 0 from that point (min-flag, no
+    ln(0))."""
+    lt = spans.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.col(event_col)).alias("d_events"),
+        F.sum(1 - F.col(event_col)).alias("c_censored"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    run = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lt = lt.withColumn(
+        "n_at_risk",
+        F.sum(F.col("d_events") + F.col("c_censored")).over(full)
+        - F.coalesce(
+            F.sum(F.col("d_events") + F.col("c_censored")).over(w_prev),
+            F.lit(0).cast("bigint"),
+        ),
+    )
+    term = F.ln(
+        (F.col("n_at_risk") - F.col("d_events"))
+        / F.col("n_at_risk").cast("double")
+    )
+    dead_end = F.min(F.col("n_at_risk") - F.col("d_events")).over(run)
+    survival = F.when(dead_end == 0, F.lit(0.0)).otherwise(
+        F.exp(F.sum(F.when(F.col("d_events") > 0, term)).over(run))
+    )
+    return lt.select(
+        "t",
+        "n_at_risk",
+        "d_events",
+        "c_censored",
+        F.round(F.coalesce(survival, F.lit(1.0)) + 1e-9, 6).alias(
+            "survival"
+        ),
+    )
+
+
+def q_km_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-lifetime survival curve: duration = days between a user's
+    first and last event; users last seen within KM_CENSOR_MARGIN_D
+    of the data's end are right-censored (still alive), earlier
+    last-seen users churned. One user-grain agg + the life-table
+    windows."""
+    events = load_table(spark, sf_dir, "events")
+    max_day = events.agg(
+        F.max(F.col("ts").cast("date")).alias("__max_day")
+    )
+    spans = (
+        events.groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("first_day"),
+            F.max(F.col("ts").cast("date")).alias("last_day"),
+        )
+        .crossJoin(F.broadcast(max_day))
+        .select(
+            F.datediff("last_day", "first_day").alias("duration_d"),
+            F.when(
+                F.datediff("__max_day", "last_day") > KM_CENSOR_MARGIN_D,
+                1,
+            )
+            .otherwise(0)
+            .alias("churned"),
+        )
+    )
+    return km_survival(spans, "duration_d", "churned")
+
+
+KM_SQL = f"""
+    WITH spans AS (
+        SELECT date_diff('day', min(CAST(ts AS DATE)),
+                         max(CAST(ts AS DATE))) AS duration_d,
+               CASE WHEN date_diff('day', max(CAST(ts AS DATE)),
+                         (SELECT max(CAST(ts AS DATE)) FROM events))
+                         > {KM_CENSOR_MARGIN_D}
+                    THEN 1 ELSE 0 END AS churned
+        FROM events GROUP BY user_id
+    ),
+    lt AS (
+        SELECT duration_d AS t,
+               CAST(sum(churned) AS BIGINT) AS d_events,
+               CAST(sum(1 - churned) AS BIGINT) AS c_censored
+        FROM spans GROUP BY 1
+    ),
+    risk AS (
+        SELECT *,
+               CAST(sum(d_events + c_censored) OVER ()
+                    - coalesce(sum(d_events + c_censored) OVER (
+                        ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ), 0) AS BIGINT) AS n_at_risk
+        FROM lt
+    )
+    SELECT t, n_at_risk, d_events, c_censored,
+           round(coalesce(
+               CASE WHEN min(n_at_risk - d_events) OVER (
+                         ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) = 0 THEN 0.0
+                    ELSE exp(sum(CASE WHEN d_events > 0 THEN
+                             ln((n_at_risk - d_events) * 1.0 / n_at_risk)
+                         END) OVER (
+                         ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               END, 1.0) + 1e-9, 6) AS survival
+    FROM risk
+"""

@@ -613,3 +613,158 @@ MUTUAL_INFO_SQL = (
         table="part",
     )
 )
+
+
+AB_SIG_Z = 1.96  # two-sided 5%
+
+
+def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment: users are
+    assigned a deterministic md5-hash variant (append-stable — the
+    same property split_by_hash gives training splits), conversion is
+    "made >= 1 purchase", and the pooled-variance z-score compares
+    the rates. One user-grain agg + one 1-row conditional agg — the
+    whole readout is two shuffles of user-grain rows regardless of
+    event volume. sqrt is IEEE-correctly-rounded (not libm-variant),
+    so the z only needs the standard 4dp float rounding."""
+    events = load_table(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted")
+    )
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(cast(user_id as string) as binary)),"
+        " 1, 8), 16, 10) as bigint) % 2"
+    )
+    users = users.withColumn(
+        "variant", F.when(bucket == 0, "A").otherwise("B")
+    )
+    g = users.agg(
+        F.count_if(F.col("variant") == "A").alias("n_a"),
+        F.sum(
+            F.when(F.col("variant") == "A", F.col("converted")).otherwise(0)
+        ).alias("conv_a"),
+        F.count_if(F.col("variant") == "B").alias("n_b"),
+        F.sum(
+            F.when(F.col("variant") == "B", F.col("converted")).otherwise(0)
+        ).alias("conv_b"),
+    )
+    p_a = F.col("conv_a") / F.col("n_a").cast("double")
+    p_b = F.col("conv_b") / F.col("n_b").cast("double")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pooled
+        * (1 - pooled)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    z = (p_a - p_b) / se
+    return g.select(
+        "n_a",
+        "conv_a",
+        F.round(p_a + 1e-9, 6).alias("rate_a"),
+        "n_b",
+        "conv_b",
+        F.round(p_b + 1e-9, 6).alias("rate_b"),
+        F.round(z + 1e-9, 4).alias("z_score"),
+        F.when(F.abs(z) > AB_SIG_Z, 1).otherwise(0).alias("significant"),
+    )
+
+
+AB_TEST_SQL = f"""
+    WITH users AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS variant
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT CAST(count(*) FILTER (variant = 'A') AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN variant = 'A' THEN converted ELSE 0 END)
+                   AS BIGINT) AS conv_a,
+               CAST(count(*) FILTER (variant = 'B') AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN variant = 'B' THEN converted ELSE 0 END)
+                   AS BIGINT) AS conv_b
+        FROM users
+    )
+    SELECT n_a, conv_a, round(conv_a * 1.0 / n_a + 1e-9, 6) AS rate_a,
+           n_b, conv_b, round(conv_b * 1.0 / n_b + 1e-9, 6) AS rate_b,
+           round((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+                 / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                        * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)) + 1e-9, 4) AS z_score,
+           CASE WHEN abs((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+                 / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                        * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b))) > {AB_SIG_Z}
+                THEN 1 ELSE 0 END AS significant
+    FROM g
+"""
+
+
+HILL_XMIN = 10  # tail threshold: keys with >= this many rows
+
+
+def hill_alpha(
+    df: DataFrame, key_col: str, label: str, xmin: int = HILL_XMIN
+) -> DataFrame:
+    """Hill (1975) power-law tail-index estimate of a key-frequency
+    distribution: alpha = 1 + n / Σ ln(x_i / xmin) over keys with
+    count >= xmin. The quantitative companion to key_skew's top-k
+    screen — alpha ~< 2 means unbounded variance (expect a hot-key
+    problem at scale; salt), alpha >~ 3 means light tail. One
+    key-grain count + one 1-row agg; the ln argument is an integer
+    ratio, bit-identical pre-libm in both engines."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("x"))
+    tail = counts.where(F.col("x") >= xmin)
+    return tail.agg(
+        F.lit(label).alias("dist"),
+        F.lit(xmin).cast("int").alias("xmin"),
+        F.count(F.lit(1)).alias("n_tail"),
+        F.round(
+            F.lit(1.0)
+            + F.count(F.lit(1))
+            / F.sum(F.ln(F.col("x") / F.lit(float(xmin))))
+            + 1e-9,
+            4,
+        ).alias("alpha"),
+    )
+
+
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail index of two key-frequency distributions: lineitem rows
+    per part and orders per customer."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    a = hill_alpha(lineitem, "l_partkey", "lineitem_per_part")
+    b = hill_alpha(orders, "o_custkey", "orders_per_customer")
+    return a.unionByName(b)
+
+
+HILL_SQL = f"""
+    WITH pc AS (
+        SELECT l_partkey, count(*) AS x FROM lineitem GROUP BY 1
+    ),
+    oc AS (
+        SELECT o_custkey, count(*) AS x FROM orders GROUP BY 1
+    )
+    SELECT 'lineitem_per_part' AS dist, {HILL_XMIN} AS xmin,
+           CAST(count(*) AS BIGINT) AS n_tail,
+           round(1.0 + count(*) / sum(ln(x * 1.0 / {HILL_XMIN})) + 1e-9, 4)
+               AS alpha
+    FROM pc WHERE x >= {HILL_XMIN}
+    UNION ALL
+    SELECT 'orders_per_customer' AS dist, {HILL_XMIN} AS xmin,
+           CAST(count(*) AS BIGINT) AS n_tail,
+           round(1.0 + count(*) / sum(ln(x * 1.0 / {HILL_XMIN})) + 1e-9, 4)
+               AS alpha
+    FROM oc WHERE x >= {HILL_XMIN}
+"""

@@ -1507,3 +1507,101 @@ def test_mutual_information_independent_vs_dependent(spark):
         cells = mutual_information(df, "x", "y").collect()
         total = sum(r["mi_contrib"] for r in cells)
         assert abs(total - want) < 1e-5, (total, want)
+
+
+def test_km_survival_matches_textbook_example(spark):
+    """Classic hand-computed life table: 10 subjects, deaths at t=2
+    (2), t=4 (1, after 1 censored at t=3), censored tail. S follows
+    the product-limit formula exactly; censored-only times don't
+    change S."""
+    from propensity_spark.operators.behavior import km_survival
+
+    #        duration, event (1=death, 0=censored)
+    spans = [(2, 1), (2, 1), (3, 0), (4, 1), (5, 0), (5, 0),
+             (6, 1), (7, 0), (8, 0), (8, 0)]
+    df = spark.createDataFrame(spans, "duration_d int, churned int")
+    out = {r["t"]: r for r in km_survival(df, "duration_d", "churned").collect()}
+    # t=2: n=10, d=2 -> S = 8/10
+    assert out[2]["n_at_risk"] == 10 and out[2]["d_events"] == 2
+    assert abs(out[2]["survival"] - 0.8) < 1e-6
+    # t=3: censored only -> S unchanged
+    assert out[3]["d_events"] == 0 and abs(out[3]["survival"] - 0.8) < 1e-6
+    # t=4: n=7, d=1 -> S = 0.8 * 6/7
+    assert out[4]["n_at_risk"] == 7
+    assert abs(out[4]["survival"] - 0.8 * 6 / 7) < 1e-5
+    # t=6: n=4, d=1 -> S = 0.8 * 6/7 * 3/4
+    assert abs(out[6]["survival"] - 0.8 * (6 / 7) * 0.75) < 1e-5
+    # t=8: censored tail, S flat
+    assert abs(out[8]["survival"] - 0.8 * (6 / 7) * 0.75) < 1e-5
+
+
+def test_km_survival_drops_to_zero_when_risk_set_dies(spark):
+    """If everyone at risk dies at the last time, S hits exactly 0
+    (no ln(0) NULL leak)."""
+    from propensity_spark.operators.behavior import km_survival
+
+    spans = [(1, 1), (2, 1), (2, 1)]
+    df = spark.createDataFrame(spans, "duration_d int, churned int")
+    out = {r["t"]: r["survival"]
+           for r in km_survival(df, "duration_d", "churned").collect()}
+    assert abs(out[1] - 2 / 3) < 1e-5
+    assert out[2] == 0.0
+
+
+def test_ab_test_zscore_formula_and_assignment_stability(spark, tmp_path):
+    """Variant assignment is deterministic (same users -> same split
+    across two reads); z matches the hand-computed pooled formula."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from propensity_spark.operators.stats import q_ab_test_ztest
+
+    rows = []
+    for uid in range(200):
+        rows.append({"event_id": uid * 2, "user_id": uid,
+                     "ts": datetime(2024, 1, 1), "event_type": "view",
+                     "value": None})
+        if uid % 3 == 0:  # every third user converts
+            rows.append({"event_id": uid * 2 + 1, "user_id": uid,
+                         "ts": datetime(2024, 1, 2),
+                         "event_type": "purchase", "value": 1.0})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "events.parquet")
+
+    r1 = q_ab_test_ztest(spark, str(sf)).collect()[0]
+    r2 = q_ab_test_ztest(spark, str(sf)).collect()[0]
+    assert r1 == r2  # hash assignment is stable
+    assert r1["n_a"] + r1["n_b"] == 200
+    p = (r1["conv_a"] + r1["conv_b"]) / 200
+    se = math.sqrt(p * (1 - p) * (1 / r1["n_a"] + 1 / r1["n_b"]))
+    z = (r1["conv_a"] / r1["n_a"] - r1["conv_b"] / r1["n_b"]) / se
+    assert abs(r1["z_score"] - z) < 1e-3
+    # conversion is a user property independent of the hash: an A/A-
+    # style split should not be significant
+    assert r1["significant"] == 0
+
+
+def test_hill_alpha_recovers_pareto_exponent(spark):
+    """Counts drawn from a discrete Pareto with alpha=2.5 give a Hill
+    estimate near 2.5; a uniform (light-tail) distribution estimates
+    much higher."""
+    import numpy as np
+
+    from propensity_spark.operators.stats import hill_alpha
+
+    rng = np.random.RandomState(7)
+    # continuous Pareto x = xmin * U^(-1/(alpha-1)) has tail index alpha
+    xs = (10 * rng.uniform(size=4000) ** (-1 / 1.5)).astype(int)
+    rows = []
+    key = 0
+    for x in xs:
+        rows.extend([(key,)] * int(x))
+        key += 1
+    df = spark.createDataFrame(rows, "k long")
+    est = hill_alpha(df, "k", "pareto", xmin=10).collect()[0]
+    assert est["n_tail"] > 3000
+    assert 2.3 < est["alpha"] < 2.7, est["alpha"]

@@ -56,13 +56,23 @@ QUERIES = [
     "corr_matrix",
     "feature_scaling",
     "seasonality_dow",
+    "sessionize",
+    "attribution_multi_touch",
+    "mutual_information",
 ]
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument(
+        "--only",
+        nargs="*",
+        default=None,
+        help="restrict to these registry query names (default: QUERIES)",
+    )
     args = ap.parse_args()
+    queries = args.only if args.only else QUERIES
 
     import __spark_entry__ as e
     from propensity_spark.session import get_spark
@@ -87,14 +97,14 @@ def main() -> None:
     # scales seconds apart (a spike inflates the pair together, and the
     # cross-round min discards spiked rounds), full query sweep between
     # rounds spaces the repeats minutes apart.
-    times = {name: {SF01: float("inf"), SF1: float("inf")} for name in QUERIES}
+    times = {name: {SF01: float("inf"), SF1: float("inf")} for name in queries}
     for _ in range(args.repeats):
-        for name in QUERIES:
+        for name in queries:
             for d in (SF01, SF1):
                 times[name][d] = min(times[name][d], one_time(name, d))
 
     out = {}
-    for name in QUERIES:
+    for name in queries:
         t_small = round(times[name][SF01], 3)
         t_big = round(times[name][SF1], 3)
         # t = a * SF^b  ->  b = log(t_big/t_small) / log(10)
