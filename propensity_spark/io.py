@@ -346,3 +346,31 @@ def sorted_export(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    n_buckets: int,
+    path: str | None = None,
+) -> None:
+    """Persist `df` as a Hive-bucketed, bucket-sorted parquet table:
+    rows are hash-partitioned into `n_buckets` files per write task by
+    `key` and sorted by it within each bucket. The payoff is at read
+    time: a join (or aggregation) on `key` between two tables bucketed
+    with the SAME bucket count satisfies the join's distribution
+    requirement straight off the scan — Catalyst plans a SortMergeJoin
+    with ZERO Exchange on either side (asserted in
+    tests/test_plans.py). At 100 TB this is the difference between
+    re-shuffling the fact table on every run of a recurring join and
+    shuffling it ONCE at ingest; bucket-pruning also serves point
+    lookups on `key` from a single bucket file.
+
+    `path` makes the table external (data at `path`, metadata in the
+    session catalog); bucketing metadata lives in the catalog, which
+    is why this is saveAsTable and not parquet(path)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key).sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table_name)

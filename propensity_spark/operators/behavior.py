@@ -800,3 +800,90 @@ KM_SQL = f"""
                END, 1.0) + 1e-9, 6) AS survival
     FROM risk
 """
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative purchase revenue per original
+    cohort member by weeks-since-signup — the monetized twin of
+    q_cohort_retention (same first-activity-week cohorts). The weekly
+    revenue matrix is one (cohort, week) agg; the cumulative sum runs
+    over the TINY matrix (|cohorts| x |weeks| rows) partitioned by
+    cohort, and cohort sizes ride in as a broadcast join — so the
+    curve costs the user-grain shuffle and nothing else at any fact
+    volume. Weeks with no revenue simply don't appear (compose with
+    gapfill_ffill for dense curves)."""
+    events = load_table(spark, sf_dir, "events")
+    weeks = events.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit(COHORT_EPOCH).cast("date")) / 7
+        ).alias("week"),
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(0.0)
+        .alias("rev"),
+    )
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    matrix = (
+        weeks.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(F.round(F.sum("rev") + 1e-6, 2).alias("week_revenue"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("weeks_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        matrix.withColumn(
+            "cum_revenue", F.round(F.sum("week_revenue").over(w) + 1e-6, 2)
+        )
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("int").alias("cohort_week"),
+            F.col("weeks_since").cast("int").alias("weeks_since"),
+            "week_revenue",
+            "cum_revenue",
+            F.round(
+                F.col("cum_revenue") / F.col("cohort_size") + 1e-9, 4
+            ).alias("ltv_per_user"),
+        )
+    )
+
+
+COHORT_LTV_SQL = f"""
+    WITH weeks AS (
+        SELECT user_id,
+               CAST(floor(date_diff('day', DATE '{COHORT_EPOCH}',
+                                    CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week,
+               CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS rev
+        FROM events
+    ),
+    cohort AS (SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id),
+    sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+              FROM cohort GROUP BY cohort_week),
+    matrix AS (
+        SELECT c.cohort_week, w.week - c.cohort_week AS weeks_since,
+               round(sum(w.rev) + 1e-6, 2) AS week_revenue
+        FROM weeks w JOIN cohort c ON w.user_id = c.user_id
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT *,
+               round(sum(week_revenue) OVER (
+                   PARTITION BY cohort_week ORDER BY weeks_since
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) + 1e-6, 2) AS cum_revenue
+        FROM matrix
+    )
+    SELECT CAST(m.cohort_week AS INT) AS cohort_week,
+           CAST(m.weeks_since AS INT) AS weeks_since,
+           m.week_revenue, m.cum_revenue,
+           round(m.cum_revenue / s.cohort_size + 1e-9, 4) AS ltv_per_user
+    FROM cum m JOIN sizes s ON s.cohort_week = m.cohort_week
+"""

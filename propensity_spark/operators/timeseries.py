@@ -549,3 +549,118 @@ CUSUM_SQL = """
                AS is_peak
     FROM c
 """
+
+
+FORECAST_H = 7  # days ahead
+FORECAST_Z = 1.96
+
+
+def q_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day-ahead revenue forecast per brand with 95% prediction
+    intervals from the OLS line (trend_fit's model, extended with the
+    residual variance): yhat = a + b·x*, PI = yhat ± z·s·sqrt(1 + 1/n
+    + (x*−x̄)²/Sxx). All model terms (slope, intercept, n, x̄, Sxx via
+    n·var_pop(x), s² via var_pop(y)·(1−r²)·n/(n−2)) come from ONE
+    hash aggregate per brand; the 7 horizon rows are exploded
+    map-side from the |brands|-row model table — no second pass over
+    the data, no window. sqrt is IEEE-exact; floats round at 2dp
+    with the standard nudge."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    daily = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.datediff(
+                F.to_date("l_shipdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day_num"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + 1e-6,
+                2,
+            ).alias("revenue")
+        )
+    )
+    model = daily.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("regr_slope(revenue, day_num)").alias("b"),
+        F.expr("regr_intercept(revenue, day_num)").alias("a"),
+        F.expr("regr_r2(revenue, day_num)").alias("r2"),
+        F.avg("day_num").alias("xbar"),
+        F.expr("var_pop(day_num)").alias("vx"),
+        F.expr("var_pop(revenue)").alias("vy"),
+        F.max("day_num").alias("last_day"),
+    )
+    h = F.col("h")
+    xstar = (F.col("last_day") + h).cast("double")
+    # residual variance with the n-2 OLS correction
+    s2 = (
+        F.col("vy")
+        * (1 - F.col("r2"))
+        * F.col("n")
+        / (F.col("n") - 2).cast("double")
+    )
+    half = (
+        F.lit(FORECAST_Z)
+        * F.sqrt(s2)
+        * F.sqrt(
+            1
+            + 1 / F.col("n").cast("double")
+            + F.pow(xstar - F.col("xbar"), 2)
+            / (F.col("n") * F.col("vx"))
+        )
+    )
+    yhat = F.col("a") + F.col("b") * xstar
+    return (
+        model.select(
+            "*", F.explode(F.sequence(F.lit(1), F.lit(FORECAST_H))).alias("h")
+        )
+        .select(
+            "brand",
+            (F.col("last_day") + h).alias("day_num"),
+            F.round(yhat + 1e-6, 2).alias("forecast"),
+            F.round(yhat - half + 1e-6, 2).alias("pi_low"),
+            F.round(yhat + half + 1e-6, 2).alias("pi_high"),
+        )
+    )
+
+
+FORECAST_SQL = f"""
+    WITH daily AS (
+        SELECT p_brand AS brand,
+               date_diff('day', DATE '1992-01-01',
+                         CAST(l_shipdate AS DATE)) AS day_num,
+               round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+                   AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    ),
+    model AS (
+        SELECT brand, count(*) AS n,
+               regr_slope(revenue, day_num) AS b,
+               regr_intercept(revenue, day_num) AS a,
+               regr_r2(revenue, day_num) AS r2,
+               avg(day_num) AS xbar,
+               var_pop(day_num) AS vx,
+               var_pop(revenue) AS vy,
+               max(day_num) AS last_day
+        FROM daily GROUP BY brand
+    ),
+    horizons AS (SELECT unnest(generate_series(1, {FORECAST_H})) AS h)
+    SELECT brand,
+           CAST(last_day + h AS BIGINT) AS day_num,
+           round(a + b * (last_day + h) + 1e-6, 2) AS forecast,
+           round(a + b * (last_day + h)
+                 - {FORECAST_Z} * sqrt(vy * (1 - r2) * n / (n - 2))
+                   * sqrt(1 + 1.0 / n
+                          + pow((last_day + h) - xbar, 2) / (n * vx))
+                 + 1e-6, 2) AS pi_low,
+           round(a + b * (last_day + h)
+                 + {FORECAST_Z} * sqrt(vy * (1 - r2) * n / (n - 2))
+                   * sqrt(1 + 1.0 / n
+                          + pow((last_day + h) - xbar, 2) / (n * vx))
+                 + 1e-6, 2) AS pi_high
+    FROM model CROSS JOIN horizons
+"""

@@ -1605,3 +1605,66 @@ def test_hill_alpha_recovers_pareto_exponent(spark):
     est = hill_alpha(df, "k", "pareto", xmin=10).collect()[0]
     assert est["n_tail"] > 3000
     assert 2.3 < est["alpha"] < 2.7, est["alpha"]
+
+
+def test_cohort_ltv_cumulative_curve(spark, tmp_path):
+    """LTV accumulates per cohort over weeks-since; non-purchase
+    events contribute 0; per-user LTV divides by ORIGINAL cohort
+    size."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from propensity_spark.operators.behavior import q_cohort_ltv
+
+    def ev(eid, uid, day, etype, value=None):
+        return {"event_id": eid, "user_id": uid,
+                "ts": datetime(2024, 1, day), "event_type": etype,
+                "value": value}
+
+    rows = [
+        # cohort week 0: users 1, 2 (first activity day 1-7)
+        ev(0, 1, 1, "purchase", 10.0),
+        ev(1, 2, 2, "view"),
+        ev(2, 1, 9, "purchase", 5.0),    # week 1 -> weeks_since 1
+        ev(3, 2, 10, "purchase", 20.0),  # week 1
+        # cohort week 1: user 3
+        ev(4, 3, 9, "purchase", 7.0),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "events.parquet")
+
+    out = {(r["cohort_week"], r["weeks_since"]): r
+           for r in q_cohort_ltv(spark, str(sf)).collect()}
+    c0w0 = out[(0, 0)]
+    assert abs(c0w0["week_revenue"] - 10.0) < 1e-6
+    assert abs(c0w0["ltv_per_user"] - 5.0) < 1e-6   # 10.0 / 2 users
+    c0w1 = out[(0, 1)]
+    assert abs(c0w1["week_revenue"] - 25.0) < 1e-6
+    assert abs(c0w1["cum_revenue"] - 35.0) < 1e-6
+    assert abs(c0w1["ltv_per_user"] - 17.5) < 1e-6
+    assert abs(out[(1, 0)]["ltv_per_user"] - 7.0) < 1e-6
+
+
+def test_forecast_linear_extrapolates_trend(spark, sf_dir):
+    """7 horizon rows per brand, monotone along a fitted slope, PI
+    brackets the forecast and widens with horizon distance."""
+    from propensity_spark.operators.timeseries import (
+        FORECAST_H,
+        q_forecast_linear,
+    )
+
+    rows = q_forecast_linear(spark, sf_dir).collect()
+    by_brand = {}
+    for r in rows:
+        by_brand.setdefault(r["brand"], []).append(r)
+    for brand, rs in by_brand.items():
+        assert len(rs) == FORECAST_H
+        rs.sort(key=lambda r: r["day_num"])
+        for r in rs:
+            assert r["pi_low"] < r["forecast"] < r["pi_high"]
+        # PI half-width grows with distance from the sample mean
+        w0 = rs[0]["pi_high"] - rs[0]["pi_low"]
+        w6 = rs[-1]["pi_high"] - rs[-1]["pi_low"]
+        assert w6 >= w0
