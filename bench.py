@@ -71,6 +71,11 @@ BENCH_QUERIES = [
     "event_transitions",
     "active_users",
     "corr_matrix",
+    # final round-5 additions (sessionization windows, join-free
+    # multi-touch credit, life-table survival)
+    "sessionize",
+    "attribution_multi_touch",
+    "km_retention",
 ]
 
 

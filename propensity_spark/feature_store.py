@@ -643,6 +643,76 @@ class FeatureTable:
             out["failed_expectations"] = failed
         return out
 
+    def forget(
+        self, key_col: str, values: list, purge_history: bool = False
+    ) -> dict:
+        """Right-to-be-forgotten: remove every row whose `key_col` is
+        in `values` from EVERY day partition, as one new committed
+        version (snapshot-isolated like merge — concurrent readers on
+        the old version are untouched mid-operation). `values` is a
+        bounded compliance list (erasure requests), embedded as a
+        broadcast-sized IN filter — never a join against a big frame.
+
+        By default the superseded versions remain until the normal
+        keep_versions GC horizon — time travel still sees the subject
+        until then. `purge_history=True` finishes the job for real
+        erasure: every affected day's older version dirs are deleted
+        and `_CURRENT` rewritten to just the new version (the Delta
+        analogue is DELETE + VACUUM(0); under delta only the DELETE
+        runs here — VACUUM is a retention-policied job).
+
+        Returns an audit dict: affected days, rows removed, committed
+        version, purge flag."""
+        import os
+        if not values:
+            return {"days": [], "rows_removed": 0, "version": None,
+                    "purged": purge_history}
+        # coalesce: a NULL key is never "in values" — without it the
+        # negation below would silently drop NULL-keyed rows too
+        cond = F.coalesce(F.col(key_col).isin(values), F.lit(False))
+        if self.use_delta:
+            before = self.read().where(cond).count()
+            vals = ", ".join(repr(v) for v in values)
+            self.spark.sql(
+                f"DELETE FROM delta.`{self.path}` WHERE {key_col} IN ({vals})"
+            )
+            return {"days": None, "rows_removed": before, "version": None,
+                    "purged": False}
+        import shutil
+
+        cur = self.read()
+        affected = sorted(
+            str(r[0]) for r in cur.where(cond).select("day").distinct().collect()
+        )
+        if not affected:
+            return {"days": [], "rows_removed": 0, "version": None,
+                    "purged": purge_history}
+        scope = cur.where(F.col("day").isin(affected))
+        removed = scope.where(cond).count()
+        n = self._next_version()
+        self._write_version(scope.where(~cond), n)
+        # a day whose every row was forgotten writes no v=n partition
+        # under dynamic overwrite: materialize its empty version so the
+        # pointer flip retires the old data there too
+        for dstr in affected:
+            vdir = Path(self.path) / f"day={dstr}" / f"v={n}"
+            if not vdir.exists():
+                scope.limit(0).drop("day").write.mode("overwrite").parquet(
+                    str(vdir)
+                )
+        self._commit_version(n)
+        if purge_history:
+            for dstr in affected:
+                dd = Path(self.path) / f"day={dstr}"
+                for vdir in dd.glob("v=*"):
+                    if int(vdir.name.split("=", 1)[1]) != n:
+                        shutil.rmtree(vdir, ignore_errors=True)
+                tmp = dd / "_CURRENT.tmp"
+                tmp.write_text(str(n))
+                os.replace(tmp, dd / "_CURRENT")
+        return {"days": affected, "rows_removed": removed, "version": n,
+                "purged": purge_history}
+
     def expire(self, before_day) -> list:
         """Operational: retention — drop day partitions strictly older
         than `before_day` (metadata-only: directory removal, no scan;

@@ -887,3 +887,92 @@ COHORT_LTV_SQL = f"""
            round(m.cum_revenue / s.cohort_size + 1e-9, 4) AS ltv_per_user
     FROM cum m JOIN sizes s ON s.cohort_week = m.cohort_week
 """
+
+
+HLL_AU_ERR_BOUND = 0.08  # lgConfigK=12 -> ~1.6% SE; 5-sigma bound
+
+
+def q_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10^9-user path q_active_users' docstring names: rolling
+    WAU/MAU from MERGEABLE per-day HLL sketches instead of exact
+    re-distincting. One |days|-row sketch table is built once (one
+    user-day shuffle); each day's SKETCH — a few KB, not its user
+    set — is expanded to the trailing days it covers and
+    `hll_union_agg` merges the frame. The expansion carries
+    |days| x window sketch rows regardless of user count, so month
+    windows over billions of user-days cost the same tiny merge.
+
+    Gate shape follows q_hll_rollup: the oracle pins the EXACT
+    distinct counts plus a deterministic bounded-error flag for the
+    sketch estimate (HLL is a deterministic function of the input
+    set, so the flag can't flake); the estimate itself is
+    intentionally not hashed."""
+    events = load_table(spark, sf_dir, "events")
+    user_days = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    max_day = user_days.agg(F.max("day").alias("__max_day"))
+    daily_sk = user_days.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    spans = ", ".join(
+        f"named_struct('win', '{name}', 'len', {n})"
+        for name, n in ACTIVE_WINDOWS.items()
+        if n > 1  # DAU needs no merge; sketch path is for real windows
+    )
+    merged = (
+        daily_sk.crossJoin(F.broadcast(max_day))
+        .select(
+            "sk",
+            "day",
+            "__max_day",
+            F.explode(F.expr(f"array({spans})")).alias("w"),
+        )
+        .select(
+            "sk",
+            F.col("w.win").alias("win"),
+            F.explode(
+                F.expr(
+                    "sequence(day, least(date_add(day, w.len - 1), __max_day))"
+                )
+            ).alias("day"),
+        )
+        .groupBy("win", "day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    exact = q_active_users(spark, sf_dir).where(F.col("win") != "dau")
+    return merged.join(exact, ["win", "day"]).select(
+        "win",
+        "day",
+        "n_active",
+        (
+            F.abs(F.col("est") - F.col("n_active")) / F.col("n_active")
+            <= HLL_AU_ERR_BOUND
+        )
+        .cast("int")
+        .alias("est_ok"),
+    )
+
+
+ACTIVE_USERS_HLL_SQL = f"""
+    WITH user_days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    bounds AS (SELECT max(day) AS max_day FROM user_days),
+    spans AS (
+        SELECT * FROM (VALUES {", ".join(f"('{k}', {v})" for k, v in ACTIVE_WINDOWS.items() if v > 1)})
+            AS t(win, len)
+    ),
+    expanded AS (
+        SELECT u.user_id, s.win,
+               unnest(generate_series(CAST(u.day AS TIMESTAMP),
+                   CAST(least(u.day + (s.len - 1) * INTERVAL 1 DAY,
+                              CAST(b.max_day AS TIMESTAMP)) AS TIMESTAMP),
+                   INTERVAL 1 DAY)) AS day
+        FROM user_days u CROSS JOIN spans s CROSS JOIN bounds b
+    )
+    SELECT win, CAST(day AS DATE) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active,
+           1 AS est_ok
+    FROM expanded GROUP BY 1, 2
+"""

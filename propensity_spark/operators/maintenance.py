@@ -163,3 +163,91 @@ def _fingerprint_sql() -> str:
 
 FINGERPRINT_SQL = _fingerprint_sql()
 # Both register in operators/overflow.py (post-priority tail).
+
+
+# Incremental JOIN-view maintenance: cutoff splits orders into the
+# materialized history F and the newly-arrived batch dF; every 10th
+# customer's market segment "changed" since the view was built (dD).
+IVM_CUTOFF = "1995-01-01"
+IVM_UPDATED_SEGMENT = "UPDATED"
+
+
+def incremental_join_view(
+    mv: DataFrame,
+    new_view_rows: DataFrame,
+    rederived_rows: DataFrame,
+    updated_keys: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Delta-maintain a fact ⋈ dim materialized view under dim-row
+    UPDATES and fact APPENDS without re-joining the full fact table:
+
+        MV' = (MV ∖ rows joining an updated dim key)   -- retract
+            ∪ (F_old ⋈ dD)                             -- re-derive
+            ∪ (dF ⋈ D_final)                           -- append
+
+    The caller supplies the two delta branches already in VIEW space
+    (same projection as MV); this function owns the retract-union
+    algebra. Cost shape at 100 TB: one scan of the already-
+    materialized MV with a BROADCAST anti-join on the updated keys
+    (`updated_keys` is the bounded CDC batch), the old facts joined
+    only to the broadcast dim delta (Catalyst pushes the key filter
+    into the fact scan where stats allow), and the new batch joined to
+    the dim — the big F ⋈ D re-join never happens. The gate entry
+    proves the algebra: the maintained view hash-matches a
+    from-scratch oracle join of the final state."""
+    kept = mv.join(F.broadcast(updated_keys), key, "left_anti")
+    # the USING-column anti-join hoists `key` to the front of the
+    # schema; restore MV's column order so the maintained view is a
+    # drop-in positional replacement, not just name-compatible
+    return (
+        kept.select(mv.columns)
+        .unionByName(rederived_rows.select(mv.columns))
+        .unionByName(new_view_rows.select(mv.columns))
+    )
+
+
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cutoff = F.lit(IVM_CUTOFF).cast("date")
+    is_updated = F.col("c_custkey") % 10 == 0
+    dim0 = customer.select("c_custkey", "c_mktsegment")  # as of MV build
+    dim_final = customer.select(
+        "c_custkey",
+        F.when(is_updated, F.lit(IVM_UPDATED_SEGMENT))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    dim_updates = dim_final.where(F.col("c_custkey") % 10 == 0)
+
+    def proj(facts: DataFrame, dim: DataFrame) -> DataFrame:
+        return facts.join(dim, facts.o_custkey == dim.c_custkey).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.to_date("o_orderdate").alias("o_day"),
+            "c_mktsegment",
+        )
+
+    old_facts = orders.where(F.to_date("o_orderdate") < cutoff)
+    new_facts = orders.where(F.to_date("o_orderdate") >= cutoff)
+    mv = proj(old_facts, dim0)  # the "materialized" pre-update view
+    return incremental_join_view(
+        mv,
+        new_view_rows=proj(new_facts, dim_final),
+        rederived_rows=proj(old_facts, F.broadcast(dim_updates)),
+        updated_keys=dim_updates.select(
+            F.col("c_custkey").alias("o_custkey")
+        ),
+        key="o_custkey",
+    )
+
+
+INCREMENTAL_JOIN_SQL = f"""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(o_orderdate AS DATE) AS o_day,
+           CASE WHEN c_custkey % 10 = 0 THEN '{IVM_UPDATED_SEGMENT}'
+                ELSE c_mktsegment END AS c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+"""

@@ -689,3 +689,55 @@ def test_version_diff_counts_added_removed_changed(spark, store):
     # symmetric direction: the new day reads as removed going backward
     d31 = {str(r["day"]): r for r in t.diff(v3, v1).collect()}
     assert d31[str(d2)]["removed"] == 2
+
+
+def test_forget_removes_subject_across_days(spark, store):
+    """GDPR erasure: the subject vanishes from every day; other keys
+    and their values are untouched; the audit reports what happened."""
+    t = FeatureTable(spark, "hh", ["household_key", "day"], store)
+    d1, d2 = date(2024, 1, 1), date(2024, 1, 2)
+    t.create(_frame(spark, d1, [1, 2, 3], 10.0))
+    t.merge(_frame(spark, d2, [1, 4], 20.0))
+
+    audit = t.forget("household_key", [1])
+    assert audit["days"] == [str(d1), str(d2)]
+    assert audit["rows_removed"] == 2
+    got = {(r["household_key"], str(r["day"])) for r in t.read().collect()}
+    assert got == {(2, str(d1)), (3, str(d1)), (4, str(d2))}
+    # no-op second call
+    assert t.forget("household_key", [1])["rows_removed"] == 0
+
+
+def test_forget_empties_a_day_and_purges_history(spark, store):
+    """A day whose EVERY row is forgotten reads back empty (the empty
+    version still commits); purge_history leaves no older version
+    dirs containing the subject."""
+    from pathlib import Path
+
+    t = FeatureTable(spark, "hh", ["household_key", "day"], store)
+    d1, d2 = date(2024, 1, 1), date(2024, 1, 2)
+    t.create(_frame(spark, d1, [7], 1.0))
+    t.merge(_frame(spark, d2, [7, 8], 2.0))
+
+    audit = t.forget("household_key", [7], purge_history=True)
+    assert audit["purged"] and audit["rows_removed"] == 2
+    assert t.read(d1).count() == 0
+    assert {r["household_key"] for r in t.read(d2).collect()} == {8}
+    # physical erasure: only the new version dir survives per day
+    for dd in Path(t.path).glob("day=*"):
+        vdirs = [v.name for v in dd.glob("v=*")]
+        assert vdirs == [f"v={audit['version']}"], (dd, vdirs)
+
+
+def test_forget_without_purge_keeps_time_travel_then_gc(spark, store):
+    """Default forget is snapshot-isolated: the pre-forget version is
+    still readable via read(version=) until GC; the live read never
+    shows the subject."""
+    t = FeatureTable(spark, "hh", ["household_key", "day"], store, keep_versions=5)
+    d = date(2024, 1, 1)
+    v0 = t.create(_frame(spark, d, [1, 2], 3.0))
+    audit = t.forget("household_key", [1])
+    assert {r["household_key"] for r in t.read(d).collect()} == {2}
+    old = {r["household_key"] for r in t.read(version=v0).collect()}
+    assert old == {1, 2}  # history intact until retention GC
+    assert audit["version"] > v0

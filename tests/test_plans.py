@@ -538,3 +538,35 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_incremental_join_view_broadcast_retract_and_exactness(spark, sf_dir):
+    """The IVM retract is a BROADCAST anti-join (never a shuffled one
+    — the CDC batch is bounded), and the maintained view equals the
+    from-scratch join of the final state row-for-row."""
+    from propensity_spark.operators.maintenance import (
+        IVM_UPDATED_SEGMENT,
+        q_incremental_join,
+    )
+    from propensity_spark.io import load_table
+
+    out = q_incremental_join(spark, sf_dir)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    full = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("o_day"),
+        F.when(
+            F.col("c_custkey") % 10 == 0, F.lit(IVM_UPDATED_SEGMENT)
+        ).otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+    )
+    assert out.exceptAll(full).count() == 0
+    assert full.exceptAll(out).count() == 0
