@@ -59,6 +59,13 @@ QUERIES = [
     "sessionize",
     "attribution_multi_touch",
     "mutual_information",
+    "km_retention",
+    "ab_test_ztest",
+    "hill_tail_index",
+    "cohort_ltv",
+    "forecast_linear",
+    "active_users_hll",
+    "incremental_join",
 ]
 
 
