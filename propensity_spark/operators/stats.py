@@ -768,3 +768,165 @@ HILL_SQL = f"""
                AS alpha
     FROM oc WHERE x >= {HILL_XMIN}
 """
+
+
+KS_CUTOFF = "1997-01-01"
+
+
+def ks_statistic(
+    a: DataFrame, b: DataFrame, value_col: str
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic: D = max |ECDF_a(x) −
+    ECDF_b(x)|. The second drift detector next to ml.monitoring's PSI
+    — PSI needs binning choices, KS is bin-free and catches shape
+    changes PSI's 10 quantile bins smooth over. Both ECDFs are
+    running-count ratios over the DISTINCT values of the union (one
+    tagged union + per-value agg + one ordered window + a 1-row max),
+    so the statistic is exact, not sampled. The global-order window
+    is the honest cost: at 100 TB run it per segment
+    (partitionBy(segment, ...)) or on a deterministic hash sample —
+    D converges at O(1/sqrt(n)); note the fixed critical-value scan
+    stays exact either way. Ratios of integer counts: bit-identical
+    cross-engine, rounded at 6dp only for display."""
+    u = a.select(F.col(value_col).alias("x"), F.lit("a").alias("src")).unionByName(
+        b.select(F.col(value_col).alias("x"), F.lit("b").alias("src"))
+    )
+    # aggregate per DISTINCT value first: the ECDF step lands after
+    # ALL ties at x (evaluating mid-tie inflates D — e.g. identical
+    # samples would read D = 1/n instead of 0)
+    per_x = u.groupBy("x").agg(
+        F.count_if(F.col("src") == "a").alias("ca_i"),
+        F.count_if(F.col("src") == "b").alias("cb_i"),
+    )
+    w = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    d = per_x.select(
+        F.abs(
+            F.sum("ca_i").over(w) / F.sum("ca_i").over(full).cast("double")
+            - F.sum("cb_i").over(w) / F.sum("cb_i").over(full).cast("double")
+        ).alias("diff"),
+        F.sum("ca_i").over(full).alias("n_a"),
+        F.sum("cb_i").over(full).alias("n_b"),
+    )
+    return d.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.round(F.max("diff") + 1e-9, 6).alias("ks_d"),
+    )
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did the order-price distribution drift across KS_CUTOFF?"""
+    orders = load_table(spark, sf_dir, "orders")
+    early = orders.where(
+        F.to_date("o_orderdate") < F.lit(KS_CUTOFF).cast("date")
+    )
+    late = orders.where(
+        F.to_date("o_orderdate") >= F.lit(KS_CUTOFF).cast("date")
+    )
+    return ks_statistic(early, late, "o_totalprice")
+
+
+KS_SQL = f"""
+    WITH u AS (
+        SELECT o_totalprice AS x,
+               CASE WHEN CAST(o_orderdate AS DATE) < DATE '{KS_CUTOFF}'
+                    THEN 'a' ELSE 'b' END AS src
+        FROM orders
+    ),
+    per_x AS (
+        SELECT x,
+               count(*) FILTER (src = 'a') AS ca_i,
+               count(*) FILTER (src = 'b') AS cb_i
+        FROM u GROUP BY x
+    ),
+    e AS (
+        SELECT
+            sum(ca_i) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+            sum(cb_i) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+            sum(ca_i) OVER () AS na,
+            sum(cb_i) OVER () AS nb
+        FROM per_x
+    )
+    SELECT CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b,
+           round(max(abs(ca * 1.0 / na - cb * 1.0 / nb)) + 1e-9, 6) AS ks_d
+    FROM e
+"""
+
+
+CUPED_SPLIT_DAY = "2024-01-16"  # fixture events: Jan 1-30; pre = first half
+
+
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng 2013) for the A/B readout: the
+    experiment metric (post-period purchase revenue per user) is
+    adjusted by the user's PRE-period revenue, Y' = Y − θ(X − X̄) with
+    θ = cov(X,Y)/var(X) — removing the between-user variance the
+    pre-period explains. The readout every experimentation platform
+    ships next to the raw z-test (q_ab_test_ztest). One user-grain
+    conditional agg builds (X, Y); θ, X̄ and the variance pair come
+    from ONE 1-row aggregate; the output pins θ and the variance-
+    reduction ratio (= r², bounded [0,1]). Cross-engine: covar_pop /
+    var_pop over identical doubles, rounded at 6dp."""
+    events = load_table(spark, sf_dir, "events")
+    split = F.lit(CUPED_SPLIT_DAY).cast("date")
+    rev = F.when(
+        F.col("event_type") == "purchase", F.col("value")
+    ).otherwise(0.0)
+    users = events.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.when(F.col("ts").cast("date") < split, rev).otherwise(0.0))
+            + 1e-6,
+            2,
+        ).alias("pre"),
+        F.round(
+            F.sum(
+                F.when(F.col("ts").cast("date") >= split, rev).otherwise(0.0)
+            )
+            + 1e-6,
+            2,
+        ).alias("post"),
+    )
+    return users.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg("pre") + 1e-9, 4).alias("mean_pre"),
+        F.round(F.avg("post") + 1e-9, 4).alias("mean_post"),
+        F.round(
+            F.covar_pop("pre", "post") / F.var_pop("pre") + 1e-9, 6
+        ).alias("theta"),
+        F.round(
+            F.pow(F.covar_pop("pre", "post"), 2)
+            / (F.var_pop("pre") * F.var_pop("post"))
+            + 1e-9,
+            6,
+        ).alias("variance_reduction"),
+    )
+
+
+CUPED_SQL = f"""
+    WITH users AS (
+        SELECT user_id,
+               round(sum(CASE WHEN CAST(ts AS DATE) < DATE '{CUPED_SPLIT_DAY}'
+                          AND event_type = 'purchase'
+                         THEN value ELSE 0.0 END) + 1e-6, 2) AS pre,
+               round(sum(CASE WHEN CAST(ts AS DATE) >= DATE '{CUPED_SPLIT_DAY}'
+                          AND event_type = 'purchase'
+                         THEN value ELSE 0.0 END) + 1e-6, 2) AS post
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(pre) + 1e-9, 4) AS mean_pre,
+           round(avg(post) + 1e-9, 4) AS mean_post,
+           round(covar_pop(pre, post) / var_pop(pre) + 1e-9, 6) AS theta,
+           round(pow(covar_pop(pre, post), 2)
+                 / (var_pop(pre) * var_pop(post)) + 1e-9, 6)
+               AS variance_reduction
+    FROM users
+"""

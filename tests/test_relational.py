@@ -1668,3 +1668,57 @@ def test_forecast_linear_extrapolates_trend(spark, sf_dir):
         w0 = rs[0]["pi_high"] - rs[0]["pi_low"]
         w6 = rs[-1]["pi_high"] - rs[-1]["pi_low"]
         assert w6 >= w0
+
+
+def test_ks_statistic_known_answers(spark):
+    """Identical samples give D=0; disjoint samples give D=1; a
+    half-shifted sample matches the scipy-style hand computation."""
+    from propensity_spark.operators.stats import ks_statistic
+
+    a = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    same = ks_statistic(a, a, "v").collect()[0]
+    assert same["ks_d"] == 0.0 and same["n_a"] == 100
+
+    b = spark.createDataFrame(
+        [(float(i + 1000),) for i in range(50)], "v double"
+    )
+    disjoint = ks_statistic(a, b, "v").collect()[0]
+    assert disjoint["ks_d"] == 1.0
+
+    # b = a shifted by 50: ECDFs diverge maximally at the overlap edge
+    c = spark.createDataFrame(
+        [(float(i + 50),) for i in range(100)], "v double"
+    )
+    d = ks_statistic(a, c, "v").collect()[0]
+    assert abs(d["ks_d"] - 0.5) < 1e-6
+
+
+def test_cuped_theta_on_correlated_metric(spark, tmp_path):
+    """With post = 2*pre + noise, theta ~ 2 and variance_reduction is
+    high; with independent pre/post the reduction is near zero."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from propensity_spark.operators.stats import q_cuped_adjustment
+
+    rng = np.random.RandomState(3)
+    rows = []
+    eid = 0
+    for uid in range(300):
+        pre = float(rng.uniform(10, 100))
+        post = 2 * pre + float(rng.uniform(-5, 5))
+        rows.append({"event_id": eid, "user_id": uid,
+                     "ts": datetime(2024, 1, 5), "event_type": "purchase",
+                     "value": round(pre, 2)}); eid += 1
+        rows.append({"event_id": eid, "user_id": uid,
+                     "ts": datetime(2024, 1, 25), "event_type": "purchase",
+                     "value": round(post, 2)}); eid += 1
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "events.parquet")
+    out = q_cuped_adjustment(spark, str(sf)).collect()[0]
+    assert abs(out["theta"] - 2.0) < 0.05, out["theta"]
+    assert out["variance_reduction"] > 0.95
+    assert out["n_users"] == 300
