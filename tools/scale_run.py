@@ -66,6 +66,8 @@ QUERIES = [
     "forecast_linear",
     "active_users_hll",
     "incremental_join",
+    "ks_drift",
+    "cuped_adjustment",
 ]
 
 
