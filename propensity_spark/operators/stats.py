@@ -930,3 +930,109 @@ CUPED_SQL = f"""
                AS variance_reduction
     FROM users
 """
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing the post-period
+    purchase-revenue distribution between the md5 A/B variants — the
+    rank-based test the experimentation readout needs when the metric
+    is heavy-tailed and the z-test's normality assumption is junk
+    (revenue always is; cf. q_hill_tail_index). Average ranks come
+    from ONE ordered window over the user-grain metric (rank+count
+    per distinct value handles ties exactly); U, the tie-corrected
+    variance and the normal approximation z are a 1-row aggregate.
+    All inputs are integer counts/rank sums — cross-engine exact
+    until the final sqrt, rounded at 4dp."""
+    events = load_table(spark, sf_dir, "events")
+    rev = F.when(
+        F.col("event_type") == "purchase", F.col("value")
+    ).otherwise(0.0)
+    users = events.groupBy("user_id").agg(
+        F.round(F.sum(rev) + 1e-6, 2).alias("metric")
+    )
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(cast(user_id as string) as binary)),"
+        " 1, 8), 16, 10) as bigint) % 2"
+    )
+    users = users.withColumn(
+        "src", F.when(bucket == 0, "a").otherwise("b")
+    )
+    per_v = users.groupBy("metric").agg(
+        F.count_if(F.col("src") == "a").alias("na_i"),
+        F.count(F.lit(1)).alias("t_i"),
+    )
+    w_prev = Window.orderBy("metric").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # average rank of a tied block starting after `before` rows of
+    # size t_i: before + (t_i + 1)/2
+    ranked = per_v.withColumn(
+        "avg_rank",
+        F.coalesce(F.sum("t_i").over(w_prev), F.lit(0).cast("bigint"))
+        + (F.col("t_i") + 1) / F.lit(2.0),
+    )
+    g = ranked.agg(
+        F.sum("na_i").alias("n_a"),
+        F.sum(F.col("t_i") - F.col("na_i")).alias("n_b"),
+        F.sum(F.col("na_i") * F.col("avg_rank")).alias("r_a"),
+        F.sum(
+            F.col("t_i") * (F.col("t_i") * F.col("t_i") - 1)
+        ).alias("tie_term"),
+    )
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    u = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / F.lit(2.0)
+    mu = F.col("n_a") * F.col("n_b") / F.lit(2.0)
+    var = (
+        F.col("n_a")
+        * F.col("n_b")
+        / F.lit(12.0)
+        * ((n + 1) - F.col("tie_term") / (n * (n - 1)))
+    )
+    return g.select(
+        "n_a",
+        "n_b",
+        F.round(u + 1e-9, 2).alias("u_stat"),
+        F.round((u - mu) / F.sqrt(var) + 1e-9, 4).alias("z_score"),
+    )
+
+
+MANN_WHITNEY_SQL = """
+    WITH users AS (
+        SELECT user_id,
+               round(sum(CASE WHEN event_type = 'purchase'
+                         THEN value ELSE 0.0 END) + 1e-6, 2) AS metric,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 2 = 0
+                    THEN 'a' ELSE 'b' END AS src
+        FROM events GROUP BY user_id
+    ),
+    per_v AS (
+        SELECT metric,
+               CAST(count(*) FILTER (src = 'a') AS BIGINT) AS na_i,
+               CAST(count(*) AS BIGINT) AS t_i
+        FROM users GROUP BY metric
+    ),
+    ranked AS (
+        SELECT *,
+               coalesce(CAST(sum(t_i) OVER (ORDER BY metric
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT), 0) + (t_i + 1) / 2.0 AS avg_rank
+        FROM per_v
+    ),
+    g AS (
+        SELECT CAST(sum(na_i) AS BIGINT) AS n_a,
+               CAST(sum(t_i - na_i) AS BIGINT) AS n_b,
+               sum(na_i * avg_rank) AS r_a,
+               CAST(sum(t_i * (t_i * t_i - 1)) AS BIGINT) AS tie_term
+        FROM ranked
+    )
+    SELECT n_a, n_b,
+           round(r_a - n_a * (n_a + 1) / 2.0 + 1e-9, 2) AS u_stat,
+           round((r_a - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+                 / sqrt(n_a * n_b / 12.0
+                        * ((n_a + n_b + 1)
+                           - tie_term * 1.0
+                             / ((n_a + n_b) * (n_a + n_b - 1))))
+                 + 1e-9, 4) AS z_score
+    FROM g
+"""

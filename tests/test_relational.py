@@ -1722,3 +1722,105 @@ def test_cuped_theta_on_correlated_metric(spark, tmp_path):
     assert abs(out["theta"] - 2.0) < 0.05, out["theta"]
     assert out["variance_reduction"] > 0.95
     assert out["n_users"] == 300
+
+
+def test_mann_whitney_matches_scipy_formula(spark, tmp_path):
+    """U and the tie-corrected z match a plain-Python rank-sum
+    computation on the same per-user metrics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from propensity_spark.operators.stats import q_mann_whitney
+
+    rows = []
+    for uid in range(120):
+        # heavy-tailed-ish metric with ties
+        val = float((uid * 7) % 13) * (3.0 if uid % 9 == 0 else 1.0)
+        rows.append({"event_id": uid, "user_id": uid,
+                     "ts": datetime(2024, 1, 2), "event_type": "purchase",
+                     "value": val})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "events.parquet")
+
+    out = q_mann_whitney(spark, str(sf)).collect()[0]
+
+    # reference computation with the same md5 bucketing
+    metrics = {}
+    for r in rows:
+        metrics[r["user_id"]] = round(r["value"] + 1e-6, 2)
+    got = spark.sql(
+        "SELECT id, cast(conv(substr(md5(cast(cast(id as string) as binary)),"
+        " 1, 8), 16, 10) as bigint) % 2 AS b FROM range(120)"
+    ).collect()
+    variant = {r["id"]: ("a" if r["b"] == 0 else "b") for r in got}
+    vals = sorted((metrics[u], variant[u]) for u in metrics)
+    # average ranks with ties
+    ranks, i = {}, 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j][0] == vals[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        for k in range(i, j):
+            ranks[k] = avg
+        i = j
+    r_a = sum(ranks[k] for k, (v, s) in enumerate(vals) if s == "a")
+    n_a = sum(1 for _, s in vals if s == "a")
+    n_b = len(vals) - n_a
+    u_ref = r_a - n_a * (n_a + 1) / 2
+    assert out["n_a"] == n_a and out["n_b"] == n_b
+    assert abs(out["u_stat"] - u_ref) < 1e-6
+    # tie-corrected z
+    from collections import Counter
+    n = n_a + n_b
+    tie = sum(t * (t * t - 1) for t in Counter(v for v, _ in vals).values())
+    var = n_a * n_b / 12 * ((n + 1) - tie / (n * (n - 1)))
+    z_ref = (u_ref - n_a * n_b / 2) / var ** 0.5
+    assert abs(out["z_score"] - z_ref) < 1e-3
+
+
+def test_sessionize_parity_with_native_session_window(spark, tmp_path):
+    """Batch sessionize (lag + running sum) and Spark's native
+    session_window agree on session boundaries for non-boundary gaps:
+    same number of sessions per user, same event counts per session."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta
+
+    from propensity_spark.operators.behavior import q_sessionize
+
+    t0 = datetime(2024, 1, 1, 8, 0, 0)
+    rows, eid = [], 0
+    # user 1: bursts separated by 45 min; user 2: one long session of
+    # 10-min steps; user 3: single event
+    for burst in range(3):
+        base = t0 + timedelta(minutes=45 * burst + (5 * burst))
+        for k in range(4):
+            rows.append({"event_id": eid, "user_id": 1,
+                         "ts": base + timedelta(minutes=2 * k),
+                         "event_type": "view", "value": None}); eid += 1
+    for k in range(6):
+        rows.append({"event_id": eid, "user_id": 2,
+                     "ts": t0 + timedelta(minutes=10 * k),
+                     "event_type": "view", "value": None}); eid += 1
+    rows.append({"event_id": eid, "user_id": 3, "ts": t0,
+                 "event_type": "view", "value": None})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "events.parquet")
+
+    mine = {(r["user_id"], r["session_seq"]): r["n_events"]
+            for r in q_sessionize(spark, str(sf)).collect()}
+    native = (
+        spark.read.parquet(str(sf / "events.parquet"))
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    )
+    from collections import Counter
+    mine_per_user = Counter(u for (u, _) in mine)
+    native_per_user = Counter(r["user_id"] for r in native)
+    assert mine_per_user == native_per_user == Counter({1: 3, 2: 1, 3: 1})
+    assert sorted(mine.values()) == sorted(r["n_events"] for r in native)

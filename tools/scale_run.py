@@ -68,6 +68,7 @@ QUERIES = [
     "incremental_join",
     "ks_drift",
     "cuped_adjustment",
+    "mann_whitney",
 ]
 
 
