@@ -570,3 +570,28 @@ def test_incremental_join_view_broadcast_retract_and_exactness(spark, sf_dir):
     )
     assert out.exceptAll(full).count() == 0
     assert full.exceptAll(out).count() == 0
+
+
+def test_dynamic_partition_pruning_on_day_partitioned_fact(spark, tmp_path):
+    """A day-partitioned fact joined to a FILTERED dim prunes fact
+    partitions at RUNTIME via DPP (the dim filter isn't statically
+    known at the fact scan) — the mechanism that makes dimension-
+    driven date restrictions cheap on a 100 TB day-partitioned lake.
+    Pinned: the fact scan carries a dynamicpruning partition filter,
+    and the join result only touches the dim-selected days."""
+    spark.range(0, 100000).select(
+        (F.col("id") % 30).alias("day"), F.col("id").alias("v")
+    ).write.mode("overwrite").partitionBy("day").parquet(
+        str(tmp_path / "fact")
+    )
+    spark.range(0, 30).select(
+        F.col("id").alias("day"), (F.col("id") % 10).alias("grp")
+    ).write.mode("overwrite").parquet(str(tmp_path / "dim"))
+
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim = spark.read.parquet(str(tmp_path / "dim")).where("grp = 3")
+    j = fact.join(dim, "day")
+    rows = j.select("day").distinct().collect()
+    assert sorted(r["day"] for r in rows) == [3, 13, 23]
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
