@@ -595,3 +595,87 @@ def test_dynamic_partition_pruning_on_day_partitioned_fact(spark, tmp_path):
     assert sorted(r["day"] for r in rows) == [3, 13, 23]
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def _with_confs(spark, confs):
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        prev = {}
+        for k, v in confs.items():
+            prev[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)
+        try:
+            yield
+        finally:
+            for k, p in prev.items():
+                if p is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, p)
+    return ctx()
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, tmp_path):
+    """AQE splits a skewed shuffle partition at runtime (skew=true +
+    'AQEShuffleRead ... skewed' in the FINAL adaptive plan) — the
+    automatic path that makes the manual salted_join a fallback, not
+    the default. Thresholds are lowered so test-sized data crosses
+    them; the decision logic is the same one that fires at 100 TB."""
+    sk = spark.range(0, 400000).select(
+        F.lit(0).alias("k"), F.md5(F.col("id").cast("string")).alias("v")
+    )
+    rest = spark.range(0, 100000).select(
+        (F.col("id") % 1000 + 1).alias("k"),
+        F.md5(F.col("id").cast("string")).alias("v"),
+    )
+    sk.unionAll(rest).write.mode("overwrite").parquet(
+        str(tmp_path / "fact")
+    )
+    spark.range(0, 1001).select(
+        F.col("id").alias("k"), F.lit("x").alias("pad")
+    ).write.mode("overwrite").parquet(str(tmp_path / "dim"))
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+    }
+    with _with_confs(spark, confs):
+        j = spark.read.parquet(str(tmp_path / "fact")).join(
+            spark.read.parquet(str(tmp_path / "dim")), "k"
+        )
+        assert len(j.collect()) == 500000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan.splitlines()[0]
+    assert "skew=true" in plan, plan
+    assert "skewed" in plan  # the AQEShuffleRead split
+
+
+def test_runtime_bloom_filter_join_injects_might_contain(spark, tmp_path):
+    """Spark's runtime row-level bloom filter (the 10^9-key scale path
+    bloom_semijoin's docstring names): a selective filter on the
+    creation side injects a might_contain probe into the big side's
+    scan, pre-filtering shuffle input. Size thresholds lowered for
+    test data; assertion is on the injected expression itself."""
+    spark.range(0, 500000).select(
+        (F.col("id") % 50000).alias("k"), F.col("id").alias("v")
+    ).write.mode("overwrite").parquet(str(tmp_path / "big"))
+    spark.range(0, 50000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).alias("g")
+    ).write.mode("overwrite").parquet(str(tmp_path / "small"))
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    with _with_confs(spark, confs):
+        big = spark.read.parquet(str(tmp_path / "big"))
+        small = spark.read.parquet(str(tmp_path / "small")).where("g = 7")
+        j = big.join(small, "k")
+        n = j.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    assert n == 5000
+    assert "might_contain" in plan, plan
