@@ -362,3 +362,55 @@ def _pagerank_sql() -> str:
 
 PAGERANK_SQL = _pagerank_sql()
 # pagerank_affinity registers in operators/overflow.py (post-budget).
+
+
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE hierarchy rollup (WITH RECURSIVE landed in Spark
+    4.x — Catalyst executes the recursion as an iterative union, so
+    each level is one distributed join, no driver loop): customers
+    form a deterministic 10-ary tree (parent = custkey/10), the
+    ancestor-descendant closure is built recursively (SELF-inclusive),
+    and each node rolls up its subtree size and subtree order revenue.
+    Closure size is n * depth (depth = log10 n), NOT n^2 — at 150M
+    customers that's ~9 levels, and the per-level join is key-
+    partitioned. DuckDB runs the IDENTICAL recursive SQL as oracle."""
+    from propensity_spark.io import load_table
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "h_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("h_orders")
+    return spark.sql(HIERARCHY_BODY)
+
+
+# Shared verbatim by Spark and the DuckDB oracle (fixture views are
+# pre-registered as `customer`/`orders` on the oracle side; the Spark
+# side registers h_-prefixed temp views to avoid clobbering session
+# state). CAST/round discipline per the cross-engine rules.
+_HIERARCHY_TEMPLATE = """
+    WITH RECURSIVE closure(ancestor, descendant) AS (
+        SELECT c_custkey, c_custkey FROM {customer}
+        UNION ALL
+        SELECT cl.ancestor, c.c_custkey
+        FROM closure cl
+        JOIN {customer} c
+          ON CAST(floor(c.c_custkey / 10.0) AS BIGINT) = cl.descendant
+         AND c.c_custkey > 9
+    ),
+    rev AS (
+        SELECT o_custkey, sum(o_totalprice) AS r
+        FROM {orders} GROUP BY o_custkey
+    )
+    SELECT cl.ancestor AS custkey,
+           CAST(count(*) AS BIGINT) AS subtree_size,
+           round(coalesce(sum(rev.r), 0.0) + 1e-6, 2) AS subtree_revenue
+    FROM closure cl LEFT JOIN rev ON rev.o_custkey = cl.descendant
+    GROUP BY cl.ancestor
+"""
+
+HIERARCHY_BODY = _HIERARCHY_TEMPLATE.format(
+    customer="h_customer", orders="h_orders"
+)
+HIERARCHY_SQL = _HIERARCHY_TEMPLATE.format(
+    customer="customer", orders="orders"
+)

@@ -1824,3 +1824,36 @@ def test_sessionize_parity_with_native_session_window(spark, tmp_path):
     native_per_user = Counter(r["user_id"] for r in native)
     assert mine_per_user == native_per_user == Counter({1: 3, 2: 1, 3: 1})
     assert sorted(mine.values()) == sorted(r["n_events"] for r in native)
+
+
+def test_hierarchy_rollup_hand_computed_tree(spark, tmp_path):
+    """10-ary closure on a tiny key set: node 1's subtree contains
+    10..19 (their parent floor(k/10)=1) plus itself; subtree revenue
+    sums descendants' orders; leaves roll up only themselves."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from propensity_spark.operators.graph import q_hierarchy_rollup
+
+    customers = [{"c_custkey": k, "c_mktsegment": "X"}
+                 for k in [1, 2, 10, 11, 19, 25, 110]]
+    orders = [{"o_orderkey": i, "o_custkey": k, "o_totalprice": float(p)}
+              for i, (k, p) in enumerate([(1, 5.0), (10, 7.0), (11, 3.0),
+                                          (110, 2.0), (25, 11.0)])]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(customers), sf / "customer.parquet")
+    pq.write_table(pa.Table.from_pylist(orders), sf / "orders.parquet")
+
+    out = {r["custkey"]: r for r in q_hierarchy_rollup(spark, str(sf)).collect()}
+    # node 1: itself + 10, 11, 19 + 110 (child of 11)
+    assert out[1]["subtree_size"] == 5
+    assert abs(out[1]["subtree_revenue"] - (5.0 + 7.0 + 3.0 + 2.0)) < 1e-6
+    # node 11: itself + 110
+    assert out[11]["subtree_size"] == 2
+    assert abs(out[11]["subtree_revenue"] - 5.0) < 1e-6
+    # node 2: subtree of one, with 25 NOT a child (floor(25/10)=2 — it IS)
+    assert out[2]["subtree_size"] == 2  # 2 and 25
+    assert abs(out[2]["subtree_revenue"] - 11.0) < 1e-6
+    # leaf 19: only itself, no orders
+    assert out[19]["subtree_size"] == 1 and out[19]["subtree_revenue"] == 0.0
