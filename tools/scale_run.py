@@ -69,6 +69,7 @@ QUERIES = [
     "ks_drift",
     "cuped_adjustment",
     "mann_whitney",
+    "hierarchy_rollup",
 ]
 
 
