@@ -14,6 +14,8 @@ BashOperator, etc.) can call — one subcommand per reference job:
                                       [--tune] [--n-trials N]
     python -m propensity_spark drift  --sf-dir DATA --base OUT [--day D]
                                       [--psi-threshold P]
+    python -m propensity_spark run-op [NAME] [--sf-dir DATA]
+                                      [--out PARQUET] [--limit N]
 
 `--day` is optional everywhere: it falls back to the latest silver
 transaction day. A first `daily` run with no stored manifest trains
@@ -72,6 +74,14 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--eval-tables", action="store_true")
         if name in ("daily", "drift"):
             p.add_argument("--psi-threshold", type=float, default=0.25)
+    # generic operator runner: any registry entry from the CLI
+    rop = sub.add_parser("run-op")
+    rop.add_argument("op", nargs="?", default=None,
+                     help="registry name; omit (or pass 'list') to list all")
+    rop.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    rop.add_argument("--out", default=None,
+                     help="write full result parquet here instead of sampling")
+    rop.add_argument("--limit", type=int, default=20)
     return ap
 
 
@@ -82,6 +92,33 @@ def run(args, spark=None) -> int:
     from propensity_spark.session import get_spark
 
     spark = spark or get_spark(f"propensity-{args.cmd}")
+
+    if args.cmd == "run-op":
+        # Expose the whole verified operator registry from the CLI: a
+        # user runs any oracle-checked query against any fixture dir,
+        # sampling to stdout or writing the full result to parquet.
+        import __spark_entry__ as entrymod
+
+        qs = entrymod.queries()
+        if args.op in (None, "list"):
+            print(json.dumps({"cmd": "run-op", "ops": sorted(qs)}))
+            return 0
+        if args.op not in qs:
+            print(json.dumps({"cmd": "run-op", "error": f"unknown op {args.op!r}"}))
+            return 1
+        df = qs[args.op](spark, args.sf_dir)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(json.dumps({"cmd": "run-op", "op": args.op,
+                              "rows": n, "out": args.out}))
+        else:
+            sample = [r.asDict() for r in df.limit(args.limit).collect()]
+            print(json.dumps({"cmd": "run-op", "op": args.op,
+                              "sample_rows": len(sample),
+                              "sample": sample}, default=str))
+        return 0
+
     p = Pipeline(spark, args.sf_dir, args.base)
 
     def latest_day():

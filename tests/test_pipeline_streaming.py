@@ -488,3 +488,36 @@ def test_as_date_normalizes_datetime(spark):
     assert type(out) is datetime.date and out == datetime.date(2024, 3, 3)
     assert out < datetime.date(2024, 3, 5)  # comparable with plain dates
     assert as_date("2024-3-3") == datetime.date(2024, 3, 3)
+
+
+def test_cli_run_op_lists_and_runs(spark, sf_dir, tmp_path, capsys):
+    """run-op exposes the registry from the CLI: list mode names every
+    entry, a run samples rows, --out writes full parquet, unknown op
+    exits 1."""
+    import json
+
+    from propensity_spark.__main__ import build_parser, run
+
+    ap = build_parser()
+    assert run(ap.parse_args(["run-op"]), spark) == 0
+    ops = json.loads(capsys.readouterr().out)["ops"]
+    assert "trend_fit" in ops and len(ops) >= 111
+
+    assert run(
+        ap.parse_args(["run-op", "km_retention", "--sf-dir", sf_dir]), spark
+    ) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["sample_rows"] >= 1
+    assert {"t", "n_at_risk", "survival"} <= set(out["sample"][0])
+
+    dest = str(tmp_path / "res")
+    assert run(
+        ap.parse_args(
+            ["run-op", "hill_tail_index", "--sf-dir", sf_dir, "--out", dest]
+        ),
+        spark,
+    ) == 0
+    assert json.loads(capsys.readouterr().out)["rows"] == 2
+    assert spark.read.parquet(dest).count() == 2
+
+    assert run(ap.parse_args(["run-op", "nope"]), spark) == 1
