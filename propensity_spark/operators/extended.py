@@ -2395,3 +2395,47 @@ CDC_APPLY_SQL = """
     FROM ranked WHERE rn = 1 AND op <> 'D'
 """
 # cdc_apply registers in operators/overflow.py (post-budget).
+
+
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics on the VARIANT type (Spark 4.x): the
+    events' JSON `props` column is parsed ONCE into a binary variant
+    (parse_json — no schema declaration, unlike from_json) and typed
+    paths are extracted with variant_get, then aggregated per event
+    type. At 100 TB this is the schema-drift-proof ingestion shape:
+    the variant encoding is columnar-shredded and path extraction is
+    a map-side expression — producers can add keys without breaking
+    the reader. The DuckDB oracle runs the same extraction through
+    its native JSON path functions. pytest additionally pins
+    schema_of_variant_agg as the drift-profiling surface."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(
+        "event_type",
+        F.expr(
+            "variant_get(parse_json(props), '$.k', 'bigint')"
+        ).alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.countDistinct("k").alias("distinct_k"),
+    )
+
+
+VARIANT_SQL = """
+    WITH v AS (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           min(k) AS min_k, max(k) AS max_k,
+           CAST(count(DISTINCT k) AS BIGINT) AS distinct_k
+    FROM v GROUP BY event_type
+"""

@@ -1857,3 +1857,43 @@ def test_hierarchy_rollup_hand_computed_tree(spark, tmp_path):
     assert abs(out[2]["subtree_revenue"] - 11.0) < 1e-6
     # leaf 19: only itself, no orders
     assert out[19]["subtree_size"] == 1 and out[19]["subtree_revenue"] == 0.0
+
+
+def test_variant_drift_profile_and_missing_keys(spark, tmp_path):
+    """VARIANT ingestion absorbs schema drift: producers adding keys
+    or sending malformed-but-parsable values don't break extraction
+    — missing paths are NULL, schema_of_variant_agg reports the
+    merged shape for drift monitoring."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from propensity_spark.operators.extended import q_variant_extract
+
+    rows = [
+        {"event_id": 0, "user_id": 1, "ts": datetime(2024, 1, 1),
+         "event_type": "view", "value": None, "props": '{"k": 3}'},
+        # drifted producer: extra key, k still present
+        {"event_id": 1, "user_id": 1, "ts": datetime(2024, 1, 1),
+         "event_type": "view", "value": None,
+         "props": '{"k": 5, "new_field": "x"}'},
+        # k missing entirely -> NULL, row still counted
+        {"event_id": 2, "user_id": 2, "ts": datetime(2024, 1, 1),
+         "event_type": "click", "value": None, "props": '{"other": 1}'},
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "events.parquet")
+
+    out = {r["event_type"]: r for r in q_variant_extract(spark, str(sf)).collect()}
+    assert out["view"]["n"] == 2 and out["view"]["n_with_k"] == 2
+    assert out["view"]["sum_k"] == 8
+    assert out["click"]["n"] == 1 and out["click"]["n_with_k"] == 0
+    assert out["click"]["sum_k"] is None
+
+    sch = (
+        spark.read.parquet(str(sf / "events.parquet"))
+        .selectExpr("schema_of_variant_agg(parse_json(props)) AS s")
+        .collect()[0]["s"]
+    )
+    assert "k: BIGINT" in sch and "new_field" in sch, sch
