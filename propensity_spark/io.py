@@ -374,3 +374,27 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(table_name)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """XML ingestion via Spark 4's built-in xml source (S1 family —
+    the reference ingests CSV only; XML joins CSV/JSON/ORC as a
+    first-class feed format here). Explicit schema recommended in
+    production for the same reason as read_csv: inference scans the
+    data twice and drifts with it."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
+    """XML export (row-per-record under `row_tag`)."""
+    df.write.format("xml").option("rowTag", row_tag).mode(
+        "overwrite"
+    ).save(path)

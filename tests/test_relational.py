@@ -1897,3 +1897,29 @@ def test_variant_drift_profile_and_missing_keys(spark, tmp_path):
         .collect()[0]["s"]
     )
     assert "k: BIGINT" in sch and "new_field" in sch, sch
+
+
+def test_xml_roundtrip_preserves_rows_and_types(spark, sf_dir, tmp_path):
+    """Spark 4 native XML source: orders sample exports to XML and
+    reads back row-identical under an explicit schema (S1 family,
+    beside the CSV/JSON/ORC round-trips)."""
+    from pyspark.sql import types as T
+
+    from propensity_spark.io import load_table, read_xml, write_xml
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    ).limit(500)
+    dest = str(tmp_path / "orders_xml")
+    write_xml(src, dest, row_tag="order")
+
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ])
+    back = read_xml(spark, dest, row_tag="order", schema=schema)
+    assert back.count() == src.count()
+    assert back.exceptAll(src.select(schema.fieldNames())).count() == 0
+    assert src.select(schema.fieldNames()).exceptAll(back).count() == 0

@@ -70,6 +70,7 @@ QUERIES = [
     "cuped_adjustment",
     "mann_whitney",
     "hierarchy_rollup",
+    "variant_extract",
 ]
 
 
