@@ -88,3 +88,16 @@ def register_views(
                 ).createOrReplaceTempView(name)
                 registered.append(name)
     return registered
+
+
+def query(spark: SparkSession, sql: str, **params):
+    """Parameterized SQL against the registered views: named `:param`
+    markers bound server-side (Spark 4 parameter binding), so caller
+    values are never string-interpolated into the query — the
+    injection-safe surface a scheduler or API endpoint should call
+    instead of f-strings:
+
+        query(spark, "SELECT * FROM transactions_adj "
+                     "WHERE day BETWEEN :lo AND :hi", lo=d0, hi=d1)
+    """
+    return spark.sql(sql, args=params)

@@ -521,3 +521,24 @@ def test_cli_run_op_lists_and_runs(spark, sf_dir, tmp_path, capsys):
     assert spark.read.parquet(dest).count() == 2
 
     assert run(ap.parse_args(["run-op", "nope"]), spark) == 1
+
+
+def test_parameterized_sql_binding(spark, sf_dir):
+    """sql.query binds :params server-side — values with quotes/SQL
+    metacharacters are data, not syntax."""
+    from propensity_spark.sql import query, register_views
+
+    register_views(spark, sf_dir)
+    n = query(
+        spark,
+        "SELECT count(*) AS n FROM orders WHERE o_orderstatus = :c",
+        c="definitely'; DROP TABLE x --",
+    ).collect()[0]["n"]
+    assert n == 0  # treated as a literal string, parses and runs
+
+    rows = query(
+        spark,
+        "SELECT count(*) AS n FROM orders WHERE o_totalprice > :lo",
+        lo=0.0,
+    ).collect()
+    assert rows[0]["n"] > 0
