@@ -1461,3 +1461,110 @@ CHAR_ENTROPY_SQL = """
     FROM freq2
     GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# End-to-end LLM data-prep pipeline: the composed flow a pretraining
+# corpus actually runs, as ONE oracle-checked entry. Each stage is the
+# already-gate-verified operator family applied in sequence; this
+# entry proves the COMPOSITION (filter ordering, survivor sets, split
+# stability) matches a from-scratch SQL expression of the whole flow.
+# ---------------------------------------------------------------------------
+
+DATAPREP_MIN_WORDS = 5
+DATAPREP_BENCH_MOD = 20  # doc_id % 20 == 0 plays the held-out benchmark
+
+
+def q_llm_dataprep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-corpus prep, composed end-to-end:
+
+      1. language filter (stored `lang` tag here; swap in q_lang_id's
+         n-gram heuristic when tags are untrusted),
+      2. quality floor — >= DATAPREP_MIN_WORDS words and distinct-word
+         ratio >= 0.3, compared in INTEGER form (10*distinct >= 3*n)
+         so both engines decide identically with no float ratio,
+      3. exact dedup — keep the min doc_id per normalized-text md5
+         (one digest window),
+      4. benchmark decontamination — drop survivors sharing any
+         5-gram with the held-out set (broadcast semi-join, the
+         corpus is never shuffled by ngram; text/dedup.py:615-645),
+      5. deterministic 90/5/5 hash split (append-stable md5 ladder).
+
+    Near-dup removal (minhash/SimHash) composes between 3 and 4 and is
+    gate-verified standalone (neardup_suite); it is omitted here to
+    keep the oracle one readable SQL statement. Returns the surviving
+    corpus manifest (doc_id, n_words, split)."""
+    from propensity_spark.text.dedup import (
+        DECONTAM_N,
+        _NORM_SPARK,
+        contaminated_doc_ids,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.split(F.expr(_NORM_SPARK), " ").alias("words"),
+        F.expr(f"md5(cast({_NORM_SPARK} as binary))").alias("text_hash"),
+    ).withColumn("n_words", F.size("words")).withColumn(
+        "n_distinct_words", F.size(F.array_distinct("words"))
+    )
+    quality = base.where(
+        (F.col("lang") == "en")
+        & (F.col("n_words") >= DATAPREP_MIN_WORDS)
+        & (10 * F.col("n_distinct_words") >= 3 * F.col("n_words"))
+    )
+    deduped = quality.withColumn(
+        "__canon", F.min("doc_id").over(Window.partitionBy("text_hash"))
+    ).where(
+        (F.col("doc_id") == F.col("__canon"))
+        & (F.col("doc_id") % DATAPREP_BENCH_MOD != 0)
+    )
+    bench = docs.where(F.col("doc_id") % DATAPREP_BENCH_MOD == 0)
+    bad = contaminated_doc_ids(deduped, bench, n=DECONTAM_N)
+    clean = deduped.join(bad, "doc_id", "left_anti")
+    return split_by_hash(clean, "doc_id", SPLIT_FRACTIONS).select(
+        "doc_id", "n_words", "split"
+    )
+
+
+def _dataprep_sql() -> str:
+    from propensity_spark.text.dedup import _GRAMS5_DUCK, _NORM_DUCK
+
+    ladder = _split_ladder_sql().replace("'split:", "'")
+    return f"""
+    WITH base AS (
+        SELECT doc_id, text, lang,
+               string_split({_NORM_DUCK}, ' ') AS words,
+               md5({_NORM_DUCK}) AS text_hash
+        FROM documents
+    ),
+    quality AS (
+        SELECT doc_id, text, text_hash,
+               CAST(len(words) AS INT) AS n_words
+        FROM base
+        WHERE lang = 'en' AND len(words) >= {DATAPREP_MIN_WORDS}
+          AND 10 * len(list_distinct(words)) >= 3 * len(words)
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, min(doc_id) OVER (PARTITION BY text_hash) AS canon
+            FROM quality
+        ) WHERE doc_id = canon AND doc_id % {DATAPREP_BENCH_MOD} != 0
+    ),
+    bg AS (
+        SELECT DISTINCT unnest({_GRAMS5_DUCK}) AS g FROM documents
+        WHERE doc_id % {DATAPREP_BENCH_MOD} = 0
+    ),
+    bad AS (
+        SELECT DISTINCT d.doc_id
+        FROM (SELECT doc_id, unnest({_GRAMS5_DUCK}) AS g FROM deduped) d
+        WHERE d.g IN (SELECT g FROM bg)
+    ),
+    clean AS (
+        SELECT * FROM deduped WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    )
+    SELECT doc_id, n_words, {ladder} AS split FROM clean
+    """

@@ -1002,3 +1002,39 @@ def test_char_entropy_hand_computed(spark):
     assert out[4]["n_distinct_chars"] == 2  # AaBb folds to aabb
     assert abs(out[4]["entropy_bits"] - 1.0) < 1e-5
     assert all(r["n_chars_counted"] == 4 for r in out.values())
+
+
+def test_llm_dataprep_stage_semantics(spark, tmp_path):
+    """Composition pins: non-English and low-quality docs drop, exact
+    dup keeps min doc_id, benchmark docs and 5-gram-contaminated docs
+    drop, survivors get deterministic splits."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from propensity_spark.text.analysis import q_llm_dataprep
+
+    mk = lambda i, text, lang="en": {  # noqa: E731
+        "doc_id": i, "text": text, "lang": lang,
+        "source": "s", "n_chars": len(text)}
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        mk(20, bench_text),                          # benchmark (20 % 20 == 0)
+        mk(1, "the quick brown fox jumps over dog"),  # survives
+        mk(2, "the quick brown fox jumps over dog"),  # exact dup -> dropped
+        mk(3, "bonjour le monde entier ce soir", "fr"),   # lang dropped
+        mk(4, "spam spam spam spam spam spam spam spam spam spam"),  # low ratio
+        mk(5, "tiny doc"),                            # too short
+        mk(6, "prefix alpha beta gamma delta epsilon more words"),  # contaminated
+        mk(7, "completely unrelated clean document about spark engines"),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(docs), sf / "documents.parquet")
+
+    out = {r["doc_id"]: r for r in q_llm_dataprep(spark, str(sf)).collect()}
+    assert set(out) == {1, 7}, set(out)
+    assert out[1]["split"] in ("train", "val", "test")
+    # stability: same ids -> same split on re-run
+    again = {r["doc_id"]: r["split"]
+             for r in q_llm_dataprep(spark, str(sf)).collect()}
+    assert again == {k: v["split"] for k, v in out.items()}

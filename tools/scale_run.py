@@ -71,6 +71,7 @@ QUERIES = [
     "mann_whitney",
     "hierarchy_rollup",
     "variant_extract",
+    "llm_dataprep",
 ]
 
 
