@@ -76,6 +76,11 @@ BENCH_QUERIES = [
     "sessionize",
     "attribution_multi_touch",
     "km_retention",
+    # round-5 capability flagships (recursive CTE, VARIANT, composed
+    # LLM prep flow)
+    "hierarchy_rollup",
+    "variant_extract",
+    "llm_dataprep",
 ]
 
 
