@@ -1036,3 +1036,133 @@ MANN_WHITNEY_SQL = """
                  + 1e-9, 4) AS z_score
     FROM g
 """
+
+
+TE_SMOOTHING = 10.0  # pseudo-observations pulled toward the prior
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing — the
+    leakage-safe categorical encoder for tree/linear models:
+    enc(row) = (sum_y(cat) − y_row + m·prior) / (n(cat) − 1 + m).
+    LOO means a row never sees its own label, so the encoding is fit
+    ON TRAIN USABLE AT TRAIN without target leakage. Because y is
+    binary, the encoder takes exactly TWO values per category —
+    reported at (category, y) grain, which pins the full row-level
+    semantics at |cats|x2 rows. One hash agg over the scan; all
+    inputs integer counts, so both engines divide identical exact
+    numerators. Category: order priority; label: order fell through
+    (status 'F')."""
+    orders = load_table(spark, sf_dir, "orders")
+    y = (F.col("o_orderstatus") == "F").cast("int")
+    base = orders.select(F.col("o_orderpriority").alias("cat"), y.alias("y"))
+    g = base.groupBy("cat", "y").agg(F.count(F.lit(1)).alias("n_rows"))
+    wcat = Window.partitionBy("cat")
+    wall = Window.partitionBy()
+    g = (
+        g.withColumn("n_cat", F.sum("n_rows").over(wcat))
+        .withColumn("sum_cat", F.sum(F.col("n_rows") * F.col("y")).over(wcat))
+        .withColumn("n_all", F.sum("n_rows").over(wall))
+        .withColumn("sum_all", F.sum(F.col("n_rows") * F.col("y")).over(wall))
+    )
+    prior = F.col("sum_all") / F.col("n_all").cast("double")
+    enc = (
+        F.col("sum_cat") - F.col("y") + F.lit(TE_SMOOTHING) * prior
+    ) / (F.col("n_cat") - 1 + F.lit(TE_SMOOTHING)).cast("double")
+    return g.select(
+        "cat",
+        "y",
+        "n_rows",
+        F.round(prior + 1e-9, 6).alias("prior"),
+        F.round(enc + 1e-9, 6).alias("encoded"),
+    )
+
+
+TARGET_ENCODE_SQL = f"""
+    WITH base AS (
+        SELECT o_orderpriority AS cat,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    g AS (
+        SELECT cat, y, CAST(count(*) AS BIGINT) AS n_rows
+        FROM base GROUP BY cat, y
+    ),
+    w AS (
+        SELECT *,
+               CAST(sum(n_rows) OVER (PARTITION BY cat) AS BIGINT) AS n_cat,
+               CAST(sum(n_rows * y) OVER (PARTITION BY cat) AS BIGINT)
+                   AS sum_cat,
+               CAST(sum(n_rows) OVER () AS BIGINT) AS n_all,
+               CAST(sum(n_rows * y) OVER () AS BIGINT) AS sum_all
+        FROM g
+    )
+    SELECT cat, y, n_rows,
+           round(sum_all * 1.0 / n_all + 1e-9, 6) AS prior,
+           round((sum_cat - y + {TE_SMOOTHING!r} * (sum_all * 1.0 / n_all))
+                 / (n_cat - 1 + {TE_SMOOTHING!r}) + 1e-9, 6) AS encoded
+    FROM w
+"""
+
+
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of Evidence + Information Value per category bucket —
+    the credit-scoring feature screen: WoE = ln(P(cat|pos)/P(cat|neg)),
+    IV contribution = (P(cat|pos) − P(cat|neg))·WoE. The ln argument
+    is the exact integer cross-ratio (pos·total_neg)/(neg·total_pos),
+    bit-identical pre-libm; one contingency agg + window marginals
+    over the |cats|-row table (chi_square_assoc's shape). IV sums
+    across buckets rank features: <0.02 useless, >0.3 strong."""
+    orders = load_table(spark, sf_dir, "orders")
+    y = (F.col("o_orderstatus") == "F").cast("int")
+    base = orders.select(F.col("o_orderpriority").alias("cat"), y.alias("y"))
+    g = base.groupBy("cat").agg(
+        F.sum("y").alias("pos"),
+        F.sum(1 - F.col("y")).alias("neg"),
+    )
+    wall = Window.partitionBy()
+    g = g.withColumn("tot_pos", F.sum("pos").over(wall)).withColumn(
+        "tot_neg", F.sum("neg").over(wall)
+    )
+    fp = F.col("pos") / F.col("tot_pos").cast("double")
+    fn = F.col("neg") / F.col("tot_neg").cast("double")
+    woe = F.log(
+        (F.col("pos") * F.col("tot_neg"))
+        / (F.col("neg") * F.col("tot_pos")).cast("double")
+    )
+    return g.select(
+        "cat",
+        "pos",
+        "neg",
+        F.round(fp + 1e-9, 6).alias("frac_pos"),
+        F.round(fn + 1e-9, 6).alias("frac_neg"),
+        F.round(woe + 1e-9, 6).alias("woe"),
+        F.round((fp - fn) * woe + 1e-9, 6).alias("iv_contrib"),
+    )
+
+
+WOE_IV_SQL = """
+    WITH g AS (
+        SELECT o_orderpriority AS cat,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS pos,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+                   AS BIGINT) AS neg
+        FROM orders GROUP BY 1
+    ),
+    w AS (
+        SELECT *,
+               CAST(sum(pos) OVER () AS BIGINT) AS tot_pos,
+               CAST(sum(neg) OVER () AS BIGINT) AS tot_neg
+        FROM g
+    )
+    SELECT cat, pos, neg,
+           round(pos * 1.0 / tot_pos + 1e-9, 6) AS frac_pos,
+           round(neg * 1.0 / tot_neg + 1e-9, 6) AS frac_neg,
+           round(ln((pos * tot_neg) * 1.0 / (neg * tot_pos)) + 1e-9, 6)
+               AS woe,
+           round((pos * 1.0 / tot_pos - neg * 1.0 / tot_neg)
+                 * ln((pos * tot_neg) * 1.0 / (neg * tot_pos)) + 1e-9, 6)
+               AS iv_contrib
+    FROM w
+"""

@@ -1923,3 +1923,77 @@ def test_xml_roundtrip_preserves_rows_and_types(spark, sf_dir, tmp_path):
     assert back.count() == src.count()
     assert back.exceptAll(src.select(schema.fieldNames())).count() == 0
     assert src.select(schema.fieldNames()).exceptAll(back).count() == 0
+
+
+def test_target_encode_loo_semantics(spark, tmp_path):
+    """LOO encoding: a row's own label is excluded; smoothing pulls
+    rare categories toward the prior; hand-computed on a tiny frame."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from propensity_spark.operators.stats import TE_SMOOTHING, q_target_encode
+
+    # cat A: 3 pos, 1 neg; cat B: 1 pos, 5 neg
+    rows = []
+    for i, (cat, status) in enumerate(
+        [("A", "F")] * 3 + [("A", "O")] + [("B", "F")] + [("B", "O")] * 5
+    ):
+        rows.append({"o_orderkey": i, "o_custkey": 1,
+                     "o_orderstatus": status, "o_totalprice": 1.0,
+                     "o_orderdate": datetime(2024, 1, 1),
+                     "o_orderpriority": cat})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "orders.parquet")
+
+    out = {(r["cat"], r["y"]): r for r in q_target_encode(spark, str(sf)).collect()}
+    prior = 4 / 10
+    m = TE_SMOOTHING
+    # cat A, y=1 rows: (3 - 1 + m*prior) / (4 - 1 + m)
+    assert abs(out[("A", 1)]["encoded"] - (2 + m * prior) / (3 + m)) < 1e-6
+    # cat A, y=0 rows: (3 - 0 + m*prior) / (4 - 1 + m)
+    assert abs(out[("A", 0)]["encoded"] - (3 + m * prior) / (3 + m)) < 1e-6
+    # own-label exclusion: the two values differ by exactly 1/(n-1+m)
+    gap = out[("A", 0)]["encoded"] - out[("A", 1)]["encoded"]
+    assert abs(gap - 1 / (3 + m)) < 1e-6
+
+
+def test_woe_iv_matches_hand_computation(spark, tmp_path):
+    """WoE and IV contributions match the textbook formulas; a
+    category with equal class shares gets WoE ~ 0."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from propensity_spark.operators.stats import q_woe_iv
+
+    rows = []
+    spec = {"HI": (8, 2), "LO": (2, 8), "EQ": (5, 5)}
+    i = 0
+    for cat, (pos, neg) in spec.items():
+        for _ in range(pos):
+            rows.append({"o_orderkey": i, "o_custkey": 1,
+                         "o_orderstatus": "F", "o_totalprice": 1.0,
+                         "o_orderdate": datetime(2024, 1, 1),
+                         "o_orderpriority": cat}); i += 1
+        for _ in range(neg):
+            rows.append({"o_orderkey": i, "o_custkey": 1,
+                         "o_orderstatus": "O", "o_totalprice": 1.0,
+                         "o_orderdate": datetime(2024, 1, 1),
+                         "o_orderpriority": cat}); i += 1
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "orders.parquet")
+
+    out = {r["cat"]: r for r in q_woe_iv(spark, str(sf)).collect()}
+    tot_pos, tot_neg = 15, 15
+    for cat, (pos, neg) in spec.items():
+        woe = math.log((pos / tot_pos) / (neg / tot_neg))
+        assert abs(out[cat]["woe"] - woe) < 1e-5, cat
+        iv = (pos / tot_pos - neg / tot_neg) * woe
+        assert abs(out[cat]["iv_contrib"] - iv) < 1e-5
+    assert abs(out["EQ"]["woe"]) < 1e-9
+    assert out["HI"]["iv_contrib"] > 0 and out["LO"]["iv_contrib"] > 0
