@@ -72,6 +72,8 @@ QUERIES = [
     "hierarchy_rollup",
     "variant_extract",
     "llm_dataprep",
+    "target_encode",
+    "woe_iv",
 ]
 
 
