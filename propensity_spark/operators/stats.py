@@ -1166,3 +1166,141 @@ WOE_IV_SQL = """
                AS iv_contrib
     FROM w
 """
+
+
+def q_psm_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-score matching (1-NN with replacement) — the causal
+    readout that belongs next to a propensity engine: every treated
+    user is matched to the control with the CLOSEST score, then the
+    treated-vs-matched outcome gap estimates the ATT. Score here is
+    the user's observable purchase propensity (purchases/events, an
+    exact integer ratio); treatment is the deterministic md5 variant.
+
+    Join-free matching: union both arms, ONE total-order window over
+    (score, user_id) carries the nearest preceding control forward
+    (`last(ignorenulls)`) and the nearest following control backward —
+    each treated row picks the closer of the two (ties prefer the
+    preceding). This is the as-of union trick (operators/extended
+    .py:22-42) applied to nearest-neighbor matching: no
+    treated x control join, O(1) window state, the global sort is on
+    the |users|-grain frame. Ambiguity-free cross-engine because the
+    order (score, user_id) is total and scores are exact ratios
+    rounded at 6dp in BOTH engines before ordering."""
+    events = load_table(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        F.round(
+            F.count_if(F.col("event_type") == "purchase")
+            / F.count(F.lit(1)).cast("double")
+            + 1e-9,
+            6,
+        ).alias("score"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value"))
+                ),
+                F.lit(0.0),
+            )
+            + 1e-6,
+            2,
+        ).alias("outcome"),
+    )
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(cast(user_id as string) as binary)),"
+        " 1, 8), 16, 10) as bigint) % 2"
+    )
+    users = users.withColumn("treated", (bucket == 0).cast("int"))
+    w_fwd = Window.orderBy("score", "user_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_bwd = (
+        Window.orderBy(F.desc("score"), F.desc("user_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ctrl = F.when(F.col("treated") == 0, F.struct("score", "user_id", "outcome"))
+    m = users.withColumn(
+        "prev_c", F.last(ctrl, ignorenulls=True).over(w_fwd)
+    ).withColumn("next_c", F.last(ctrl, ignorenulls=True).over(w_bwd))
+    d_prev = F.abs(F.col("score") - F.col("prev_c.score"))
+    d_next = F.abs(F.col("score") - F.col("next_c.score"))
+    pick_prev = F.col("next_c").isNull() | (
+        F.col("prev_c").isNotNull() & (d_prev <= d_next)
+    )
+    chosen = F.when(pick_prev, F.col("prev_c")).otherwise(F.col("next_c"))
+    return (
+        m.where((F.col("treated") == 1) & chosen.isNotNull())
+        .select(
+            "user_id",
+            "score",
+            "outcome",
+            chosen["user_id"].alias("control_id"),
+            chosen["score"].alias("control_score"),
+            F.round(F.abs(F.col("score") - chosen["score"]) + 1e-9, 6).alias(
+                "score_gap"
+            ),
+            F.round(F.col("outcome") - chosen["outcome"] + 1e-6, 2).alias(
+                "att_contrib"
+            ),
+        )
+    )
+
+
+PSM_SQL = """
+    WITH users AS (
+        SELECT user_id,
+               round(count(*) FILTER (event_type = 'purchase') * 1.0
+                     / count(*) + 1e-9, 6) AS score,
+               round(coalesce(sum(value) FILTER (event_type = 'purchase'),
+                              0.0) + 1e-6, 2) AS outcome,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 2 = 0
+                    THEN 1 ELSE 0 END AS treated
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT *,
+               last_value(CASE WHEN treated = 0 THEN score END IGNORE NULLS)
+                   OVER (ORDER BY score, user_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_score,
+               last_value(CASE WHEN treated = 0 THEN user_id END IGNORE NULLS)
+                   OVER (ORDER BY score, user_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_id,
+               last_value(CASE WHEN treated = 0 THEN outcome END IGNORE NULLS)
+                   OVER (ORDER BY score, user_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_outcome,
+               last_value(CASE WHEN treated = 0 THEN score END IGNORE NULLS)
+                   OVER (ORDER BY score DESC, user_id DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS next_score,
+               last_value(CASE WHEN treated = 0 THEN user_id END IGNORE NULLS)
+                   OVER (ORDER BY score DESC, user_id DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS next_id,
+               last_value(CASE WHEN treated = 0 THEN outcome END IGNORE NULLS)
+                   OVER (ORDER BY score DESC, user_id DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS next_outcome
+        FROM users
+    ),
+    picked AS (
+        SELECT *,
+               CASE WHEN next_id IS NULL
+                      OR (prev_id IS NOT NULL
+                          AND abs(score - prev_score) <= abs(score - next_score))
+                    THEN 1 ELSE 0 END AS use_prev
+        FROM m WHERE treated = 1
+          AND (prev_id IS NOT NULL OR next_id IS NOT NULL)
+    )
+    SELECT user_id, score, outcome,
+           CASE WHEN use_prev = 1 THEN prev_id ELSE next_id END AS control_id,
+           CASE WHEN use_prev = 1 THEN prev_score ELSE next_score END
+               AS control_score,
+           round(abs(score - CASE WHEN use_prev = 1 THEN prev_score
+                                  ELSE next_score END) + 1e-9, 6) AS score_gap,
+           round(outcome - CASE WHEN use_prev = 1 THEN prev_outcome
+                                ELSE next_outcome END + 1e-6, 2) AS att_contrib
+    FROM picked
+"""

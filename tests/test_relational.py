@@ -1997,3 +1997,53 @@ def test_woe_iv_matches_hand_computation(spark, tmp_path):
         assert abs(out[cat]["iv_contrib"] - iv) < 1e-5
     assert abs(out["EQ"]["woe"]) < 1e-9
     assert out["HI"]["iv_contrib"] > 0 and out["LO"]["iv_contrib"] > 0
+
+
+def test_psm_match_picks_nearest_control(spark, tmp_path):
+    """Hand-built arms: each treated user matches the control with
+    minimal |score gap| (ties prefer the preceding in (score, id)
+    order); matching is with replacement; att_contrib = outcome gap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from propensity_spark.operators.stats import q_psm_match
+
+    # find which small user_ids hash to treated (A) vs control (B)
+    got = spark.sql(
+        "SELECT id, cast(conv(substr(md5(cast(cast(id as string) as binary)),"
+        " 1, 8), 16, 10) as bigint) % 2 AS b FROM range(40)"
+    ).collect()
+    treated_ids = [r["id"] for r in got if r["b"] == 0]
+    control_ids = [r["id"] for r in got if r["b"] == 1]
+    assert len(treated_ids) >= 2 and len(control_ids) >= 2
+
+    # engineer scores: user makes `p` purchases out of 10 events
+    def user_events(uid, n_purch, value):
+        evs = []
+        for k in range(10):
+            et = "purchase" if k < n_purch else "view"
+            evs.append({"event_id": uid * 100 + k, "user_id": uid,
+                        "ts": datetime(2024, 1, 1 + k), "event_type": et,
+                        "value": value if et == "purchase" else None})
+        return evs
+
+    t1, t2 = treated_ids[0], treated_ids[1]
+    c1, c2 = control_ids[0], control_ids[1]
+    rows = (
+        user_events(t1, 2, 10.0)   # treated score .2
+        + user_events(t2, 8, 30.0)  # treated score .8
+        + user_events(c1, 3, 4.0)   # control score .3
+        + user_events(c2, 7, 5.0)   # control score .7
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "events.parquet")
+
+    out = {r["user_id"]: r for r in q_psm_match(spark, str(sf)).collect()}
+    assert set(out) == {t1, t2}
+    assert out[t1]["control_id"] == c1  # .2 -> nearest is .3
+    assert out[t2]["control_id"] == c2  # .8 -> nearest is .7
+    assert abs(out[t1]["score_gap"] - 0.1) < 1e-6
+    # outcome gap: treated t1 spent 2*10, control c1 spent 3*4
+    assert abs(out[t1]["att_contrib"] - (20.0 - 12.0)) < 1e-6

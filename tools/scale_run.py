@@ -74,6 +74,7 @@ QUERIES = [
     "llm_dataprep",
     "target_encode",
     "woe_iv",
+    "psm_match",
 ]
 
 
