@@ -1304,3 +1304,96 @@ PSM_SQL = """
                                 ELSE next_outcome END + 1e-6, 2) AS att_contrib
     FROM picked
 """
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over the md5-assigned arms and the
+    CUPED pre/post split: the 2x2 (arm x period) mean-outcome grid in
+    ONE conditional aggregate, with the DiD estimate
+    (post−pre)_treated − (post−pre)_control broadcast onto each cell
+    row. Completes the causal readout family (q_ab_test_ztest raw
+    lift, q_cuped_adjustment variance reduction, q_psm_match
+    matching): DiD is the one that nets out time trends shared by
+    both arms. Exact integer counts; means and the estimate round at
+    4dp."""
+    events = load_table(spark, sf_dir, "events")
+    split = F.lit(CUPED_SPLIT_DAY).cast("date")
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(cast(user_id as string) as binary)),"
+        " 1, 8), 16, 10) as bigint) % 2"
+    )
+    rev = F.when(
+        F.col("event_type") == "purchase", F.col("value")
+    ).otherwise(0.0)
+    users = events.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.when(F.col("ts").cast("date") < split, rev).otherwise(0.0))
+            + 1e-6,
+            2,
+        ).alias("pre"),
+        F.round(
+            F.sum(
+                F.when(F.col("ts").cast("date") >= split, rev).otherwise(0.0)
+            )
+            + 1e-6,
+            2,
+        ).alias("post"),
+    ).withColumn("arm", F.when(bucket == 0, "treated").otherwise("control"))
+    cells = users.select(
+        "arm", F.expr("stack(2, 'pre', pre, 'post', post) AS (period, y)")
+    ).groupBy("arm", "period").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("y") + 1e-9, 4).alias("mean_y"),
+    )
+    w = Window.partitionBy()
+    pick = lambda a, p: F.max(  # noqa: E731
+        F.when((F.col("arm") == a) & (F.col("period") == p), F.col("mean_y"))
+    ).over(w)
+    did = (pick("treated", "post") - pick("treated", "pre")) - (
+        pick("control", "post") - pick("control", "pre")
+    )
+    return cells.select(
+        "arm",
+        "period",
+        "n",
+        "mean_y",
+        F.round(did + 1e-9, 4).alias("did_estimate"),
+    )
+
+
+DID_SQL = f"""
+    WITH users AS (
+        SELECT user_id,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 2 = 0
+                    THEN 'treated' ELSE 'control' END AS arm,
+               round(sum(CASE WHEN CAST(ts AS DATE) < DATE '{CUPED_SPLIT_DAY}'
+                          AND event_type = 'purchase'
+                         THEN value ELSE 0.0 END) + 1e-6, 2) AS pre,
+               round(sum(CASE WHEN CAST(ts AS DATE) >= DATE '{CUPED_SPLIT_DAY}'
+                          AND event_type = 'purchase'
+                         THEN value ELSE 0.0 END) + 1e-6, 2) AS post
+        FROM events GROUP BY user_id
+    ),
+    cells AS (
+        SELECT arm, period, CAST(count(*) AS BIGINT) AS n,
+               round(avg(y) + 1e-9, 4) AS mean_y
+        FROM (
+            SELECT arm, 'pre' AS period, pre AS y FROM users
+            UNION ALL
+            SELECT arm, 'post' AS period, post AS y FROM users
+        ) GROUP BY arm, period
+    )
+    SELECT arm, period, n, mean_y,
+           round(
+             (max(CASE WHEN arm = 'treated' AND period = 'post'
+                       THEN mean_y END) OVER ()
+              - max(CASE WHEN arm = 'treated' AND period = 'pre'
+                         THEN mean_y END) OVER ())
+             - (max(CASE WHEN arm = 'control' AND period = 'post'
+                         THEN mean_y END) OVER ()
+                - max(CASE WHEN arm = 'control' AND period = 'pre'
+                           THEN mean_y END) OVER ())
+             + 1e-9, 4) AS did_estimate
+    FROM cells
+"""

@@ -2047,3 +2047,46 @@ def test_psm_match_picks_nearest_control(spark, tmp_path):
     assert abs(out[t1]["score_gap"] - 0.1) < 1e-6
     # outcome gap: treated t1 spent 2*10, control c1 spent 3*4
     assert abs(out[t1]["att_contrib"] - (20.0 - 12.0)) < 1e-6
+
+
+def test_diff_in_diff_nets_out_shared_trend(spark, tmp_path):
+    """Constructed arms share a +d time trend; treatment adds e on top
+    for the treated arm only. DiD recovers e exactly and ignores d."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from propensity_spark.operators.stats import q_diff_in_diff
+
+    got = spark.sql(
+        "SELECT id, cast(conv(substr(md5(cast(cast(id as string) as binary)),"
+        " 1, 8), 16, 10) as bigint) % 2 AS b FROM range(60)"
+    ).collect()
+    treated = [r["id"] for r in got if r["b"] == 0][:10]
+    control = [r["id"] for r in got if r["b"] == 1][:10]
+    d, e = 5.0, 3.0
+    rows, eid = [], 0
+
+    def purchase(uid, day, value):
+        nonlocal eid
+        rows.append({"event_id": eid, "user_id": uid,
+                     "ts": datetime(2024, 1, day), "event_type": "purchase",
+                     "value": value})
+        eid += 1
+
+    for uid in treated:
+        purchase(uid, 5, 10.0)            # pre
+        purchase(uid, 25, 10.0 + d + e)   # post: trend + effect
+    for uid in control:
+        purchase(uid, 5, 20.0)            # different baseline is fine
+        purchase(uid, 25, 20.0 + d)       # post: trend only
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), sf / "events.parquet")
+
+    out = q_diff_in_diff(spark, str(sf)).collect()
+    assert len(out) == 4
+    assert all(abs(r["did_estimate"] - e) < 1e-6 for r in out)
+    cells = {(r["arm"], r["period"]): r["mean_y"] for r in out}
+    assert abs(cells[("treated", "pre")] - 10.0) < 1e-6
+    assert abs(cells[("control", "post")] - 25.0) < 1e-6

@@ -75,6 +75,7 @@ QUERIES = [
     "target_encode",
     "woe_iv",
     "psm_match",
+    "diff_in_diff",
 ]
 
 
