@@ -439,3 +439,83 @@ def test_active_users_matches_bruteforce(spark, tmp_path_factory, events):
                 expected.setdefault(key, set()).add(u)
     expected = {k: len(v) for k, v in expected.items()}
     assert got == expected
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),     # user
+            st.integers(min_value=0, max_value=20000), # offset seconds
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@SLOW
+def test_sessionize_equals_bruteforce(spark, events):
+    """Gap-split sessionization == a plain-Python fold, any event set:
+    same session count per user, same per-session event counts."""
+    from collections import Counter
+    from datetime import datetime, timedelta
+
+    from propensity_spark.operators.behavior import SESSION_GAP_S, sessionize
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, u, t0 + timedelta(seconds=off), "view", None)
+        for i, (u, off) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double"
+    )
+    got = sessionize(df)
+    got_counts = Counter(
+        (r["user_id"], r["session_seq"]) for r in got.collect()
+    )
+
+    # brute force: sort each user's offsets, split on gap > SESSION_GAP_S
+    by_user = {}
+    for u, off in events:
+        by_user.setdefault(u, []).append(off)
+    want = Counter()
+    for u, offs in by_user.items():
+        offs.sort()
+        seq = 0
+        prev = None
+        for o in offs:
+            if prev is None or o - prev > SESSION_GAP_S:
+                seq += 1
+            want[(u, seq)] += 1
+            prev = o
+    assert Counter(got_counts.values()) == Counter(want.values())
+    # per-user session counts match exactly
+    from collections import defaultdict
+    gu, wu = defaultdict(set), defaultdict(set)
+    for (u, s) in got_counts: gu[u].add(s)
+    for (u, s) in want: wu[u].add(s)
+    assert {u: len(v) for u, v in gu.items()} == {u: len(v) for u, v in wu.items()}
+
+
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=30),
+    b=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=30),
+)
+@SLOW
+def test_ks_statistic_equals_bruteforce(spark, a, b):
+    """KS D == max ECDF gap computed by plain Python over the pooled
+    support, including heavy ties."""
+    from propensity_spark.operators.stats import ks_statistic
+
+    da = spark.createDataFrame([(float(x),) for x in a], "v double")
+    db = spark.createDataFrame([(float(x),) for x in b], "v double")
+    d = ks_statistic(da, db, "v").collect()[0]["ks_d"]
+
+    support = sorted(set(a) | set(b))
+    na, nb = len(a), len(b)
+    want = max(
+        abs(sum(1 for x in a if x <= t) / na - sum(1 for x in b if x <= t) / nb)
+        for t in support
+    )
+    assert abs(d - want) < 1e-6
