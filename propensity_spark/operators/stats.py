@@ -1397,3 +1397,110 @@ DID_SQL = f"""
              + 1e-9, 4) AS did_estimate
     FROM cells
 """
+
+
+UPLIFT_DECILES = 10
+
+
+def q_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift (Qini) readout by score decile: users ranked by an
+    observable propensity score are cut into deciles over a TOTAL
+    order (score desc, user_id — deterministic ntile in both
+    engines), and each decile compares conversion between the md5
+    arms: uplift = rate_treated − rate_control, plus the running
+    Qini-style cumulative incremental conversions normalized by
+    cumulative treated count. The uplift-model evaluation that
+    belongs beside decile_lift (which ranks a response model; this
+    ranks an INCREMENTAL-effect model). One user-grain agg + one
+    global ntile window over |users| rows + a 10-row agg."""
+    events = load_table(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        F.round(
+            F.count_if(F.col("event_type") == "purchase")
+            / F.count(F.lit(1)).cast("double")
+            + 1e-9,
+            6,
+        ).alias("score"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted"),
+    )
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(cast(user_id as string) as binary)),"
+        " 1, 8), 16, 10) as bigint) % 2"
+    )
+    users = users.withColumn("treated", (bucket == 0).cast("int"))
+    w = Window.orderBy(F.desc("score"), "user_id")
+    decs = users.withColumn(
+        "decile", F.ntile(UPLIFT_DECILES).over(w)
+    ).groupBy("decile").agg(
+        F.count_if(F.col("treated") == 1).alias("n_t"),
+        F.sum(F.col("treated") * F.col("converted")).alias("conv_t"),
+        F.count_if(F.col("treated") == 0).alias("n_c"),
+        F.sum((1 - F.col("treated")) * F.col("converted")).alias("conv_c"),
+    )
+    run = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rate_t = F.col("conv_t") / F.col("n_t").cast("double")
+    rate_c = F.col("conv_c") / F.col("n_c").cast("double")
+    cum_qini = (
+        F.sum("conv_t").over(run)
+        - F.sum("conv_c").over(run)
+        * F.sum("n_t").over(run)
+        / F.sum("n_c").over(run).cast("double")
+    ) / F.sum("n_t").over(run).cast("double")
+    return decs.select(
+        "decile",
+        "n_t",
+        "conv_t",
+        "n_c",
+        "conv_c",
+        F.round(rate_t - rate_c + 1e-9, 6).alias("uplift"),
+        F.round(cum_qini + 1e-9, 6).alias("cum_qini_per_treated"),
+    )
+
+
+QINI_SQL = f"""
+    WITH users AS (
+        SELECT user_id,
+               round(count(*) FILTER (event_type = 'purchase') * 1.0
+                     / count(*) + 1e-9, 6) AS score,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 2 = 0
+                    THEN 1 ELSE 0 END AS treated
+        FROM events GROUP BY user_id
+    ),
+    decs AS (
+        SELECT ntile({UPLIFT_DECILES})
+                   OVER (ORDER BY score DESC, user_id) AS decile,
+               treated, converted
+        FROM users
+    ),
+    g AS (
+        SELECT decile,
+               CAST(count(*) FILTER (treated = 1) AS BIGINT) AS n_t,
+               CAST(sum(treated * converted) AS BIGINT) AS conv_t,
+               CAST(count(*) FILTER (treated = 0) AS BIGINT) AS n_c,
+               CAST(sum((1 - treated) * converted) AS BIGINT) AS conv_c
+        FROM decs GROUP BY decile
+    )
+    SELECT decile, n_t, conv_t, n_c, conv_c,
+           round(conv_t * 1.0 / n_t - conv_c * 1.0 / n_c + 1e-9, 6)
+               AS uplift,
+           round((sum(conv_t) OVER (ORDER BY decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - sum(conv_c) OVER (ORDER BY decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    * 1.0
+                    * sum(n_t) OVER (ORDER BY decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    / sum(n_c) OVER (ORDER BY decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 / sum(n_t) OVER (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 + 1e-9, 6) AS cum_qini_per_treated
+    FROM g
+"""

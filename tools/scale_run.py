@@ -76,6 +76,7 @@ QUERIES = [
     "woe_iv",
     "psm_match",
     "diff_in_diff",
+    "qini_uplift",
 ]
 
 
