@@ -1412,7 +1412,10 @@ def q_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative treated count. The uplift-model evaluation that
     belongs beside decile_lift (which ranks a response model; this
     ranks an INCREMENTAL-effect model). One user-grain agg + one
-    global ntile window over |users| rows + a 10-row agg."""
+    global ntile window over |users| rows + a 10-row agg; for 10^9
+    users swap the ntile for percentile_approx decile BOUNDARIES and
+    a map-side bucket lookup (the RFM escape hatch,
+    operators/behavior.q_rfm_segments)."""
     events = load_table(spark, sf_dir, "events")
     users = events.groupBy("user_id").agg(
         F.round(
