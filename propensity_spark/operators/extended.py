@@ -2439,3 +2439,54 @@ VARIANT_SQL = """
            CAST(count(DISTINCT k) AS BIGINT) AS distinct_k
     FROM v GROUP BY event_type
 """
+
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) over parts: the set of
+    (retailprice, size) grains not dominated by any other grain
+    (dominated = another part costs <= AND is smaller <=, with at
+    least one strict). Classic OLAP skyline operator, solved with ONE
+    sort instead of the naive O(n^2) dominance anti-join: collapse to
+    distinct grains (bounded by the price x size grid, tiny next to
+    |parts|), order by (price, size), and a grain is on the frontier
+    iff no PRECEDING grain has size <= its size — i.e. the running
+    min of size strictly decreases. One agg shuffle + one global sort
+    over the collapsed grains; the fact-size work is the map-side
+    distinct. Returns each frontier grain with its member part count,
+    cheapest-first."""
+    parts = load_table(spark, sf_dir, "part")
+    grains = parts.groupBy(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("size")
+    ).agg(F.count(F.lit(1)).alias("n_parts"))
+    w = (
+        Window.orderBy("price", "size")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        grains.withColumn("min_prev_size", F.min("size").over(w))
+        .where(F.col("min_prev_size").isNull() | (F.col("min_prev_size") > F.col("size")))
+        .select(
+            F.round(F.col("price"), 2).alias("price"),
+            F.col("size").cast("int").alias("size"),
+            F.col("n_parts").cast("bigint").alias("n_parts"),
+        )
+    )
+
+
+PARETO_SQL = """
+    WITH grains AS (
+        SELECT p_retailprice AS price, p_size AS size, count(*) AS n_parts
+        FROM part GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT price, size, n_parts,
+               min(size) OVER (ORDER BY price, size
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS min_prev_size
+        FROM grains
+    )
+    SELECT round(price, 2) AS price, CAST(size AS INT) AS size,
+           CAST(n_parts AS BIGINT) AS n_parts
+    FROM ranked
+    WHERE min_prev_size IS NULL OR min_prev_size > size
+"""

@@ -1050,3 +1050,138 @@ EXACTSUBSTR_SQL = f"""
     FROM base b LEFT JOIN covered c ON b.doc_id = c.doc_id
 """
 # exactsubstr_dedup registers in operators/overflow.py (post-budget).
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered exact set-similarity self-join (AllPairs / PPJoin family,
+# Bayardo et al. 2007 "Scaling Up All Pairs Similarity Search"). The EXACT
+# counterpart to MinHash banding: same candidate-then-verify shape, but the
+# candidate generation is provably lossless, so the output equals the naive
+# all-pairs Jaccard join — which is exactly what the DuckDB oracle computes.
+#
+# Threshold as a RATIONAL (NUM/DEN) so every bound is integer arithmetic:
+# ceil(tau*n) computed as (NUM*n + DEN - 1) div DEN never hits the IEEE
+# "0.6*5 = 3.0000000000000004" ceil trap, and the final acceptance test
+# c/(na+nb-c) >= tau becomes c*(NUM+DEN) >= NUM*(na+nb) — bit-exact in both
+# engines with no float comparison anywhere on the decision path.
+SETSIM_TAU_NUM = 19
+SETSIM_TAU_DEN = 20  # Jaccard >= 19/20 over distinct lowercase words
+
+
+def setsim_prefix_candidates(docs: DataFrame) -> DataFrame:
+    """Candidate pairs under the prefix filter. Tokens are globally
+    ordered rarest-first by (document frequency, token) — a total
+    order, so both documents of any qualifying pair are guaranteed to
+    share at least one token inside their prefixes of length
+    n - ceil(tau*n) + 1 (if all shared tokens sat in the size-
+    (ceil(tau*n) - 1) suffix, the overlap would be below the tau*n
+    floor that J >= tau forces). The inverted index is built ONLY on
+    prefix tokens, and rarest-first ordering makes those the shortest
+    posting lists — at 10^9 docs this prunes the quadratic blowup that
+    a hot stop-word posting would cause in the unpruned inverted-list
+    join (exact_jaccard_pairs above keeps that naive shape for oracle
+    duty). A length filter (min >= tau * max, integer form) drops
+    cross-size candidates before the pair shuffle."""
+    num, den = SETSIM_TAU_NUM, SETSIM_TAU_DEN
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(filter(split(lower(coalesce(text, '')), ' '),"
+                " w -> length(w) >= 1))"
+            )
+        ).alias("token"),
+    )
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        toks.join(dfreq, "token")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "token"))).alias("ord"))
+        .select(
+            "doc_id",
+            F.expr("transform(ord, x -> x.token)").alias("tokens"),
+            F.size("ord").alias("n"),
+        )
+    )
+    prefixes = per_doc.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.expr(f"slice(tokens, 1, n - (({num} * n + {den} - 1) div {den}) + 1)")
+        ).alias("token"),
+    )
+    a = prefixes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "token"
+    )
+    b = prefixes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "token"
+    )
+    return (
+        a.join(b, "token")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.least("n_a", "n_b") * den >= F.greatest("n_a", "n_b") * num)
+        )
+        .select("doc_a", "doc_b", "n_a", "n_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    ), per_doc
+
+
+def setsim_join(docs: DataFrame) -> DataFrame:
+    """Exact Jaccard >= tau (19/20 — the fixture corpus is template-generated and near-dup-DENSE, so anything lower returns a large fraction of all pairs) over distinct-word sets via prefix
+    filtering. Candidates (slim: ids + sizes) join the token arrays
+    back in and verify with one array_intersect per surviving pair —
+    work linear in candidate count, never in |docs|^2. Lossless by
+    construction, so the result hash-matches the naive all-pairs
+    oracle."""
+    num, den = SETSIM_TAU_NUM, SETSIM_TAU_DEN
+    cand, per_doc = setsim_prefix_candidates(docs)
+    ta = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("tokens").alias("toks_a"))
+    tb = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("tokens").alias("toks_b"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("toks_a", "toks_b")))
+        .where(F.expr(f"common * {num + den} >= {num} * (n_a + n_b)"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("common").cast("int").alias("common"),
+            F.round(
+                F.expr("common / cast(n_a + n_b - common as double)") + 1e-9, 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: prefix-filtered exact set-similarity self-join on
+    the documents table (word-set Jaccard >= 19/20). The oracle is the
+    UNPRUNED all-pairs inverted-list join — identical output proves
+    the prefix filter lossless on real data, the same way
+    minhash_band_pairs' oracle proves the banding recall."""
+    return setsim_join(load_table(spark, sf_dir, "documents"))
+
+
+SETSIM_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(list_filter(
+                   string_split(lower(coalesce(text, '')), ' '),
+                   w -> len(w) >= 1))) AS token
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(c AS INT) AS common,
+           round(c / CAST(sa.n + sb.n - c AS DOUBLE) + 1e-9, 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE c * {SETSIM_TAU_NUM + SETSIM_TAU_DEN}
+          >= {SETSIM_TAU_NUM} * (sa.n + sb.n)
+"""
+# setsim_join registers in operators/overflow.py (post-budget).

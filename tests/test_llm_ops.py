@@ -1038,3 +1038,88 @@ def test_llm_dataprep_stage_semantics(spark, tmp_path):
     again = {r["doc_id"]: r["split"]
              for r in q_llm_dataprep(spark, str(sf)).collect()}
     assert again == {k: v["split"] for k, v in out.items()}
+
+
+def test_setsim_prefix_filter_prunes_and_stays_exact(spark):
+    """The prefix filter must (a) generate strictly fewer candidate
+    pairs than the unpruned inverted-list join on a corpus with a hot
+    shared token, and (b) lose nothing: verified output == brute-force
+    Jaccard over all pairs at the same rational threshold."""
+    from itertools import combinations
+
+    from propensity_spark.text.dedup import (
+        SETSIM_TAU_DEN,
+        SETSIM_TAU_NUM,
+        setsim_join,
+        setsim_prefix_candidates,
+    )
+
+    # 8 docs, all sharing the hot token 'the' (which alone would pair
+    # every doc with every other in the naive join); two true near-dup
+    # clusters plus distinct riffraff.
+    rows = [
+        (1, "the quick brown fox jumps over lazy dog tonight"),
+        (2, "the quick brown fox jumps over lazy dog today"),
+        (3, "the quick brown fox jumps over lazy dog"),
+        (4, "the slow green turtle walks under bright sun"),
+        (5, "the slow green turtle walks under bright moon"),
+        (6, "the stock market closed higher on tuesday"),
+        (7, "the recipe calls for flour butter sugar eggs"),
+        (8, "the weather tomorrow looks cold wet windy grim"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cand, _ = setsim_prefix_candidates(docs)
+    n_cand = cand.count()
+    naive_pairs = len(list(combinations(rows, 2)))  # every pair shares 'the'
+    assert n_cand < naive_pairs
+
+    got = {
+        (r.doc_a, r.doc_b, r.common)
+        for r in setsim_join(docs).collect()
+    }
+    sets = {d: set(t.lower().split()) for d, t in rows}
+    want = set()
+    for (da, ta), (db, tb) in combinations(sets.items(), 2):
+        a, b = (da, db) if da < db else (db, da)
+        c = len(sets[a] & sets[b])
+        u = len(sets[a] | sets[b])
+        if c * (SETSIM_TAU_NUM + SETSIM_TAU_DEN) >= SETSIM_TAU_NUM * (
+            len(sets[a]) + len(sets[b])
+        ):
+            want.add((a, b, c))
+    assert got == want
+
+
+def test_pareto_frontier_matches_brute_force_dominance(spark, tmp_path):
+    """Skyline via one sorted window == the O(n^2) dominance
+    definition, including duplicate grains (identical points do not
+    dominate each other) and equal-price strictness."""
+    import random
+
+    from propensity_spark.operators.extended import q_pareto_frontier
+
+    rng = random.Random(7)
+    pts = [(round(rng.uniform(1, 50), 2), rng.randint(1, 20)) for _ in range(300)]
+    pts += [(10.0, 5), (10.0, 5), (10.0, 4)]  # dup grain + equal-price smaller
+    rows = [(i, "n", "b", "t", s, p) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(
+        rows, ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"]
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df.write.parquet(str(sf / "part.parquet"))
+    got = {
+        (r.price, r.size): r.n_parts
+        for r in q_pareto_frontier(spark, str(sf)).collect()
+    }
+    grains = {}
+    for p, s in pts:
+        grains[(p, s)] = grains.get((p, s), 0) + 1
+    want = {}
+    for (p, s), n in grains.items():
+        dominated = any(
+            (p2 <= p and s2 <= s and (p2 < p or s2 < s)) for (p2, s2) in grains
+        )
+        if not dominated:
+            want[(round(p, 2), s)] = n
+    assert got == want
