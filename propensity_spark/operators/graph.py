@@ -414,3 +414,196 @@ HIERARCHY_BODY = _HIERARCHY_TEMPLATE.format(
 HIERARCHY_SQL = _HIERARCHY_TEMPLATE.format(
     customer="customer", orders="orders"
 )
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition: iteratively peel nodes of degree < k until only
+# the k-core survives. The third member of the iterative-graph family
+# (pagerank: global centrality; triangles: local clustering; k-core:
+# cohesive subgraph extraction — the classic spam/bot-cluster and
+# community-seed primitive).
+KCORE_K = 3
+KCORE_ITERS = 8  # fixpoint reached well inside this on the fixture
+KCORE_MIN_COOCCUR = 2
+
+
+def kcore(edges_sym: DataFrame, k: int = KCORE_K, iters: int = KCORE_ITERS,
+          checkpoint_dir: str | None = None) -> DataFrame:
+    """Peel a SYMMETRIC (src, dst) edge list down to its k-core with a
+    fixed number of peel rounds (extra rounds past the fixpoint are
+    no-ops, so a fixed count is safe and keeps the DuckDB oracle an
+    unrolled CTE chain — the pagerank pattern). Each round is one
+    degree aggregate + two semi-joins, all hash-partitioned on the
+    node key: at any graph size a round costs O(|E|) shuffle, and a
+    lineage cut per round stops plan doubling. Returns surviving
+    (node, core_deg) — degree WITHIN the k-core, >= k by definition."""
+    e = edges_sym
+    for _ in range(iters):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .where(F.col("__d") >= k)
+            .select("src")
+        )
+        e = e.join(keep, "src", "leftsemi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "leftsemi"
+        )
+        e = cut_lineage(e, checkpoint_dir, eager=False)
+    return e.groupBy("src").agg(F.count(F.lit(1)).alias("core_deg")).select(
+        F.col("src").alias("node"), F.col("core_deg").cast("int").alias("core_deg")
+    )
+
+
+def _copurchase_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-level co-purchase graph: parts co-occurring in >= 
+    KCORE_MIN_COOCCUR orders, symmetric. Sparser than the brand graph
+    (which is complete at fixture scale — useless for peeling). The
+    basket self-join is bounded: TPC-H orders carry <= 7 lineitems, and
+    a defensive cap mirrors MAX_BASKET_ITEMS for schema variants where
+    baskets can run hot."""
+    from propensity_spark.io import load_table
+    from propensity_spark.operators.extended import MAX_BASKET_ITEMS
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bi_all = li.select(
+        F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("i")
+    ).dropDuplicates(["b", "i"])
+    sizes = bi_all.groupBy("b").agg(F.count(F.lit(1)).alias("__bn"))
+    bi = bi_all.join(
+        sizes.where(F.col("__bn") <= MAX_BASKET_ITEMS), "b"
+    ).drop("__bn")
+    a, b = bi.alias("a"), bi.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.i") < F.col("b.i")))
+        .groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= KCORE_MIN_COOCCUR)
+        .select("ia", "ib")
+    )
+    return pairs.selectExpr("ia AS src", "ib AS dst").unionByName(
+        pairs.selectExpr("ib AS src", "ia AS dst")
+    )
+
+
+def kcore_peel(
+    edges_sym: DataFrame,
+    k: int = KCORE_K,
+    iters: int = KCORE_ITERS,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Onion decomposition at threshold k: every node annotated with
+    the peel round that removed it (1-based; NULL = survived into the
+    k-core) plus its within-core degree if it survived. Richer than
+    the bare core membership — the peel depth is a cohesion ordering
+    (nodes peeled later sit in denser neighbourhoods), and the output
+    covers EVERY node at any scale, even when the k-core itself is
+    empty. Peeling is monotone (a removed node never returns), so
+    peel_round = the number of rounds a node was present in — one
+    union-all count over the per-round node snapshots, no per-round
+    anti-joins."""
+    e = edges_sym
+    snapshots = [e.select("src").distinct()]
+    for _ in range(iters):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .where(F.col("__d") >= k)
+            .select("src")
+        )
+        e = e.join(keep, "src", "leftsemi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "leftsemi"
+        )
+        e = cut_lineage(e, checkpoint_dir, eager=False)
+        snapshots.append(e.select("src").distinct())
+    present = snapshots[0]
+    for s in snapshots[1:]:
+        present = present.unionByName(s)
+    present = present.groupBy("src").agg(F.count(F.lit(1)).alias("__pr"))
+    core = e.groupBy("src").agg(F.count(F.lit(1)).alias("core_deg"))
+    survived = iters + 1
+    return present.join(core, "src", "left").select(
+        F.col("src").alias("node"),
+        F.when(F.col("__pr") == survived, F.lit(None))
+        .otherwise(F.col("__pr"))
+        .cast("int")
+        .alias("peeled_round"),
+        F.col("core_deg").cast("int").alias("core_deg"),
+    )
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: onion (k-core peel) decomposition of the part
+    co-purchase graph at k=3 — peel depth per part, within-core degree
+    for the survivors (the densest cross-sell cluster seeds)."""
+    edges = _copurchase_part_edges(spark, sf_dir)
+    # The edge derivation (a basket self-join) is loop-invariant but
+    # sits in every peel round's lineage — cut it once up front.
+    return kcore_peel(cut_lineage(edges)).select(
+        F.col("node").alias("part_id"), "peeled_round", "core_deg"
+    )
+
+
+def _kcore_sql() -> str:
+    from propensity_spark.operators.extended import MAX_BASKET_ITEMS
+
+    k = KCORE_K
+    # Each peel round re-derives both endpoint degrees with two window
+    # counts over ONE scan of the previous round's edges — the single-
+    # reference form that also fits a recursive CTE, unrolled here to
+    # a fixed chain (the pagerank oracle pattern).
+    snap_union = "\n        UNION ALL\n        ".join(
+        f"SELECT DISTINCT src FROM e{i}" for i in range(KCORE_ITERS + 1)
+    )
+    survived = KCORE_ITERS + 1
+    rounds = ",\n    ".join(
+        f"""e{i} AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   count(*) OVER (PARTITION BY src) AS ds,
+                   count(*) OVER (PARTITION BY dst) AS dd
+            FROM e{i - 1}
+        ) WHERE ds >= {k} AND dd >= {k}
+    )"""
+        for i in range(1, KCORE_ITERS + 1)
+    )
+    return f"""
+    WITH bi_all AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    bi AS MATERIALIZED (
+        SELECT * FROM bi_all WHERE b IN (
+            SELECT b FROM bi_all GROUP BY b
+            HAVING count(*) <= {MAX_BASKET_ITEMS}
+        )
+    ),
+    pairs AS (
+        SELECT a.i AS ia, b.i AS ib
+        FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+        GROUP BY 1, 2
+        HAVING count(*) >= {KCORE_MIN_COOCCUR}
+    ),
+    e0 AS (
+        SELECT ia AS src, ib AS dst FROM pairs
+        UNION ALL
+        SELECT ib, ia FROM pairs
+    ),
+    {rounds},
+    snapshots AS (
+        {snap_union}
+    ),
+    present AS (
+        SELECT src, count(*) AS pr FROM snapshots GROUP BY src
+    ),
+    core AS (
+        SELECT src, count(*) AS cd FROM e{KCORE_ITERS} GROUP BY src
+    )
+    SELECT p.src AS part_id,
+           CAST(CASE WHEN p.pr = {survived} THEN NULL ELSE p.pr END AS INT)
+               AS peeled_round,
+           CAST(c.cd AS INT) AS core_deg
+    FROM present p LEFT JOIN core c ON p.src = c.src
+"""
+
+
+KCORE_SQL = _kcore_sql()
+# kcore registers in operators/overflow.py (post-budget).

@@ -2090,3 +2090,41 @@ def test_diff_in_diff_nets_out_shared_trend(spark, tmp_path):
     cells = {(r["arm"], r["period"]): r["mean_y"] for r in out}
     assert abs(cells[("treated", "pre")] - 10.0) < 1e-6
     assert abs(cells[("control", "post")] - 25.0) < 1e-6
+
+
+def test_kcore_peel_depths_and_fixpoint(spark):
+    """Onion peel on a hand-built graph: a 4-clique (3-core) with a
+    pendant path hanging off it. At k=3 the path peels outside-in —
+    depth 1 for the leaf-ward nodes, clique survives with core degree
+    3 — and an extra peel round past the fixpoint changes nothing."""
+    from propensity_spark.operators.graph import KCORE_ITERS, kcore_peel
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a != b]
+    #  4-5-6 path: 4 hangs off clique node 0
+    path = [(0, 4), (4, 0), (4, 5), (5, 4), (5, 6), (6, 5)]
+    edges = spark.createDataFrame(clique + path, ["src", "dst"])
+    out = {r.node: (r.peeled_round, r.core_deg) for r in kcore_peel(edges, k=3).collect()}
+    # path nodes all have degree < 3 from the start -> peeled round 1
+    assert out[6] == (1, None) and out[5] == (1, None) and out[4] == (1, None)
+    for n in range(4):
+        assert out[n] == (None, 3)
+    # fixpoint: one extra round leaves every annotation unchanged
+    more = {
+        r.node: (r.peeled_round, r.core_deg)
+        for r in kcore_peel(edges, k=3, iters=KCORE_ITERS + 1).collect()
+    }
+    assert more == out
+
+
+def test_kcore_peel_is_monotone_chain(spark):
+    """A 6-node path at k=2 peels strictly outside-in: endpoints at
+    round 1, next pair at round 2, inner pair at round 3 — the depth
+    really is a cohesion ordering, not just membership."""
+    from propensity_spark.operators.graph import kcore_peel
+
+    und = [(i, i + 1) for i in range(5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    out = {r.node: r.peeled_round for r in kcore_peel(edges, k=2).collect()}
+    assert out == {0: 1, 5: 1, 1: 2, 4: 2, 2: 3, 3: 3}
