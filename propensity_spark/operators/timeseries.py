@@ -664,3 +664,119 @@ FORECAST_SQL = f"""
                  + 1e-6, 2) AS pi_high
     FROM model CROSS JOIN horizons
 """
+
+
+# --------------------------------------------------------------------------
+# Sample autocorrelation function (ACF) per key — the lag-structure
+# diagnostic that motivates every other operator in this module (a
+# significant r_7 says "weekly seasonality: use seasonality_dow"; slow
+# decay says "trend: use trend_fit / forecast_linear").
+ACF_MAX_LAG = 7
+
+
+def acf(daily: DataFrame, key_col: str, order_col: str, value_col: str,
+        max_lag: int = ACF_MAX_LAG) -> DataFrame:
+    """Calendar-lag sample ACF: r_k = sum(dev_t * dev_{t+k}) /
+    sum(dev_t^2), deviations from the per-key mean (rounded before
+    subtraction so float-summation order can never drift the center
+    across engines — the CUSUM precedent). Lags are CALENDAR offsets
+    (t+k joined on the order column), not row offsets, so gap days
+    weaken the estimate honestly instead of silently splicing.
+    Shape: one per-key agg for (mean, ss), one explode to max_lag
+    rows per observation, one self-equi-join on (key, t+k) — every
+    step partitions on the key, no global barrier anywhere."""
+    stats = daily.groupBy(key_col).agg(
+        F.round(F.avg(value_col) + 1e-9, 4).alias("__mu"),
+    )
+    dev = daily.join(F.broadcast(stats), key_col).select(
+        key_col,
+        F.col(order_col).alias("__t"),
+        (F.col(value_col) - F.col("__mu")).alias("__dev"),
+    )
+    ss = dev.groupBy(key_col).agg(F.sum(F.expr("__dev * __dev")).alias("__ss"))
+    lagged = dev.select(
+        key_col,
+        F.explode(F.expr(f"sequence(1, {max_lag})")).alias("lag"),
+        (F.col("__t")).alias("__t0"),
+        F.col("__dev").alias("__dev0"),
+    ).withColumn("__t1", F.col("__t0") + F.col("lag"))
+    fut = dev.select(
+        F.col(key_col).alias("__k2"),
+        F.col("__t").alias("__t1"),
+        F.col("__dev").alias("__dev1"),
+    )
+    pairs = lagged.join(
+        fut,
+        (F.col(key_col) == F.col("__k2")) & (lagged["__t1"] == fut["__t1"]),
+    )
+    return (
+        pairs.groupBy(key_col, "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.expr("__dev0 * __dev1")).alias("__num"),
+        )
+        .join(F.broadcast(ss), key_col)
+        .select(
+            key_col,
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.round(F.expr("__num / __ss") + 1e-9, 6).alias("acf"),
+        )
+    )
+
+
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: per-brand daily-revenue ACF at lags 1..7 (the
+    trend_fit series, so the two readouts compose)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    daily = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.datediff(
+                F.to_date("l_shipdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day_num"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + 1e-6,
+                2,
+            ).alias("revenue")
+        )
+    )
+    return acf(daily, "brand", "day_num", "revenue")
+
+
+ACF_SQL = f"""
+    WITH daily AS (
+        SELECT p_brand AS brand,
+               date_diff('day', DATE '1992-01-01',
+                         CAST(l_shipdate AS DATE)) AS day_num,
+               round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+                   AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT brand, round(avg(revenue) + 1e-9, 4) AS mu FROM daily GROUP BY brand
+    ),
+    dev AS (
+        SELECT d.brand, d.day_num AS t, d.revenue - s.mu AS dv
+        FROM daily d JOIN stats s ON d.brand = s.brand
+    ),
+    ss AS (SELECT brand, sum(dv * dv) AS ss FROM dev GROUP BY brand),
+    pairs AS (
+        SELECT a.brand, l.lag, a.dv AS dv0, b.dv AS dv1
+        FROM dev a
+        CROSS JOIN (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag) l
+        JOIN dev b ON b.brand = a.brand AND b.t = a.t + l.lag
+    )
+    SELECT p.brand, CAST(p.lag AS INT) AS lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum(p.dv0 * p.dv1) / s.ss + 1e-9, 6) AS acf
+    FROM pairs p JOIN ss s ON p.brand = s.brand
+    GROUP BY p.brand, p.lag, s.ss
+"""
+# autocorrelation registers in operators/overflow.py (post-budget).

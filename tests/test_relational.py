@@ -2128,3 +2128,33 @@ def test_kcore_peel_is_monotone_chain(spark):
     )
     out = {r.node: r.peeled_round for r in kcore_peel(edges, k=2).collect()}
     assert out == {0: 1, 5: 1, 1: 2, 4: 2, 2: 3, 3: 3}
+
+
+def test_acf_matches_brute_force_and_flags_periodicity(spark):
+    """ACF against a literal-Python brute force on a gappy series, and
+    a period-2 alternating series shows acf(1) < 0 < acf(2)."""
+    from propensity_spark.operators.timeseries import acf
+
+    rows = [("a", t, float(v)) for t, v in
+            [(0, 5), (1, 9), (2, 4), (4, 8), (5, 3), (6, 10), (7, 2)]]
+    rows += [("b", t, 10.0 if t % 2 == 0 else 0.0) for t in range(12)]
+    df = spark.createDataFrame(rows, ["k", "t", "x"])
+    got = {(r.k, r.lag): (r.n_pairs, r.acf) for r in acf(df, "k", "t", "x").collect()}
+
+    by_key = {}
+    for k, t, x in rows:
+        by_key.setdefault(k, {})[t] = x
+    for k, series in by_key.items():
+        mu = round(sum(series.values()) / len(series) + 1e-9, 4)
+        dev = {t: x - mu for t, x in series.items()}
+        ss = sum(d * d for d in dev.values())
+        for lag in range(1, 8):
+            pairs = [(dev[t], dev[t + lag]) for t in dev if t + lag in dev]
+            if not pairs:
+                assert (k, lag) not in got
+                continue
+            want = round(sum(a * b for a, b in pairs) / ss + 1e-9, 6)
+            n, r = got[(k, lag)]
+            assert n == len(pairs)
+            assert abs(r - want) < 1e-9
+    assert got[("b", 1)][1] < -0.8 and got[("b", 2)][1] > 0.7
