@@ -1507,3 +1507,65 @@ QINI_SQL = f"""
                  + 1e-9, 6) AS cum_qini_per_treated
     FROM g
 """
+
+
+def cat_entropy(df: DataFrame, key_col: str, cat_col: str) -> DataFrame:
+    """Per-key Shannon entropy (nats) + Gini impurity + normalized
+    entropy of a categorical column's distribution — the univariate
+    feature screen next to mutual_information's bivariate one (a
+    near-zero entropy column carries no signal; normalized entropy
+    near 1 means uniform). One (key, cat) count agg + per-key window
+    sums: two shuffles on the key, no collect."""
+    cells = df.groupBy(key_col, cat_col).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(key_col)
+    withp = cells.select(
+        key_col,
+        (F.col("c") / F.sum("c").over(w)).alias("p"),
+        F.count(F.lit(1)).over(w).alias("k_cats"),
+    )
+    return withp.groupBy(key_col, "k_cats").agg(
+        F.round(-F.sum(F.expr("p * ln(p)")) + 1e-9, 6).alias("entropy"),
+        F.round(F.lit(1.0) - F.sum(F.expr("p * p")) + 1e-9, 6).alias("gini"),
+        F.round(
+            F.when(
+                F.col("k_cats") > 1,
+                -F.sum(F.expr("p * ln(p)")) / F.log(F.col("k_cats").cast("double")),
+            ).otherwise(F.lit(0.0))
+            + 1e-9,
+            6,
+        ).alias("norm_entropy"),
+    ).select(
+        key_col,
+        F.col("k_cats").cast("int").alias("k_cats"),
+        "entropy",
+        "gini",
+        "norm_entropy",
+    )
+
+
+def q_cat_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: per-user entropy/gini of the event-type mix — a
+    behavioral-diversity feature (single-minded vs broad users)."""
+    events = load_table(spark, sf_dir, "events")
+    return cat_entropy(events, "user_id", "event_type")
+
+
+CAT_ENTROPY_SQL = """
+    WITH cells AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    withp AS (
+        SELECT user_id,
+               c * 1.0 / sum(c) OVER (PARTITION BY user_id) AS p,
+               count(*) OVER (PARTITION BY user_id) AS k_cats
+        FROM cells
+    )
+    SELECT user_id, CAST(k_cats AS INT) AS k_cats,
+           round(-sum(p * ln(p)) + 1e-9, 6) AS entropy,
+           round(1.0 - sum(p * p) + 1e-9, 6) AS gini,
+           round(CASE WHEN k_cats > 1
+                      THEN -sum(p * ln(p)) / ln(k_cats)
+                      ELSE 0.0 END + 1e-9, 6) AS norm_entropy
+    FROM withp GROUP BY user_id, k_cats
+"""

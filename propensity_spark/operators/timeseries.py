@@ -780,3 +780,65 @@ ACF_SQL = f"""
     GROUP BY p.brand, p.lag, s.ss
 """
 # autocorrelation registers in operators/overflow.py (post-budget).
+
+
+def q_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per brand: weekly revenue, previous
+    OBSERVED week's revenue (lag over the week sequence — an empty
+    week simply doesn't exist at this grain; compose with
+    gapfill_revenue when zero-weeks must count), absolute delta and
+    pct change. Weeks are day_num div 7 from the fixed epoch — pure
+    integer arithmetic, immune to engine week-start conventions. One
+    agg + one per-brand window; the report every BI layer asks of a
+    warehouse, here as a first-class operator."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    weekly = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            (
+                F.datediff(
+                    F.to_date("l_shipdate"), F.lit("1992-01-01").cast("date")
+                ).cast("bigint")
+                / F.lit(7)
+            ).cast("bigint").alias("week_num"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + 1e-6,
+                2,
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("brand").orderBy("week_num")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "brand",
+        F.col("week_num").cast("int").alias("week_num"),
+        "revenue",
+        F.round(prev + 1e-9, 2).alias("prev_revenue"),
+        F.round(F.col("revenue") - prev + 1e-9, 2).alias("delta"),
+        F.round((F.col("revenue") - prev) / prev + 1e-9, 6).alias("pct_change"),
+    )
+
+
+PERIOD_GROWTH_SQL = """
+    WITH weekly AS (
+        SELECT p_brand AS brand,
+               CAST(date_diff('day', DATE '1992-01-01',
+                    CAST(l_shipdate AS DATE)) // 7 AS BIGINT) AS week_num,
+               round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+                   AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    )
+    SELECT brand, CAST(week_num AS INT) AS week_num, revenue,
+           round(lag(revenue) OVER w + 1e-9, 2) AS prev_revenue,
+           round(revenue - lag(revenue) OVER w + 1e-9, 2) AS delta,
+           round((revenue - lag(revenue) OVER w) / lag(revenue) OVER w
+                 + 1e-9, 6) AS pct_change
+    FROM weekly
+    WINDOW w AS (PARTITION BY brand ORDER BY week_num)
+"""
