@@ -1569,3 +1569,67 @@ CAT_ENTROPY_SQL = """
                       ELSE 0.0 END + 1e-9, 6) AS norm_entropy
     FROM withp GROUP BY user_id, k_cats
 """
+
+
+def quantile_normalize(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """ECDF rank transform per key: percent_rank (0 at the min, 1 at
+    the max, ties share a rank) and cume_dist (P(X <= x), the proper
+    ECDF) — the distribution-free normalization for heavy-tailed
+    features where z-scores break (feature_scaling's robust sibling).
+    One sort-window per key; a single hot key serializes its
+    partition, so for 10^9-row keys swap percent_rank for a
+    percentile_approx-bucketed lookup (the quantile_bucket escape
+    hatch) — exactness here, sketches at the extreme."""
+    w = Window.partitionBy(key_col).orderBy(value_col)
+    return df.select(
+        key_col,
+        F.col(value_col).alias("value"),
+        F.round(F.percent_rank().over(w) + 1e-9, 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w) + 1e-9, 6).alias("ecdf"),
+    )
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: ECDF-normalize event values within each event type,
+    rolled up to the (type, value) grain so the output is the
+    deterministic normalization TABLE (join it back to facts to apply;
+    same shape as a learned preprocessing artifact)."""
+    events = load_table(spark, sf_dir, "events")
+    grains = events.groupBy(
+        "event_type", F.round(F.col("value"), 4).alias("value")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    # ECDF over the raw distribution = weighted ranks over the grains:
+    # cume = running sum of counts / total, pct_rank uses the count of
+    # strictly-smaller rows.
+    w = Window.partitionBy("event_type").orderBy("value")
+    tot = Window.partitionBy("event_type")
+    run = F.sum("n_rows").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum("n_rows").over(tot)
+    return grains.select(
+        "event_type",
+        "value",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round((run - F.col("n_rows")) / (total - 1) + 1e-9, 6).alias("pct_rank"),
+        F.round(run / total + 1e-9, 6).alias("ecdf"),
+    )
+
+
+QUANTILE_NORMALIZE_SQL = """
+    WITH grains AS (
+        SELECT event_type, round(value, 4) AS value, count(*) AS n_rows
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, value, CAST(n_rows AS BIGINT) AS n_rows,
+           round((sum(n_rows) OVER (PARTITION BY event_type ORDER BY value
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_rows) * 1.0
+                 / (sum(n_rows) OVER (PARTITION BY event_type) - 1)
+                 + 1e-9, 6) AS pct_rank,
+           round(sum(n_rows) OVER (PARTITION BY event_type ORDER BY value
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 1.0 / sum(n_rows) OVER (PARTITION BY event_type)
+                 + 1e-9, 6) AS ecdf
+    FROM grains
+"""

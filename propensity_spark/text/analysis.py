@@ -1568,3 +1568,85 @@ def _dataprep_sql() -> str:
     )
     SELECT doc_id, n_words, {ladder} AS split FROM clean
     """
+
+
+# --------------------------------------------------------------------------
+# Inverted-index build: the persistable artifact behind bm25_search
+# (which computes TF on the fly). token -> document frequency, corpus
+# idf, and the full posting list (doc_id, tf) sorted by doc_id — the
+# layout a search serving tier memory-maps.
+POSTINGS_MIN_DF = 3  # drop hapax noise; keeps the gate output bounded
+
+
+def build_postings(docs: DataFrame) -> DataFrame:
+    """token -> (df, idf, postings[(doc_id, tf)]) with BM25's
+    idf = ln((N - df + 0.5) / (df + 0.5) + 1). Explode + two aggs,
+    both shuffling on the token key; posting arrays are sorted by
+    doc_id (struct sort order = field order) so the artifact is
+    deterministic and delta-mergeable — a daily batch's postings
+    concat-merge into history without re-reading the corpus. A
+    stop-word's posting row is one LONG array: at web scale cap or
+    shard arrays past ~1e6 entries (store (token, shard_no) keys);
+    the df/idf columns are unaffected."""
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr("filter(split(lower(text), ' '), w -> length(w) >= 1)")
+            ).alias("token"),
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
+    return (
+        tf.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "tf"))
+            ).alias("postings"),
+        )
+        .where(F.col("df") >= POSTINGS_MIN_DF)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            F.col("df").cast("bigint").alias("df"),
+            F.round(
+                F.expr("ln((n - df + 0.5) / (df + 0.5) + 1)") + 1e-9, 6
+            ).alias("idf"),
+            F.expr(
+                "transform(postings, p -> concat(p.doc_id, ':', p.tf))"
+            ).alias("postings"),
+        )
+    )
+
+
+def q_build_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: the documents inverted index (df >= 3 tokens)."""
+    return build_postings(load_table(spark, sf_dir, "documents"))
+
+
+POSTINGS_SQL = f"""
+    WITH tf AS (
+        SELECT token, doc_id, count(*) AS tf
+        FROM (
+            SELECT doc_id, unnest(list_filter(
+                       string_split(lower(text), ' '),
+                       w -> len(w) >= 1)) AS token
+            FROM documents
+        ) GROUP BY token, doc_id
+    ),
+    n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+    SELECT token, CAST(count(*) AS BIGINT) AS df,
+           round(ln((any_value(n_docs.n) - count(*) + 0.5)
+                    / (count(*) + 0.5) + 1) + 1e-9, 6) AS idf,
+           list_transform(
+               list_sort(list((doc_id, tf))),
+               p -> p[1] || ':' || p[2]
+           ) AS postings
+    FROM tf CROSS JOIN n_docs
+    GROUP BY token
+    HAVING count(*) >= {POSTINGS_MIN_DF}
+"""
+# build_postings registers in operators/overflow.py (post-budget).

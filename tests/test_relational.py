@@ -2158,3 +2158,38 @@ def test_acf_matches_brute_force_and_flags_periodicity(spark):
             assert n == len(pairs)
             assert abs(r - want) < 1e-9
     assert got[("b", 1)][1] < -0.8 and got[("b", 2)][1] > 0.7
+
+
+def test_quantile_normalize_grain_form_equals_row_windows(spark):
+    """The grain-weighted ECDF table must agree with row-level
+    percent_rank / cume_dist applied to the expanded rows (ties
+    included)."""
+    from propensity_spark.operators.stats import quantile_normalize
+
+    rows = [("a", v) for v in [1.0, 1.0, 2.0, 5.0, 5.0, 5.0, 9.0]]
+    rows += [("b", v) for v in [3.0, 3.0, 3.0]]
+    df = spark.createDataFrame(rows, ["k", "value"])
+    row_level = {
+        (r.k, r.value): (r.pct_rank, r.ecdf)
+        for r in quantile_normalize(df, "k", "value").collect()
+    }
+    from pyspark.sql import functions as F
+    grains = df.groupBy("k", F.round("value", 4).alias("value")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("k").orderBy("value")
+    tot = Window.partitionBy("k")
+    run = F.sum("n_rows").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum("n_rows").over(tot)
+    grain_level = {
+        (r.k, r.value): (r.pct_rank, r.ecdf)
+        for r in grains.select(
+            "k", "value",
+            F.round((run - F.col("n_rows")) / (total - 1) + 1e-9, 6).alias("pct_rank"),
+            F.round(run / total + 1e-9, 6).alias("ecdf"),
+        ).collect()
+    }
+    assert grain_level == row_level
