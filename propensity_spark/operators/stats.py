@@ -1633,3 +1633,107 @@ QUANTILE_NORMALIZE_SQL = """
                  + 1e-9, 6) AS ecdf
     FROM grains
 """
+
+
+# Wald SPRT boundaries for the sequential A/B monitor: alpha = beta =
+# 0.05, H1 = treatment converts at SPRT_LIFT x the control rate. Under
+# H0 each conversion is equally likely from either (equal-split) arm;
+# under H1 it comes from treatment w.p. r/(1+r) — the conversion-race
+# formulation, which needs only per-arm conversion COUNTS, no rates.
+SPRT_LIFT = 1.5
+SPRT_ALPHA = 0.05
+SPRT_BETA = 0.05
+
+
+def sprt_monitor(daily_counts: DataFrame) -> DataFrame:
+    """Sequential probability ratio test over a (day, conv_t, conv_c)
+    daily conversion table: cumulative log-likelihood ratio
+    llr = cum_t * ln(2r/(1+r)) + cum_c * ln(2/(1+r)) with Wald
+    boundaries — the peek-safe monitor a daily experiment dashboard
+    needs (the fixed-horizon z-test is ab_test_ztest). Integer
+    cumulative counts make the LLR bit-deterministic. One global
+    day-ordered window over ~|days| rows — the heavy lifting is the
+    upstream per-day agg, which partitions freely."""
+    import math
+
+    r = SPRT_LIFT
+    lt = math.log(2 * r / (1 + r))
+    lc = math.log(2 / (1 + r))
+    hi = math.log((1 - SPRT_BETA) / SPRT_ALPHA)
+    lo = math.log(SPRT_BETA / (1 - SPRT_ALPHA))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum_t = F.sum("conv_t").over(w)
+    cum_c = F.sum("conv_c").over(w)
+    llr = cum_t * F.lit(lt) + cum_c * F.lit(lc)
+    return daily_counts.select(
+        "day",
+        cum_t.cast("bigint").alias("cum_conv_t"),
+        cum_c.cast("bigint").alias("cum_conv_c"),
+        F.round(llr + 1e-9, 6).alias("llr"),
+        F.when(llr >= hi, F.lit("accept_h1"))
+        .when(llr <= lo, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
+
+
+def q_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: SPRT trajectory over the md5-arm purchase counts
+    by day — same deterministic assignment as ab_test_ztest, read
+    sequentially instead of at a fixed horizon."""
+    events = load_table(spark, sf_dir, "events")
+    arm = F.expr(
+        "cast(conv(substr(md5(cast(cast(user_id as string) as binary)),"
+        " 1, 8), 16, 10) as bigint) % 2"
+    )
+    daily = (
+        events.where(F.col("event_type") == "purchase")
+        .select(F.to_date("ts").alias("day"), arm.alias("arm"))
+        .groupBy("day")
+        .agg(
+            F.count_if(F.col("arm") == 0).alias("conv_t"),
+            F.count_if(F.col("arm") == 1).alias("conv_c"),
+        )
+    )
+    return sprt_monitor(daily)
+
+
+def _sprt_sql() -> str:
+    import math
+
+    r = SPRT_LIFT
+    lt = math.log(2 * r / (1 + r))
+    lc = math.log(2 / (1 + r))
+    hi = math.log((1 - SPRT_BETA) / SPRT_ALPHA)
+    lo = math.log(SPRT_BETA / (1 - SPRT_ALPHA))
+    return f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               count(*) FILTER (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                       1, 8)) AS BIGINT) % 2 = 0) AS conv_t,
+               count(*) FILTER (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                       1, 8)) AS BIGINT) % 2 = 1) AS conv_c
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT day,
+               sum(conv_t) OVER w AS cum_conv_t,
+               sum(conv_c) OVER w AS cum_conv_c
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT day, CAST(cum_conv_t AS BIGINT) AS cum_conv_t,
+           CAST(cum_conv_c AS BIGINT) AS cum_conv_c,
+           round(cum_conv_t * {lt!r} + cum_conv_c * {lc!r} + 1e-9, 6) AS llr,
+           CASE WHEN cum_conv_t * {lt!r} + cum_conv_c * {lc!r} >= {hi!r}
+                    THEN 'accept_h1'
+                WHEN cum_conv_t * {lt!r} + cum_conv_c * {lc!r} <= {lo!r}
+                    THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM cum
+"""
+
+
+SPRT_SQL = _sprt_sql()
