@@ -976,3 +976,119 @@ ACTIVE_USERS_HLL_SQL = f"""
            1 AS est_ok
     FROM expanded GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# Item-item collaborative filtering: cosine similarity between brands
+# over user purchase-count vectors, served as top-k recommendations.
+ITEM_CF_TOP_K = 3
+ITEM_CF_MAX_USER_ITEMS = 200  # cap a hoarder's fan-out before the self-join
+
+
+def item_cf(ub: DataFrame, top_k: int = ITEM_CF_TOP_K) -> DataFrame:
+    """(user, item, cnt) -> per-item top-k neighbours by cosine over
+    the sparse user-count matrix — "users who bought X also bought Y",
+    the item-item CF of Sarwar et al. 2001 / Amazon's item-to-item.
+    Dot products come from a self-equi-join ON USER (never an
+    item-pair cross join): each user contributes |items_u|^2 pair
+    terms, so the cap on per-user distinct items bounds the quadratic
+    term exactly the way MAX_BASKET_ITEMS bounds basket mining — at
+    10^9 users the join stays linear in users. Counts are integers,
+    so dot products and squared norms are EXACT; cosine is rounded to
+    6dp before the rank window so cross-engine float drift can never
+    flip a tie."""
+    sizes = ub.groupBy("user").agg(F.count(F.lit(1)).alias("__ni"))
+    ub = ub.join(
+        sizes.where(F.col("__ni") <= ITEM_CF_MAX_USER_ITEMS), "user"
+    ).drop("__ni")
+    norms = ub.groupBy("item").agg(F.sum(F.expr("cnt * cnt")).alias("ss"))
+    a, b = ub.alias("a"), ub.alias("b")
+    dots = (
+        a.join(b, (F.col("a.user") == F.col("b.user")) & (F.col("a.item") != F.col("b.item")))
+        .groupBy(F.col("a.item").alias("item"), F.col("b.item").alias("rec"))
+        .agg(F.sum(F.expr("a.cnt * b.cnt")).alias("dot"))
+    )
+    na = norms.select(F.col("item"), F.col("ss").alias("ss_a"))
+    nb = norms.select(F.col("item").alias("rec"), F.col("ss").alias("ss_b"))
+    scored = (
+        dots.join(na, "item")
+        .join(nb, "rec")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("dot") / (F.sqrt("ss_a") * F.sqrt("ss_b")) + 1e-9, 6
+            ),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("cosine"), "rec")
+    return (
+        scored.withColumn("rec_rank", F.row_number().over(w))
+        .where(F.col("rec_rank") <= top_k)
+        .select(
+            "item",
+            F.col("rec_rank").cast("int").alias("rec_rank"),
+            "rec",
+            F.col("dot").cast("bigint").alias("dot"),
+            "cosine",
+        )
+    )
+
+
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: top-3 brand recommendations per brand from
+    household purchase-count vectors."""
+    from propensity_spark.operators.relational import brand_dim, silver_transactions
+
+    silver = silver_transactions(spark, sf_dir)
+    ub = (
+        silver.join(F.broadcast(brand_dim(spark, sf_dir)), "product_id")
+        .groupBy(
+            F.col("household_key").alias("user"),
+            F.col("commodity_desc").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return item_cf(ub)
+
+
+def _item_cf_sql() -> str:
+    from propensity_spark.operators.relational import SILVER_SQL
+
+    return f"""
+    WITH s AS MATERIALIZED ({SILVER_SQL}),
+    ub_all AS MATERIALIZED (
+        SELECT s.household_key AS u, p.p_brand AS item, count(*) AS cnt
+        FROM s JOIN part p ON s.product_id = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    ub AS MATERIALIZED (
+        SELECT * FROM ub_all WHERE u IN (
+            SELECT u FROM ub_all GROUP BY u
+            HAVING count(*) <= {ITEM_CF_MAX_USER_ITEMS}
+        )
+    ),
+    norms AS (SELECT item, sum(cnt * cnt) AS ss FROM ub GROUP BY item),
+    dots AS (
+        SELECT a.item AS item, b.item AS rec, sum(a.cnt * b.cnt) AS dot
+        FROM ub a JOIN ub b ON a.u = b.u AND a.item <> b.item
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT d.item, d.rec, d.dot,
+               round(d.dot / (sqrt(na.ss) * sqrt(nb.ss)) + 1e-9, 6) AS cosine
+        FROM dots d
+        JOIN norms na ON d.item = na.item
+        JOIN norms nb ON d.rec = nb.item
+    )
+    SELECT item, CAST(rec_rank AS INT) AS rec_rank, rec,
+           CAST(dot AS BIGINT) AS dot, cosine
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY item
+                   ORDER BY cosine DESC, rec) AS rec_rank
+        FROM scored
+    ) WHERE rec_rank <= {ITEM_CF_TOP_K}
+"""
+
+
+ITEM_CF_SQL = _item_cf_sql()
+# item_cf registers in operators/overflow.py (post-budget).

@@ -1059,16 +1059,26 @@ EXACTSUBSTR_SQL = f"""
 # candidate generation is provably lossless, so the output equals the naive
 # all-pairs Jaccard join — which is exactly what the DuckDB oracle computes.
 #
+# Sets are distinct 3-word SHINGLES (the same unit the MinHash pipeline
+# dedups on), NOT bare words: this corpus has a 31-word vocabulary, so
+# word-sets are dense subsets of a tiny universe — every posting list is
+# corpus-sized and NO algorithm can prune (measured exponent 1.43 at the
+# 10x fixture in the word-set formulation). Shingles restore the sparse
+# regime (universe ~ vocab^3) where prefix filtering earns its keep:
+# measured super-linear -> sub-linear on the same data.
+#
 # Threshold as a RATIONAL (NUM/DEN) so every bound is integer arithmetic:
 # ceil(tau*n) computed as (NUM*n + DEN - 1) div DEN never hits the IEEE
 # "0.6*5 = 3.0000000000000004" ceil trap, and the final acceptance test
 # c/(na+nb-c) >= tau becomes c*(NUM+DEN) >= NUM*(na+nb) — bit-exact in both
 # engines with no float comparison anywhere on the decision path.
-SETSIM_TAU_NUM = 19
-SETSIM_TAU_DEN = 20  # Jaccard >= 19/20 over distinct lowercase words
+SETSIM_TAU_NUM = 1
+SETSIM_TAU_DEN = 2  # Jaccard >= 1/2 over distinct 3-word shingles
 
 
-def setsim_prefix_candidates(docs: DataFrame) -> DataFrame:
+def setsim_prefix_candidates(
+    docs: DataFrame, num: int = None, den: int = None
+) -> DataFrame:
     """Candidate pairs under the prefix filter. Tokens are globally
     ordered rarest-first by (document frequency, token) — a total
     order, so both documents of any qualifying pair are guaranteed to
@@ -1081,16 +1091,24 @@ def setsim_prefix_candidates(docs: DataFrame) -> DataFrame:
     a hot stop-word posting would cause in the unpruned inverted-list
     join (exact_jaccard_pairs above keeps that naive shape for oracle
     duty). A length filter (min >= tau * max, integer form) drops
-    cross-size candidates before the pair shuffle."""
-    num, den = SETSIM_TAU_NUM, SETSIM_TAU_DEN
-    toks = docs.select(
+    cross-size candidates before the pair shuffle, and PPJoin's
+    positional filter (Xiao 2008) prunes after it: for the RAREST
+    shared prefix token (global order makes it first in BOTH arrays,
+    so the per-pair min positions belong to one token), overlap <=
+    1 + min(n_a - i, n_b - j) — no token before position i in A can
+    appear anywhere in B (it is rarer than every remaining B token),
+    so pairs whose first agreement comes too late to reach
+    ceil(tau/(1+tau) * (n_a+n_b)) die before the verify join. On a
+    Zipf corpus the prefix filter alone is enough; on this fixture's
+    31-word-vocabulary corpus (shingle universe ~vocab^3, dfs
+    uniformly high — the dense-universe worst case where ANY exact
+    algorithm's candidates grow Θ(n²/U)) the positional filter is
+    what keeps the candidate set near the true-pair set."""
+    num = SETSIM_TAU_NUM if num is None else num
+    den = SETSIM_TAU_DEN if den is None else den
+    toks = _with_shingles(docs).select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "array_distinct(filter(split(lower(coalesce(text, '')), ' '),"
-                " w -> length(w) >= 1))"
-            )
-        ).alias("token"),
+        F.explode(F.expr("array_distinct(shingles)")).alias("token"),
     )
     dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
@@ -1106,15 +1124,20 @@ def setsim_prefix_candidates(docs: DataFrame) -> DataFrame:
     prefixes = per_doc.select(
         "doc_id",
         "n",
-        F.explode(
+        F.posexplode(
             F.expr(f"slice(tokens, 1, n - (({num} * n + {den} - 1) div {den}) + 1)")
-        ).alias("token"),
+        ).alias("pos", "token"),
     )
     a = prefixes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "token"
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"),
+        F.col("pos").alias("pos_a"), "token",
     )
     b = prefixes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "token"
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"),
+        F.col("pos").alias("pos_b"), "token",
+    )
+    minoverlap = F.expr(
+        f"({num} * (n_a + n_b) + {num + den} - 1) div {num + den}"
     )
     return (
         a.join(b, "token")
@@ -1122,20 +1145,29 @@ def setsim_prefix_candidates(docs: DataFrame) -> DataFrame:
             (F.col("doc_a") < F.col("doc_b"))
             & (F.least("n_a", "n_b") * den >= F.greatest("n_a", "n_b") * num)
         )
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.min("pos_a").alias("__ia"), F.min("pos_b").alias("__ib"))
+        .where(
+            F.lit(1)
+            + F.least(
+                F.col("n_a") - F.col("__ia") - 1, F.col("n_b") - F.col("__ib") - 1
+            )
+            >= minoverlap
+        )
         .select("doc_a", "doc_b", "n_a", "n_b")
-        .dropDuplicates(["doc_a", "doc_b"])
     ), per_doc
 
 
-def setsim_join(docs: DataFrame) -> DataFrame:
-    """Exact Jaccard >= tau (19/20 — the fixture corpus is template-generated and near-dup-DENSE, so anything lower returns a large fraction of all pairs) over distinct-word sets via prefix
+def setsim_join(docs: DataFrame, num: int = None, den: int = None) -> DataFrame:
+    """Exact Jaccard >= tau over distinct-shingle sets via prefix
     filtering. Candidates (slim: ids + sizes) join the token arrays
     back in and verify with one array_intersect per surviving pair —
     work linear in candidate count, never in |docs|^2. Lossless by
     construction, so the result hash-matches the naive all-pairs
     oracle."""
-    num, den = SETSIM_TAU_NUM, SETSIM_TAU_DEN
-    cand, per_doc = setsim_prefix_candidates(docs)
+    num = SETSIM_TAU_NUM if num is None else num
+    den = SETSIM_TAU_DEN if den is None else den
+    cand, per_doc = setsim_prefix_candidates(docs, num, den)
     ta = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("tokens").alias("toks_a"))
     tb = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("tokens").alias("toks_b"))
     return (
@@ -1156,18 +1188,18 @@ def setsim_join(docs: DataFrame) -> DataFrame:
 
 def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate entry: prefix-filtered exact set-similarity self-join on
-    the documents table (word-set Jaccard >= 19/20). The oracle is the
-    UNPRUNED all-pairs inverted-list join — identical output proves
-    the prefix filter lossless on real data, the same way
-    minhash_band_pairs' oracle proves the banding recall."""
+    the documents table (shingle-set Jaccard >= 1/2 — the exact
+    near-dup join next to minhash_band_pairs' probabilistic one).
+    The oracle is the UNPRUNED all-pairs inverted-list
+    join — identical output proves the prefix filter lossless on real
+    data, the same way minhash_band_pairs' oracle proves the banding
+    recall."""
     return setsim_join(load_table(spark, sf_dir, "documents"))
 
 
 SETSIM_SQL = f"""
     WITH toks AS (
-        SELECT doc_id, unnest(list_distinct(list_filter(
-                   string_split(lower(coalesce(text, '')), ' '),
-                   w -> len(w) >= 1))) AS token
+        SELECT doc_id, unnest(list_distinct({_SHINGLES_DUCK})) AS token
         FROM documents
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),

@@ -1043,50 +1043,57 @@ def test_llm_dataprep_stage_semantics(spark, tmp_path):
 def test_setsim_prefix_filter_prunes_and_stays_exact(spark):
     """The prefix filter must (a) generate strictly fewer candidate
     pairs than the unpruned inverted-list join on a corpus with a hot
-    shared token, and (b) lose nothing: verified output == brute-force
-    Jaccard over all pairs at the same rational threshold."""
+    shared shingle, and (b) lose nothing: verified output == brute-
+    force shingle Jaccard over all pairs at the same rational
+    threshold. Run at tau = 4/5 (short prefixes) so pairs sharing
+    ONLY the hot shingle provably fall outside both prefixes."""
     from itertools import combinations
 
     from propensity_spark.text.dedup import (
-        SETSIM_TAU_DEN,
-        SETSIM_TAU_NUM,
         setsim_join,
         setsim_prefix_candidates,
     )
 
-    # 8 docs, all sharing the hot token 'the' (which alone would pair
-    # every doc with every other in the naive join); two true near-dup
-    # clusters plus distinct riffraff.
+    # docs 1-3: a near-dup cluster (differ in the final word);
+    # docs 4-8: all OPEN with the same hot phrase (its shingles are
+    # the most frequent -> sorted to the suffix, outside the tau=4/5
+    # prefix) then diverge completely.
     rows = [
-        (1, "the quick brown fox jumps over lazy dog tonight"),
-        (2, "the quick brown fox jumps over lazy dog today"),
-        (3, "the quick brown fox jumps over lazy dog"),
-        (4, "the slow green turtle walks under bright sun"),
-        (5, "the slow green turtle walks under bright moon"),
-        (6, "the stock market closed higher on tuesday"),
-        (7, "the recipe calls for flour butter sugar eggs"),
-        (8, "the weather tomorrow looks cold wet windy grim"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa one"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa two"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa three"),
+        (4, "the quick brown fox ate my homework yesterday"),
+        (5, "the quick brown cat slept on warm windowsills"),
+        (6, "the quick brown dog chased seven striped squirrels"),
+        (7, "the quick brown owl watched silent midnight fields"),
+        (8, "the quick brown elk crossed frozen northern rivers"),
     ]
+    num, den = 4, 5
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
-    cand, _ = setsim_prefix_candidates(docs)
+    cand, _ = setsim_prefix_candidates(docs, num, den)
     n_cand = cand.count()
-    naive_pairs = len(list(combinations(rows, 2)))  # every pair shares 'the'
-    assert n_cand < naive_pairs
 
-    got = {
-        (r.doc_a, r.doc_b, r.common)
-        for r in setsim_join(docs).collect()
-    }
-    sets = {d: set(t.lower().split()) for d, t in rows}
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = {d: sh(t) for d, t in rows}
+    naive = sum(
+        1 for (a, _), (b, _) in combinations(rows, 2) if sets[a] & sets[b]
+    )
+    # docs 4-8 pairwise share 'the quick brown'/'quick brown <x>'-free
+    # hot shingle -> 10 naive pairs + 3 cluster pairs = 13 naive
+    assert naive > 3
+    assert n_cand < naive
+
+    got = {(r.doc_a, r.doc_b, r.common) for r in setsim_join(docs, num, den).collect()}
     want = set()
-    for (da, ta), (db, tb) in combinations(sets.items(), 2):
+    for (da, _), (db, _) in combinations(rows, 2):
         a, b = (da, db) if da < db else (db, da)
         c = len(sets[a] & sets[b])
-        u = len(sets[a] | sets[b])
-        if c * (SETSIM_TAU_NUM + SETSIM_TAU_DEN) >= SETSIM_TAU_NUM * (
-            len(sets[a]) + len(sets[b])
-        ):
+        if c * (num + den) >= num * (len(sets[a]) + len(sets[b])):
             want.add((a, b, c))
+    assert want  # the cluster pairs qualify
     assert got == want
 
 
