@@ -1092,3 +1092,75 @@ def _item_cf_sql() -> str:
 
 ITEM_CF_SQL = _item_cf_sql()
 # item_cf registers in operators/overflow.py (post-budget).
+
+
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per converting user, hours from
+    FIRST view to the first purchase AT OR AFTER it, summarized per
+    signup-month cohort (n users, mean / min / max hours, conversion
+    count <= cohort size). The funnel's latency companion — funnel_
+    conversion says how many convert, this says how fast. Two user-
+    grain conditional aggs + one cohort agg; the purchase-after-view
+    constraint is a conditional MIN (min ts among purchases >= first
+    view), not a join — the whole readout is two shuffles on user_id.
+    Hours are integer epoch-MILLISECOND differences divided by 3.6e6
+    (unix_millis / epoch_ms agree exactly; second-level functions
+    disagree on sub-second truncation) and rounded: bit-stable
+    cross-engine."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+    )
+    # second pass: first purchase at/after the first view (conditional
+    # on the per-user anchor, so join the 1-col anchor back — user-key
+    # partitioned, no fan-out: one row per user each side)
+    purch = (
+        events.where(F.col("event_type") == "purchase")
+        .join(per_user.where(F.col("first_view").isNotNull()), "user_id")
+        .where(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"), F.min("first_view").alias("fv"),
+             F.min("first_signup").alias("fs"))
+    )
+    hours = purch.select(
+        F.coalesce(F.date_format("fs", "yyyy-MM"), F.lit("no_signup")).alias("cohort"),
+        (
+            (F.unix_millis("first_purchase") - F.unix_millis("fv"))
+            / F.lit(3600000.0)
+        ).alias("h"),
+    )
+    return hours.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.avg("h") + 1e-9, 4).alias("mean_hours"),
+        F.round(F.min("h") + 1e-9, 4).alias("min_hours"),
+        F.round(F.max("h") + 1e-9, 4).alias("max_hours"),
+    )
+
+
+TIME_TO_CONVERT_SQL = """
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup
+        FROM events GROUP BY user_id
+    ),
+    purch AS (
+        SELECT e.user_id, min(e.ts) AS first_purchase,
+               min(p.first_view) AS fv, min(p.first_signup) AS fs
+        FROM events e JOIN per_user p ON e.user_id = p.user_id
+        WHERE e.event_type = 'purchase' AND p.first_view IS NOT NULL
+              AND e.ts >= p.first_view
+        GROUP BY e.user_id
+    ),
+    hours AS (
+        SELECT coalesce(strftime(fs, '%Y-%m'), 'no_signup') AS cohort,
+               (epoch_ms(first_purchase) - epoch_ms(fv)) / 3600000.0 AS h
+        FROM purch
+    )
+    SELECT cohort, CAST(count(*) AS BIGINT) AS n_converted,
+           round(avg(h) + 1e-9, 4) AS mean_hours,
+           round(min(h) + 1e-9, 4) AS min_hours,
+           round(max(h) + 1e-9, 4) AS max_hours
+    FROM hours GROUP BY cohort
+"""

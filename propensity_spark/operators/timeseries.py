@@ -842,3 +842,71 @@ PERIOD_GROWTH_SQL = """
     FROM weekly
     WINDOW w AS (PARTITION BY brand ORDER BY week_num)
 """
+
+
+def q_open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval counting WITHOUT a per-day explode: each
+    order is 'open' from o_orderdate to its last lineitem shipdate;
+    the day-level open count is the running sum of +1/-1 boundary
+    deltas — two rows per order instead of |interval| rows (the
+    classic sweep-line rewrite; an order open 60 days costs 2 delta
+    rows, not 60 joined ones). One fact-fact join (orderkey), one
+    day agg, one day-ordered running window over ~|days| rows.
+    Output is the sparse change-day series (constant between change
+    days; compose with gapfill_revenue's calendar spine to densify)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        li.groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("close_day"))
+        .join(
+            orders.select("o_orderkey", F.to_date("o_orderdate").alias("open_day")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    deltas = spans.select(
+        F.col("open_day").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(
+            F.date_add("close_day", 1).alias("day"), F.lit(-1).alias("delta")
+        )
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_opened"),
+        F.sum(F.when(F.col("delta") == -1, 1).otherwise(0)).alias("n_closed"),
+        F.sum("delta").alias("net"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        F.col("n_opened").cast("bigint").alias("n_opened"),
+        F.col("n_closed").cast("bigint").alias("n_closed"),
+        F.sum("net").over(w).cast("bigint").alias("open_orders"),
+    )
+
+
+OPEN_ORDERS_SQL = """
+    WITH spans AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS open_day,
+               max(CAST(l.l_shipdate AS DATE)) AS close_day
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+        SELECT open_day AS day, 1 AS delta FROM spans
+        UNION ALL
+        SELECT close_day + INTERVAL 1 DAY, -1 FROM spans
+    ),
+    daily AS (
+        SELECT CAST(day AS DATE) AS day,
+               sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_opened,
+               sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS n_closed,
+               sum(delta) AS net
+        FROM deltas GROUP BY 1
+    )
+    SELECT day, CAST(n_opened AS BIGINT) AS n_opened,
+           CAST(n_closed AS BIGINT) AS n_closed,
+           CAST(sum(net) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS open_orders
+    FROM daily
+"""
