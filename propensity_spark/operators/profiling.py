@@ -480,3 +480,95 @@ CORR_SQL = (
     + "\n)"
 )
 # q_corr_matrix registers in operators/overflow.py.
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: record_linkage's blocked
+    edit-distance pairs become an undirected graph, large-star/
+    small-star connected components merge transitive matches
+    ('small ring' ~ 'small king' ~ 'small kind' collapse even when
+    the outer pair exceeds the distance cap), and each cluster is
+    canonicalized to its MIN NAME with member/row rollups. Names ride
+    the CC loop as 48-bit md5 ids (the loop's convergence signature
+    sums node ids, so string labels stay outside it); canonical
+    selection happens on the original strings, so the id mapping
+    never leaks into the result. Only linked names appear (singletons
+    are the uninteresting ~100%)."""
+    from propensity_spark.operators.graph import cut_lineage
+    from propensity_spark.text.dedup import connected_components
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    pairs = record_linkage(part, "p_name", LINKAGE_MAX_DIST).select(
+        "name_a", "name_b"
+    )
+    mid = "cast(conv(substr(md5(cast(name as binary)), 1, 12), 16, 10) as bigint)"
+    ids = names.select("name", F.expr(mid).alias("nid"))
+    edges = (
+        pairs.join(ids.selectExpr("name AS name_a", "nid AS ua"), "name_a")
+        .join(ids.selectExpr("name AS name_b", "nid AS ub"), "name_b")
+        .select("ua", "ub")
+    )
+    comp = connected_components(cut_lineage(edges))
+    # CC emits (node, component) with roots absent (a root's component
+    # is itself) — reattach every linked node via coalesce, the
+    # q_dedup_components pattern.
+    linked = edges.selectExpr("ua AS nid").union(edges.selectExpr("ub")).distinct()
+    comp = linked.join(comp, linked.nid == comp.node, "leftouter").select(
+        F.col("nid").alias("node"),
+        F.coalesce("component", "nid").alias("component"),
+    )
+    members = comp.join(ids, comp.node == ids.nid).select("name", "component")
+    canon = members.groupBy("component").agg(F.min("name").alias("canonical"))
+    sized = (
+        members.join(canon, "component")
+        .join(names, "name")
+        .select("name", "canonical", "n_rows")
+    )
+    rollup = sized.groupBy("canonical").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.sum("n_rows").alias("cluster_rows"),
+    )
+    return sized.join(rollup, "canonical").select(
+        "name",
+        "canonical",
+        F.col("cluster_size").cast("int").alias("cluster_size"),
+        F.col("cluster_rows").cast("bigint").alias("cluster_rows"),
+    )
+
+
+ENTITY_RESOLUTION_SQL = f"""
+    WITH RECURSIVE lpairs AS ({LINKAGE_SQL}),
+    names AS (
+        SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_rows
+        FROM part GROUP BY p_name
+    ),
+    nodes AS (
+        SELECT DISTINCT name FROM (
+            SELECT name_a AS name FROM lpairs
+            UNION ALL SELECT name_b FROM lpairs
+        )
+    ),
+    edges AS (
+        SELECT name_a AS u, name_b AS v FROM lpairs
+        UNION SELECT name_b, name_a FROM lpairs
+    ),
+    reach(src, dst) AS (
+        SELECT name, name FROM nodes
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ),
+    members AS (
+        SELECT src AS name, min(dst) AS canonical FROM reach GROUP BY src
+    ),
+    rollup AS (
+        SELECT m.canonical, CAST(count(*) AS INT) AS cluster_size,
+               CAST(sum(n.n_rows) AS BIGINT) AS cluster_rows
+        FROM members m JOIN names n ON m.name = n.name
+        GROUP BY m.canonical
+    )
+    SELECT m.name, m.canonical, r.cluster_size, r.cluster_rows
+    FROM members m JOIN rollup r ON m.canonical = r.canonical
+"""

@@ -910,3 +910,79 @@ OPEN_ORDERS_SQL = """
                 PRECEDING AND CURRENT ROW) AS BIGINT) AS open_orders
     FROM daily
 """
+
+
+CCF_MAX_LAG = 7
+
+
+def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the daily click series and
+    the daily purchase series at lags -7..7: ccf(k) = sum(dx_t *
+    dy_{t+k}) / sqrt(ss_x * ss_y) — positive-lag peaks mean clicks
+    LEAD purchases by k days (the do-clicks-drive-sales diagnostic
+    that pairs with autocorrelation's within-series one). Means are
+    rounded pre-subtraction (CUSUM precedent); the lag match joins on
+    the calendar day, so gap days thin the estimate honestly. One
+    day-grain agg + one 15-way explode + one self-join on day — all
+    tiny next to the upstream event scan, which is one pass."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count_if(F.col("event_type") == "click").cast("double").alias("x"),
+        F.count_if(F.col("event_type") == "purchase").cast("double").alias("y"),
+    )
+    stats = daily.agg(
+        F.round(F.avg("x") + 1e-9, 4).alias("mx"),
+        F.round(F.avg("y") + 1e-9, 4).alias("my"),
+    )
+    dev = daily.crossJoin(F.broadcast(stats)).select(
+        "day", (F.col("x") - F.col("mx")).alias("dx"), (F.col("y") - F.col("my")).alias("dy")
+    )
+    ss = dev.agg(
+        F.sum(F.expr("dx * dx")).alias("ssx"), F.sum(F.expr("dy * dy")).alias("ssy")
+    )
+    lagged = dev.select(
+        F.explode(F.expr(f"sequence({-CCF_MAX_LAG}, {CCF_MAX_LAG})")).alias("lag"),
+        F.col("day").alias("d0"),
+        "dx",
+    ).withColumn("d1", F.expr("date_add(d0, lag)"))
+    fut = dev.select(F.col("day").alias("d1"), "dy")
+    pairs = lagged.join(fut, "d1")
+    return (
+        pairs.groupBy("lag")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum(F.expr("dx * dy")).alias("num"))
+        .crossJoin(F.broadcast(ss))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.round(F.expr("num / sqrt(ssx * ssy)") + 1e-9, 6).alias("ccf"),
+        )
+    )
+
+
+CCF_SQL = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(count(*) FILTER (event_type = 'click') AS DOUBLE) AS x,
+               CAST(count(*) FILTER (event_type = 'purchase') AS DOUBLE) AS y
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT round(avg(x) + 1e-9, 4) AS mx,
+               round(avg(y) + 1e-9, 4) AS my
+        FROM daily
+    ),
+    dev AS (
+        SELECT day, x - mx AS dx, y - my AS dy FROM daily CROSS JOIN stats
+    ),
+    ss AS (SELECT sum(dx * dx) AS ssx, sum(dy * dy) AS ssy FROM dev),
+    pairs AS (
+        SELECT l.lag, a.dx, b.dy
+        FROM dev a
+        CROSS JOIN (SELECT unnest(range({-CCF_MAX_LAG}, {CCF_MAX_LAG + 1})) AS lag) l
+        JOIN dev b ON b.day = a.day + CAST(l.lag AS INT)
+    )
+    SELECT CAST(p.lag AS INT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum(p.dx * p.dy) / sqrt(s.ssx * s.ssy) + 1e-9, 6) AS ccf
+    FROM pairs p CROSS JOIN ss s
+    GROUP BY p.lag, s.ssx, s.ssy
+"""
