@@ -752,3 +752,83 @@ def _semdedup_sql() -> str:
 SEMDEDUP_SQL = _semdedup_sql()
 # Registered via operators/overflow.py (post-budget) so the driver's
 # first-50 gate entries stay stable round over round.
+
+
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label: for each
+    vector, a = distance to its own label centroid, b = distance to
+    the nearest OTHER centroid, s = (b - a) / max(a, b) — the
+    clustering-quality readout for the label structure the ANN/
+    semdedup operators exploit (Rousseeuw 1987, centroid form = the
+    'simplified silhouette' used at scale since per-point pairwise a
+    is quadratic). Centroid components are rounded to 6dp BEFORE the
+    distance pass so float-summation order in the mean can never
+    drift a distance across engines. Work: one posexplode agg for
+    centroids (label x dim grain), one broadcast of k centroid rows,
+    one map-side distance pass, one label rollup — never a
+    point-to-point join."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr(_vec("embedding")).alias("v")
+    )
+    cents = (
+        emb.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val") + 1e-9, 6).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)").alias("c")
+        )
+        .selectExpr("label AS clabel", "c")
+    )
+    dist = F.expr(
+        "sqrt(aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
+    per_point = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "label", F.col("clabel"), dist.alias("d"))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.min(F.when(F.col("label") == F.col("clabel"), F.col("d"))).alias("a"),
+            F.min(F.when(F.col("label") != F.col("clabel"), F.col("d"))).alias("b"),
+        )
+    )
+    s = (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    return per_point.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(s) + 1e-9, 6).alias("mean_silhouette"),
+        F.round(F.min(s) + 1e-9, 6).alias("min_silhouette"),
+        F.round(F.avg("a") + 1e-9, 6).alias("mean_intra_dist"),
+    )
+
+
+SILHOUETTE_SQL = f"""
+    WITH emb AS ({_EMB}),
+    cents AS (
+        SELECT label AS clabel, list(m ORDER BY pos) AS c
+        FROM (
+            SELECT label, pos, round(avg(val) + 1e-9, 6) AS m
+            FROM (
+                SELECT label, generate_subscripts(v, 1) - 1 AS pos,
+                       unnest(v) AS val
+                FROM emb
+            ) GROUP BY label, pos
+        ) GROUP BY label
+    ),
+    per_point AS (
+        SELECT e.vec_id, e.label,
+               min(CASE WHEN e.label = c.clabel THEN
+                   sqrt(list_sum(list_transform(list_zip(e.v, c.c),
+                        t -> (t[1] - t[2]) * (t[1] - t[2])))) END) AS a,
+               min(CASE WHEN e.label <> c.clabel THEN
+                   sqrt(list_sum(list_transform(list_zip(e.v, c.c),
+                        t -> (t[1] - t[2]) * (t[1] - t[2])))) END) AS b
+        FROM emb e CROSS JOIN cents c
+        GROUP BY e.vec_id, e.label
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg((b - a) / greatest(a, b)) + 1e-9, 6) AS mean_silhouette,
+           round(min((b - a) / greatest(a, b)) + 1e-9, 6) AS min_silhouette,
+           round(avg(a) + 1e-9, 6) AS mean_intra_dist
+    FROM per_point GROUP BY label
+"""
