@@ -832,3 +832,150 @@ SILHOUETTE_SQL = f"""
            round(avg(a) + 1e-9, 6) AS mean_intra_dist
     FROM per_point GROUP BY label
 """
+
+
+# --------------------------------------------------------------------------
+# Top principal component by distributed power iteration — the linear-
+# algebra sibling of pagerank's power iteration: state is the d-vector
+# v, each step is one scan computing w = X^T (X v) via (pos, val)
+# explode + aggregate, and per-step 9dp rounding of v makes the whole
+# trajectory bit-identical to the oracle's sequential arithmetic (the
+# pagerank 12dp precedent, tightened because the matrix products sum
+# |rows| x d float terms). The driver holds only the d-vector between
+# steps (a bounded collect, like the pagerank bounds row) — embedding
+# rows are scanned, never collected.
+PCA_ITERS = 8
+
+
+def power_iteration_pc1(emb: DataFrame, iters: int = PCA_ITERS):
+    """Returns (loadings_df, lam, explained) for the top principal
+    component of the CENTERED embedding matrix: loadings as (pos,
+    loading) rows, the eigenvalue lam = mean squared projection, and
+    explained = lam / total variance. Sign is canonicalized (first
+    loading of largest |value| positive... simply: loading at pos of
+    max abs made positive) so the eigenvector's inherent sign freedom
+    can't flip between engines."""
+    spark = emb.sparkSession
+    dev = emb.select(
+        "vec_id", F.posexplode(F.expr(_vec("embedding"))).alias("pos", "val")
+    )
+    means = dev.groupBy("pos").agg(F.round(F.avg("val") + 1e-9, 6).alias("mu"))
+    dev = (
+        dev.join(F.broadcast(means), "pos")
+        .select("vec_id", "pos", (F.col("val") - F.col("mu")).alias("val"))
+        .cache()
+    )
+    d = dev.agg(F.max("pos")).collect()[0][0] + 1
+    import math
+
+    v = [round(1.0 / math.sqrt(d), 9)] * d
+    for _ in range(iters):
+        vlit = "array({})".format(",".join(repr(x) for x in v))
+        dots = dev.groupBy("vec_id").agg(
+            F.round(F.sum(F.col("val") * F.expr(vlit)[F.col("pos")]) + 1e-12, 9).alias("dot")
+        )
+        w = (
+            dev.join(dots, "vec_id")
+            .groupBy("pos")
+            .agg(F.round(F.sum(F.col("val") * F.col("dot")) + 1e-12, 9).alias("w"))
+            .orderBy("pos")
+            .collect()
+        )
+        wv = [r.w for r in w]
+        norm = math.sqrt(sum(x * x for x in wv))
+        v = [round(x / norm, 9) for x in wv]
+    vlit = "array({})".format(",".join(repr(x) for x in v))
+    stats = (
+        dev.groupBy("vec_id")
+        .agg(
+            F.sum(F.col("val") * F.expr(vlit)[F.col("pos")]).alias("dot"),
+            F.sum(F.col("val") * F.col("val")).alias("ss"),
+        )
+        .agg(
+            (F.sum(F.col("dot") * F.col("dot")) / F.count(F.lit(1))).alias("lam"),
+            (F.sum("ss") / F.count(F.lit(1))).alias("tot"),
+        )
+        .collect()[0]
+    )
+    dev.unpersist()
+    # canonical sign: make the max-|loading| coordinate positive
+    pivot = max(range(d), key=lambda i: (abs(v[i]), -i))
+    if v[pivot] < 0:
+        v = [-x for x in v]
+    return v, float(stats.lam), float(stats.lam) / float(stats.tot)
+
+
+def q_pca_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: top principal component of the embedding corpus —
+    (pos, loading) rows plus a summary row carrying the eigenvalue
+    and explained-variance share."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v, lam, expl = power_iteration_pc1(emb)
+    rows = [("loading", i, round(x + 1e-9, 6)) for i, x in enumerate(v)]
+    rows.append(("eigenvalue", -1, round(lam + 1e-9, 6)))
+    rows.append(("explained_share", -2, round(expl + 1e-9, 6)))
+    return spark.createDataFrame(rows, ["section", "pos", "value"])
+
+
+def _pca_sql() -> str:
+    import math
+
+    d = 64
+    v0 = round(1.0 / math.sqrt(d), 9)
+    steps = []
+    prev = "v0"
+    for i in range(1, PCA_ITERS + 1):
+        steps.append(f"""dots{i} AS MATERIALIZED (
+        SELECT vec_id, round(sum(dev.val * v.m) + 1e-12, 9) AS dot
+        FROM dev JOIN {prev} v ON dev.pos = v.pos
+        GROUP BY vec_id
+    ),
+    w{i} AS MATERIALIZED (
+        SELECT dev.pos, round(sum(dev.val * d.dot) + 1e-12, 9) AS w
+        FROM dev JOIN dots{i} d ON dev.vec_id = d.vec_id
+        GROUP BY dev.pos
+    ),
+    n{i} AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nrm FROM w{i}),
+    v{i} AS MATERIALIZED (SELECT pos, round(w / nrm, 9) AS m FROM w{i}, n{i})""")
+        prev = f"v{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH raw AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    means AS (
+        SELECT pos, round(avg(val) + 1e-9, 6) AS mu FROM raw GROUP BY pos
+    ),
+    dev AS MATERIALIZED (
+        SELECT r.vec_id, r.pos, r.val - m.mu AS val
+        FROM raw r JOIN means m ON r.pos = m.pos
+    ),
+    v0 AS MATERIALIZED (SELECT pos, {v0!r} AS m FROM (SELECT DISTINCT pos FROM dev)),
+    {chain},
+    fdots AS (
+        SELECT vec_id, sum(dev.val * v.m) AS dot
+        FROM dev JOIN {prev} v ON dev.pos = v.pos GROUP BY vec_id
+    ),
+    fss AS (SELECT vec_id, sum(val * val) AS ss FROM dev GROUP BY vec_id),
+    summary AS (
+        SELECT sum(d.dot * d.dot) / count(*) AS lam,
+               sum(s.ss) / count(*) AS tot
+        FROM fdots d JOIN fss s ON d.vec_id = s.vec_id
+    ),
+    sgnrow AS (
+        SELECT CASE WHEN m < 0 THEN -1.0 ELSE 1.0 END AS sgn
+        FROM {prev} ORDER BY abs(m) DESC, pos ASC LIMIT 1
+    )
+    SELECT 'loading' AS section, CAST(v.pos AS INT) AS pos,
+           round(v.m * p.sgn + 1e-9, 6) AS value
+    FROM {prev} v CROSS JOIN sgnrow p
+    UNION ALL
+    SELECT 'eigenvalue', -1, round(lam + 1e-9, 6) FROM summary
+    UNION ALL
+    SELECT 'explained_share', -2, round(lam / tot + 1e-9, 6) FROM summary
+"""
+
+
+PCA_SQL = _pca_sql()

@@ -1130,3 +1130,28 @@ def test_pareto_frontier_matches_brute_force_dominance(spark, tmp_path):
         if not dominated:
             want[(round(p, 2), s)] = n
     assert got == want
+
+
+def test_pca_power_iteration_recovers_dominant_direction(spark):
+    """Power iteration vs numpy's eigendecomposition on an anisotropic
+    cloud: loadings align (|cos| > 0.99) and the explained share is
+    right."""
+    import numpy as np
+
+    from propensity_spark.vector.similarity import power_iteration_pc1
+
+    rng = np.random.default_rng(11)
+    d = 8
+    base = rng.normal(size=(300, d))
+    base[:, 2] *= 6.0  # dominant axis
+    rows = [(i, [float(x) for x in base[i]], 0) for i in range(300)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    v, lam, expl = power_iteration_pc1(emb)
+    x = base - base.mean(axis=0)
+    cov = x.T @ x / len(x)
+    w, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    cos = abs(float(np.dot(v, top)) / (np.linalg.norm(v) * np.linalg.norm(top)))
+    assert cos > 0.99
+    assert abs(lam - w[-1]) / w[-1] < 0.02
+    assert abs(expl - w[-1] / w.sum()) < 0.02
