@@ -1285,3 +1285,98 @@ REVENUE_CONCENTRATION_SQL = f"""
                  / sum(rev) OVER () + 1e-9, 6) AS cum_rev_share
     FROM g
 """
+
+
+FUNNEL_WINDOW_HOURS = 24
+
+
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-style windowFunnel: the deepest prefix of the
+    ORDERED sequence view -> click -> purchase each user completes
+    with every step inside FUNNEL_WINDOW_HOURS of the first view.
+    Funnel_conversion counts unordered participation; this demands
+    order AND a deadline. Steps resolve as chained conditional MINs
+    (first view; first click at/after it within the window; first
+    purchase at/after THAT click within the window) — two user-grain
+    joins of 1-row-per-user frames, no event fan-out. Millisecond
+    epoch arithmetic (the time_to_convert precedent). Output: one row
+    per funnel depth with user counts and conversion share of step 1."""
+    events = load_table(spark, sf_dir, "events")
+    win_ms = FUNNEL_WINDOW_HOURS * 3600 * 1000
+    v = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_millis("ts")).alias("t1"))
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.unix_millis("ts") >= F.col("t1"))
+            & (F.unix_millis("ts") <= F.col("t1") + win_ms)
+        )
+        .groupBy("user_id")
+        .agg(F.min(F.unix_millis("ts")).alias("t2"), F.min("t1").alias("t1b"))
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.unix_millis("ts") >= F.col("t2"))
+            & (F.unix_millis("ts") <= F.col("t1b") + win_ms)
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n")).select(F.lit(1).alias("depth"), "n")
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("n")).select(F.lit(2).alias("depth"), "n")
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("n")).select(F.lit(3).alias("depth"), "n")
+        )
+    )
+    base = Window.partitionBy()
+    return counts.select(
+        F.col("depth").cast("int").alias("depth"),
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(
+            F.col("n") / F.max(F.when(F.col("depth") == 1, F.col("n"))).over(base)
+            + 1e-9,
+            6,
+        ).alias("share_of_step1"),
+    )
+
+
+WINDOW_FUNNEL_SQL = f"""
+    WITH v AS (
+        SELECT user_id, min(epoch_ms(ts)) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(epoch_ms(e.ts)) AS t2, min(v.t1) AS t1b
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND epoch_ms(e.ts) >= v.t1
+          AND epoch_ms(e.ts) <= v.t1 + {FUNNEL_WINDOW_HOURS * 3600 * 1000}
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_ms(e.ts) >= c.t2
+          AND epoch_ms(e.ts) <= c.t1b + {FUNNEL_WINDOW_HOURS * 3600 * 1000}
+        GROUP BY e.user_id
+    ),
+    counts AS (
+        SELECT 1 AS depth, count(*) AS n FROM v
+        UNION ALL SELECT 2, count(*) FROM c
+        UNION ALL SELECT 3, count(*) FROM p
+    )
+    SELECT CAST(depth AS INT) AS depth, CAST(n AS BIGINT) AS n_users,
+           round(n * 1.0 / max(CASE WHEN depth = 1 THEN n END) OVER ()
+                 + 1e-9, 6) AS share_of_step1
+    FROM counts
+"""

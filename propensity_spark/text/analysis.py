@@ -1650,3 +1650,79 @@ POSTINGS_SQL = f"""
     HAVING count(*) >= {POSTINGS_MIN_DF}
 """
 # build_postings registers in operators/overflow.py (post-budget).
+
+
+ZIPF_MIN_FREQ = 2
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token-frequency distribution:
+    slope of ln(freq) on ln(rank) over tokens ranked by (freq desc,
+    token) — a healthy natural-language corpus sits near -1; template
+    or synthetic text flattens toward 0 (THIS corpus's 31-token
+    vocabulary is the diagnostic's poster child). One token count agg
+    + one global rank window over |vocab| rows + regr_* aggregates —
+    the data-sized work is the first agg. Reports slope, r2, vocab
+    size, and the top token share."""
+    docs = load_table(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(
+            F.explode(
+                F.expr("filter(split(lower(text), ' '), w -> length(w) >= 1)")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") >= ZIPF_MIN_FREQ)
+    )
+    w = Window.orderBy(F.desc("freq"), "token")
+    ranked = freqs.withColumn("rank", F.row_number().over(w))
+    tot = ranked.agg(
+        F.sum("freq").alias("total"), F.max(F.when(F.col("rank") == 1, F.col("freq"))).alias("top")
+    )
+    return (
+        ranked.select(
+            F.log(F.col("rank").cast("double")).alias("lr"),
+            F.log(F.col("freq").cast("double")).alias("lf"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.round(F.expr("regr_slope(lf, lr)") + 1e-9, 6).alias("zipf_slope"),
+            F.round(F.expr("regr_r2(lf, lr)") + 1e-9, 6).alias("r2"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("vocab_size").cast("bigint").alias("vocab_size"),
+            "zipf_slope",
+            "r2",
+            F.round(F.col("top") / F.col("total") + 1e-9, 6).alias("top_token_share"),
+        )
+    )
+
+
+ZIPF_SQL = f"""
+    WITH freqs AS (
+        SELECT token, count(*) AS freq
+        FROM (
+            SELECT unnest(list_filter(string_split(lower(text), ' '),
+                          w -> len(w) >= 1)) AS token
+            FROM documents
+        ) GROUP BY token
+        HAVING count(*) >= {ZIPF_MIN_FREQ}
+    ),
+    ranked AS (
+        SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank
+        FROM freqs
+    ),
+    tot AS (
+        SELECT sum(freq) AS total,
+               max(CASE WHEN rank = 1 THEN freq END) AS top
+        FROM ranked
+    )
+    SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+           round(regr_slope(ln(freq), ln(rank)) + 1e-9, 6) AS zipf_slope,
+           round(regr_r2(ln(freq), ln(rank)) + 1e-9, 6) AS r2,
+           round(any_value(t.top) * 1.0 / any_value(t.total) + 1e-9, 6)
+               AS top_token_share
+    FROM ranked CROSS JOIN tot t
+"""
