@@ -837,3 +837,107 @@ def _train_score_oracle() -> str:
 
 
 ORACLES: dict[str, str] = {"train_score_propensity": _train_score_oracle()}
+
+
+NEG_SAMPLES_PER_POS = 3
+
+
+def negative_sample(
+    positives: DataFrame, catalog: DataFrame, k: int = NEG_SAMPLES_PER_POS
+) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training
+    sets: for each user with positives, draw k candidate negatives
+    by hashing (user, slot) onto a DENSE-RANKED item index, then
+    anti-filter any accidental positives (so per-user negative counts
+    can fall below k for heavy users — deterministic, never resampled,
+    matching how the draw behaves at refresh time). Map-side explode +
+    one broadcast index join + one user-keyed anti join; no RNG state,
+    so daily rebuilds are append-stable (the split_by_hash property).
+    Returns (user, item, label) with positives at label 1."""
+    items = (
+        catalog.select(F.col(catalog.columns[0]).alias("item"))
+        .distinct()
+        .withColumn(
+            "idx",
+            F.row_number().over(Window.orderBy("item")) - 1,
+        )
+    )
+    n_items = items.count()
+    pos = positives.select(
+        F.col(positives.columns[0]).alias("user"),
+        F.col(positives.columns[1]).alias("item"),
+    ).distinct()
+    draws = pos.select("user").distinct().select(
+        "user", F.explode(F.expr(f"sequence(0, {k - 1})")).alias("slot")
+    ).withColumn(
+        "idx",
+        F.expr(
+            "cast(conv(substr(md5(cast(concat(cast(user as string), ':',"
+            " cast(slot as string)) as binary)), 1, 12), 16, 10) as bigint)"
+        )
+        % n_items,
+    )
+    negs = (
+        draws.join(F.broadcast(items), "idx")
+        .select("user", "item")
+        .distinct()
+        .join(pos, ["user", "item"], "left_anti")
+    )
+    return pos.withColumn("label", F.lit(1)).unionByName(
+        negs.withColumn("label", F.lit(0))
+    )
+
+
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: per-household brand positives from silver plus 3
+    deterministic hashed negatives per household, at row grain
+    (user, item, label) — the implicit-feedback training table."""
+    from propensity_spark.io import load_table
+    from propensity_spark.operators.relational import brand_dim, silver_transactions
+
+    silver = silver_transactions(spark, sf_dir)
+    pos = (
+        silver.join(F.broadcast(brand_dim(spark, sf_dir)), "product_id")
+        .select(
+            F.col("household_key").alias("user"),
+            F.col("commodity_desc").alias("item"),
+        )
+        .distinct()
+    )
+    cat = load_table(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("item")
+    )
+    return negative_sample(pos, cat)
+
+
+NEGATIVE_SAMPLE_SQL = f"""
+    WITH pos AS (
+        SELECT DISTINCT o.o_custkey AS "user", p.p_brand AS item
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    items AS (
+        SELECT item, row_number() OVER (ORDER BY item) - 1 AS idx
+        FROM (SELECT DISTINCT p_brand AS item FROM part)
+    ),
+    n AS (SELECT count(*) AS n_items FROM items),
+    draws AS (
+        SELECT "user",
+               CAST(('0x' || substr(md5(CAST("user" AS VARCHAR) || ':'
+                    || CAST(slot AS VARCHAR)), 1, 12)) AS BIGINT)
+                   % (SELECT n_items FROM n) AS idx
+        FROM (SELECT DISTINCT "user" FROM pos),
+             (SELECT unnest(range(0, {NEG_SAMPLES_PER_POS})) AS slot)
+    ),
+    negs AS (
+        SELECT DISTINCT d."user", i.item
+        FROM draws d JOIN items i ON d.idx = i.idx
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pos p WHERE p."user" = d."user" AND p.item = i.item
+        )
+    )
+    SELECT "user", item, 1 AS label FROM pos
+    UNION ALL
+    SELECT "user", item, 0 FROM negs
+"""

@@ -1786,3 +1786,80 @@ PRICE_ELASTICITY_SQL = """
     FROM obs GROUP BY brand
     HAVING count(*) >= 30
 """
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median (and p25/p75) of unit price per
+    brand: the order statistic where half the UNITS sit below, not
+    half the rows — the right center for volume-skewed pricing.
+    Collapse to (brand, price) grains with summed weights, one
+    brand-partitioned running-weight window, pick the first grain
+    whose cumulative weight crosses each target (lower weighted
+    percentile; integer-exact crossing test: 2*cum >= total for the
+    median etc., no float quantile arithmetic). |grains| << |rows|,
+    so the sort-window runs on the collapsed table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    grains = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.round(F.col("l_extendedprice") / F.col("l_quantity") + 1e-6, 2).alias("price"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    )
+    win = Window.partitionBy("brand").orderBy("price")
+    tot = Window.partitionBy("brand")
+    cum = F.sum("w").over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    total = F.sum("w").over(tot)
+    marked = grains.select(
+        "brand",
+        "price",
+        cum.alias("cum"),
+        (cum - F.col("w")).alias("prev"),
+        total.alias("total"),
+    )
+    # first grain crossing q: prev*den < q_num*total AND cum*den >= q_num*total
+    def pick(num: int, den: int, name: str):
+        return F.max(
+            F.when(
+                (F.col("prev") * den < F.col("total") * num)
+                & (F.col("cum") * den >= F.col("total") * num),
+                F.col("price"),
+            )
+        ).alias(name)
+
+    return marked.groupBy("brand").agg(
+        F.max(F.col("total")).cast("bigint").alias("total_units"),
+        pick(1, 4, "wp25"),
+        pick(1, 2, "wmedian"),
+        pick(3, 4, "wp75"),
+    )
+
+
+WEIGHTED_MEDIAN_SQL = """
+    WITH grains AS (
+        SELECT p.p_brand AS brand,
+               round(l.l_extendedprice / l.l_quantity + 1e-6, 2) AS price,
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    marked AS (
+        SELECT brand, price,
+               sum(w) OVER (PARTITION BY brand ORDER BY price
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(w) OVER (PARTITION BY brand ORDER BY price
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w AS prev,
+               sum(w) OVER (PARTITION BY brand) AS total
+        FROM grains
+    )
+    SELECT brand, CAST(max(total) AS BIGINT) AS total_units,
+           max(CASE WHEN prev * 4 < total * 1 AND cum * 4 >= total * 1
+                    THEN price END) AS wp25,
+           max(CASE WHEN prev * 2 < total * 1 AND cum * 2 >= total * 1
+                    THEN price END) AS wmedian,
+           max(CASE WHEN prev * 4 < total * 3 AND cum * 4 >= total * 3
+                    THEN price END) AS wp75
+    FROM marked GROUP BY brand
+"""
