@@ -846,7 +846,10 @@ PERIOD_GROWTH_SQL = """
 
 def q_open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concurrent-interval counting WITHOUT a per-day explode: each
-    order is 'open' from o_orderdate to its last lineitem shipdate;
+    order is 'open' over its activity span [least, greatest] of
+    (o_orderdate, last lineitem shipdate) — the synthetic fixture
+    does not order ship after order dates, so the span is normalized
+    rather than assumed;
     the day-level open count is the running sum of +1/-1 boundary
     deltas — two rows per order instead of |interval| rows (the
     classic sweep-line rewrite; an order open 60 days costs 2 delta
@@ -863,6 +866,10 @@ def q_open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.select("o_orderkey", F.to_date("o_orderdate").alias("open_day")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
+    )
+    spans = spans.select(
+        F.least("open_day", "close_day").alias("open_day"),
+        F.greatest("open_day", "close_day").alias("close_day"),
     )
     deltas = spans.select(
         F.col("open_day").alias("day"), F.lit(1).alias("delta")
@@ -886,11 +893,16 @@ def q_open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OPEN_ORDERS_SQL = """
-    WITH spans AS (
+    WITH spans0 AS (
         SELECT CAST(o.o_orderdate AS DATE) AS open_day,
                max(CAST(l.l_shipdate AS DATE)) AS close_day
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    spans AS (
+        SELECT least(open_day, close_day) AS open_day,
+               greatest(open_day, close_day) AS close_day
+        FROM spans0
     ),
     deltas AS (
         SELECT open_day AS day, 1 AS delta FROM spans

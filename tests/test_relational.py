@@ -2193,3 +2193,91 @@ def test_quantile_normalize_grain_form_equals_row_windows(spark):
         ).collect()
     }
     assert grain_level == row_level
+
+
+def test_item_cf_matches_brute_force_cosine(spark):
+    """Top-k CF neighbours equal a literal-Python cosine over the
+    user-item count matrix, including rank tie-breaks."""
+    import math
+
+    from propensity_spark.operators.behavior import item_cf
+
+    rows = [
+        (1, "a", 3), (1, "b", 1), (2, "a", 2), (2, "b", 2), (2, "c", 1),
+        (3, "b", 4), (3, "c", 2), (4, "a", 1), (4, "c", 5), (5, "d", 2),
+    ]
+    df = spark.createDataFrame(rows, ["user", "item", "cnt"])
+    got = {(r.item, r.rec_rank): (r.rec, r.dot, r.cosine)
+           for r in item_cf(df, top_k=2).collect()}
+
+    vecs = {}
+    for u, i, c in rows:
+        vecs.setdefault(i, {})[u] = c
+    want = {}
+    for i in vecs:
+        scored = []
+        for j in vecs:
+            if i == j:
+                continue
+            dot = sum(vecs[i][u] * vecs[j].get(u, 0) for u in vecs[i])
+            if dot == 0:
+                continue
+            na = math.sqrt(sum(v * v for v in vecs[i].values()))
+            nb = math.sqrt(sum(v * v for v in vecs[j].values()))
+            scored.append((round(dot / (na * nb) + 1e-9, 6), j, dot))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (cos, j, dot) in enumerate(scored[:2], 1):
+            want[(i, rank)] = (j, dot, cos)
+    assert got == want
+
+
+def test_open_orders_matches_naive_interval_join(spark, sf_dir):
+    """The sweep-line open count equals the naive 'count intervals
+    covering each day' join on the smoke fixture."""
+    from pyspark.sql import functions as F
+
+    from propensity_spark.io import load_table
+    from propensity_spark.operators.timeseries import q_open_orders_daily
+
+    got = {r.day: r.open_orders for r in q_open_orders_daily(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        li.groupBy("l_orderkey").agg(F.max(F.to_date("l_shipdate")).alias("c0"))
+        .join(orders.select("o_orderkey", F.to_date("o_orderdate").alias("o0")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.least("o0", "c0").alias("o"), F.greatest("o0", "c0").alias("c"))
+    )
+    days = spark.createDataFrame([(d,) for d in got], ["day"])
+    naive = {
+        r.day: r.n
+        for r in days.join(
+            spans, (F.col("o") <= F.col("day")) & (F.col("c") >= F.col("day"))
+        ).groupBy("day").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for d, n in got.items():
+        assert naive.get(d, 0) == n
+
+
+def test_negative_sample_stable_and_leak_free(spark):
+    """Negatives never collide with positives, per-user counts are
+    bounded by k, and re-running (or appending an unrelated user)
+    never changes an existing user's draws."""
+    from propensity_spark.ml.training import negative_sample
+
+    pos_rows = [(1, "a"), (1, "b"), (2, "c"), (3, "a")]
+    cat_rows = [(x,) for x in "abcdefgh"]
+    pos = spark.createDataFrame(pos_rows, ["user", "item"])
+    cat = spark.createDataFrame(cat_rows, ["item"])
+    out = negative_sample(pos, cat, k=3).collect()
+    pset = set(pos_rows)
+    negs = {(r.user, r.item) for r in out if r.label == 0}
+    assert not (negs & pset)
+    from collections import Counter
+    per_user = Counter(u for u, _ in negs)
+    assert all(v <= 3 for v in per_user.values())
+    # append-stability: adding user 9 leaves users 1-3 draws unchanged
+    pos2 = spark.createDataFrame(pos_rows + [(9, "d")], ["user", "item"])
+    out2 = {(r.user, r.item, r.label) for r in negative_sample(pos2, cat, k=3).collect()
+            if r.user != 9}
+    assert out2 == {(r.user, r.item, r.label) for r in out}
