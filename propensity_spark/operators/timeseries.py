@@ -998,3 +998,166 @@ CCF_SQL = f"""
     FROM pairs p CROSS JOIN ss s
     GROUP BY p.lag, s.ssx, s.ssy
 """
+
+
+SEASONAL_Z_FLAG = 2.0
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week-adjusted anomaly scores on daily revenue: residual
+    = value - weekday mean (the seasonal normalizer), z = residual /
+    residual stddev, |z| >= 2 flagged. Composes seasonality_dow and
+    anomaly_mad's jobs into the screen you actually run — a Sunday
+    dip is only anomalous relative to SUNDAYS. Means and the stddev
+    are rounded pre-use (CUSUM precedent); weekday via integer
+    epoch-day % 7, immune to locale week-start conventions. Two
+    1-pass aggs + one broadcast 7-row join + one 1-row join."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value") + 1e-6, 2).alias("revenue")
+    ).withColumn(
+        "dow",
+        (F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7).cast("int"),
+    )
+    dowm = daily.groupBy("dow").agg(
+        F.round(F.avg("revenue") + 1e-9, 4).alias("dow_mean")
+    )
+    resid = daily.join(F.broadcast(dowm), "dow").withColumn(
+        "residual", F.col("revenue") - F.col("dow_mean")
+    )
+    sd = resid.agg(
+        F.round(F.stddev_samp("residual") + 1e-9, 4).alias("sd")
+    )
+    return resid.crossJoin(F.broadcast(sd)).select(
+        "day",
+        F.col("dow").alias("dow"),
+        "revenue",
+        F.round(F.col("dow_mean") + 1e-9, 4).alias("dow_mean"),
+        F.round(F.col("residual") / F.col("sd") + 1e-9, 4).alias("z"),
+        (F.abs(F.col("residual") / F.col("sd")) >= SEASONAL_Z_FLAG)
+        .cast("int")
+        .alias("is_anomaly"),
+    )
+
+
+SEASONAL_ANOMALY_SQL = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               round(sum(value) + 1e-6, 2) AS revenue,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                    AS INT) AS dow
+        FROM events GROUP BY 1, 3
+    ),
+    dowm AS (
+        SELECT dow, round(avg(revenue) + 1e-9, 4) AS dow_mean
+        FROM daily GROUP BY dow
+    ),
+    resid AS (
+        SELECT d.day, d.dow, d.revenue, m.dow_mean,
+               d.revenue - m.dow_mean AS residual
+        FROM daily d JOIN dowm m ON d.dow = m.dow
+    ),
+    sd AS (SELECT round(stddev_samp(residual) + 1e-9, 4) AS sd FROM resid)
+    SELECT day, dow, revenue, round(dow_mean + 1e-9, 4) AS dow_mean,
+           round(residual / sd + 1e-9, 4) AS z,
+           CAST(abs(residual / sd) >= {SEASONAL_Z_FLAG} AS INT) AS is_anomaly
+    FROM resid CROSS JOIN sd
+"""
+
+
+BACKTEST_TRAIN_FRAC_NUM = 4
+BACKTEST_TRAIN_FRAC_DEN = 5  # first 80% of days train, last 20% holdout
+
+
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest: fit the per-brand OLS daily-revenue trend on
+    the FIRST 80% of each brand's observed days (integer split on the
+    day-number span — no float boundary), score the holdout, report
+    per-brand MAPE / bias / n. The evaluation loop forecast_linear
+    implies but never closes. Train stats come from ONE conditional
+    regr_* agg (no second scan); holdout scoring is a broadcast join
+    of |brands| model rows."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    daily = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.datediff(
+                F.to_date("l_shipdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day_num"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + 1e-6,
+                2,
+            ).alias("revenue")
+        )
+    )
+    num, den = BACKTEST_TRAIN_FRAC_NUM, BACKTEST_TRAIN_FRAC_DEN
+    bounds = daily.groupBy("brand").agg(
+        F.min("day_num").alias("lo"), F.max("day_num").alias("hi")
+    ).select(
+        "brand",
+        (F.col("lo") + ((F.col("hi") - F.col("lo")) * num).cast("bigint") / den)
+        .cast("bigint")
+        .alias("cutoff"),
+    )
+    d2 = daily.join(F.broadcast(bounds), "brand")
+    model = d2.where(F.col("day_num") <= F.col("cutoff")).groupBy("brand").agg(
+        F.round(F.expr("regr_slope(revenue, day_num)") + 1e-9, 6).alias("slope"),
+        F.round(F.expr("regr_intercept(revenue, day_num)") + 1e-9, 4).alias("icept"),
+    )
+    hold = d2.where(F.col("day_num") > F.col("cutoff")).join(
+        F.broadcast(model), "brand"
+    )
+    err = hold.select(
+        "brand",
+        ((F.col("icept") + F.col("slope") * F.col("day_num")) - F.col("revenue")).alias("e"),
+        F.col("revenue").alias("y"),
+    )
+    return err.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_holdout"),
+        F.round(F.avg(F.abs(F.col("e") / F.col("y"))) + 1e-9, 6).alias("mape"),
+        F.round(F.avg("e") + 1e-9, 2).alias("mean_bias"),
+    )
+
+
+FORECAST_BACKTEST_SQL = f"""
+    WITH daily AS (
+        SELECT p_brand AS brand,
+               date_diff('day', DATE '1992-01-01',
+                         CAST(l_shipdate AS DATE)) AS day_num,
+               round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+                   AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT brand,
+               CAST(min(day_num)
+                    + ((max(day_num) - min(day_num))
+                       * {BACKTEST_TRAIN_FRAC_NUM})
+                      // {BACKTEST_TRAIN_FRAC_DEN} AS BIGINT) AS cutoff
+        FROM daily GROUP BY brand
+    ),
+    model AS (
+        SELECT d.brand,
+               round(regr_slope(revenue, day_num) + 1e-9, 6) AS slope,
+               round(regr_intercept(revenue, day_num) + 1e-9, 4) AS icept
+        FROM daily d JOIN bounds b ON d.brand = b.brand
+        WHERE d.day_num <= b.cutoff
+        GROUP BY d.brand
+    )
+    SELECT d.brand, CAST(count(*) AS BIGINT) AS n_holdout,
+           round(avg(abs((m.icept + m.slope * d.day_num - d.revenue)
+                         / d.revenue)) + 1e-9, 6) AS mape,
+           round(avg(m.icept + m.slope * d.day_num - d.revenue) + 1e-9, 2)
+               AS mean_bias
+    FROM daily d
+    JOIN bounds b ON d.brand = b.brand
+    JOIN model m ON d.brand = m.brand
+    WHERE d.day_num > b.cutoff
+    GROUP BY d.brand
+"""
