@@ -607,3 +607,104 @@ def _kcore_sql() -> str:
 
 KCORE_SQL = _kcore_sql()
 # kcore registers in operators/overflow.py (post-budget).
+
+
+BFS_MAX_HOPS = 4
+
+
+def bfs_hops(edges_sym: DataFrame, sources: DataFrame,
+             max_hops: int = BFS_MAX_HOPS,
+             checkpoint_dir: str | None = None) -> DataFrame:
+    """Multi-source BFS hop distance on a symmetric edge list: frontier
+    expansion with a min-hop accumulator, one join + one min-agg per
+    hop (the iterative-family member measuring REACH where pagerank
+    measures influence). Distances are exact for nodes within
+    max_hops; unreached nodes are absent. Each hop's frontier joins
+    the edge list on src — a hash equi-join at any scale — and the
+    visited set stays (node, hop)-minimal so state is bounded by
+    |reachable nodes|."""
+    visited = sources.select(F.col(sources.columns[0]).alias("node")).distinct().withColumn(
+        "hop", F.lit(0)
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges_sym, frontier.node == edges_sym.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+        )
+        nxt = cut_lineage(nxt, checkpoint_dir, eager=True)
+        visited = visited.unionByName(nxt)
+        visited = cut_lineage(visited, checkpoint_dir, eager=False)
+        frontier = nxt
+    return visited.select("node", F.col("hop").cast("int").alias("hop"))
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: hop distance from the top-degree part (the
+    co-purchase hub) over the part co-purchase graph — 'how many
+    cross-sell steps from the catalog's center is each product'."""
+    edges = _copurchase_part_edges(spark, sf_dir)
+    from propensity_spark.operators.graph import cut_lineage as _cl
+
+    edges = _cl(edges)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    hub = deg.orderBy(F.desc("d"), "src").limit(1).select("src")
+    return bfs_hops(edges, hub).select(
+        F.col("node").alias("part_id"), "hop"
+    )
+
+
+def _bfs_sql() -> str:
+    from propensity_spark.operators.extended import MAX_BASKET_ITEMS
+
+    hops = []
+    prev_vis = "v0"
+    for h in range(1, BFS_MAX_HOPS + 1):
+        hops.append(f"""f{h} AS MATERIALIZED (
+        SELECT DISTINCT e.dst AS node
+        FROM {"v0" if h == 1 else f"f{h - 1}"} f JOIN e0 e ON f.node = e.src
+        WHERE e.dst NOT IN (SELECT node FROM {prev_vis})
+    ),
+    v{h} AS MATERIALIZED (
+        SELECT node, hop FROM {prev_vis}
+        UNION ALL
+        SELECT node, {h} AS hop FROM f{h}
+    )""")
+        prev_vis = f"v{h}"
+    chain = ",\n    ".join(hops)
+    return f"""
+    WITH bi_all AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    bi AS MATERIALIZED (
+        SELECT * FROM bi_all WHERE b IN (
+            SELECT b FROM bi_all GROUP BY b
+            HAVING count(*) <= {MAX_BASKET_ITEMS}
+        )
+    ),
+    pairs AS (
+        SELECT a.i AS ia, b.i AS ib
+        FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+        GROUP BY 1, 2
+        HAVING count(*) >= {KCORE_MIN_COOCCUR}
+    ),
+    e0 AS MATERIALIZED (
+        SELECT ia AS src, ib AS dst FROM pairs
+        UNION ALL
+        SELECT ib, ia FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS d FROM e0 GROUP BY src),
+    v0 AS MATERIALIZED (
+        SELECT src AS node, 0 AS hop FROM deg
+        ORDER BY d DESC, src LIMIT 1
+    ),
+    {chain}
+    SELECT node AS part_id, CAST(hop AS INT) AS hop FROM {prev_vis}
+"""
+
+
+BFS_SQL = _bfs_sql()
+# bfs_hops registers in operators/overflow.py (post-budget).

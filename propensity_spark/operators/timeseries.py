@@ -1161,3 +1161,138 @@ FORECAST_BACKTEST_SQL = f"""
     WHERE d.day_num > b.cutoff
     GROUP BY d.brand
 """
+
+
+def q_mix_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume decomposition of week-over-week revenue change
+    per brand (the 'why did revenue move' BI decomposition):
+    delta_rev = volume_effect + price_effect + mix (cross) term,
+    with volume = d_units * price_prev (Laspeyres) and price =
+    units_prev * d_price, cross = d_units * d_price — the three sum
+    EXACTLY to delta_rev by construction, which the oracle hash
+    re-proves. Unit price is the weekly revenue/units ratio, so the
+    whole readout derives from one (brand, week) agg + one lag
+    window."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    weekly = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            (
+                F.datediff(
+                    F.to_date("l_shipdate"), F.lit("1992-01-01").cast("date")
+                ).cast("bigint")
+                / F.lit(7)
+            ).cast("bigint").alias("week_num"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + 1e-6,
+                2,
+            ).alias("rev"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("units"),
+        )
+        .withColumn("price", F.round(F.col("rev") / F.col("units") + 1e-9, 6))
+    )
+    w = Window.partitionBy("brand").orderBy("week_num")
+    d = weekly.select(
+        "brand",
+        F.col("week_num").cast("int").alias("week_num"),
+        "rev",
+        "units",
+        "price",
+        F.lag("rev").over(w).alias("rev_p"),
+        F.lag("units").over(w).alias("units_p"),
+        F.lag("price").over(w).alias("price_p"),
+    ).where(F.col("rev_p").isNotNull())
+    du = F.col("units") - F.col("units_p")
+    dp = F.col("price") - F.col("price_p")
+    return d.select(
+        "brand",
+        "week_num",
+        F.round(F.col("rev") - F.col("rev_p") + 1e-9, 2).alias("delta_rev"),
+        F.round(du * F.col("price_p") + 1e-9, 2).alias("volume_effect"),
+        F.round(F.col("units_p") * dp + 1e-9, 2).alias("price_effect"),
+        F.round(du * dp + 1e-9, 2).alias("cross_effect"),
+        F.round(
+            (F.col("rev") - F.col("rev_p"))
+            - (du * F.col("price_p") + F.col("units_p") * dp + du * dp)
+            + 1e-9,
+            2,
+        ).alias("residual"),
+    )
+
+
+MIX_DECOMPOSITION_SQL = """
+    WITH weekly AS (
+        SELECT p_brand AS brand,
+               CAST(date_diff('day', DATE '1992-01-01',
+                    CAST(l_shipdate AS DATE)) // 7 AS BIGINT) AS week_num,
+               round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS rev,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS units
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    ),
+    priced AS (
+        SELECT brand, week_num, rev, units,
+               round(rev / units + 1e-9, 6) AS price
+        FROM weekly
+    ),
+    lagged AS (
+        SELECT brand, CAST(week_num AS INT) AS week_num, rev, units, price,
+               lag(rev) OVER w AS rev_p,
+               lag(units) OVER w AS units_p,
+               lag(price) OVER w AS price_p
+        FROM priced
+        WINDOW w AS (PARTITION BY brand ORDER BY week_num)
+    )
+    SELECT brand, week_num,
+           round(rev - rev_p + 1e-9, 2) AS delta_rev,
+           round((units - units_p) * price_p + 1e-9, 2) AS volume_effect,
+           round(units_p * (price - price_p) + 1e-9, 2) AS price_effect,
+           round((units - units_p) * (price - price_p) + 1e-9, 2) AS cross_effect,
+           round((rev - rev_p) - ((units - units_p) * price_p
+                 + units_p * (price - price_p)
+                 + (units - units_p) * (price - price_p)) + 1e-9, 2) AS residual
+    FROM lagged WHERE rev_p IS NOT NULL
+"""
+
+
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count by day WITHOUT an expanding-window
+    COUNT DISTINCT (which re-scans prefix state per day): each user
+    contributes exactly once at their FIRST day (one user-grain MIN),
+    then the per-day first-timer counts prefix-sum — an expanding
+    distinct becomes a |days|-row running total. The cumulative twin
+    of active_users' sliding windows."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    days = events.select(F.to_date("ts").alias("day")).distinct()
+    per_day = firsts.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        days.join(per_day, "day", "left")
+        .select("day", F.coalesce("new_users", F.lit(0)).alias("new_users"))
+        .select(
+            "day",
+            F.col("new_users").cast("bigint").alias("new_users"),
+            F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+        )
+    )
+
+
+CUMULATIVE_DISTINCT_SQL = """
+    WITH firsts AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS day
+        FROM events GROUP BY user_id
+    ),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    per_day AS (SELECT day, count(*) AS n FROM firsts GROUP BY day)
+    SELECT d.day, CAST(coalesce(p.n, 0) AS BIGINT) AS new_users,
+           CAST(sum(coalesce(p.n, 0)) OVER (ORDER BY d.day ROWS BETWEEN
+                UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumulative_users
+    FROM days d LEFT JOIN per_day p ON d.day = p.day
+"""
