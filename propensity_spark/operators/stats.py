@@ -1863,3 +1863,96 @@ WEIGHTED_MEDIAN_SQL = """
                     THEN price END) AS wp75
     FROM marked GROUP BY brand
 """
+
+
+THRESHOLD_GRID = [i / 10.0 for i in range(1, 10)]
+
+
+def threshold_sweep(scored: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Classifier operating-point table: confusion counts + precision/
+    recall/F1 at each fixed threshold — the eval surface behind ROC
+    threshold choices, computed WITHOUT per-threshold scans: all
+    4 x |grid| conditional sums are expressions in ONE hash aggregate
+    over a single pass, then the 1-row result unpivots map-side to
+    the 9-row table. Integer counts, exact ratios rounded 6dp."""
+    aggs = []
+    for i, t in enumerate(THRESHOLD_GRID):
+        pred = F.col(score_col) >= F.lit(t)
+        pos = F.col(label_col) == 1
+        aggs += [
+            F.sum((pred & pos).cast("bigint")).alias(f"tp{i}"),
+            F.sum((pred & ~pos).cast("bigint")).alias(f"fp{i}"),
+            F.sum(((~pred) & pos).cast("bigint")).alias(f"fn{i}"),
+            F.sum(((~pred) & ~pos).cast("bigint")).alias(f"tn{i}"),
+        ]
+    one = scored.agg(*aggs)
+    rows = []
+    for i, t in enumerate(THRESHOLD_GRID):
+        rows.append(
+            f"struct(cast({t} as double) as threshold,"
+            f" tp{i} as tp, fp{i} as fp, fn{i} as fn, tn{i} as tn)"
+        )
+    stacked = one.select(
+        F.explode(F.expr("array({})".format(",".join(rows)))).alias("r")
+    ).select("r.*")
+    prec = F.col("tp") / (F.col("tp") + F.col("fp"))
+    rec = F.col("tp") / (F.col("tp") + F.col("fn"))
+    return stacked.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(prec + 1e-9, 6).alias("precision"),
+        F.round(rec + 1e-9, 6).alias("recall"),
+        F.round(2 * prec * rec / (prec + rec) + 1e-9, 6).alias("f1"),
+    )
+
+
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: operating points for the observable propensity
+    score (per-user purchase share, the qini_uplift score) against
+    the converted label."""
+    events = load_table(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        F.round(
+            F.count_if(F.col("event_type") == "purchase")
+            / F.count(F.lit(1)).cast("double")
+            + 1e-9,
+            6,
+        ).alias("score"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("label"),
+    )
+    return threshold_sweep(users, "score", "label")
+
+
+def _threshold_sql() -> str:
+    rows = []
+    for t in THRESHOLD_GRID:
+        rows.append(f"""
+        SELECT CAST({t} AS DOUBLE) AS threshold,
+               CAST(count(*) FILTER (score >= {t} AND label = 1) AS BIGINT) AS tp,
+               CAST(count(*) FILTER (score >= {t} AND label = 0) AS BIGINT) AS fp,
+               CAST(count(*) FILTER (score < {t} AND label = 1) AS BIGINT) AS fn,
+               CAST(count(*) FILTER (score < {t} AND label = 0) AS BIGINT) AS tn
+        FROM users""")
+    union = "\n        UNION ALL".join(rows)
+    return f"""
+    WITH users AS MATERIALIZED (
+        SELECT user_id,
+               round(count(*) FILTER (event_type = 'purchase') * 1.0
+                     / count(*) + 1e-9, 6) AS score,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS label
+        FROM events GROUP BY user_id
+    ),
+    grid AS ({union})
+    SELECT threshold, tp, fp, fn, tn,
+           round(tp * 1.0 / (tp + fp) + 1e-9, 6) AS precision,
+           round(tp * 1.0 / (tp + fn) + 1e-9, 6) AS recall,
+           round(2.0 * (tp * 1.0 / (tp + fp)) * (tp * 1.0 / (tp + fn))
+                 / (tp * 1.0 / (tp + fp) + tp * 1.0 / (tp + fn)) + 1e-9, 6) AS f1
+    FROM grid
+"""
+
+
+THRESHOLD_SWEEP_SQL = _threshold_sql()
