@@ -708,3 +708,103 @@ def _bfs_sql() -> str:
 
 BFS_SQL = _bfs_sql()
 # bfs_hops registers in operators/overflow.py (post-budget).
+
+
+def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row structural summary of the part co-purchase graph:
+    node/edge counts, mean degree, degree assortativity (Pearson r of
+    endpoint degrees over the symmetric edge list — disassortative
+    r < 0 means hubs attach to leaves, the hallmark of skew the
+    degree-ordered triangle path exploits), component count and
+    giant-component share (via the same large-star/small-star CC the
+    dedup family uses). Everything is degree-join + corr + CC — no
+    quadratic step; corr is a 1-row aggregate with map-side
+    partials."""
+    from propensity_spark.text.dedup import connected_components
+
+    edges = cut_lineage(_copurchase_part_edges(spark, sf_dir))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    n_nodes = deg.count()
+    withd = (
+        edges.join(deg.selectExpr("src", "d AS du"), "src")
+        .join(deg.selectExpr("src AS dst", "d AS dv"), "dst")
+    )
+    basic = withd.agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+        F.round(F.corr("du", "dv") + 1e-9, 4).alias("assortativity"),
+        F.round(F.avg("du") + 1e-9, 4).alias("mean_degree"),
+    )
+    comp = connected_components(edges)
+    linked = edges.select("src").distinct()
+    comp = linked.join(comp, linked.src == comp.node, "leftouter").select(
+        F.coalesce("component", F.col("src")).alias("component")
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    cstats = sizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_components"),
+        F.round(F.max("sz") / F.lit(float(n_nodes)) + 1e-9, 6).alias("giant_share"),
+    )
+    return basic.crossJoin(cstats).select(
+        F.lit(n_nodes).cast("bigint").alias("n_nodes"),
+        "n_edges",
+        "mean_degree",
+        "assortativity",
+        "n_components",
+        "giant_share",
+    )
+
+
+def _graph_stats_sql() -> str:
+    from propensity_spark.operators.extended import MAX_BASKET_ITEMS
+
+    return f"""
+    WITH RECURSIVE bi_all AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    bi AS MATERIALIZED (
+        SELECT * FROM bi_all WHERE b IN (
+            SELECT b FROM bi_all GROUP BY b
+            HAVING count(*) <= {MAX_BASKET_ITEMS}
+        )
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.i AS ia, b.i AS ib
+        FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+        GROUP BY 1, 2
+        HAVING count(*) >= {KCORE_MIN_COOCCUR}
+    ),
+    e0 AS MATERIALIZED (
+        SELECT ia AS src, ib AS dst FROM pairs
+        UNION ALL SELECT ib, ia FROM pairs
+    ),
+    deg AS MATERIALIZED (SELECT src, count(*) AS d FROM e0 GROUP BY src),
+    basic AS (
+        SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+               round(corr(du.d, dv.d) + 1e-9, 4) AS assortativity,
+               round(avg(du.d) + 1e-9, 4) AS mean_degree
+        FROM e0
+        JOIN deg du ON e0.src = du.src
+        JOIN deg dv ON e0.dst = dv.src
+    ),
+    reach(src, dst) AS (
+        SELECT src, src FROM deg
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN e0 e ON r.dst = e.src
+    ),
+    comp AS (SELECT src, min(dst) AS component FROM reach GROUP BY src),
+    sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component),
+    cstats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_components,
+               round(max(sz) * 1.0 / (SELECT count(*) FROM deg) + 1e-9, 6)
+                   AS giant_share
+        FROM sizes
+    )
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           b.n_edges, b.mean_degree, b.assortativity,
+           c.n_components, c.giant_share
+    FROM basic b CROSS JOIN cstats c
+"""
+
+
+GRAPH_STATS_SQL = _graph_stats_sql()
+# graph_stats registers in operators/overflow.py (post-budget).
