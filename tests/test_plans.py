@@ -679,3 +679,40 @@ def test_runtime_bloom_filter_join_injects_might_contain(spark, tmp_path):
         plan = j._jdf.queryExecution().executedPlan().toString()
     assert n == 5000
     assert "might_contain" in plan, plan
+
+
+def test_threshold_sweep_is_single_scan_single_agg(spark, sf_dir):
+    """The 4x9 conditional sums must fuse into ONE aggregation over
+    ONE events scan — a per-threshold re-scan (9 scans) or a 9-way
+    union of aggregates would show up as extra Scan parquet nodes."""
+    from propensity_spark.operators.stats import q_threshold_sweep
+
+    plan = plan_of(q_threshold_sweep(spark, sf_dir))
+    # formatted explain names each node in the tree AND the detail
+    # section — count distinct scan node ids, not substring hits
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_ids) == 1
+    # one partial + one final agg pair per grouping level (user, then
+    # global): 4 distinct HashAggregate nodes, never 9 threshold passes
+    agg_ids = set(re.findall(r"\((\d+)\) HashAggregate", plan))
+    assert len(agg_ids) <= 4
+
+
+def test_open_orders_plan_has_no_interval_explode(spark, sf_dir):
+    """The sweep-line form must not Generate (explode) per-day rows —
+    the whole point vs the naive covers-each-day join."""
+    from propensity_spark.operators.timeseries import q_open_orders_daily
+
+    plan = plan_of(q_open_orders_daily(spark, sf_dir))
+    assert "Generate" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_setsim_join_never_cartesian(spark, sf_dir):
+    """Candidate generation must stay an equi-join on the prefix
+    token; verify rides candidate rows only."""
+    from propensity_spark.text.dedup import q_setsim_join
+
+    plan = plan_of(q_setsim_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
