@@ -2490,3 +2490,167 @@ PARETO_SQL = """
     FROM ranked
     WHERE min_prev_size IS NULL OR min_prev_size > size
 """
+
+
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 dimension q_scd2_history
+    builds: each purchase event joins the user-attribute VERSION valid
+    at its timestamp — the read side of slowly-changing dimensions
+    (the build is scd2_history; this closes the loop). Implemented
+    with the union + last(ignorenulls) single-window as-of pattern
+    (feature_store.lookup_asof's trick): version rows and probe rows
+    interleave on one per-user time-ordered window, so there is NO
+    range join and NO per-probe history fan-out — one user-keyed
+    Exchange total. Dim rows sort before probes at equal timestamps
+    (inclusive valid_from), and same-instant version chains resolve
+    to the highest version, matching the oracle's zero-width-interval
+    exclusion."""
+    hist = q_scd2_history(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    dim = hist.select(
+        "user_id",
+        F.col("valid_from").alias("t"),
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "value",
+        "version",
+    )
+    probes = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+        F.lit(1).alias("is_probe"),
+        "event_id",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("int").alias("version"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_probe", "version")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = dim.unionByName(probes).select(
+        "user_id",
+        "t",
+        "is_probe",
+        "event_id",
+        F.last("value", ignorenulls=True).over(w).alias("attr_value"),
+        F.last("version", ignorenulls=True).over(w).alias("attr_version"),
+    )
+    return merged.where(F.col("is_probe") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("t").alias("ts_epoch"),
+        F.round(F.col("attr_value") + 1e-9, 2).alias("attr_value"),
+        F.col("attr_version").cast("int").alias("attr_version"),
+    )
+
+
+def _scd2_lookup_sql() -> str:
+    return f"""
+    WITH hist AS MATERIALIZED ({SCD2_SQL}),
+    probes AS (
+        SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.t AS ts_epoch,
+           round(h.value + 1e-9, 2) AS attr_value,
+           CAST(h.version AS INT) AS attr_version
+    FROM probes p
+    LEFT JOIN hist h
+      ON p.user_id = h.user_id
+     AND p.t >= h.valid_from
+     AND (h.valid_to IS NULL OR p.t < h.valid_to)
+"""
+
+
+SCD2_LOOKUP_SQL = _scd2_lookup_sql()
+
+
+def q_rank_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borda rank aggregation of three brand leaderboards (revenue,
+    units, distinct buyers): each metric ranks with a deterministic
+    total order (metric desc, brand), Borda score = sum over metrics
+    of (n_brands - rank), composite rank by (borda desc, brand). The
+    multi-metric 'who is best overall' readout — robust to any single
+    metric's scale. One silver agg + three rank windows over the
+    |brands|-row table + one final window."""
+    from pyspark.sql import Window
+
+    from propensity_spark.operators.relational import brand_dim, silver_transactions
+
+    silver = silver_transactions(spark, sf_dir)
+    per_brand = (
+        silver.join(F.broadcast(brand_dim(spark, sf_dir)), "product_id")
+        .groupBy(F.col("commodity_desc").alias("brand"))
+        .agg(
+            F.round(F.sum("amount_list") + 1e-6, 2).alias("revenue"),
+            F.sum(F.col("units").cast("bigint")).alias("units"),
+            F.countDistinct("household_key").alias("buyers"),
+        )
+    )
+    n = Window.partitionBy()
+    r_rev = F.row_number().over(Window.orderBy(F.desc("revenue"), "brand"))
+    r_units = F.row_number().over(Window.orderBy(F.desc("units"), "brand"))
+    r_buyers = F.row_number().over(Window.orderBy(F.desc("buyers"), "brand"))
+    ranked = per_brand.select(
+        "brand",
+        "revenue",
+        r_rev.alias("r_rev"),
+        r_units.alias("r_units"),
+        r_buyers.alias("r_buyers"),
+        F.count(F.lit(1)).over(n).alias("__n"),
+    ).withColumn(
+        "borda",
+        (F.col("__n") - F.col("r_rev"))
+        + (F.col("__n") - F.col("r_units"))
+        + (F.col("__n") - F.col("r_buyers")),
+    )
+    return ranked.select(
+        "brand",
+        "revenue",
+        F.col("r_rev").cast("int").alias("r_rev"),
+        F.col("r_units").cast("int").alias("r_units"),
+        F.col("r_buyers").cast("int").alias("r_buyers"),
+        F.col("borda").cast("int").alias("borda"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("borda"), "brand"))
+        .cast("int")
+        .alias("final_rank"),
+    )
+
+
+def _rank_agg_sql() -> str:
+    from propensity_spark.operators.relational import SILVER_SQL
+
+    return f"""
+    WITH s AS MATERIALIZED ({SILVER_SQL}),
+    per_brand AS (
+        SELECT p.p_brand AS brand,
+               round(sum(s.amount_list) + 1e-6, 2) AS revenue,
+               CAST(sum(CAST(s.units AS BIGINT)) AS BIGINT) AS units,
+               count(DISTINCT s.household_key) AS buyers
+        FROM s JOIN part p ON s.product_id = p.p_partkey
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT brand, revenue,
+               row_number() OVER (ORDER BY revenue DESC, brand) AS r_rev,
+               row_number() OVER (ORDER BY units DESC, brand) AS r_units,
+               row_number() OVER (ORDER BY buyers DESC, brand) AS r_buyers,
+               count(*) OVER () AS n
+        FROM per_brand
+    )
+    SELECT brand, revenue,
+           CAST(r_rev AS INT) AS r_rev,
+           CAST(r_units AS INT) AS r_units,
+           CAST(r_buyers AS INT) AS r_buyers,
+           CAST((n - r_rev) + (n - r_units) + (n - r_buyers) AS INT) AS borda,
+           CAST(row_number() OVER (ORDER BY (n - r_rev) + (n - r_units)
+                + (n - r_buyers) DESC, brand) AS INT) AS final_rank
+    FROM ranked
+"""
+
+
+RANK_AGG_SQL = _rank_agg_sql()
