@@ -2654,3 +2654,101 @@ def _rank_agg_sql() -> str:
 
 
 RANK_AGG_SQL = _rank_agg_sql()
+
+
+AUDIENCE_ERR_BOUND = 0.15  # |A∩B| via inclusion-exclusion compounds 3 sketch errors
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix via HLL inclusion-exclusion: for every
+    pair of event-type segments, |A∩B| ~= est(A) + est(B) -
+    est(A∪B), where the union estimate comes from hll_union_agg over
+    the two segments' per-segment sketches — the sketch-only overlap
+    readout that never re-scans users (at 10^9 users the exact
+    intersection is a distinct-join; sketches make it a k²-row sketch
+    merge). Gate pins exact pair intersections (the oracle side) plus
+    a deterministic bounded-relative-error flag per pair, the
+    hll_rollup convention — Jaccard reported from the EXACT counts so
+    the hash is sketch-free."""
+    events = load_table(spark, sf_dir, "events")
+    seg = events.select("event_type", "user_id").distinct()
+    sketches = seg.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    a = sketches.selectExpr("event_type AS seg_a", "sk AS sk_a", "n_exact AS n_a")
+    b = sketches.selectExpr("event_type AS seg_b", "sk AS sk_b", "n_exact AS n_b")
+    # k-row sketch frame: broadcast the pair expansion (a
+    # BroadcastNestedLoopJoin over k² sketch rows, never a shuffled
+    # cartesian — k = |segments|, not data-sized)
+    pairs = a.join(F.broadcast(b), F.col("seg_a") < F.col("seg_b"))
+    est = pairs.select(
+        "seg_a",
+        "seg_b",
+        "n_a",
+        "n_b",
+        (
+            F.hll_sketch_estimate("sk_a")
+            + F.hll_sketch_estimate("sk_b")
+            - F.hll_sketch_estimate(
+                F.expr("hll_union(sk_a, sk_b)")
+            )
+        ).alias("est_overlap"),
+    )
+    ex = (
+        seg.alias("x")
+        .join(seg.alias("y"), (F.expr("x.user_id = y.user_id") & F.expr("x.event_type < y.event_type")))
+        .groupBy(
+            F.expr("x.event_type").alias("seg_a"), F.expr("y.event_type").alias("seg_b")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return (
+        est.join(ex, ["seg_a", "seg_b"])
+        .select(
+            "seg_a",
+            "seg_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("exact_overlap").cast("bigint").alias("exact_overlap"),
+            F.round(
+                F.col("exact_overlap")
+                / (F.col("n_a") + F.col("n_b") - F.col("exact_overlap")).cast("double")
+                + 1e-9,
+                6,
+            ).alias("jaccard"),
+            (
+                F.abs(F.col("est_overlap") - F.col("exact_overlap"))
+                / F.greatest(F.col("exact_overlap"), F.lit(1)).cast("double")
+                <= AUDIENCE_ERR_BOUND
+            )
+            .cast("int")
+            .alias("est_ok"),
+        )
+    )
+
+
+AUDIENCE_OVERLAP_SQL = """
+    WITH seg AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+        SELECT event_type, count(*) AS n FROM seg GROUP BY event_type
+    ),
+    ex AS (
+        SELECT x.event_type AS seg_a, y.event_type AS seg_b,
+               count(*) AS exact_overlap
+        FROM seg x JOIN seg y
+          ON x.user_id = y.user_id AND x.event_type < y.event_type
+        GROUP BY 1, 2
+    )
+    SELECT e.seg_a, e.seg_b,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(e.exact_overlap AS BIGINT) AS exact_overlap,
+           round(e.exact_overlap * 1.0
+                 / (sa.n + sb.n - e.exact_overlap) + 1e-9, 6) AS jaccard,
+           1 AS est_ok
+    FROM ex e
+    JOIN sizes sa ON e.seg_a = sa.event_type
+    JOIN sizes sb ON e.seg_b = sb.event_type
+"""
