@@ -1956,3 +1956,115 @@ def _threshold_sql() -> str:
 
 
 THRESHOLD_SWEEP_SQL = _threshold_sql()
+
+
+# Poisson(1) CDF thresholds for the hashed bootstrap draw (exact
+# double literals, identical CASE chains both engines; tail capped at 6)
+_POIS1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+]
+BOOTSTRAP_B = 32
+
+
+def _poisson_case(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POIS1_CDF)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al. — THE distributed
+    bootstrap: multinomial resampling needs global coordination;
+    per-row independent Poisson(1) weights need none) for the mean
+    purchase value: B=32 resamples whose weights are DETERMINISTIC
+    md5(event_id:b) draws mapped through the exact Poisson CDF chain,
+    so the whole CI is reproducible and oracle-checkable — no RNG
+    state anywhere. One explode to B rows per observation, one
+    (b)-keyed agg, order statistics over the B-row mean table.
+    Reports the plug-in mean, bootstrap SE, and positional 5%/95%
+    bounds."""
+    events = load_table(spark, sf_dir, "events")
+    obs = events.where(F.col("event_type") == "purchase").select(
+        "event_id", F.col("value").alias("y")
+    )
+    u = (
+        "cast(conv(substr(md5(cast(concat(cast(event_id as string), ':',"
+        " cast(b as string)) as binary)), 1, 12), 16, 10) as bigint)"
+        f" / cast({1 << 48} as double)"
+    )
+    drawn = obs.select(
+        "event_id", "y", F.explode(F.expr(f"sequence(1, {BOOTSTRAP_B})")).alias("b")
+    ).withColumn("k", F.expr(_poisson_case(u)))
+    means = drawn.groupBy("b").agg(
+        F.round(
+            F.sum(F.col("k") * F.col("y")) / F.sum("k") + 1e-9, 6
+        ).alias("m")
+    )
+    w = Window.orderBy("m")
+    lo_pos = max(1, int(0.05 * BOOTSTRAP_B))
+    hi_pos = BOOTSTRAP_B - lo_pos + 1
+    ranked = means.withColumn("r", F.row_number().over(w))
+    stats = means.agg(
+        F.round(F.stddev_samp("m") + 1e-9, 6).alias("se_boot")
+    )
+    point = obs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("y") + 1e-9, 6).alias("point_mean"),
+    )
+    bounds = ranked.agg(
+        F.max(F.when(F.col("r") == lo_pos, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("r") == hi_pos, F.col("m"))).alias("ci_hi"),
+    )
+    return (
+        point.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "n",
+            "point_mean",
+            "se_boot",
+            "ci_lo",
+            "ci_hi",
+            F.lit(BOOTSTRAP_B).cast("int").alias("n_resamples"),
+        )
+    )
+
+
+def _bootstrap_sql() -> str:
+    u = (
+        "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'"
+        f" || CAST(b AS VARCHAR)), 1, 12)) AS BIGINT) / CAST({1 << 48} AS DOUBLE)"
+    )
+    lo_pos = max(1, int(0.05 * BOOTSTRAP_B))
+    hi_pos = BOOTSTRAP_B - lo_pos + 1
+    return f"""
+    WITH obs AS (
+        SELECT event_id, value AS y FROM events WHERE event_type = 'purchase'
+    ),
+    drawn AS (
+        SELECT y, b, {_poisson_case(u)} AS k
+        FROM obs, (SELECT unnest(range(1, {BOOTSTRAP_B + 1})) AS b)
+    ),
+    means AS (
+        SELECT b, round(sum(k * y) / sum(k) + 1e-9, 6) AS m
+        FROM drawn GROUP BY b
+    ),
+    ranked AS (
+        SELECT m, row_number() OVER (ORDER BY m) AS r FROM means
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM obs) AS n,
+           (SELECT round(avg(y) + 1e-9, 6) FROM obs) AS point_mean,
+           (SELECT round(stddev_samp(m) + 1e-9, 6) FROM means) AS se_boot,
+           max(CASE WHEN r = {lo_pos} THEN m END) AS ci_lo,
+           max(CASE WHEN r = {hi_pos} THEN m END) AS ci_hi,
+           {BOOTSTRAP_B} AS n_resamples
+    FROM ranked
+"""
+
+
+BOOTSTRAP_SQL = _bootstrap_sql()
