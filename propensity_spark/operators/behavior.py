@@ -1380,3 +1380,157 @@ WINDOW_FUNNEL_SQL = f"""
                  + 1e-9, 6) AS share_of_step1
     FROM counts
 """
+
+
+# --------------------------------------------------------------------------
+# Exact Shapley-value channel attribution (the data-driven attribution
+# model behind GA4's DDA): channels are the non-purchase event types, a
+# user's coalition is their exposure SET, v(S) = conversion rate among
+# users whose exposure set is contained in S, and each channel's credit
+# is its exact Shapley value. Tractable and EXACT because the channel
+# universe is a fixed small set: 2^|C| subset cells, all the
+# combinatorics in literal broadcast frames.
+SHAPLEY_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def _shapley_tables():
+    from itertools import combinations
+    from math import factorial
+
+    chans = SHAPLEY_CHANNELS
+    n = len(chans)
+    subsets = []
+    for r in range(n + 1):
+        for combo in combinations(chans, r):
+            subsets.append("|".join(combo))
+    terms = []  # (channel, without_key, with_key, weight)
+    for i, c in enumerate(chans):
+        rest = [x for x in chans if x != c]
+        for r in range(len(rest) + 1):
+            w = factorial(r) * factorial(n - r - 1) / factorial(n)
+            for combo in combinations(rest, r):
+                without = "|".join(sorted(combo))
+                withc = "|".join(sorted(combo + (c,)))
+                terms.append((c, without, withc, w))
+    return subsets, terms
+
+
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley credit per channel. Pipeline: one user-grain agg
+    to (exposure_set, n, conversions) cells (at most 2^|C| cells
+    regardless of user count), a broadcast containment join onto the
+    literal subset frame to evaluate v(S) for all S, then a literal
+    Shapley-term frame (channel, S, S+c, weight) joins v twice and
+    sums w * (v(S+c) - v(S)). Everything after the first agg touches
+    only 2^|C|-row frames — the user-volume work is ONE shuffle.
+    Efficiency property (sum of credits = v(full) - v(empty)) is
+    pytest-pinned."""
+    subsets, terms = _shapley_tables()
+    events = load_table(spark, sf_dir, "events")
+    chan_list = ", ".join(f"'{c}'" for c in SHAPLEY_CHANNELS)
+    users = events.groupBy("user_id").agg(
+        F.expr(
+            "concat_ws('|', array_sort(array_distinct("
+            f"collect_list(CASE WHEN event_type IN ({chan_list})"
+            " THEN event_type END))))"
+        ).alias("exposure"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+    )
+    cells = users.groupBy("exposure").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
+    )
+    sub_df = spark.createDataFrame([(s,) for s in subsets], ["s"])
+    contained = cells.join(
+        F.broadcast(sub_df),
+        F.expr(
+            "size(array_except(filter(split(exposure, '\\\\|'), x -> x <> ''),"
+            " filter(split(s, '\\\\|'), x -> x <> ''))) = 0"
+        ),
+    )
+    total = cells.agg(F.sum("n").alias("tot"))
+    v = (
+        contained.groupBy("s")
+        .agg(F.sum("c").alias("cc"))
+        .crossJoin(F.broadcast(total))
+        .select("s", F.round(F.col("cc") / F.col("tot") + 1e-9, 6).alias("v"))
+    )
+    term_df = spark.createDataFrame(terms, ["channel", "s_wo", "s_w", "w"])
+    shap = (
+        F.broadcast(term_df)
+        .join(v.selectExpr("s AS s_wo", "v AS v_wo"), "s_wo", "left")
+        .join(v.selectExpr("s AS s_w", "v AS v_w"), "s_w", "left")
+        .groupBy("channel")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("w")
+                    * (F.coalesce("v_w", F.lit(0.0)) - F.coalesce("v_wo", F.lit(0.0)))
+                )
+                + 1e-9,
+                6,
+            ).alias("shapley_credit")
+        )
+    )
+    full = "|".join(SHAPLEY_CHANNELS)
+    anchors = v.agg(
+        F.coalesce(
+            F.max(F.when(F.col("s") == "", F.col("v"))), F.lit(0.0)
+        ).alias("v_empty"),
+        F.max(F.when(F.col("s") == full, F.col("v"))).alias("v_full"),
+    )
+    return shap.crossJoin(F.broadcast(anchors)).select(
+        "channel", "shapley_credit", "v_empty", "v_full"
+    )
+
+
+def _shapley_sql() -> str:
+    subsets, terms = _shapley_tables()
+    chan_list = ", ".join(f"'{c}'" for c in SHAPLEY_CHANNELS)
+    sub_values = ", ".join(f"('{s}')" for s in subsets)
+    term_values = ", ".join(
+        f"('{c}', '{wo}', '{w_}', {w!r})" for c, wo, w_, w in terms
+    )
+    full = "|".join(SHAPLEY_CHANNELS)
+    return f"""
+    WITH users AS (
+        SELECT user_id,
+               coalesce(string_agg(DISTINCT CASE WHEN event_type IN ({chan_list})
+                        THEN event_type END, '|' ORDER BY
+                        CASE WHEN event_type IN ({chan_list})
+                        THEN event_type END), '') AS exposure,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ),
+    cells AS (
+        SELECT exposure, count(*) AS n, sum(conv) AS c
+        FROM users GROUP BY exposure
+    ),
+    subs(s) AS (VALUES {sub_values}),
+    v AS MATERIALIZED (
+        SELECT subs.s,
+               round(sum(cells.c) * 1.0
+                     / (SELECT sum(n) FROM cells) + 1e-9, 6) AS v
+        FROM cells JOIN subs
+          ON list_has_all(list_filter(string_split(subs.s, '|'), x -> x <> ''),
+                          list_filter(string_split(cells.exposure, '|'),
+                                      x -> x <> ''))
+        GROUP BY subs.s
+    ),
+    terms(channel, s_wo, s_w, w) AS (VALUES {term_values}),
+    shap AS (
+        SELECT t.channel,
+               round(sum(t.w * (coalesce(vw.v, 0) - coalesce(vo.v, 0)))
+                     + 1e-9, 6) AS shapley_credit
+        FROM terms t
+        LEFT JOIN v vo ON t.s_wo = vo.s
+        LEFT JOIN v vw ON t.s_w = vw.s
+        GROUP BY t.channel
+    )
+    SELECT shap.channel, shap.shapley_credit,
+           (SELECT coalesce(max(CASE WHEN s = '' THEN v END), 0.0) FROM v) AS v_empty,
+           (SELECT max(CASE WHEN s = '{full}' THEN v END) FROM v) AS v_full
+    FROM shap
+"""
+
+
+SHAPLEY_SQL = _shapley_sql()

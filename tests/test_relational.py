@@ -2281,3 +2281,41 @@ def test_negative_sample_stable_and_leak_free(spark):
     out2 = {(r.user, r.item, r.label) for r in negative_sample(pos2, cat, k=3).collect()
             if r.user != 9}
     assert out2 == {(r.user, r.item, r.label) for r in out}
+
+
+def test_shapley_attribution_efficiency_and_known_case(spark, tmp_path):
+    """Shapley credits must satisfy efficiency: sum over channels =
+    v(full) - v(empty); and a channel whose presence never changes
+    conversion gets zero credit."""
+    from pyspark.sql import functions as F
+
+    from propensity_spark.operators.behavior import q_shapley_attribution
+
+    rows = []
+    eid = 0
+    # conversions happen ONLY in click-only exposures, so 'error'
+    # unlocks nothing and must earn exactly zero (a click+error
+    # converter would be genuinely ambiguous and split credit)
+    for u in range(40):
+        types = []
+        if u % 2 == 0 and u % 3 == 0:
+            types = ["click", "error"]          # exposed to both, no sale
+        elif u % 2 == 0:
+            types = ["click", "purchase"]        # click alone converts
+        elif u % 3 == 0:
+            types = ["error"]                    # error alone, no sale
+        for t in types:
+            rows.append((eid, "2024-01-01 00:00:00", u, t, 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df.write.parquet(str(sf / "events.parquet"))
+    out = {r.channel: r for r in q_shapley_attribution(spark, str(sf)).collect()}
+    total = sum(r.shapley_credit for r in out.values())
+    any_row = next(iter(out.values()))
+    assert abs(total - (any_row.v_full - any_row.v_empty)) < 1e-4
+    assert abs(out["error"].shapley_credit) < 1e-6
+    assert out["click"].shapley_credit > 0.3
