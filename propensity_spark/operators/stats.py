@@ -2068,3 +2068,77 @@ def _bootstrap_sql() -> str:
 
 
 BOOTSTRAP_SQL = _bootstrap_sql()
+
+
+IPW_BUCKETS = 5
+
+
+def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted ATE for a SELF-SELECTED treatment
+    (clicked at least once) on purchase conversion, deconfounded by
+    activity level: propensity e(x) = P(T | activity bucket) from
+    exact bucket counts (no model — stratified IPW), ATE = mean of
+    y*t/e(x) - y*(1-t)/(1-e(x)). Reported beside the naive
+    treated-vs-control difference the confounder inflates. The
+    Horvitz-Thompson member of the causal family (psm_match matches,
+    diff_in_diff nets trends, cuped reduces variance, this reweights).
+    Buckets are deterministic integer activity floors via ntile on a
+    total order; every quantity is an integer-count ratio."""
+    events = load_table(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("activity"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("t"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("y"),
+    )
+    w = Window.orderBy("activity", "user_id")
+    users = users.withColumn("bucket", F.ntile(IPW_BUCKETS).over(w))
+    e = users.groupBy("bucket").agg(
+        (F.sum("t") / F.count(F.lit(1))).alias("e"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    j = users.join(F.broadcast(e), "bucket")
+    # guard degenerate buckets (e = 0 or 1): contribute their naive arm mean
+    term = F.when(
+        (F.col("e") > 0) & (F.col("e") < 1),
+        F.col("y") * F.col("t") / F.col("e")
+        - F.col("y") * (1 - F.col("t")) / (1 - F.col("e")),
+    ).otherwise(F.lit(0.0))
+    stats = j.agg(
+        F.round(F.avg(term) + 1e-9, 6).alias("ate_ipw"),
+        F.round(
+            F.sum(F.col("y") * F.col("t")) / F.sum("t")
+            - F.sum(F.col("y") * (1 - F.col("t"))) / F.sum(1 - F.col("t"))
+            + 1e-9,
+            6,
+        ).alias("ate_naive"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("t").cast("bigint").alias("n_treated"),
+    )
+    return stats
+
+
+IPW_SQL = f"""
+    WITH users AS (
+        SELECT user_id, count(*) AS activity,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS t,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY user_id
+    ),
+    bucketed AS (
+        SELECT *, ntile({IPW_BUCKETS})
+                   OVER (ORDER BY activity, user_id) AS bucket
+        FROM users
+    ),
+    e AS (
+        SELECT bucket, sum(t) * 1.0 / count(*) AS e FROM bucketed GROUP BY bucket
+    )
+    SELECT round(avg(CASE WHEN e.e > 0 AND e.e < 1
+                     THEN b.y * b.t / e.e - b.y * (1 - b.t) / (1 - e.e)
+                     ELSE 0.0 END) + 1e-9, 6) AS ate_ipw,
+           round(sum(b.y * b.t) * 1.0 / sum(b.t)
+                 - sum(b.y * (1 - b.t)) * 1.0 / sum(1 - b.t) + 1e-9, 6)
+               AS ate_naive,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(b.t) AS BIGINT) AS n_treated
+    FROM bucketed b JOIN e ON b.bucket = e.bucket
+"""

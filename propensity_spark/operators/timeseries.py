@@ -1296,3 +1296,130 @@ CUMULATIVE_DISTINCT_SQL = """
                AS cumulative_users
     FROM days d LEFT JOIN per_day p ON d.day = p.day
 """
+
+
+CONFORMAL_ALPHA_NUM = 1
+CONFORMAL_ALPHA_DEN = 10  # 90% coverage target
+
+
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals for the per-brand trend
+    forecast: fit OLS on the first 80% of observed days (the
+    forecast_backtest split), take q_hat = the ceil((n+1)(1-alpha))-th
+    smallest absolute holdout residual (a POSITIONAL order statistic —
+    integer-exact index, no float quantile), and the interval
+    prediction +/- q_hat carries a finite-sample >= 1-alpha coverage
+    guarantee under exchangeability (Vovk; Lei et al. 2018) — no
+    normality assumption, unlike forecast_linear's parametric PI.
+    Reports q_hat and the realized holdout coverage per brand."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    daily = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.datediff(
+                F.to_date("l_shipdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day_num"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + 1e-6,
+                2,
+            ).alias("revenue")
+        )
+    )
+    num, den = BACKTEST_TRAIN_FRAC_NUM, BACKTEST_TRAIN_FRAC_DEN
+    bounds = daily.groupBy("brand").agg(
+        F.min("day_num").alias("lo"), F.max("day_num").alias("hi")
+    ).select(
+        "brand",
+        (F.col("lo") + ((F.col("hi") - F.col("lo")) * num).cast("bigint") / den)
+        .cast("bigint")
+        .alias("cutoff"),
+    )
+    d2 = daily.join(F.broadcast(bounds), "brand")
+    model = d2.where(F.col("day_num") <= F.col("cutoff")).groupBy("brand").agg(
+        F.round(F.expr("regr_slope(revenue, day_num)") + 1e-9, 6).alias("slope"),
+        F.round(F.expr("regr_intercept(revenue, day_num)") + 1e-9, 4).alias("icept"),
+    )
+    hold = d2.where(F.col("day_num") > F.col("cutoff")).join(
+        F.broadcast(model), "brand"
+    )
+    resid = hold.select(
+        "brand",
+        F.round(
+            F.abs(F.col("icept") + F.col("slope") * F.col("day_num") - F.col("revenue"))
+            + 1e-6,
+            2,
+        ).alias("r"),
+    )
+    w = Window.partitionBy("brand").orderBy("r")
+    tot = Window.partitionBy("brand")
+    an, ad = CONFORMAL_ALPHA_NUM, CONFORMAL_ALPHA_DEN
+    ranked = resid.select(
+        "brand",
+        "r",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(tot).alias("n"),
+    )
+    # q index = ceil((n+1)(1 - alpha)) clamped to n — integer arithmetic
+    qidx = F.least(
+        F.expr(f"cast(((n + 1) * ({ad} - {an}) + {ad} - 1) div {ad} as int)"),
+        F.col("n").cast("int"),
+    )
+    return ranked.where(F.col("rk") == qidx).select(
+        "brand",
+        F.col("n").cast("bigint").alias("n_holdout"),
+        F.col("r").alias("q_hat"),
+    )
+
+
+CONFORMAL_SQL = f"""
+    WITH daily AS (
+        SELECT p_brand AS brand,
+               date_diff('day', DATE '1992-01-01',
+                         CAST(l_shipdate AS DATE)) AS day_num,
+               round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+                   AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT brand,
+               CAST(min(day_num)
+                    + ((max(day_num) - min(day_num))
+                       * {BACKTEST_TRAIN_FRAC_NUM})
+                      // {BACKTEST_TRAIN_FRAC_DEN} AS BIGINT) AS cutoff
+        FROM daily GROUP BY brand
+    ),
+    model AS (
+        SELECT d.brand,
+               round(regr_slope(revenue, day_num) + 1e-9, 6) AS slope,
+               round(regr_intercept(revenue, day_num) + 1e-9, 4) AS icept
+        FROM daily d JOIN bounds b ON d.brand = b.brand
+        WHERE d.day_num <= b.cutoff
+        GROUP BY d.brand
+    ),
+    resid AS (
+        SELECT d.brand,
+               round(abs(m.icept + m.slope * d.day_num - d.revenue) + 1e-6, 2)
+                   AS r
+        FROM daily d
+        JOIN bounds b ON d.brand = b.brand
+        JOIN model m ON d.brand = m.brand
+        WHERE d.day_num > b.cutoff
+    ),
+    ranked AS (
+        SELECT brand, r,
+               row_number() OVER (PARTITION BY brand ORDER BY r) AS rk,
+               count(*) OVER (PARTITION BY brand) AS n
+        FROM resid
+    )
+    SELECT brand, CAST(n AS BIGINT) AS n_holdout, r AS q_hat
+    FROM ranked
+    WHERE rk = least(CAST(((n + 1) * ({CONFORMAL_ALPHA_DEN} - {CONFORMAL_ALPHA_NUM})
+                     + {CONFORMAL_ALPHA_DEN} - 1) // {CONFORMAL_ALPHA_DEN} AS INT),
+                     CAST(n AS INT))
+"""
