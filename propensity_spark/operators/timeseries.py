@@ -1423,3 +1423,94 @@ CONFORMAL_SQL = f"""
                      + {CONFORMAL_ALPHA_DEN} - 1) // {CONFORMAL_ALPHA_DEN} AS INT),
                      CAST(n AS INT))
 """
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per brand: the MEDIAN of all pairwise
+    slopes (r_j - r_i)/(w_j - w_i) over the weekly revenue series —
+    up to ~29% outlier breakdown where OLS (trend_fit) has zero.
+    The pairwise join is per-brand quadratic IN SERIES LENGTH, not
+    data volume: weekly grain caps it at C(|weeks|, 2) ≈ 32k pairs
+    per brand regardless of row count, and the brand key partitions
+    it. Median = average of the two middle positional order
+    statistics (integer indices, no float quantile); slopes are
+    ratios of 2dp-rounded revenues over integer week gaps —
+    deterministic, then the median is rounded 6dp."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    weekly = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            (
+                F.datediff(
+                    F.to_date("l_shipdate"), F.lit("1992-01-01").cast("date")
+                ).cast("bigint")
+                / F.lit(7)
+            ).cast("bigint").alias("w"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + 1e-6,
+                2,
+            ).alias("r")
+        )
+    )
+    a, b = weekly.alias("a"), weekly.alias("b")
+    slopes = (
+        a.join(
+            b,
+            (F.col("a.brand") == F.col("b.brand")) & (F.col("a.w") < F.col("b.w")),
+        )
+        .select(
+            F.col("a.brand").alias("brand"),
+            (
+                (F.col("b.r") - F.col("a.r"))
+                / (F.col("b.w") - F.col("a.w")).cast("double")
+            ).alias("s"),
+        )
+    )
+    win = Window.partitionBy("brand").orderBy("s")
+    tot = Window.partitionBy("brand")
+    ranked = slopes.select(
+        "brand",
+        "s",
+        F.row_number().over(win).alias("rk"),
+        F.count(F.lit(1)).over(tot).alias("n"),
+    )
+    mid = ranked.where(
+        (F.col("rk") == F.expr("(n + 1) div 2")) | (F.col("rk") == F.expr("(n + 2) div 2"))
+    )
+    return mid.groupBy("brand").agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        F.round(F.avg("s") + 1e-9, 6).alias("theil_sen_slope"),
+    )
+
+
+THEIL_SEN_SQL = """
+    WITH weekly AS (
+        SELECT p_brand AS brand,
+               CAST(date_diff('day', DATE '1992-01-01',
+                    CAST(l_shipdate AS DATE)) // 7 AS BIGINT) AS w,
+               round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS r
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.brand, (b.r - a.r) / CAST(b.w - a.w AS DOUBLE) AS s
+        FROM weekly a JOIN weekly b
+          ON a.brand = b.brand AND a.w < b.w
+    ),
+    ranked AS (
+        SELECT brand, s,
+               row_number() OVER (PARTITION BY brand ORDER BY s) AS rk,
+               count(*) OVER (PARTITION BY brand) AS n
+        FROM slopes
+    )
+    SELECT brand, CAST(max(n) AS BIGINT) AS n_pairs,
+           round(avg(s) + 1e-9, 6) AS theil_sen_slope
+    FROM ranked
+    WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+    GROUP BY brand
+"""
