@@ -808,3 +808,133 @@ def _graph_stats_sql() -> str:
 
 GRAPH_STATS_SQL = _graph_stats_sql()
 # graph_stats registers in operators/overflow.py (post-budget).
+
+
+PPR_ITERS = 6
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    source: str,
+    d: float = PR_DAMPING,
+    iters: int = PPR_ITERS,
+    checkpoint: bool = True,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Personalized PageRank: identical power iteration to pagerank()
+    but the teleport mass (1-d) lands ENTIRELY on the source node
+    instead of uniformly — the random walk keeps restarting at the
+    source, so rank becomes 'proximity to source weighted by all
+    paths', the classic related-items / local-recommendation score
+    (vs pagerank's global centrality). Same one-shuffle-per-iteration
+    profile, same 12dp per-step rounding for the unrolled-CTE oracle."""
+    if checkpoint:
+        edges = cut_lineage(edges, checkpoint_dir, eager=False)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    verts = edges.select(F.col("src").alias("node")).distinct()
+    if checkpoint:
+        deg = cut_lineage(deg, checkpoint_dir, eager=False)
+        verts = cut_lineage(verts, checkpoint_dir, eager=False)
+    teleport = F.when(F.col("node") == source, F.lit(1.0)).otherwise(F.lit(0.0))
+    ranks = verts.select("node", F.expr(f"round(cast(node = '{source}' as double), 12)").alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("rank / out_deg")).alias("c"))
+        )
+        ranks = verts.join(contribs, "node", "left").select(
+            "node",
+            F.round(
+                (1 - d) * teleport + d * F.coalesce("c", F.lit(0.0)), 12
+            ).alias("rank"),
+        )
+        if checkpoint:
+            ranks = cut_lineage(ranks, checkpoint_dir, eager=False)
+    return ranks
+
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: PPR from the top-degree brand over the co-purchase
+    graph — 'brands a shopper orbiting the hub brand reaches', the
+    walk-based related-items score next to item_cf's cosine."""
+    edges = _affinity_edges(spark, sf_dir)
+    edges = cut_lineage(edges, eager=False)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    hub = deg.orderBy(F.desc("d"), "src").limit(1).collect()[0].src
+    ranked = personalized_pagerank(edges, hub)
+    return ranked.select(
+        F.col("node").alias("item"),
+        F.round(F.col("rank") + 1e-9, 6).alias("ppr"),
+    )
+
+
+def _ppr_sql() -> str:
+    from propensity_spark.operators.extended import (
+        MAX_BASKET_ITEMS,
+        MIN_SUPPORT,
+    )
+    from propensity_spark.operators.relational import SILVER_SQL
+
+    d = PR_DAMPING
+    iter_ctes = []
+    for i in range(1, PPR_ITERS + 1):
+        prev = f"r{i - 1}"
+        iter_ctes.append(
+            f"""c{i} AS MATERIALIZED (
+        SELECT e.dst AS node, sum(r.rank / dg.out_deg) AS c
+        FROM edges e
+        JOIN {prev} r ON e.src = r.node
+        JOIN deg dg ON dg.src = e.src
+        GROUP BY e.dst
+    ),
+    r{i} AS MATERIALIZED (
+        SELECT v.node,
+               round((1 - {d}) * CAST(v.node = (SELECT s FROM hub) AS DOUBLE)
+                     + {d} * coalesce(c.c, 0.0), 12) AS rank
+        FROM verts v LEFT JOIN c{i} c ON c.node = v.node
+    )"""
+        )
+    chain = ",\n    ".join(iter_ctes)
+    return f"""
+    WITH s AS MATERIALIZED ({SILVER_SQL}),
+    bi_all AS MATERIALIZED (
+        SELECT DISTINCT s.basket_id, p.p_brand AS item
+        FROM s JOIN part p ON s.product_id = p.p_partkey
+    ),
+    bi AS MATERIALIZED (
+        SELECT * FROM bi_all WHERE basket_id IN (
+            SELECT basket_id FROM bi_all GROUP BY basket_id
+            HAVING count(*) <= {MAX_BASKET_ITEMS}
+        )
+    ),
+    nb AS (SELECT count(DISTINCT basket_id) AS nb FROM bi),
+    pairs AS MATERIALIZED (
+        SELECT a.item AS ia, b.item AS ib
+        FROM bi a JOIN bi b ON a.basket_id = b.basket_id AND a.item < b.item, nb
+        GROUP BY 1, 2, nb.nb
+        HAVING count(*) * 1.0 / nb >= {MIN_SUPPORT}
+    ),
+    edges AS MATERIALIZED (
+        SELECT ia AS src, ib AS dst FROM pairs
+        UNION ALL SELECT ib, ia FROM pairs
+    ),
+    deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS out_deg
+                         FROM edges GROUP BY src),
+    verts AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+    hub AS MATERIALIZED (
+        SELECT src AS s FROM deg ORDER BY out_deg DESC, src LIMIT 1
+    ),
+    r0 AS MATERIALIZED (
+        SELECT node, round(CAST(node = (SELECT s FROM hub) AS DOUBLE), 12)
+            AS rank
+        FROM verts
+    ),
+    {chain}
+    SELECT node AS item, round(rank + 1e-9, 6) AS ppr FROM r{PPR_ITERS}
+"""
+
+
+PPR_SQL = _ppr_sql()
+# personalized_pagerank registers in operators/overflow.py (post-budget).
