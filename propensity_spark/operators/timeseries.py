@@ -1514,3 +1514,185 @@ THEIL_SEN_SQL = """
     WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
     GROUP BY brand
 """
+
+
+HUBER_ITERS = 3
+HUBER_K = 1.345  # 95% Gaussian efficiency tuning constant
+
+
+def q_huber_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber-IRLS robust trend per brand: OLS start, then HUBER_ITERS
+    reweighted-least-squares steps with w = min(1, c/|resid|), c =
+    1.345 x the MAD-based robust scale of the OLS residuals — the
+    model-based robust sibling of theil_sen (IRLS re-fits a line,
+    Theil-Sen never fits one). Determinism playbook: params are
+    rounded (6dp slope / 4dp intercept) every iteration (pagerank's
+    per-step rounding), the scale comes from POSITIONAL median of
+    2dp-rounded absolute residuals (integer-exact order statistic),
+    x is centered on a rounded mean to kill catastrophic
+    cancellation in the weighted normal equations. Per iteration: one
+    brand-keyed agg over the series joined to a broadcast |brands|-row
+    param table — the whole fit is HUBER_ITERS + 2 aggregates."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    daily = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.datediff(
+                F.to_date("l_shipdate"), F.lit("1992-01-01").cast("date")
+            ).alias("x0"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + 1e-6,
+                2,
+            ).alias("y")
+        )
+    )
+    mx = daily.groupBy("brand").agg(F.round(F.avg("x0") + 1e-9, 4).alias("mx"))
+    dev = daily.join(F.broadcast(mx), "brand").select(
+        "brand", (F.col("x0") - F.col("mx")).alias("x"), "y"
+    )
+    p0 = dev.groupBy("brand").agg(
+        F.round(F.expr("regr_slope(y, x)") + 1e-9, 6).alias("b"),
+        F.round(F.expr("regr_intercept(y, x)") + 1e-9, 4).alias("a"),
+    )
+    r0 = dev.join(F.broadcast(p0), "brand").select(
+        "brand",
+        F.round(F.abs(F.col("y") - F.col("a") - F.col("b") * F.col("x")) + 1e-6, 2).alias("ar"),
+    )
+    win = Window.partitionBy("brand").orderBy("ar")
+    tot = Window.partitionBy("brand")
+    ranked = r0.select(
+        "brand", "ar",
+        F.row_number().over(win).alias("rk"),
+        F.count(F.lit(1)).over(tot).alias("n"),
+    )
+    med = ranked.where(
+        (F.col("rk") == F.expr("(n + 1) div 2")) | (F.col("rk") == F.expr("(n + 2) div 2"))
+    ).groupBy("brand").agg(
+        F.round(F.avg("ar") * 1.4826 * HUBER_K + 1e-9, 4).alias("c")
+    )
+    params = p0.join(F.broadcast(med), "brand")
+    for _ in range(HUBER_ITERS):
+        j = dev.join(F.broadcast(params), "brand")
+        w = F.least(
+            F.lit(1.0),
+            F.col("c")
+            / F.greatest(
+                F.abs(F.col("y") - F.col("a") - F.col("b") * F.col("x")),
+                F.lit(1e-9),
+            ),
+        )
+        sums = j.select("brand", "x", "y", "c", w.alias("w")).groupBy("brand").agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.expr("w * x")).alias("swx"),
+            F.sum(F.expr("w * y")).alias("swy"),
+            F.sum(F.expr("w * x * x")).alias("swxx"),
+            F.sum(F.expr("w * x * y")).alias("swxy"),
+            F.max("c").alias("c"),
+        )
+        params = sums.select(
+            "brand",
+            "c",
+            F.round(
+                (F.col("swxy") - F.col("swx") * F.col("swy") / F.col("sw"))
+                / (F.col("swxx") - F.col("swx") * F.col("swx") / F.col("sw"))
+                + 1e-9,
+                6,
+            ).alias("b"),
+        ).withColumn("a", F.lit(None).cast("double")).join(
+            sums.select("brand", "sw", "swx", "swy"), "brand"
+        ).select(
+            "brand",
+            "c",
+            "b",
+            F.round(
+                (F.col("swy") - F.col("b") * F.col("swx")) / F.col("sw") + 1e-9, 4
+            ).alias("a"),
+        )
+    return params.select(
+        "brand",
+        F.col("b").alias("huber_slope"),
+        F.col("a").alias("huber_icept_centered"),
+        F.col("c").alias("scale_c"),
+    )
+
+
+def _huber_sql() -> str:
+    steps = []
+    prev = "p0"
+    for i in range(1, HUBER_ITERS + 1):
+        steps.append(f"""s{i} AS MATERIALIZED (
+        SELECT d.brand,
+               sum(w) AS sw, sum(w * x) AS swx, sum(w * y) AS swy,
+               sum(w * x * x) AS swxx, sum(w * x * y) AS swxy,
+               max(p.c) AS c
+        FROM (
+            SELECT d.brand, d.x, d.y, p.c,
+                   least(1.0, p.c / greatest(abs(d.y - p.a - p.b * d.x), 1e-9))
+                       AS w
+            FROM dev d JOIN {prev} p ON d.brand = p.brand
+        ) d JOIN {prev} p ON d.brand = p.brand
+        GROUP BY d.brand
+    ),
+    p{i} AS MATERIALIZED (
+        SELECT brand, c,
+               round((swxy - swx * swy / sw)
+                     / (swxx - swx * swx / sw) + 1e-9, 6) AS b,
+               round((swy - round((swxy - swx * swy / sw)
+                     / (swxx - swx * swx / sw) + 1e-9, 6) * swx) / sw
+                     + 1e-9, 4) AS a
+        FROM s{i}
+    )""")
+        prev = f"p{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH daily AS MATERIALIZED (
+        SELECT p_brand AS brand,
+               date_diff('day', DATE '1992-01-01',
+                         CAST(l_shipdate AS DATE)) AS x0,
+               round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS y
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    ),
+    mx AS (SELECT brand, round(avg(x0) + 1e-9, 4) AS mx FROM daily GROUP BY brand),
+    dev AS MATERIALIZED (
+        SELECT d.brand, d.x0 - m.mx AS x, d.y
+        FROM daily d JOIN mx m ON d.brand = m.brand
+    ),
+    ols AS (
+        SELECT brand,
+               round(regr_slope(y, x) + 1e-9, 6) AS b,
+               round(regr_intercept(y, x) + 1e-9, 4) AS a
+        FROM dev GROUP BY brand
+    ),
+    r0 AS (
+        SELECT d.brand,
+               round(abs(d.y - o.a - o.b * d.x) + 1e-6, 2) AS ar
+        FROM dev d JOIN ols o ON d.brand = o.brand
+    ),
+    ranked AS (
+        SELECT brand, ar,
+               row_number() OVER (PARTITION BY brand ORDER BY ar) AS rk,
+               count(*) OVER (PARTITION BY brand) AS n
+        FROM r0
+    ),
+    med AS (
+        SELECT brand, round(avg(ar) * 1.4826 * {HUBER_K} + 1e-9, 4) AS c
+        FROM ranked
+        WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+        GROUP BY brand
+    ),
+    p0 AS MATERIALIZED (
+        SELECT o.brand, o.b, o.a, m.c FROM ols o JOIN med m ON o.brand = m.brand
+    ),
+    {chain}
+    SELECT brand, b AS huber_slope, a AS huber_icept_centered, c AS scale_c
+    FROM {prev}
+"""
+
+
+HUBER_SQL = _huber_sql()
