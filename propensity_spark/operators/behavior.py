@@ -1534,3 +1534,47 @@ def _shapley_sql() -> str:
 
 
 SHAPLEY_SQL = _shapley_sql()
+
+
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(weekday x hour) activity heatmap: event counts, revenue, and
+    each cell's share of its weekday — the feed behind every
+    operations dashboard's peak-hours view. Integer epoch-day % 7 for
+    the weekday (locale-immune — no engine week-start conventions) and
+    UTC hour; one 168-cell agg + one weekday window."""
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) % 7)
+        .cast("int")
+        .alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value") + 1e-6, 2).alias("total_value"),
+    )
+    w = Window.partitionBy("dow")
+    return cells.select(
+        "dow",
+        "hour",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "total_value",
+        F.round(
+            F.col("n_events") / F.sum("n_events").over(w).cast("double") + 1e-9, 6
+        ).alias("share_of_dow"),
+    )
+
+
+ACTIVITY_HEATMAP_SQL = """
+    WITH cells AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                    AS INT) AS dow,
+               CAST(extract(hour FROM ts) AS INT) AS hour,
+               count(*) AS n_events,
+               round(sum(value) + 1e-6, 2) AS total_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT dow, hour, CAST(n_events AS BIGINT) AS n_events, total_value,
+           round(n_events * 1.0 / sum(n_events) OVER (PARTITION BY dow)
+                 + 1e-9, 6) AS share_of_dow
+    FROM cells
+"""

@@ -1726,3 +1726,55 @@ ZIPF_SQL = f"""
                AS top_token_share
     FROM ranked CROSS JOIN tot t
 """
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per document: words/sentences,
+    vowel-group syllable estimate, reading-ease score 206.835 -
+    1.015*(words/sentences) - 84.6*(syllables/words). Pure regexp +
+    arithmetic — map-only, zero shuffles, the same plan at any
+    corpus size; a crude but standard quality prior next to the
+    Gopher-style signals (LLM data pipelines bucket documents by
+    readability for curriculum mixes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.expr("size(filter(split(text, ' '), w -> length(w) >= 1))")
+    sentences = F.greatest(
+        F.expr("regexp_count(text, '[.!?]+')"), F.lit(1)
+    )
+    syllables = F.greatest(
+        F.expr("regexp_count(lower(text), '[aeiouy]+')"), F.lit(1)
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentences.cast("double"))
+        - F.lit(84.6) * (syllables / words.cast("double"))
+    )
+    return docs.select(
+        "doc_id",
+        words.cast("int").alias("n_words"),
+        sentences.cast("int").alias("n_sentences"),
+        syllables.cast("int").alias("n_syllables"),
+        F.round(score + 1e-9, 4).alias("flesch_score"),
+    )
+
+
+READABILITY_SQL = """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), w -> len(w) >= 1))
+                AS INT) AS n_words,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INT)
+               AS n_sentences,
+           CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+                AS INT) AS n_syllables,
+           round(206.835
+                 - 1.015 * (len(list_filter(string_split(text, ' '),
+                            w -> len(w) >= 1))
+                    / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                           AS DOUBLE))
+                 - 84.6 * (greatest(len(regexp_extract_all(lower(text),
+                            '[aeiouy]+')), 1)
+                    / CAST(len(list_filter(string_split(text, ' '),
+                           w -> len(w) >= 1)) AS DOUBLE))
+                 + 1e-9, 4) AS flesch_score
+    FROM documents
+"""
