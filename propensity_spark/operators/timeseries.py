@@ -1696,3 +1696,81 @@ def _huber_sql() -> str:
 
 
 HUBER_SQL = _huber_sql()
+
+
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic per brand on the OLS trend residuals:
+    DW = sum((e_t - e_{t-1})^2) / sum(e_t^2) over the day-ordered
+    residual series — ~2 means no serial correlation, <1 says the
+    trend_fit line is missing structure and autocorrelation (see
+    q_autocorrelation) should drive the model choice. OLS params are
+    rounded before residuals (the huber/cusum precedent) so the
+    statistic is cross-engine exact to its 4dp rounding; one agg +
+    one brand-ordered lag window + one agg."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    daily = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.datediff(
+                F.to_date("l_shipdate"), F.lit("1992-01-01").cast("date")
+            ).alias("x"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + 1e-6,
+                2,
+            ).alias("y")
+        )
+    )
+    model = daily.groupBy("brand").agg(
+        F.round(F.expr("regr_slope(y, x)") + 1e-9, 6).alias("b"),
+        F.round(F.expr("regr_intercept(y, x)") + 1e-9, 4).alias("a"),
+    )
+    resid = daily.join(F.broadcast(model), "brand").select(
+        "brand",
+        "x",
+        F.round(F.col("y") - F.col("a") - F.col("b") * F.col("x") + 1e-6, 2).alias("e"),
+    )
+    w = Window.partitionBy("brand").orderBy("x")
+    lagged = resid.withColumn("ep", F.lag("e").over(w))
+    return lagged.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(
+            F.sum(F.expr("(e - ep) * (e - ep)")) / F.sum(F.expr("e * e")) + 1e-9,
+            4,
+        ).alias("dw"),
+    )
+
+
+DURBIN_WATSON_SQL = """
+    WITH daily AS (
+        SELECT p_brand AS brand,
+               date_diff('day', DATE '1992-01-01',
+                         CAST(l_shipdate AS DATE)) AS x,
+               round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS y
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    ),
+    model AS (
+        SELECT brand,
+               round(regr_slope(y, x) + 1e-9, 6) AS b,
+               round(regr_intercept(y, x) + 1e-9, 4) AS a
+        FROM daily GROUP BY brand
+    ),
+    resid AS (
+        SELECT d.brand, d.x,
+               round(d.y - m.a - m.b * d.x + 1e-6, 2) AS e
+        FROM daily d JOIN model m ON d.brand = m.brand
+    ),
+    lagged AS (
+        SELECT brand, e,
+               lag(e) OVER (PARTITION BY brand ORDER BY x) AS ep
+        FROM resid
+    )
+    SELECT brand, CAST(count(*) AS BIGINT) AS n_days,
+           round(sum((e - ep) * (e - ep)) / sum(e * e) + 1e-9, 4) AS dw
+    FROM lagged GROUP BY brand
+"""
