@@ -21,7 +21,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # Guard against an optional module silently dropping out of the gate
 # (e.g. a transitive import typo): the registry must never shrink below
 # the committed surface.
-EXPECTED_MIN_QUERIES = 161
+EXPECTED_MIN_QUERIES = 162
 
 # The driver's CORRECTNESS report records the FIRST 50 registered entries;
 # `tools/local_verify.py` checks the whole registry regardless. Round 4

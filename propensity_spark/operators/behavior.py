@@ -1578,3 +1578,51 @@ ACTIVITY_HEATMAP_SQL = """
                  + 1e-9, 6) AS share_of_dow
     FROM cells
 """
+
+
+def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Gini coefficient of customer revenue (the scalar
+    revenue_concentration's decile Lorenz curve approximates):
+    G = 2 * sum(i * x_(i)) / (n * sum(x)) - (n + 1)/n over revenues
+    sorted ascending with a deterministic total order — the rank
+    formula needs ONE sort window and one aggregate, no pairwise
+    |x_i - x_j| join. Revenues are 2dp-rounded before ranking; the
+    rank-weighted sum is integer-rank x 2dp values, so the statistic
+    is stable to 6dp."""
+    events = load_table(spark, sf_dir, "events")
+    users = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value") + 1e-6, 2).alias("rev"))
+    )
+    w = Window.orderBy("rev", "user_id")
+    ranked = users.select("rev", F.row_number().over(w).alias("i"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.sum("rev") + 1e-6, 2).alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("rev"))
+            / (F.count(F.lit(1)) * F.sum("rev"))
+            - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)).cast("double")
+            + 1e-9,
+            6,
+        ).alias("gini"),
+    )
+
+
+GINI_SQL = """
+    WITH users AS (
+        SELECT user_id, round(sum(value) + 1e-6, 2) AS rev
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT rev, row_number() OVER (ORDER BY rev, user_id) AS i
+        FROM users
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(sum(rev) + 1e-6, 2) AS total_revenue,
+           round(2.0 * sum(i * rev) / (count(*) * sum(rev))
+                 - (count(*) + 1) * 1.0 / count(*) + 1e-9, 6) AS gini
+    FROM ranked
+"""
