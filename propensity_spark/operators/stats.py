@@ -257,6 +257,15 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape are unchanged (same trade documented in quantile_bucket)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # Bit-determinism across engines (GATE_CONTRACT.md): revenue is summed
+    # as exact BIGINT in half-ten-thousandths of a dollar (r2 = 2 * sum of
+    # cents*percent products), so the per-brand medians interpolate between
+    # integers and land on exact-integer doubles in BOTH Spark `percentile`
+    # and DuckDB `quantile_cont` — no float-boundary flake at the 4-dp
+    # round (the r05 driver mismatch). med2 is the median of even ints
+    # (integer), mad4 doubles the deviations first so its median is also
+    # integer; z = K * 2 * (r2 - med2) / mad4 reduces to the documented
+    # K * (rev - med) / mad over identical doubles in both engines.
     daily = (
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
         .groupBy(
@@ -264,31 +273,34 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("l_shipdate").alias("day"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                + 1e-6,
-                2,
-            ).alias("revenue")
+            (
+                F.sum(
+                    F.expr(
+                        "cast(round(l_extendedprice * 100, 0) as bigint)"
+                        " * cast(round((1 - l_discount) * 100, 0) as bigint)"
+                    )
+                )
+                * F.lit(2)
+            )
+            .cast("bigint")
+            .alias("r2")
         )
     )
     meds = daily.groupBy("brand").agg(
-        F.expr("round(percentile(revenue, 0.5D) + 1e-9, 6)").alias("med")
+        F.expr("cast(percentile(r2, 0.5D) as bigint)").alias("med2")
     )
     mads = (
         daily.join(F.broadcast(meds), "brand")
         .groupBy("brand")
         .agg(
             F.expr(
-                "round(percentile(abs(revenue - med), 0.5D) + 1e-9, 6)"
-            ).alias("mad")
+                "cast(percentile(2 * abs(r2 - med2), 0.5D) as bigint)"
+            ).alias("mad4")
         )
     )
-    z = F.round(
-        F.lit(MAD_K)
-        * (F.col("revenue") - F.col("med"))
-        / F.expr("nullif(mad, cast(0 as double))")
-        + 1e-9,
-        4,
+    z = F.expr(
+        f"round({MAD_K} * 2.0 * (r2 - med2)"
+        " / nullif(cast(mad4 as double), 0.0) + 1e-9, 4)"
     )
     return (
         daily.join(F.broadcast(meds), "brand")
@@ -296,7 +308,14 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "brand",
             "day",
-            "revenue",
+            # half-up to cents in pure integer arithmetic (r2/2 is the
+            # exact revenue in 1e-4 dollars): round(double, 2) would hit
+            # the .xx50 half-boundary on ~1% of 4-dp values and Spark /
+            # DuckDB disagree there; floor((n + 50) / 100.0) cannot.
+            # 100.0D not 100.0: a bare decimal literal makes Spark compute
+            # in DECIMAL and emit Decimal('...'), which canonicalizes
+            # differently from DuckDB's DOUBLE.
+            F.expr("floor((r2 / 2 + 50) / 100.0D) / 100.0D").alias("revenue"),
             z.alias("robust_z"),
             F.when(F.abs(z) > MAD_THRESHOLD, 1).otherwise(0).alias("is_anomaly"),
         )
@@ -306,27 +325,30 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANOMALY_SQL = f"""
     WITH daily AS (
         SELECT p_brand AS brand, CAST(l_shipdate AS DATE) AS day,
-               round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
-                   AS revenue
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                        * CAST(round((1 - l_discount) * 100, 0) AS BIGINT))
+                    * 2 AS BIGINT) AS r2
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1, 2
     ),
     meds AS (
-        SELECT brand, round(quantile_cont(revenue, 0.5) + 1e-9, 6) AS med
+        SELECT brand, CAST(quantile_cont(r2, 0.5) AS BIGINT) AS med2
         FROM daily GROUP BY brand
     ),
     mads AS (
         SELECT d.brand,
-               round(quantile_cont(abs(d.revenue - m.med), 0.5) + 1e-9, 6)
-                   AS mad
+               CAST(quantile_cont(2 * abs(d.r2 - m.med2), 0.5) AS BIGINT)
+                   AS mad4
         FROM daily d JOIN meds m ON d.brand = m.brand
         GROUP BY d.brand
     )
-    SELECT d.brand, d.day, d.revenue,
-           round({MAD_K} * (d.revenue - m.med) / nullif(a.mad, 0.0) + 1e-9, 4)
+    SELECT d.brand, d.day,
+           floor((d.r2 / 2 + 50) / 100.0) / 100.0 AS revenue,
+           round({MAD_K} * 2.0 * (d.r2 - m.med2)
+                 / nullif(CAST(a.mad4 AS DOUBLE), 0.0) + 1e-9, 4)
                AS robust_z,
-           CASE WHEN abs(round({MAD_K} * (d.revenue - m.med)
-                               / nullif(a.mad, 0.0) + 1e-9, 4))
+           CASE WHEN abs(round({MAD_K} * 2.0 * (d.r2 - m.med2)
+                               / nullif(CAST(a.mad4 AS DOUBLE), 0.0) + 1e-9, 4))
                      > {MAD_THRESHOLD}
                 THEN 1 ELSE 0 END AS is_anomaly
     FROM daily d

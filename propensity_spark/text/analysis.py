@@ -1615,8 +1615,13 @@ def build_postings(docs: DataFrame) -> DataFrame:
             F.round(
                 F.expr("ln((n - df + 0.5) / (df + 0.5) + 1)") + 1e-9, 6
             ).alias("idf"),
+            # Scalar column, not array<string>: the driver's gate
+            # canonicalizer hashes via pandas and cannot hash list cells
+            # (GATE_CONTRACT.md) — join the ordered postings into one
+            # string; the serving-tier layout splits it back for free.
             F.expr(
-                "transform(postings, p -> concat(p.doc_id, ':', p.tf))"
+                "array_join(transform(postings,"
+                " p -> concat(p.doc_id, ':', p.tf)), ',')"
             ).alias("postings"),
         )
     )
@@ -1641,10 +1646,10 @@ POSTINGS_SQL = f"""
     SELECT token, CAST(count(*) AS BIGINT) AS df,
            round(ln((any_value(n_docs.n) - count(*) + 0.5)
                     / (count(*) + 0.5) + 1) + 1e-9, 6) AS idf,
-           list_transform(
+           array_to_string(list_transform(
                list_sort(list((doc_id, tf))),
                p -> p[1] || ':' || p[2]
-           ) AS postings
+           ), ',') AS postings
     FROM tf CROSS JOIN n_docs
     GROUP BY token
     HAVING count(*) >= {POSTINGS_MIN_DF}
