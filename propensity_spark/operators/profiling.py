@@ -504,8 +504,21 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = record_linkage(part, "p_name", LINKAGE_MAX_DIST).select(
         "name_a", "name_b"
     )
-    mid = "cast(conv(substr(md5(cast(name as binary)), 1, 12), 16, 10) as bigint)"
+    # 60-bit md5 prefix (15 hex chars — the widest that cannot overflow
+    # a signed BIGINT via conv); birthday bound ~1.3e9 distinct names.
+    # A collision would silently merge unrelated clusters, so the
+    # mapping is ASSERTED injective below — one tiny agg on the names
+    # grain (two counters), loud failure instead of silent corruption.
+    mid = "cast(conv(substr(md5(cast(name as binary)), 1, 15), 16, 10) as bigint)"
     ids = names.select("name", F.expr(mid).alias("nid"))
+    chk = ids.agg(
+        F.count("name").alias("n"), F.countDistinct("nid").alias("d")
+    ).collect()[0]
+    if chk["n"] != chk["d"]:
+        raise ValueError(
+            f"entity_resolution: md5-prefix node ids collided "
+            f"({chk['n']} names -> {chk['d']} ids); widen the id space"
+        )
     edges = (
         pairs.join(ids.selectExpr("name AS name_a", "nid AS ua"), "name_a")
         .join(ids.selectExpr("name AS name_b", "nid AS ub"), "name_b")

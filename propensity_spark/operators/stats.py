@@ -1633,7 +1633,15 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
         F.col("n_rows").cast("bigint").alias("n_rows"),
-        F.round((run - F.col("n_rows")) / (total - 1) + 1e-9, 6).alias("pct_rank"),
+        # total == 1 (a type with a single grain row) would divide by
+        # zero — NULL in Spark but NaN/inf under DuckDB's IEEE floats;
+        # pin the degenerate ECDF rank to 0.0 identically in both.
+        F.when(
+            total > 1,
+            F.round((run - F.col("n_rows")) / (total - 1) + 1e-9, 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
         F.round(run / total + 1e-9, 6).alias("ecdf"),
     )
 
@@ -1644,11 +1652,14 @@ QUANTILE_NORMALIZE_SQL = """
         FROM events GROUP BY 1, 2
     )
     SELECT event_type, value, CAST(n_rows AS BIGINT) AS n_rows,
-           round((sum(n_rows) OVER (PARTITION BY event_type ORDER BY value
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  - n_rows) * 1.0
-                 / (sum(n_rows) OVER (PARTITION BY event_type) - 1)
-                 + 1e-9, 6) AS pct_rank,
+           CASE WHEN sum(n_rows) OVER (PARTITION BY event_type) > 1
+                THEN round((sum(n_rows) OVER (PARTITION BY event_type
+                               ORDER BY value ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW)
+                            - n_rows) * 1.0
+                           / (sum(n_rows) OVER (PARTITION BY event_type) - 1)
+                           + 1e-9, 6)
+                ELSE 0.0 END AS pct_rank,
            round(sum(n_rows) OVER (PARTITION BY event_type ORDER BY value
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  * 1.0 / sum(n_rows) OVER (PARTITION BY event_type)
@@ -2119,7 +2130,12 @@ def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("nb"),
     )
     j = users.join(F.broadcast(e), "bucket")
-    # guard degenerate buckets (e = 0 or 1): contribute their naive arm mean
+    # guard degenerate buckets (e = 0 or 1, i.e. an all-treated or
+    # all-control stratum): their users contribute 0.0 to the IPW sum in
+    # BOTH engines — the estimand is then the ATE over identifiable
+    # strata only, biased toward zero by the degenerate stratum's weight
+    # share. Callers needing full coverage should coarsen IPW_BUCKETS
+    # until every stratum has both arms.
     term = F.when(
         (F.col("e") > 0) & (F.col("e") < 1),
         F.col("y") * F.col("t") / F.col("e")

@@ -1363,6 +1363,9 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r",
         F.row_number().over(w).alias("rk"),
         F.count(F.lit(1)).over(tot).alias("n"),
+        # realized holdout coverage = share of residuals <= q_hat;
+        # cume_dist counts tie-peers, so it is exact under duplicate r
+        F.cume_dist().over(w).alias("cd"),
     )
     # q index = ceil((n+1)(1 - alpha)) clamped to n — integer arithmetic
     qidx = F.least(
@@ -1373,6 +1376,7 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "brand",
         F.col("n").cast("bigint").alias("n_holdout"),
         F.col("r").alias("q_hat"),
+        F.round(F.col("cd") + 1e-9, 6).alias("coverage"),
     )
 
 
@@ -1414,10 +1418,12 @@ CONFORMAL_SQL = f"""
     ranked AS (
         SELECT brand, r,
                row_number() OVER (PARTITION BY brand ORDER BY r) AS rk,
-               count(*) OVER (PARTITION BY brand) AS n
+               count(*) OVER (PARTITION BY brand) AS n,
+               cume_dist() OVER (PARTITION BY brand ORDER BY r) AS cd
         FROM resid
     )
-    SELECT brand, CAST(n AS BIGINT) AS n_holdout, r AS q_hat
+    SELECT brand, CAST(n AS BIGINT) AS n_holdout, r AS q_hat,
+           round(cd + 1e-9, 6) AS coverage
     FROM ranked
     WHERE rk = least(CAST(((n + 1) * ({CONFORMAL_ALPHA_DEN} - {CONFORMAL_ALPHA_NUM})
                      + {CONFORMAL_ALPHA_DEN} - 1) // {CONFORMAL_ALPHA_DEN} AS INT),

@@ -1743,6 +1743,11 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     readability for curriculum mixes)."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.expr("size(filter(split(text, ' '), w -> length(w) >= 1))")
+    # the score's divisor floors words at 1 like sentences/syllables —
+    # an empty/whitespace doc would otherwise divide by zero (NULL in
+    # Spark, NaN/inf under DuckDB's IEEE floats); n_words itself stays
+    # the true count.
+    words_f = F.greatest(words, F.lit(1))
     sentences = F.greatest(
         F.expr("regexp_count(text, '[.!?]+')"), F.lit(1)
     )
@@ -1751,8 +1756,8 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     score = (
         F.lit(206.835)
-        - F.lit(1.015) * (words / sentences.cast("double"))
-        - F.lit(84.6) * (syllables / words.cast("double"))
+        - F.lit(1.015) * (words_f / sentences.cast("double"))
+        - F.lit(84.6) * (syllables / words_f.cast("double"))
     )
     return docs.select(
         "doc_id",
@@ -1772,14 +1777,14 @@ READABILITY_SQL = """
            CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
                 AS INT) AS n_syllables,
            round(206.835
-                 - 1.015 * (len(list_filter(string_split(text, ' '),
-                            w -> len(w) >= 1))
+                 - 1.015 * (greatest(len(list_filter(string_split(text, ' '),
+                            w -> len(w) >= 1)), 1)
                     / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
                            AS DOUBLE))
                  - 84.6 * (greatest(len(regexp_extract_all(lower(text),
                             '[aeiouy]+')), 1)
-                    / CAST(len(list_filter(string_split(text, ' '),
-                           w -> len(w) >= 1)) AS DOUBLE))
+                    / CAST(greatest(len(list_filter(string_split(text, ' '),
+                           w -> len(w) >= 1)), 1) AS DOUBLE))
                  + 1e-9, 4) AS flesch_score
     FROM documents
 """

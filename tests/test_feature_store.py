@@ -741,3 +741,40 @@ def test_forget_without_purge_keeps_time_travel_then_gc(spark, store):
     old = {r["household_key"] for r in t.read(version=v0).collect()}
     assert old == {1, 2}  # history intact until retention GC
     assert audit["version"] > v0
+
+
+def test_delta_automerge_conf_saved_and_restored(spark, store):
+    """The delta MERGE path must scope schema.autoMerge.enabled to the
+    single call (VERDICT r05 #3): set during the merge, restored to
+    the prior value (or unset) after, even when the merge raises —
+    otherwise every LATER merge silently allows schema drift. The
+    delta engine itself is absent here, so _merge_delta is stubbed;
+    the conf discipline is what this pins."""
+    key = "spark.databricks.delta.schema.autoMerge.enabled"
+    t = FeatureTable(spark, "dl", ["household_key", "day"], store)
+    t.use_delta = True
+    t.exists = lambda: True
+    seen = {}
+    t._merge_delta = lambda batch: seen.update(
+        during=spark.conf.get(key, None)
+    )
+    batch = _frame(spark, date(2024, 1, 1), [1], 1.0)
+
+    # previously unset -> set to true during, unset again after
+    assert spark.conf.get(key, None) is None
+    t.merge(batch, allow_new_columns=True)
+    assert seen["during"] == "true"
+    assert spark.conf.get(key, None) is None
+
+    # previously false -> restored to false after, even on failure
+    spark.conf.set(key, "false")
+    try:
+        def boom(batch):
+            raise RuntimeError("merge failed mid-flight")
+
+        t._merge_delta = boom
+        with pytest.raises(RuntimeError, match="mid-flight"):
+            t.merge(batch, allow_new_columns=True)
+        assert spark.conf.get(key, None) == "false"
+    finally:
+        spark.conf.unset(key)

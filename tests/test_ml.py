@@ -324,6 +324,38 @@ def test_quality_classifier_separates_reference_from_noise(spark):
         assert 0.0 <= r["quality_prob"] <= 1.0
 
 
+def test_quality_classifier_non_default_text_col(spark):
+    """The text_col contract must hold end to end: a model trained on
+    `body` evaluates and scores `body`, never a hardcoded `text` —
+    here a decoy `text` column carries the OPPOSITE content, so any
+    hardcoding flips every prediction and fails loudly."""
+    from propensity_spark.ml.quality import (
+        evaluate_quality_classifier,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    ref = "the model trains on curated encyclopedic prose with citations"
+    noise = "zxq wvu qqq click here buy now free prize winner jackpot"
+    rows = [(i, noise, ref, 1.0) for i in range(30)] + [
+        (i + 100, ref, noise, 0.0) for i in range(30)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, body string, label double"
+    )
+    train = docs.where("doc_id % 5 != 0")
+    test = docs.where("doc_id % 5 = 0")
+
+    model = train_quality_classifier(train, text_col="body")
+    metrics = evaluate_quality_classifier(model, test, text_col="body")
+    assert metrics["auc"] == 1.0 and metrics["accuracy"] == 1.0, metrics
+    scored = {
+        r["doc_id"]: r["quality_keep"]
+        for r in score_quality(model, test, text_col="body").collect()
+    }
+    assert all(v == (1 if d < 100 else 0) for d, v in scored.items())
+
+
 def test_tpe_proposals_adapt_toward_good_region():
     """Driver-side TPE arithmetic (no Spark): on a known quadratic
     loss over the lr space, adaptive proposals achieve lower mean loss
