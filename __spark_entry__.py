@@ -24,68 +24,71 @@ SF_SMOKE = "/root/testdata/sf0.001"
 EXPECTED_MIN_QUERIES = 162
 
 # The driver's CORRECTNESS report records the FIRST 50 registered entries;
-# `tools/local_verify.py` checks the whole registry regardless. Round 4
-# added 30 operators past that budget which therefore never appeared in a
-# driver report — this round rotates them to the front (the round-4 judge's
-# explicit done-criterion). The remaining 20 slots go to round-5 additions,
-# chosen over the core anchors because every core entry already has a green
-# driver row in CORRECTNESS_r01-r04 while the round-5 operators have none;
-# everything NOT named here keeps its module registration order after the
-# priority block, and stays covered by local_verify at sf0.01 + sf0.1.
+# `tools/local_verify.py` checks the whole registry regardless. Round-6
+# rotation (ledger: COVERAGE.md): slots 1-2 re-verify the two r05 driver
+# failures after their root-cause fixes (build_postings scalarized,
+# anomaly_mad integer-exact); slots 3-50 are 48 of the 62 entries that
+# have never appeared in ANY driver report (everything else already has a
+# green row in CORRECTNESS_r01-r05). The 14 lowest-value never-checked
+# diagnostics (readability, activity_heatmap, char_entropy,
+# column_histogram, seasonality_dow, benford_audit, cat_entropy,
+# period_growth, new_vs_returning, active_users, cv_fold_audit, zipf_fit,
+# durbin_watson, gini_coefficient) defer to the r07 rotation; they stay
+# hash-verified by tools/local_verify.py at sf0.01 meanwhile. New operator
+# additions are FROZEN until the never-checked backlog fits one rotation.
 DRIVER_GATE_PRIORITY = [
-    # -- the 30 round-4 operators, driver-unseen until now --
-    "basket_affinity",
-    "vocab_heavy_hitters",
-    "perplexity_filter",
-    "bm25_search",
-    "semdedup",
-    "bloom_semijoin",
-    "repetition_signals",
-    "exactsubstr_dedup",
-    "dsir_select",
-    "doc_embed",
-    "pagerank_affinity",
-    "hll_rollup",
-    "scd2_history",
-    "funnel_conversion",
-    "cohort_retention",
-    "rfm_segments",
-    "gapfill_revenue",
-    "attribution_last_touch",
-    "table_profile",
-    "record_linkage",
-    "cdc_apply",
-    "chi_square_assoc",
-    "quantile_bucket",
-    "key_skew",
-    "path_analysis",
-    "stratified_sample",
-    "anomaly_mad",
-    "triangle_count",
-    "moving_average",
-    "ri_check",
-    # -- 20 round-5 additions (driver-unseen; cores already have green
-    # driver rows in CORRECTNESS_r01-r04) --
-    "basket_affinity_3",
-    "incremental_agg",
-    "table_fingerprint_suite",
-    "salted_join",
-    "sessionize",
-    "attribution_multi_touch",
-    "km_retention",
-    "hierarchy_rollup",
-    "variant_extract",
-    "llm_dataprep",
-    "target_encode",
-    "psm_match",
-    "qini_uplift",
-    "setsim_join",
-    "kcore_parts",
-    "autocorrelation",
-    "item_cf",
-    "open_orders_daily",
+    # -- r05 driver failures, fixed this round: re-verify first --
     "build_postings",
-    "sprt_monitor",
+    "anomaly_mad",
+    # -- 48 never-driver-checked entries, registry order --
+    "weighted_sample",
+    "event_transitions",
+    "ewma_revenue",
+    "corr_matrix",
+    "feature_scaling",
+    "trend_fit",
+    "changepoint_cusum",
+    "mutual_information",
+    "ab_test_ztest",
+    "hill_tail_index",
+    "cohort_ltv",
+    "forecast_linear",
+    "active_users_hll",
+    "incremental_join",
+    "ks_drift",
+    "cuped_adjustment",
+    "mann_whitney",
+    "woe_iv",
+    "diff_in_diff",
+    "pareto_frontier",
+    "quantile_normalize",
+    "time_to_convert",
+    "cross_correlation",
+    "entity_resolution",
+    "silhouette",
+    "revenue_concentration",
+    "price_elasticity",
+    "pca_pc1",
+    "window_funnel",
+    "weighted_median",
+    "negative_sample",
+    "seasonal_anomaly",
+    "forecast_backtest",
+    "mix_decomposition",
+    "cumulative_distinct",
+    "bfs_hops",
+    "threshold_sweep",
+    "graph_stats",
+    "scd2_lookup",
+    "rank_aggregation",
+    "audience_overlap",
+    "bootstrap_ci",
+    "shapley_attribution",
+    "ipw_ate",
+    "conformal_interval",
+    "theil_sen",
+    "ppr_affinity",
+    "huber_trend",
 ]
 
 

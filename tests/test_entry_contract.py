@@ -15,10 +15,10 @@ def test_every_oracle_has_a_query():
     # renamed away) fails here before it silently weakens the gate.
     assert set(oracles) == set(qs)
     # Driver gate budget: the first 50 registered entries are exactly
-    # DRIVER_GATE_PRIORITY (round-5 rotation: the 30 round-4 operators
-    # + 20 load-bearing core entries fill the driver's 50-row report;
-    # dicts preserve registration order). Everything else still gets
-    # hash-verified by tools/local_verify.py.
+    # DRIVER_GATE_PRIORITY (round-6 rotation: the two fixed r05
+    # failures + 48 never-driver-checked entries; ledger in
+    # COVERAGE.md; dicts preserve registration order). Everything else
+    # still gets hash-verified by tools/local_verify.py.
     assert len(qs) >= 50
     assert list(qs)[:50] == e.DRIVER_GATE_PRIORITY
     assert len(e.DRIVER_GATE_PRIORITY) == 50
