@@ -895,11 +895,15 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         matched.alias("matched"),
         F.round(sum(contrib) + 1e-9, 6).alias("score"),
     ).where(F.col("matched") > 0)
+    # top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps, no global sort), then rank the <= K survivors with a
+    # trivial window — a global row_number over ALL matched docs would
+    # funnel the whole corpus through one reducer at scale.
+    topk = ranked.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOP_K)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        ranked.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .where(F.col("rnk") <= BM25_TOP_K)
-        .select("doc_id", "dl", "matched", "score", "rnk")
+    return topk.select(
+        "doc_id", "dl", "matched", "score",
+        F.row_number().over(w).cast("int").alias("rnk"),
     )
 
 
@@ -1171,25 +1175,24 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("f"),
     ).select("doc_id", "lang", F.expr(_DSIR_BUCKET_SPARK).alias("b"))
-    raw_cnt = feats.groupBy("b").agg(F.count(F.lit(1)).alias("raw_c"))
-    tgt_cnt = (
-        feats.where(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("tgt_c"))
+    # ONE pass over the exploded feature stream builds BOTH count
+    # tables (raw + conditional target) — the stream (explode + md5
+    # per feature) is the expensive part and is deliberately not
+    # cached (recompute is the scale-safe choice at 100 TB), so it
+    # must be traversed exactly twice: once here, once for scoring.
+    cnt = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("raw_c"),
+        F.count_if(F.col("lang") == DSIR_TARGET_LANG).alias("tgt_c"),
     )
-    totals = raw_cnt.agg(F.sum("raw_c").alias("raw_n")).crossJoin(
-        F.broadcast(tgt_cnt.agg(F.sum("tgt_c").alias("tgt_n")))
+    totals = cnt.agg(
+        F.sum("raw_c").alias("raw_n"), F.sum("tgt_c").alias("tgt_n")
     )
-    model = (
-        raw_cnt.join(tgt_cnt, "b", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "b",
-            F.expr(
-                f"ln((coalesce(tgt_c, 0) + 1.0) / (tgt_n + {DSIR_BUCKETS}))"
-                f" - ln((raw_c + 1.0) / (raw_n + {DSIR_BUCKETS}))"
-            ).alias("lr"),
-        )
+    model = cnt.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.expr(
+            f"ln((tgt_c + 1.0) / (tgt_n + {DSIR_BUCKETS}))"
+            f" - ln((raw_c + 1.0) / (raw_n + {DSIR_BUCKETS}))"
+        ).alias("lr"),
     )
     return (
         feats.join(F.broadcast(model), "b")
@@ -1220,18 +1223,20 @@ DSIR_SQL = f"""
             FROM w
         )
     ),
-    raw_cnt AS (SELECT b, CAST(count(*) AS BIGINT) AS raw_c FROM feats GROUP BY b),
-    tgt_cnt AS (SELECT b, CAST(count(*) AS BIGINT) AS tgt_c FROM feats
-                WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+    cnt AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS raw_c,
+               CAST(count(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}')
+                    AS BIGINT) AS tgt_c
+        FROM feats GROUP BY b
+    ),
     totals AS (
-        SELECT (SELECT sum(raw_c) FROM raw_cnt) AS raw_n,
-               (SELECT sum(tgt_c) FROM tgt_cnt) AS tgt_n
+        SELECT sum(raw_c) AS raw_n, sum(tgt_c) AS tgt_n FROM cnt
     ),
     model AS (
-        SELECT r.b,
-               ln((coalesce(t.tgt_c, 0) + 1.0) / (tt.tgt_n + {DSIR_BUCKETS}))
-               - ln((r.raw_c + 1.0) / (tt.raw_n + {DSIR_BUCKETS})) AS lr
-        FROM raw_cnt r LEFT JOIN tgt_cnt t ON r.b = t.b, totals tt
+        SELECT c.b,
+               ln((c.tgt_c + 1.0) / (tt.tgt_n + {DSIR_BUCKETS}))
+               - ln((c.raw_c + 1.0) / (tt.raw_n + {DSIR_BUCKETS})) AS lr
+        FROM cnt c, totals tt
     )
     SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
            round(avg(m.lr) + 1e-9, 6) AS dsir_score,
