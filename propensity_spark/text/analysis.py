@@ -1184,10 +1184,18 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("raw_c"),
         F.count_if(F.col("lang") == DSIR_TARGET_LANG).alias("tgt_c"),
     )
-    totals = cnt.agg(
-        F.sum("raw_c").alias("raw_n"), F.sum("tgt_c").alias("tgt_n")
-    )
-    model = cnt.crossJoin(F.broadcast(totals)).select(
+    # totals as an unpartitioned window over the <= DSIR_BUCKETS-row
+    # count frame (bounded, one tiny exchange) — a separate totals
+    # aggregate would make Catalyst re-derive cnt and re-scan the
+    # stream a third time (plan-pinned in test_plans).
+    w_all = Window.partitionBy()
+    model = cnt.select(
+        "b",
+        "raw_c",
+        "tgt_c",
+        F.sum("raw_c").over(w_all).alias("raw_n"),
+        F.sum("tgt_c").over(w_all).alias("tgt_n"),
+    ).select(
         "b",
         F.expr(
             f"ln((tgt_c + 1.0) / (tgt_n + {DSIR_BUCKETS}))"

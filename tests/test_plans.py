@@ -716,3 +716,32 @@ def test_setsim_join_never_cartesian(spark, sf_dir):
     plan = plan_of(q_setsim_join(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bm25_topk_is_take_ordered_not_global_window(spark, sf_dir):
+    """bm25's final ranking must reach the driver as a bounded top-k
+    (TakeOrderedAndProject: per-partition heaps), with the row_number
+    window running AFTER the limit over <= k rows — a global
+    row_number over every matched doc would sort the corpus through
+    one reducer."""
+    from propensity_spark.text.analysis import q_bm25_search
+
+    plan = plan_of(q_bm25_search(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # the Window node must consume the limited side: in the formatted
+    # tree the TakeOrderedAndProject appears below (= executes before)
+    # the Window
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window")
+
+
+def test_dsir_model_is_single_pass_over_feature_stream(spark, sf_dir):
+    """The DSIR importance model (raw + target bucket counts) must be
+    built by ONE aggregation over the exploded feature stream — the
+    two-agg + left-join form scans the expensive explode+md5 stream
+    an extra time. Scoring necessarily re-traverses the stream, so
+    the documents scan appears exactly twice, never three times."""
+    from propensity_spark.text.analysis import q_dsir_select
+
+    plan = plan_of(q_dsir_select(spark, sf_dir))
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_ids) <= 2, plan[:2000]
