@@ -489,8 +489,9 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('small ring' ~ 'small king' ~ 'small kind' collapse even when
     the outer pair exceeds the distance cap), and each cluster is
     canonicalized to its MIN NAME with member/row rollups. Names ride
-    the CC loop as 48-bit md5 ids (the loop's convergence signature
-    sums node ids, so string labels stay outside it); canonical
+    the CC loop as 60-bit md5-prefix ids asserted collision-free
+    in-plan (the loop's convergence signature sums node ids, so
+    string labels stay outside it); canonical
     selection happens on the original strings, so the id mapping
     never leaks into the result. Only linked names appear (singletons
     are the uninteresting ~100%)."""
@@ -507,18 +508,30 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 60-bit md5 prefix (15 hex chars — the widest that cannot overflow
     # a signed BIGINT via conv); birthday bound ~1.3e9 distinct names.
     # A collision would silently merge unrelated clusters, so the
-    # mapping is ASSERTED injective below — one tiny agg on the names
-    # grain (two counters), loud failure instead of silent corruption.
+    # mapping is asserted injective LAZILY, in-plan: a names-grain agg
+    # (max names per nid) broadcasts one row into the id projection,
+    # where assert_true raises at execution on any collision. No job
+    # runs at DataFrame-construction time (plan builds stay free), and
+    # a violation fails loudly instead of corrupting clusters.
     mid = "cast(conv(substr(md5(cast(name as binary)), 1, 15), 16, 10) as bigint)"
     ids = names.select("name", F.expr(mid).alias("nid"))
-    chk = ids.agg(
-        F.count("name").alias("n"), F.countDistinct("nid").alias("d")
-    ).collect()[0]
-    if chk["n"] != chk["d"]:
-        raise ValueError(
-            f"entity_resolution: md5-prefix node ids collided "
-            f"({chk['n']} names -> {chk['d']} ids); widen the id space"
-        )
+    chk = ids.groupBy("nid").agg(F.count(F.lit(1)).alias("k")).agg(
+        F.max("k").alias("mx")
+    )
+    ids = ids.crossJoin(F.broadcast(chk)).select(
+        "name",
+        (
+            F.col("nid")
+            + F.coalesce(
+                F.expr(
+                    "cast(assert_true(mx = 1, 'entity_resolution:"
+                    " md5-prefix node ids collided; widen the id space')"
+                    " as bigint)"
+                ),
+                F.lit(0),
+            )
+        ).alias("nid"),
+    )
     edges = (
         pairs.join(ids.selectExpr("name AS name_a", "nid AS ua"), "name_a")
         .join(ids.selectExpr("name AS name_b", "nid AS ub"), "name_b")

@@ -26,9 +26,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
+from tools.local_verify import make_duck_views  # noqa: E402 — shared table bootstrap
 
 NON_SCALAR_SPARK = {"array", "map", "struct"}
 
@@ -39,10 +37,7 @@ def main() -> int:
 
     spark = get_spark("gate_lint")
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+    make_duck_views(con, SF_DIR)
     qs, oracles = e.queries(), e.oracle_sql()
     problems: list[str] = []
     for name, fn in qs.items():

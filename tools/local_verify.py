@@ -30,6 +30,16 @@ TABLES = (
 ).split()
 
 
+def make_duck_views(con, sf_dir: str) -> None:
+    """Register every fixture table as a DuckDB view over its parquet —
+    shared by local_verify and gate_lint so the table list can't drift
+    between the value-level and shape-level checks."""
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+
 def canon(v):
     if v is None:
         return "NULL"
@@ -68,10 +78,7 @@ def main() -> int:
 
     spark = get_spark("local_verify")
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+    make_duck_views(con, SF_DIR)
 
     qs, oracles = e.queries(), e.oracle_sql()
     names = [n for n in qs if not ONLY or n in ONLY]
