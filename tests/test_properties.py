@@ -519,3 +519,34 @@ def test_ks_statistic_equals_bruteforce(spark, a, b):
         for t in support
     )
     assert abs(d - want) < 1e-6
+
+
+def test_in_plan_injectivity_guard_raises_on_collision(spark):
+    """The lazy assert_true guard pattern (q_entity_resolution's id
+    mapping) must actually raise AT EXECUTION when the watched
+    invariant breaks, and pass values through untouched when it
+    holds — no eager job at construction either way."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    def guarded(rows):
+        df = spark.createDataFrame(rows, "name string, nid long")
+        chk = df.groupBy("nid").agg(F.count(F.lit(1)).alias("k")).agg(
+            F.max("k").alias("mx")
+        )
+        return df.crossJoin(F.broadcast(chk)).select(
+            "name",
+            (
+                F.col("nid")
+                + F.coalesce(
+                    F.expr("cast(assert_true(mx = 1, 'ids collided') as bigint)"),
+                    F.lit(0),
+                )
+            ).alias("nid"),
+        )
+
+    ok = guarded([("a", 1), ("b", 2)])  # construction: no job, no raise
+    assert {(r["name"], r["nid"]) for r in ok.collect()} == {("a", 1), ("b", 2)}
+    bad = guarded([("a", 1), ("b", 1)])  # collision: raises only on execute
+    with _pytest.raises(Exception, match="ids collided"):
+        bad.collect()
