@@ -92,8 +92,75 @@ class FeatureTable:
         # read(version=...) — the Delta VACUUM-retention analogue.
         self.keep_versions = max(1, keep_versions)
         self.path = str(Path(base or DEFAULT_STORE) / name)
+        self._lock_depth = 0
 
     # -- versioned-layout plumbing (parquet backend) ------------------------
+
+    def _writer_lock(self):
+        """Enforce the documented single-writer-per-table assumption
+        LOUDLY (parquet backend): an O_CREAT|O_EXCL `_WRITER_LOCK`
+        file claimed for the duration of every mutation. A second
+        concurrent writer raises instead of interleaving version
+        numbers / pointer flips into silent corruption. The lock
+        records the holder pid; a lock whose holder is dead (crashed
+        writer) is broken automatically, preserving the layout's
+        crash-recovery story (unpointed v-dirs are GC'd by the next
+        write). Reentrant per table object (merge -> create). At
+        100 TB on an object store this becomes a catalog lease — the
+        same seam as the `_CURRENT` pointer."""
+        import contextlib
+        import os
+
+        table = self
+
+        @contextlib.contextmanager
+        def held():
+            if table._lock_depth > 0:
+                table._lock_depth += 1
+                try:
+                    yield
+                finally:
+                    table._lock_depth -= 1
+                return
+            Path(table.path).mkdir(parents=True, exist_ok=True)
+            lock = Path(table.path) / "_WRITER_LOCK"
+            fd = None
+            for _ in range(2):  # second try only after breaking a stale lock
+                try:
+                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    try:
+                        pid = int(lock.read_text().strip() or "0")
+                    except (FileNotFoundError, ValueError):
+                        pid = 0
+                    alive = False
+                    if pid:
+                        try:
+                            os.kill(pid, 0)
+                            alive = True
+                        except ProcessLookupError:
+                            alive = False
+                        except PermissionError:  # exists, other user
+                            alive = True
+                    if alive:
+                        raise RuntimeError(
+                            f"concurrent writer (pid {pid}) holds "
+                            f"{lock}; feature tables are single-writer"
+                        )
+                    lock.unlink(missing_ok=True)  # stale: holder died
+            if fd is None:
+                raise RuntimeError(f"could not claim writer lock {lock}")
+            try:
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                table._lock_depth = 1
+                yield
+            finally:
+                table._lock_depth = 0
+                lock.unlink(missing_ok=True)
+
+        return held()
 
     @staticmethod
     def _day_str(day) -> str:
@@ -283,10 +350,11 @@ class FeatureTable:
         if self.use_delta:
             df.write.format("delta").mode("overwrite").partitionBy("day").save(self.path)
             return None
-        n = self._next_version()
-        self._write_version(df, n)
-        self._commit_version(n, replace_all=True)
-        return n
+        with self._writer_lock():
+            n = self._next_version()
+            self._write_version(df, n)
+            self._commit_version(n, replace_all=True)
+            return n
 
     def read(self, day=None, version: int | None = None) -> DataFrame:
         """Snapshot read: pointers are resolved NOW, and the returned
@@ -455,20 +523,21 @@ class FeatureTable:
         import shutil
 
         staging = self.path + "__STAGING"
-        batch.write.mode("overwrite").parquet(staging)
-        try:
-            staged = self.spark.read.parquet(staging)
-            days = [r[0] for r in staged.select("day").distinct().collect()]
-            merged = self._merge_frame(staged, days, allow_new_columns)
-            # New v-dirs only for the touched days; untouched history —
-            # and the live version dirs of the touched days themselves —
-            # stay on disk until the pointer flip commits.
-            n = self._next_version()
-            self._write_version(merged, n)
-            self._commit_version(n)
-            return n
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+        with self._writer_lock():
+            batch.write.mode("overwrite").parquet(staging)
+            try:
+                staged = self.spark.read.parquet(staging)
+                days = [r[0] for r in staged.select("day").distinct().collect()]
+                merged = self._merge_frame(staged, days, allow_new_columns)
+                # New v-dirs only for the touched days; untouched history —
+                # and the live version dirs of the touched days themselves —
+                # stay on disk until the pointer flip commits.
+                n = self._next_version()
+                self._write_version(merged, n)
+                self._commit_version(n)
+                return n
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
 
     def _merge_frame(
         self, batch: DataFrame, days, allow_new_columns: bool = False
@@ -562,11 +631,12 @@ class FeatureTable:
         # superseded. A crash mid-write leaves the pointer — and every
         # reader — on the old, complete version.
         dstr = self._day_str(day)
-        n = self._next_version()
-        new_dir = Path(self.path) / f"day={dstr}" / f"v={n}"
-        df.write.mode("overwrite").parquet(str(new_dir))
-        self._commit_version(n)
-        return len(list(new_dir.glob("*.parquet")))
+        with self._writer_lock():
+            n = self._next_version()
+            new_dir = Path(self.path) / f"day={dstr}" / f"v={n}"
+            df.write.mode("overwrite").parquet(str(new_dir))
+            self._commit_version(n)
+            return len(list(new_dir.glob("*.parquet")))
 
     def validate(self, day=None, expectations: list[dict] | None = None) -> dict:
         """DLT-expectations-style health check over the table (or one
@@ -689,27 +759,28 @@ class FeatureTable:
                     "purged": purge_history}
         scope = cur.where(F.col("day").isin(affected))
         removed = scope.where(cond).count()
-        n = self._next_version()
-        self._write_version(scope.where(~cond), n)
-        # a day whose every row was forgotten writes no v=n partition
-        # under dynamic overwrite: materialize its empty version so the
-        # pointer flip retires the old data there too
-        for dstr in affected:
-            vdir = Path(self.path) / f"day={dstr}" / f"v={n}"
-            if not vdir.exists():
-                scope.limit(0).drop("day").write.mode("overwrite").parquet(
-                    str(vdir)
-                )
-        self._commit_version(n)
-        if purge_history:
+        with self._writer_lock():
+            n = self._next_version()
+            self._write_version(scope.where(~cond), n)
+            # a day whose every row was forgotten writes no v=n partition
+            # under dynamic overwrite: materialize its empty version so the
+            # pointer flip retires the old data there too
             for dstr in affected:
-                dd = Path(self.path) / f"day={dstr}"
-                for vdir in dd.glob("v=*"):
-                    if int(vdir.name.split("=", 1)[1]) != n:
-                        shutil.rmtree(vdir, ignore_errors=True)
-                tmp = dd / "_CURRENT.tmp"
-                tmp.write_text(str(n))
-                os.replace(tmp, dd / "_CURRENT")
+                vdir = Path(self.path) / f"day={dstr}" / f"v={n}"
+                if not vdir.exists():
+                    scope.limit(0).drop("day").write.mode("overwrite").parquet(
+                        str(vdir)
+                    )
+            self._commit_version(n)
+            if purge_history:
+                for dstr in affected:
+                    dd = Path(self.path) / f"day={dstr}"
+                    for vdir in dd.glob("v=*"):
+                        if int(vdir.name.split("=", 1)[1]) != n:
+                            shutil.rmtree(vdir, ignore_errors=True)
+                    tmp = dd / "_CURRENT.tmp"
+                    tmp.write_text(str(n))
+                    os.replace(tmp, dd / "_CURRENT")
         return {"days": affected, "rows_removed": removed, "version": n,
                 "purged": purge_history}
 
@@ -743,11 +814,12 @@ class FeatureTable:
             return sorted(dropped)
 
         dropped = []
-        for part in sorted(Path(self.path).glob("day=*")):
-            day_val = part.name.split("=", 1)[1]
-            if day_val < str(before_day):
-                shutil.rmtree(part)
-                dropped.append(day_val)
+        with self._writer_lock():
+            for part in sorted(Path(self.path).glob("day=*")):
+                day_val = part.name.split("=", 1)[1]
+                if day_val < str(before_day):
+                    shutil.rmtree(part)
+                    dropped.append(day_val)
         return dropped
 
     def lookup(

@@ -778,3 +778,44 @@ def test_delta_automerge_conf_saved_and_restored(spark, store):
         assert spark.conf.get(key, None) == "false"
     finally:
         spark.conf.unset(key)
+
+
+def test_writer_lock_rejects_live_concurrent_writer(spark, store):
+    """The documented single-writer assumption is now ENFORCED: a
+    `_WRITER_LOCK` held by a live process makes every mutation raise
+    loudly instead of interleaving version numbers into silent
+    corruption; releasing the lock restores normal writes."""
+    import os
+    from pathlib import Path
+
+    d = date(2024, 1, 1)
+    t = FeatureTable(spark, "lk", ["household_key", "day"], store)
+    t.create(_frame(spark, d, [1], 1.0))
+    lock = Path(t.path) / "_WRITER_LOCK"
+    lock.write_text(str(os.getpid()))  # a LIVE holder (this process)
+    t2 = FeatureTable(spark, "lk", ["household_key", "day"], store)
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        t2.merge(_frame(spark, d, [2], 2.0))
+    lock.unlink()
+    assert t2.merge(_frame(spark, d, [2], 2.0)) is not None
+    assert t2.read().count() == 2
+
+
+def test_writer_lock_breaks_stale_dead_holder(spark, store):
+    """A lock left by a CRASHED writer (dead pid) must not brick the
+    table: the next mutation breaks the stale lock, proceeds, and
+    releases its own claim afterwards."""
+    import subprocess
+    from pathlib import Path
+
+    d = date(2024, 1, 1)
+    t = FeatureTable(spark, "lk2", ["household_key", "day"], store)
+    t.create(_frame(spark, d, [1], 1.0))
+    # a real pid that is guaranteed dead by the time we use it
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    lock = Path(t.path) / "_WRITER_LOCK"
+    lock.write_text(str(proc.pid))
+    assert t.merge(_frame(spark, d, [2], 2.0)) is not None
+    assert not lock.exists()  # released after the write
+    assert t.read().count() == 2
