@@ -142,6 +142,12 @@ def main() -> None:
     duck_total = round(sum(duck.values()), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # The driver records only the LAST ~2000 chars of output and parses
+    # the final JSON line; r05's line outgrew that window (39 spark +
+    # 39 duck per-query entries) and its head got clipped, breaking the
+    # parse. Per-query DuckDB detail goes on its own earlier line;
+    # the contract line stays compact and last.
+    print(json.dumps({"duckdb_queries": duck}, separators=(",", ":")))
     print(
         json.dumps(
             {
@@ -152,9 +158,9 @@ def main() -> None:
                 "sf": float(sf),
                 "repeats": n_repeats,
                 "duckdb_total_sec": duck_total,
-                "duckdb_queries": duck,
                 "vs_duckdb": round(total / duck_total, 3) if duck_total else None,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 
