@@ -298,9 +298,14 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad4")
         )
     )
+    # `+ 0.0` after the round normalizes IEEE signed zero: DuckDB's
+    # round() preserves -0.0 (e.g. round(-3e-5, 4)) while Spark's goes
+    # through BigDecimal and emits +0.0; the driver canonicalizes at
+    # fixed precision so "-0.000000" != "0.000000" (the r06 hash red).
+    # x + 0.0 is a no-op for every value except -0.0 -> +0.0.
     z = F.expr(
         f"round({MAD_K} * 2.0 * (r2 - med2)"
-        " / nullif(cast(mad4 as double), 0.0) + 1e-9, 4)"
+        " / nullif(cast(mad4 as double), 0.0) + 1e-9, 4) + 0.0"
     )
     return (
         daily.join(F.broadcast(meds), "brand")
@@ -345,7 +350,7 @@ ANOMALY_SQL = f"""
     SELECT d.brand, d.day,
            floor((d.r2 / 2 + 50) / 100.0) / 100.0 AS revenue,
            round({MAD_K} * 2.0 * (d.r2 - m.med2)
-                 / nullif(CAST(a.mad4 AS DOUBLE), 0.0) + 1e-9, 4)
+                 / nullif(CAST(a.mad4 AS DOUBLE), 0.0) + 1e-9, 4) + 0.0
                AS robust_z,
            CASE WHEN abs(round({MAD_K} * 2.0 * (d.r2 - m.med2)
                                / nullif(CAST(a.mad4 AS DOUBLE), 0.0) + 1e-9, 4))

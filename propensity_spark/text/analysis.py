@@ -1207,7 +1207,11 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
-            F.round(F.avg("lr") + 1e-9, 6).alias("dsir_score"),
+            # + 0.0 normalizes IEEE -0.0 from the round: DuckDB's round
+            # preserves the sign, Spark's BigDecimal path does not, and
+            # the driver's fixed-precision canonicalizer distinguishes
+            # them (the latent sf0.1 flake the r06 judge found).
+            (F.round(F.avg("lr") + 1e-9, 6) + 0.0).alias("dsir_score"),
             (F.avg("lr") > 0).cast("int").alias("dsir_keep"),
         )
     )
@@ -1247,7 +1251,7 @@ DSIR_SQL = f"""
         FROM cnt c, totals tt
     )
     SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-           round(avg(m.lr) + 1e-9, 6) AS dsir_score,
+           round(avg(m.lr) + 1e-9, 6) + 0.0 AS dsir_score,
            CAST(avg(m.lr) > 0 AS INT) AS dsir_keep
     FROM feats f JOIN model m ON f.b = m.b
     GROUP BY f.doc_id

@@ -10,13 +10,22 @@ driver's canonicalizer can hash the output at all:
   so a name mismatch is an automatic hash fail);
 - rule 5b: no oracle output column is a DuckDB LIST/STRUCT/MAP either.
 
-Usage: python tools/gate_lint.py [sf_dir]
+With ``--negzero``, additionally EXECUTES every query and oracle and
+scans all float cells for IEEE -0.0 (rule 7): Spark's round() goes
+through BigDecimal and emits +0.0 where DuckDB's round() preserves the
+sign, and the driver's fixed-precision canonicalizer renders them as
+"-0.000000" != "0.000000" — the r06 anomaly_mad / mix_decomposition
+hash reds. Any -0.0 in EITHER engine's output is a violation: the fix
+is `round(...) + 0.0` at the producing site in both engines.
+
+Usage: python tools/gate_lint.py [sf_dir] [--negzero] [query ...]
 Exit 1 on any violation. tools/local_verify.py remains the value-level
 check; this is the cheap shape-level pre-flight.
 """
 
 from __future__ import annotations
 
+import math
 import sys
 from pathlib import Path
 
@@ -24,11 +33,28 @@ import duckdb
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+ARGS = [a for a in sys.argv[1:] if a != "--negzero"]
+NEGZERO = "--negzero" in sys.argv[1:]
+SF_DIR = ARGS[0] if ARGS else "/root/testdata/sf0.001"
+ONLY = set(ARGS[1:])
 
 from tools.local_verify import make_duck_views  # noqa: E402 — shared table bootstrap
 
 NON_SCALAR_SPARK = {"array", "map", "struct"}
+
+
+def count_negzero(rows) -> dict[int, int]:
+    """Per-column count of IEEE -0.0 float cells across all rows."""
+    hits: dict[int, int] = {}
+    for r in rows:
+        for i, v in enumerate(r):
+            if (
+                isinstance(v, float)
+                and v == 0.0
+                and math.copysign(1.0, v) < 0
+            ):
+                hits[i] = hits.get(i, 0) + 1
+    return hits
 
 
 def main() -> int:
@@ -41,6 +67,8 @@ def main() -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     problems: list[str] = []
     for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
         try:
             sdf = fn(spark, SF_DIR)
         except Exception as ex:
@@ -53,7 +81,19 @@ def main() -> int:
                     f"{f.name} ({f.dataType.simpleString()}) — rule 1"
                 )
         if name not in oracles:
-            continue  # rows-only entry; the driver records a weaker check
+            # rows-only entry; the driver records a weaker check — but
+            # the Spark output still participates in the -0.0 sweep.
+            if NEGZERO:
+                try:
+                    srows = [tuple(r) for r in sdf.collect()]
+                    for i, n in count_negzero(srows).items():
+                        problems.append(
+                            f"{name}: spark column {sdf.columns[i]} emits "
+                            f"{n} -0.0 cell(s) — rule 7 (add `+ 0.0`)"
+                        )
+                except Exception as ex:
+                    problems.append(f"{name}: -0.0 sweep error: {ex}")
+            continue
         try:
             rel = con.execute(
                 f"DESCRIBE SELECT * FROM ({oracles[name]}) LIMIT 0"
@@ -73,9 +113,28 @@ def main() -> int:
                 problems.append(
                     f"{name}: non-scalar oracle column {c} ({t}) — rule 5b"
                 )
+        if NEGZERO:
+            try:
+                srows = [tuple(r) for r in sdf.collect()]
+                for i, n in count_negzero(srows).items():
+                    problems.append(
+                        f"{name}: spark column {sdf.columns[i]} emits "
+                        f"{n} -0.0 cell(s) — rule 7 (add `+ 0.0`)"
+                    )
+                res = con.execute(oracles[name])
+                ocols = [d[0] for d in res.description]
+                for i, n in count_negzero(res.fetchall()).items():
+                    problems.append(
+                        f"{name}: oracle column {ocols[i]} emits "
+                        f"{n} -0.0 cell(s) — rule 7 (add `+ 0.0`)"
+                    )
+            except Exception as ex:
+                problems.append(f"{name}: -0.0 sweep error: {ex}")
     for p in problems:
         print(f"LINT  {p}")
-    print(f"\n{len(qs) - len({p.split(':')[0] for p in problems})}/{len(qs)} clean")
+    checked = [n for n in qs if not ONLY or n in ONLY]
+    bad = {p.split(":")[0] for p in problems}
+    print(f"\n{len(checked) - len(bad)}/{len(checked)} clean")
     return 1 if problems else 0
 
 

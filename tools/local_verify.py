@@ -48,6 +48,13 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        # Preserve IEEE zero sign BEFORE the int collapse: the driver's
+        # canonicalizer is fixed-precision ("%.6f" renders -0.0 as
+        # "-0.000000" != "0.000000"), so a gate that maps both zeros to
+        # "0" is strictly weaker and ships -0.0 mismatches (the r06
+        # anomaly_mad/mix_decomposition lesson).
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return f"{v:.6f}"
