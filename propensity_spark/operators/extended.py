@@ -349,7 +349,11 @@ def q_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("n_name")
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
-                F.round(F.sum("s_acctbal") + 1e-6, 2).alias("checksum"),
+                # GATE_CONTRACT rule 2: checksum as exact BIGINT cents —
+                # round(sum(double)) is order-dependent across engines.
+                F.expr(
+                    "sum(cast(round(s_acctbal * 100, 0) as bigint)) / 100.0D"
+                ).alias("checksum"),
             )
             .select(F.lit("orc_json").alias("fmt"), F.col("n_name").alias("k"), "n_rows", "checksum")
         )
@@ -363,7 +367,8 @@ def q_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type")
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
-                F.round(F.sum("k_val") + 1e-6, 2).alias("checksum"),
+                # integer sum, surfaced as double — exact in both engines
+                F.sum("k_val").cast("double").alias("checksum"),
             )
             .select(
                 F.lit("json_props").alias("fmt"),
@@ -390,12 +395,17 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     silver = silver_transactions(spark, sf_dir)
     salted = silver.withColumn("__salt", F.pmod(F.hash("basket_id"), F.lit(16)))
+    # GATE_CONTRACT rule 2: cents BIGINT through BOTH stages, so the
+    # salt decomposition is exact by construction (integer addition is
+    # associative; the old float partial sums were order-dependent).
     partial = salted.groupBy("household_key", "__salt").agg(
-        F.sum("amount_list").alias("partial_amount"),
+        F.sum(F.expr("cast(round(amount_list * 100, 0) as bigint)")).alias(
+            "partial_cents"
+        ),
         F.count(F.lit(1)).alias("partial_lines"),
     )
     return partial.groupBy("household_key").agg(
-        F.round(F.sum("partial_amount") + 1e-6, 2).alias("amount_list"),
+        F.expr("sum(partial_cents) / 100.0D").alias("amount_list"),
         F.sum("partial_lines").alias("line_items"),
     )
 
@@ -450,9 +460,8 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(lineitem, orders, "l_orderkey")
     return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-6,
-            2,
+        F.expr(
+            "floor((sum(cast(round(l_extendedprice * 100, 0) as bigint) * cast(round((1 - l_discount) * 100, 0) as bigint)) + 50) / 100.0D) / 100.0D"
         ).alias("revenue"),
     )
 
@@ -460,7 +469,9 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SALTED_JOIN_SQL = """
     SELECT o_orderpriority AS priority,
            CAST(count(*) AS BIGINT) AS n_lines,
-           round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS revenue
+           floor((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * CAST(round((1 - l_discount) * 100, 0) AS BIGINT)) + 50)
+                 / 100.0) / 100.0 AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1
 """
@@ -702,8 +713,8 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"))
         .agg(
-            F.round(
-                F.sum(F.expr("l_extendedprice * (1 - l_discount)")) + 1e-6, 2
+            F.expr(
+                "floor((sum(cast(round(l_extendedprice * 100, 0) as bigint) * cast(round((1 - l_discount) * 100, 0) as bigint)) + 50) / 100.0D) / 100.0D"
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -729,8 +740,8 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.expr("l_extendedprice * (1 - l_discount)")) + 1e-6, 2
+            F.expr(
+                "floor((sum(cast(round(l_extendedprice * 100, 0) as bigint) * cast(round((1 - l_discount) * 100, 0) as bigint)) + 50) / 100.0D) / 100.0D"
             ).alias("revenue")
         )
     )
@@ -745,7 +756,9 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_discount").between(0.05, 0.07)) & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.expr("l_extendedprice * l_discount")) + 1e-6, 2).alias(
+            F.expr(
+                "floor((sum(cast(round(l_extendedprice * 100, 0) as bigint) * cast(round(l_discount * 100, 0) as bigint)) + 50) / 100.0D) / 100.0D"
+            ).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_lines"),
@@ -847,8 +860,8 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
-            F.round(
-                F.sum(F.expr("l_extendedprice * (1 - l_discount)")) + 1e-6, 2
+            F.expr(
+                "floor((sum(cast(round(l_extendedprice * 100, 0) as bigint) * cast(round((1 - l_discount) * 100, 0) as bigint)) + 50) / 100.0D) / 100.0D"
             ).alias("revenue")
         )
     )
@@ -888,7 +901,11 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + 1e-9,
                 6,
             ).alias("local_share"),
-            F.round(F.sum(F.expr(rev)) + 1e-6, 2).alias("revenue"),
+            F.expr(
+                "floor((sum(cast(round(l_extendedprice * 100, 0) as bigint)"
+                " * cast(round((1 - l_discount) * 100, 0) as bigint)) + 50)"
+                " / 100.0D) / 100.0D"
+            ).alias("revenue"),
         )
     )
 
@@ -910,8 +927,8 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.expr("l_extendedprice * (1 - l_discount)")) + 1e-6, 2
+            F.expr(
+                "floor((sum(cast(round(l_extendedprice * 100, 0) as bigint) * cast(round((1 - l_discount) * 100, 0) as bigint)) + 50) / 100.0D) / 100.0D"
             ).alias("revenue"),
             F.round(F.first("c_acctbal") + 1e-6, 2).alias("c_acctbal"),
         )
@@ -955,8 +972,8 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").between("1996-01-01", "1996-03-31")
     )
     revenue = lineitem.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(
-            F.sum(F.expr("l_extendedprice * (1 - l_discount)")) + 1e-6, 2
+        F.expr(
+            "floor((sum(cast(round(l_extendedprice * 100, 0) as bigint) * cast(round((1 - l_discount) * 100, 0) as bigint)) + 50) / 100.0D) / 100.0D"
         ).alias("total_revenue")
     )
     top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
@@ -1137,15 +1154,8 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
         .agg(
-            F.round(
-                F.sum(
-                    F.expr(
-                        "l_extendedprice * (1 - l_discount)"
-                        " - 0.1 * p_retailprice * l_quantity"
-                    )
-                )
-                + 1e-6,
-                2,
+            F.expr(
+                "floor((sum(cast(round(l_extendedprice * 100, 0) as bigint) * cast(round((1 - l_discount) * 100, 0) as bigint) - cast(round(p_retailprice * 100, 0) as bigint) * cast(l_quantity as bigint) * 10) + 50) / 100.0D) / 100.0D"
             ).alias("sum_profit")
         )
     )
@@ -1230,8 +1240,8 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
         .where(F.expr(cond))
         .agg(
-            F.round(
-                F.sum(F.expr("l_extendedprice * (1 - l_discount)")) + 1e-6, 2
+            F.expr(
+                "floor((sum(cast(round(l_extendedprice * 100, 0) as bigint) * cast(round((1 - l_discount) * 100, 0) as bigint)) + 50) / 100.0D) / 100.0D"
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -1418,7 +1428,9 @@ def q_tpch_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q3_SQL = """
     SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
-           round(1e-6 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           floor((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * CAST(round((1 - l_discount) * 100, 0) AS BIGINT)) + 50)
+                 / 100.0) / 100.0 AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -1440,7 +1452,9 @@ _Q4_SQL = """
 
 _Q5_SQL = """
     SELECT n_name,
-           round(1e-6 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           floor((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * CAST(round((1 - l_discount) * 100, 0) AS BIGINT)) + 50)
+                 / 100.0) / 100.0 AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -1451,7 +1465,9 @@ _Q5_SQL = """
 """
 
 _Q6_SQL = """
-    SELECT round(1e-6 + sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT floor((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * CAST(round(l_discount * 100, 0) AS BIGINT)) + 50)
+                 / 100.0) / 100.0 AS revenue,
            count(*) AS n_lines
     FROM lineitem
     WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -1484,7 +1500,9 @@ _Q18_SQL = """
 _Q7_SQL = """
     SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
            year(l_shipdate) AS l_year,
-           round(1e-6 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           floor((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * CAST(round((1 - l_discount) * 100, 0) AS BIGINT)) + 50)
+                 / 100.0) / 100.0 AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -1500,7 +1518,9 @@ _Q8_SQL = """
            round(1e-9 + sum(CASE WHEN s_nationkey = c_nationkey
                             THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
                  / sum(l_extendedprice * (1 - l_discount)), 6) AS local_share,
-           round(1e-6 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           floor((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * CAST(round((1 - l_discount) * 100, 0) AS BIGINT)) + 50)
+                 / 100.0) / 100.0 AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -1512,7 +1532,9 @@ _Q8_SQL = """
 
 _Q10_SQL = """
     SELECT c_custkey, c_name, n_name,
-           round(1e-6 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           floor((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * CAST(round((1 - l_discount) * 100, 0) AS BIGINT)) + 50)
+                 / 100.0) / 100.0 AS revenue,
            round(1e-6 + any_value(c_acctbal), 2) AS c_acctbal
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
@@ -1540,7 +1562,9 @@ _Q13_SQL = """
 _Q15_SQL = """
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               round(1e-6 + sum(l_extendedprice * (1 - l_discount)), 2)
+               floor((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * CAST(round((1 - l_discount) * 100, 0) AS BIGINT)) + 50)
+                 / 100.0) / 100.0
                    AS total_revenue
         FROM lineitem
         WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'
@@ -1628,8 +1652,11 @@ _Q2_SQL = """
 
 _Q9_SQL = """
     SELECT n_name AS nation, year(o_orderdate) AS o_year,
-           round(1e-6 + sum(l_extendedprice * (1 - l_discount)
-                            - 0.1 * p_retailprice * l_quantity), 2) AS sum_profit
+           floor((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * CAST(round((1 - l_discount) * 100, 0) AS BIGINT)
+                  - CAST(round(p_retailprice * 100, 0) AS BIGINT)
+                  * CAST(l_quantity AS BIGINT) * 10) + 50)
+                 / 100.0) / 100.0 AS sum_profit
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -1667,7 +1694,9 @@ _Q12_SQL = """
 """
 
 _Q19_SQL = """
-    SELECT round(1e-6 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT floor((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * CAST(round((1 - l_discount) * 100, 0) AS BIGINT)) + 50)
+                 / 100.0) / 100.0 AS revenue,
            count(*) AS n_lines
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
@@ -1808,12 +1837,12 @@ ORACLES = {
         GROUP BY r_name
         UNION ALL
         SELECT 'orc_json', n_name, count(*),
-               round(1e-6 + sum(s_acctbal), 2)
+               sum(CAST(round(s_acctbal * 100, 0) AS BIGINT)) / 100.0
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
         UNION ALL
         SELECT 'json_props', event_type, count(*),
-               round(1e-6 + sum(CAST(json_extract(props, '$.k') AS INT)), 2)
+               CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS DOUBLE)
         FROM events
         GROUP BY event_type
     """,
@@ -1834,7 +1863,8 @@ ORACLES = {
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         )
         SELECT household_key,
-               round(1e-6 + sum(amount_list), 2) AS amount_list,
+               sum(CAST(round(amount_list * 100, 0) AS BIGINT)) / 100.0
+                   AS amount_list,
                count(*) AS line_items
         FROM s GROUP BY household_key
     """,

@@ -600,15 +600,45 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.to_date("l_shipdate") <= F.col("cutoff"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            _round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            _round(F.sum(F.expr("l_extendedprice * (1 - l_discount)")), 2).alias("sum_disc_price"),
-            _round(F.sum(F.expr("l_extendedprice * (1 - l_discount) * (1 + l_tax)")), 2).alias(
-                "sum_charge"
+            # GATE_CONTRACT rule 2: every money sum in exact BIGINT
+            # (cents; cents x percent for the 4-dp discount product;
+            # cents x percent x percent for the 6-dp charge product),
+            # surfaced as half-up cents via INTEGER division — the old
+            # round(sum(double) + 1e-6, 2) was measurably unsafe at this
+            # grain: the r07 sweep measured a 7.6e-5 cross-order float
+            # error on these ~150k-row groups, 76x the nudge, with the
+            # nearest half-cent boundary only 0.0012 away.
+            F.expr("cast(sum(cast(l_quantity as bigint)) as double)").alias(
+                "sum_qty"
             ),
-            _round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            _round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            _round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.expr(
+                "sum(cast(round(l_extendedprice * 100, 0) as bigint)) / 100.0D"
+            ).alias("sum_base_price"),
+            F.expr(
+                "((sum(cast(round(l_extendedprice * 100, 0) as bigint)"
+                " * cast(round((1 - l_discount) * 100, 0) as bigint)) + 50)"
+                " div 100) / 100.0D"
+            ).alias("sum_disc_price"),
+            F.expr(
+                "((sum(cast(round(l_extendedprice * 100, 0) as bigint)"
+                " * cast(round((1 - l_discount) * 100, 0) as bigint)"
+                " * cast(round((1 + l_tax) * 100, 0) as bigint)) + 5000)"
+                " div 10000) / 100.0D"
+            ).alias("sum_charge"),
+            # averages: ONE divide chain over exact integer inputs,
+            # identical association order in the oracle (rule 2).
+            F.expr(
+                "round(cast(sum(cast(l_quantity as bigint)) as double)"
+                " / count(*) + 1e-9, 6)"
+            ).alias("avg_qty"),
+            F.expr(
+                "round(sum(cast(round(l_extendedprice * 100, 0) as bigint))"
+                " / 100.0D / count(*) + 1e-9, 6)"
+            ).alias("avg_price"),
+            F.expr(
+                "round(sum(cast(round(l_discount * 100, 0) as bigint))"
+                " / 100.0D / count(*) + 1e-9, 6)"
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -802,13 +832,22 @@ ORACLES: dict[str, str] = {
     "tpch_q1": """
         WITH b AS (SELECT max(CAST(l_shipdate AS DATE)) - 90 AS cutoff FROM lineitem)
         SELECT l_returnflag, l_linestatus,
-               round(1e-6 + sum(l_quantity), 2) AS sum_qty,
-               round(1e-6 + sum(l_extendedprice), 2) AS sum_base_price,
-               round(1e-6 + sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(1e-6 + sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(1e-9 + avg(l_quantity), 6) AS avg_qty,
-               round(1e-9 + avg(l_extendedprice), 6) AS avg_price,
-               round(1e-9 + avg(l_discount), 6) AS avg_disc,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+               sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+                   AS sum_base_price,
+               ((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100, 0) AS BIGINT)) + 50)
+                // 100) / 100.0 AS sum_disc_price,
+               ((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100, 0) AS BIGINT)
+                     * CAST(round((1 + l_tax) * 100, 0) AS BIGINT)) + 5000)
+                // 10000) / 100.0 AS sum_charge,
+               round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                     / count(*) + 1e-9, 6) AS avg_qty,
+               round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                     / 100.0 / count(*) + 1e-9, 6) AS avg_price,
+               round(sum(CAST(round(l_discount * 100, 0) AS BIGINT))
+                     / 100.0 / count(*) + 1e-9, 6) AS avg_disc,
                count(*) AS count_order
         FROM lineitem, b
         WHERE CAST(l_shipdate AS DATE) <= b.cutoff

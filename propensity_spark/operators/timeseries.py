@@ -32,6 +32,27 @@ from pyspark.sql import functions as F
 from propensity_spark.io import load_table
 
 
+def REV_EXACT():
+    """Brand/day discounted revenue as an engine-exact aggregate
+    (GATE_CONTRACT rule 2): cents x discount-percent summed as BIGINT
+    (exact 1e-4 dollars), surfaced as half-up cents via integer floor
+    arithmetic — bit-identical in Spark and DuckDB regardless of
+    summation order. Replaces round(sum(double) + 1e-6, 2), whose
+    4-dp true value can sit ON the half-cent boundary where only the
+    nudge out-running the float sum's order-dependent ulp error saved
+    it (the class the r06 judge flagged on mix_decomposition)."""
+    return F.expr(
+        "floor((sum(cast(round(l_extendedprice * 100, 0) as bigint)"
+        " * cast(round((1 - l_discount) * 100, 0) as bigint)) + 50)"
+        " / 100.0D) / 100.0D"
+    )
+
+
+# Every oracle below splices the same expression in DuckDB syntax:
+# floor((sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+#        * CAST(round((1-l_discount)*100,0) AS BIGINT)) + 50)/100.0)/100.0
+
+
 def gapfill_ffill(
     daily: DataFrame, key_col: str, day_col: str, value_col: str
 ) -> DataFrame:
@@ -83,11 +104,7 @@ def q_gapfill_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("l_shipdate").alias("day"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                + 1e-6,
-                2,
-            ).alias("revenue")
+            REV_EXACT().alias("revenue")
         )
     )
     out = gapfill_ffill(daily, "brand", "day", "revenue")
@@ -99,7 +116,9 @@ def q_gapfill_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 GAPFILL_SQL = """
     WITH daily AS (
         SELECT p_brand AS brand, CAST(l_shipdate AS DATE) AS day,
-               round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+               floor((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100, 0) AS BIGINT))
+                     + 50) / 100.0) / 100.0
                    AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1, 2
@@ -207,11 +226,7 @@ def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("day_num"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                + 1e-6,
-                2,
-            ).alias("revenue")
+            REV_EXACT().alias("revenue")
         )
     )
     w = (
@@ -316,7 +331,9 @@ MOVING_AVG_SQL = f"""
         SELECT p_brand AS brand,
                date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
                    AS day_num,
-               round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+               floor((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100, 0) AS BIGINT))
+                     + 50) / 100.0) / 100.0
                    AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1, 2
@@ -430,11 +447,7 @@ def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("day_num"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                + 1e-6,
-                2,
-            ).alias("revenue")
+            REV_EXACT().alias("revenue")
         )
     )
     return trend_fit(daily, "brand", "day_num", "revenue")
@@ -445,7 +458,9 @@ TREND_SQL = """
         SELECT p_brand AS brand,
                date_diff('day', DATE '1992-01-01',
                          CAST(l_shipdate AS DATE)) AS day_num,
-               round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+               floor((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100, 0) AS BIGINT))
+                     + 50) / 100.0) / 100.0
                    AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1, 2
@@ -518,11 +533,7 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("l_shipdate"), F.lit("1992-01-01").cast("date")
         ).alias("day_num")
     ).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            + 1e-6,
-            2,
-        ).alias("revenue")
+        REV_EXACT().alias("revenue")
     )
     return cusum_series(daily, "day_num", "revenue")
 
@@ -531,7 +542,9 @@ CUSUM_SQL = """
     WITH daily AS (
         SELECT date_diff('day', DATE '1992-01-01',
                          CAST(l_shipdate AS DATE)) AS day_num,
-               round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+               floor((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100, 0) AS BIGINT))
+                     + 50) / 100.0) / 100.0
                    AS revenue
         FROM lineitem GROUP BY 1
     ),
@@ -576,11 +589,7 @@ def q_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("day_num"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                + 1e-6,
-                2,
-            ).alias("revenue")
+            REV_EXACT().alias("revenue")
         )
     )
     model = daily.groupBy("brand").agg(
@@ -632,7 +641,9 @@ FORECAST_SQL = f"""
         SELECT p_brand AS brand,
                date_diff('day', DATE '1992-01-01',
                          CAST(l_shipdate AS DATE)) AS day_num,
-               round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+               floor((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100, 0) AS BIGINT))
+                     + 50) / 100.0) / 100.0
                    AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1, 2
@@ -739,11 +750,7 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("day_num"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                + 1e-6,
-                2,
-            ).alias("revenue")
+            REV_EXACT().alias("revenue")
         )
     )
     return acf(daily, "brand", "day_num", "revenue")
@@ -754,7 +761,9 @@ ACF_SQL = f"""
         SELECT p_brand AS brand,
                date_diff('day', DATE '1992-01-01',
                          CAST(l_shipdate AS DATE)) AS day_num,
-               round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+               floor((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100, 0) AS BIGINT))
+                     + 50) / 100.0) / 100.0
                    AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1, 2
@@ -805,11 +814,7 @@ def q_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("week_num"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                + 1e-6,
-                2,
-            ).alias("revenue")
+            REV_EXACT().alias("revenue")
         )
     )
     w = Window.partitionBy("brand").orderBy("week_num")
@@ -829,7 +834,9 @@ PERIOD_GROWTH_SQL = """
         SELECT p_brand AS brand,
                CAST(date_diff('day', DATE '1992-01-01',
                     CAST(l_shipdate AS DATE)) // 7 AS BIGINT) AS week_num,
-               round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+               floor((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100, 0) AS BIGINT))
+                     + 50) / 100.0) / 100.0
                    AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1, 2
@@ -1088,11 +1095,7 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("day_num"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                + 1e-6,
-                2,
-            ).alias("revenue")
+            REV_EXACT().alias("revenue")
         )
     )
     num, den = BACKTEST_TRAIN_FRAC_NUM, BACKTEST_TRAIN_FRAC_DEN
@@ -1129,7 +1132,9 @@ FORECAST_BACKTEST_SQL = f"""
         SELECT p_brand AS brand,
                date_diff('day', DATE '1992-01-01',
                          CAST(l_shipdate AS DATE)) AS day_num,
-               round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+               floor((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100, 0) AS BIGINT))
+                     + 50) / 100.0) / 100.0
                    AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1, 2
@@ -1187,40 +1192,62 @@ def q_mix_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("week_num"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                + 1e-6,
-                2,
-            ).alias("rev"),
+            # GATE_CONTRACT rule 2: revenue summed as exact BIGINT in
+            # 1e-4 dollars (cents x percent), never round(sum(double))
+            # — a float sum is order-dependent across engines and the
+            # old 1e-6 nudge only papered over it (the anomaly_mad
+            # pattern, stats.py). rev_c = half-up cents is integer-
+            # exact: floor((r4 + 50) / 100) cannot straddle a binary
+            # half-boundary the way round(double, 2) can.
+            F.sum(
+                F.expr(
+                    "cast(round(l_extendedprice * 100, 0) as bigint)"
+                    " * cast(round((1 - l_discount) * 100, 0) as bigint)"
+                )
+            ).alias("r4"),
             F.sum(F.col("l_quantity").cast("bigint")).alias("units"),
         )
+        .withColumn(
+            "rev_c", F.expr("cast(floor((r4 + 50) / 100.0D) as bigint)")
+        )
+        .withColumn("rev", F.expr("rev_c / 100.0D"))
         .withColumn("price", F.round(F.col("rev") / F.col("units") + 1e-9, 6))
     )
     w = Window.partitionBy("brand").orderBy("week_num")
     d = weekly.select(
         "brand",
         F.col("week_num").cast("int").alias("week_num"),
+        "rev_c",
         "rev",
         "units",
         "price",
-        F.lag("rev").over(w).alias("rev_p"),
+        F.lag("rev_c").over(w).alias("rev_c_p"),
         F.lag("units").over(w).alias("units_p"),
         F.lag("price").over(w).alias("price_p"),
-    ).where(F.col("rev_p").isNotNull())
+    ).where(F.col("rev_c_p").isNotNull())
     du = F.col("units") - F.col("units_p")
     dp = F.col("price") - F.col("price_p")
+    # delta_rev: exact integer cent difference over 100 — no round, no
+    # signed-zero hazard (0 / 100.0 is +0.0 in IEEE). The effect columns
+    # CAN round to a negative zero (DuckDB's round preserves -0.0,
+    # Spark's BigDecimal path does not, and the driver's fixed-precision
+    # canonicalizer distinguishes them — the r06 mix_decomposition red),
+    # so each carries the `+ 0.0` normalizer: a no-op except -0.0 -> +0.0.
     return d.select(
         "brand",
         "week_num",
-        F.round(F.col("rev") - F.col("rev_p") + 1e-9, 2).alias("delta_rev"),
-        F.round(du * F.col("price_p") + 1e-9, 2).alias("volume_effect"),
-        F.round(F.col("units_p") * dp + 1e-9, 2).alias("price_effect"),
-        F.round(du * dp + 1e-9, 2).alias("cross_effect"),
-        F.round(
-            (F.col("rev") - F.col("rev_p"))
-            - (du * F.col("price_p") + F.col("units_p") * dp + du * dp)
-            + 1e-9,
-            2,
+        F.expr("(rev_c - rev_c_p) / 100.0D").alias("delta_rev"),
+        (F.round(du * F.col("price_p") + 1e-9, 2) + 0.0).alias("volume_effect"),
+        (F.round(F.col("units_p") * dp + 1e-9, 2) + 0.0).alias("price_effect"),
+        (F.round(du * dp + 1e-9, 2) + 0.0).alias("cross_effect"),
+        (
+            F.round(
+                F.expr("(rev_c - rev_c_p) / 100.0D")
+                - (du * F.col("price_p") + F.col("units_p") * dp + du * dp)
+                + 1e-9,
+                2,
+            )
+            + 0.0
         ).alias("residual"),
     )
 
@@ -1230,33 +1257,38 @@ MIX_DECOMPOSITION_SQL = """
         SELECT p_brand AS brand,
                CAST(date_diff('day', DATE '1992-01-01',
                     CAST(l_shipdate AS DATE)) // 7 AS BIGINT) AS week_num,
-               round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS rev,
+               sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                   * CAST(round((1 - l_discount) * 100, 0) AS BIGINT)) AS r4,
                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS units
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1, 2
     ),
     priced AS (
-        SELECT brand, week_num, rev, units,
-               round(rev / units + 1e-9, 6) AS price
+        SELECT brand, week_num,
+               CAST(floor((r4 + 50) / 100.0) AS BIGINT) AS rev_c, units,
+               round(CAST(floor((r4 + 50) / 100.0) AS BIGINT) / 100.0 / units
+                     + 1e-9, 6) AS price
         FROM weekly
     ),
     lagged AS (
-        SELECT brand, CAST(week_num AS INT) AS week_num, rev, units, price,
-               lag(rev) OVER w AS rev_p,
+        SELECT brand, CAST(week_num AS INT) AS week_num, rev_c, units, price,
+               lag(rev_c) OVER w AS rev_c_p,
                lag(units) OVER w AS units_p,
                lag(price) OVER w AS price_p
         FROM priced
         WINDOW w AS (PARTITION BY brand ORDER BY week_num)
     )
     SELECT brand, week_num,
-           round(rev - rev_p + 1e-9, 2) AS delta_rev,
-           round((units - units_p) * price_p + 1e-9, 2) AS volume_effect,
-           round(units_p * (price - price_p) + 1e-9, 2) AS price_effect,
-           round((units - units_p) * (price - price_p) + 1e-9, 2) AS cross_effect,
-           round((rev - rev_p) - ((units - units_p) * price_p
+           (rev_c - rev_c_p) / 100.0 AS delta_rev,
+           round((units - units_p) * price_p + 1e-9, 2) + 0.0 AS volume_effect,
+           round(units_p * (price - price_p) + 1e-9, 2) + 0.0 AS price_effect,
+           round((units - units_p) * (price - price_p) + 1e-9, 2) + 0.0
+               AS cross_effect,
+           round((rev_c - rev_c_p) / 100.0 - ((units - units_p) * price_p
                  + units_p * (price - price_p)
-                 + (units - units_p) * (price - price_p)) + 1e-9, 2) AS residual
-    FROM lagged WHERE rev_p IS NOT NULL
+                 + (units - units_p) * (price - price_p)) + 1e-9, 2) + 0.0
+               AS residual
+    FROM lagged WHERE rev_c_p IS NOT NULL
 """
 
 
@@ -1323,11 +1355,7 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("day_num"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                + 1e-6,
-                2,
-            ).alias("revenue")
+            REV_EXACT().alias("revenue")
         )
     )
     num, den = BACKTEST_TRAIN_FRAC_NUM, BACKTEST_TRAIN_FRAC_DEN
@@ -1385,7 +1413,9 @@ CONFORMAL_SQL = f"""
         SELECT p_brand AS brand,
                date_diff('day', DATE '1992-01-01',
                          CAST(l_shipdate AS DATE)) AS day_num,
-               round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2)
+               floor((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100, 0) AS BIGINT))
+                     + 50) / 100.0) / 100.0
                    AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1, 2
@@ -1456,11 +1486,7 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("w"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                + 1e-6,
-                2,
-            ).alias("r")
+            REV_EXACT().alias("r")
         )
     )
     a, b = weekly.alias("a"), weekly.alias("b")
@@ -1499,7 +1525,9 @@ THEIL_SEN_SQL = """
         SELECT p_brand AS brand,
                CAST(date_diff('day', DATE '1992-01-01',
                     CAST(l_shipdate AS DATE)) // 7 AS BIGINT) AS w,
-               round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS r
+               floor((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100, 0) AS BIGINT))
+                     + 50) / 100.0) / 100.0 AS r
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1, 2
     ),
@@ -1550,11 +1578,7 @@ def q_huber_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("x0"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                + 1e-6,
-                2,
-            ).alias("y")
+            REV_EXACT().alias("y")
         )
     )
     mx = daily.groupBy("brand").agg(F.round(F.avg("x0") + 1e-9, 4).alias("mx"))
@@ -1660,7 +1684,9 @@ def _huber_sql() -> str:
         SELECT p_brand AS brand,
                date_diff('day', DATE '1992-01-01',
                          CAST(l_shipdate AS DATE)) AS x0,
-               round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS y
+               floor((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100, 0) AS BIGINT))
+                     + 50) / 100.0) / 100.0 AS y
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1, 2
     ),
@@ -1724,11 +1750,7 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("x"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                + 1e-6,
-                2,
-            ).alias("y")
+            REV_EXACT().alias("y")
         )
     )
     model = daily.groupBy("brand").agg(
@@ -1756,7 +1778,9 @@ DURBIN_WATSON_SQL = """
         SELECT p_brand AS brand,
                date_diff('day', DATE '1992-01-01',
                          CAST(l_shipdate AS DATE)) AS x,
-               round(sum(l_extendedprice * (1 - l_discount)) + 1e-6, 2) AS y
+               floor((sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100, 0) AS BIGINT))
+                     + 50) / 100.0) / 100.0 AS y
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1, 2
     ),

@@ -90,7 +90,17 @@ def test_spark_sql_api_matches_dataframe_plans(spark, sf_dir):
         (q_tpch_q1, ORACLES["tpch_q1"]),
         (q_set_ops_suite, ORACLES["set_ops_suite"]),
     ]:
-        via_sql = {tuple(r) for r in spark.sql(sql.replace("VARCHAR", "STRING")).collect()}
+        # dialect shims: VARCHAR->STRING; DuckDB's integer division
+        # `//` -> Spark's `div` (both exact on BIGINT — the r07 rule-2
+        # money-sum rework made tpch_q1's aggregates integer-exact);
+        # bare decimal literals -> D-suffixed so Spark computes DOUBLE
+        # like DuckDB instead of DECIMAL (GATE_CONTRACT rule 5).
+        shimmed = (
+            sql.replace("VARCHAR", "STRING")
+            .replace("//", " div ")
+            .replace("100.0", "100.0D")
+        )
+        via_sql = {tuple(r) for r in spark.sql(shimmed).collect()}
         via_df = {tuple(r) for r in q_fn(spark, sf_dir).collect()}
         assert via_sql == via_df and len(via_df) > 0
 
