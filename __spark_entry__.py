@@ -24,71 +24,70 @@ SF_SMOKE = "/root/testdata/sf0.001"
 EXPECTED_MIN_QUERIES = 162
 
 # The driver's CORRECTNESS report records the FIRST 50 registered entries;
-# `tools/local_verify.py` checks the whole registry regardless. Round-6
-# rotation (ledger: COVERAGE.md): slots 1-2 re-verify the two r05 driver
-# failures after their root-cause fixes (build_postings scalarized,
-# anomaly_mad integer-exact); slots 3-50 are 48 of the 62 entries that
-# have never appeared in ANY driver report (everything else already has a
-# green row in CORRECTNESS_r01-r05). The 14 lowest-value never-checked
-# diagnostics (readability, activity_heatmap, char_entropy,
-# column_histogram, seasonality_dow, benford_audit, cat_entropy,
-# period_growth, new_vs_returning, active_users, cv_fold_audit, zipf_fit,
-# durbin_watson, gini_coefficient) defer to the r07 rotation; they stay
-# hash-verified by tools/local_verify.py at sf0.01 meanwhile. New operator
-# additions are FROZEN until the never-checked backlog fits one rotation.
+# `tools/local_verify.py` checks the whole registry regardless. Round-7
+# rotation (ledger: COVERAGE.md): slots 1-3 re-verify the r06 signed-zero
+# reds on the FIXED code (anomaly_mad, mix_decomposition driver-red;
+# dsir_select latent at sf0.1 — all three now normalize -0.0 -> +0.0 in
+# both engines and the -0.0 lint in tools/gate_lint.py is registry-wide);
+# slots 4-17 are the LAST 14 never-driver-checked diagnostics (completing
+# driver coverage of all 162 entries); slots 18-50 refresh the 33 oldest
+# driver rows — the SURVEY.md §2 core anchors plus the dedup/ANN/streaming
+# heads, all last driver-checked in r04 on a codebase three rounds old.
+# The 17 remaining r04-last entries rotate in r08 (listed in COVERAGE.md).
 DRIVER_GATE_PRIORITY = [
-    # -- r05 driver failures, fixed this round: re-verify first --
-    "build_postings",
+    # -- r06 signed-zero class, fixed this round: re-verify first --
     "anomaly_mad",
-    # -- 48 never-driver-checked entries, registry order --
-    "weighted_sample",
-    "event_transitions",
-    "ewma_revenue",
-    "corr_matrix",
-    "feature_scaling",
-    "trend_fit",
-    "changepoint_cusum",
-    "mutual_information",
-    "ab_test_ztest",
-    "hill_tail_index",
-    "cohort_ltv",
-    "forecast_linear",
-    "active_users_hll",
-    "incremental_join",
-    "ks_drift",
-    "cuped_adjustment",
-    "mann_whitney",
-    "woe_iv",
-    "diff_in_diff",
-    "pareto_frontier",
-    "quantile_normalize",
-    "time_to_convert",
-    "cross_correlation",
-    "entity_resolution",
-    "silhouette",
-    "revenue_concentration",
-    "price_elasticity",
-    "pca_pc1",
-    "window_funnel",
-    "weighted_median",
-    "negative_sample",
-    "seasonal_anomaly",
-    "forecast_backtest",
     "mix_decomposition",
-    "cumulative_distinct",
-    "bfs_hops",
-    "threshold_sweep",
-    "graph_stats",
-    "scd2_lookup",
-    "rank_aggregation",
-    "audience_overlap",
-    "bootstrap_ci",
-    "shapley_attribution",
-    "ipw_ate",
-    "conformal_interval",
-    "theil_sen",
-    "ppr_affinity",
-    "huber_trend",
+    "dsir_select",
+    # -- final 14 never-driver-checked diagnostics --
+    "readability",
+    "activity_heatmap",
+    "char_entropy",
+    "column_histogram",
+    "seasonality_dow",
+    "benford_audit",
+    "cat_entropy",
+    "period_growth",
+    "new_vs_returning",
+    "active_users",
+    "cv_fold_audit",
+    "zipf_fit",
+    "durbin_watson",
+    "gini_coefficient",
+    # -- 33 oldest driver rows (last checked r04): SURVEY §2 core first --
+    "topk_commodities",
+    "household_commodity_features",
+    "pipeline_e2e",
+    "feature_store_roundtrip",
+    "train_score_propensity",
+    "silver_projection",
+    "date_bounds_suite",
+    "household_agg_suite",
+    "cross_universe",
+    "left_join_fillna",
+    "labels",
+    "class_ratios",
+    "set_ops_suite",
+    "pivot_unpivot_scores",
+    "date_functions",
+    "window_topk_per_group",
+    "tpch_q1",
+    "household_features",
+    "commodity_features",
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_band_pairs",
+    "minhash_lsh_mllib",
+    "dedup_components",
+    "neardup_suite",
+    "ann_cosine_topk",
+    "asof_join",
+    "ingest_roundtrip",
+    "range_join",
+    "batch_windows",
+    "stream_ops_suite",
+    "doc_profile",
+    "sampling_suite",
 ]
 
 

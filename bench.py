@@ -148,21 +148,28 @@ def main() -> None:
     # parse. Per-query DuckDB detail goes on its own earlier line;
     # the contract line stays compact and last.
     print(json.dumps({"duckdb_queries": duck}, separators=(",", ":")))
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "repeats": n_repeats,
-                "duckdb_total_sec": duck_total,
-                "vs_duckdb": round(total / duck_total, 3) if duck_total else None,
-            },
-            separators=(",", ":"),
-        )
+    contract_line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf),
+            "repeats": n_repeats,
+            "duckdb_total_sec": duck_total,
+            "vs_duckdb": round(total / duck_total, 3) if duck_total else None,
+        },
+        separators=(",", ":"),
     )
+    # Hard guard: if a future query addition grows this line past the
+    # driver's ~2000-char tail window, fail LOUDLY here instead of
+    # shipping a silently unparseable BENCH record (the r05 failure).
+    assert len(contract_line) <= 1900, (
+        f"bench contract line is {len(contract_line)} chars (> 1900): "
+        "trim BENCH_QUERIES or shorten keys so the driver's 2000-char "
+        "tail window can still parse the final JSON line"
+    )
+    print(contract_line)
 
 
 if __name__ == "__main__":

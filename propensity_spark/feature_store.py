@@ -98,8 +98,9 @@ class FeatureTable:
 
     def _writer_lock(self):
         """Enforce the documented single-writer-per-table assumption
-        LOUDLY (parquet backend): an O_CREAT|O_EXCL `_WRITER_LOCK`
-        file claimed for the duration of every mutation. A second
+        LOUDLY (parquet backend): a `_WRITER_LOCK` file (pid written to
+        a temp file, os.link()'d into place — atomic publish, the lock
+        never exists without its pid) claimed for every mutation. A second
         concurrent writer raises instead of interleaving version
         numbers / pointer flips into silent corruption. The lock
         records the holder pid; a lock whose holder is dead (crashed
@@ -124,41 +125,72 @@ class FeatureTable:
                 return
             Path(table.path).mkdir(parents=True, exist_ok=True)
             lock = Path(table.path) / "_WRITER_LOCK"
-            fd = None
-            for _ in range(2):  # second try only after breaking a stale lock
-                try:
-                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    break
-                except FileExistsError:
-                    try:
-                        pid = int(lock.read_text().strip() or "0")
-                    except (FileNotFoundError, ValueError):
-                        pid = 0
-                    alive = False
-                    if pid:
-                        try:
-                            os.kill(pid, 0)
-                            alive = True
-                        except ProcessLookupError:
-                            alive = False
-                        except PermissionError:  # exists, other user
-                            alive = True
-                    if alive:
-                        raise RuntimeError(
-                            f"concurrent writer (pid {pid}) holds "
-                            f"{lock}; feature tables are single-writer"
-                        )
-                    lock.unlink(missing_ok=True)  # stale: holder died
-            if fd is None:
-                raise RuntimeError(f"could not claim writer lock {lock}")
+            # Atomic pid publish: the pid goes into a unique temp file
+            # FIRST, then os.link() materializes the lock — link fails
+            # if the lock exists, and the lock file can never exist
+            # without its pid (the old create-then-write window let a
+            # racer read empty content, map it to pid=0, and break a
+            # LIVE lock — two writers proceeding).
+            tmp = Path(table.path) / f"_WRITER_LOCK.tmp.{os.getpid()}.{id(table)}"
+            tmp.write_text(str(os.getpid()))
+            own_ino = None
             try:
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
-                table._lock_depth = 1
-                yield
+                for _ in range(3):  # retries only after a break/release race
+                    try:
+                        os.link(tmp, lock)
+                        own_ino = os.stat(tmp).st_ino
+                        break
+                    except FileExistsError:
+                        try:
+                            pid = int(lock.read_text().strip() or "0")
+                        except (FileNotFoundError, ValueError):
+                            # holder released (or a breaker won) between
+                            # the failed link and the read — retry link;
+                            # NEVER treat a transient read as "stale".
+                            continue
+                        alive = False
+                        if pid:
+                            try:
+                                os.kill(pid, 0)
+                                alive = True
+                            except ProcessLookupError:
+                                alive = False
+                            except PermissionError:  # exists, other user
+                                alive = True
+                        if alive:
+                            raise RuntimeError(
+                                f"concurrent writer (pid {pid}) holds "
+                                f"{lock}; feature tables are single-writer"
+                            )
+                        # Stale (holder died): rename to a unique
+                        # tombstone so exactly ONE breaker wins — a bare
+                        # unlink lets every waiter "break" the same lock,
+                        # including one re-claimed in between (TOCTOU).
+                        tomb = Path(table.path) / (
+                            f"_WRITER_LOCK.stale.{os.getpid()}.{id(table)}"
+                        )
+                        try:
+                            os.rename(lock, tomb)
+                            tomb.unlink(missing_ok=True)
+                        except FileNotFoundError:
+                            pass  # another breaker won; retry the link
+                if own_ino is None:
+                    raise RuntimeError(f"could not claim writer lock {lock}")
+                try:
+                    table._lock_depth = 1
+                    yield
+                finally:
+                    table._lock_depth = 0
+                    # Release only OUR lock: if it was (even incorrectly)
+                    # broken and re-claimed, the inode differs and we must
+                    # not delete the new holder's lock.
+                    try:
+                        if os.stat(lock).st_ino == own_ino:
+                            lock.unlink()
+                    except FileNotFoundError:
+                        pass
             finally:
-                table._lock_depth = 0
-                lock.unlink(missing_ok=True)
+                tmp.unlink(missing_ok=True)
 
         return held()
 

@@ -819,3 +819,60 @@ def test_writer_lock_breaks_stale_dead_holder(spark, store):
     assert t.merge(_frame(spark, d, [2], 2.0)) is not None
     assert not lock.exists()  # released after the write
     assert t.read().count() == 2
+
+
+def test_writer_lock_pid_always_published(spark, store):
+    """Atomic pid publish (ADVICE r06): the lock file is os.link()'d
+    into place with its pid already written, so AT NO POINT can a racer
+    observe an existing-but-empty lock (the old create-then-write window
+    mapped empty content to pid=0 == "stale" and broke a LIVE lock)."""
+    import os
+    from pathlib import Path
+
+    d = date(2024, 1, 1)
+    t = FeatureTable(spark, "lk3", ["household_key", "day"], store)
+    t.create(_frame(spark, d, [1], 1.0))
+    lock = Path(t.path) / "_WRITER_LOCK"
+    with t._writer_lock():
+        assert lock.read_text().strip() == str(os.getpid())
+        # no temp/tombstone debris is left visible as the lock itself
+    assert not lock.exists()
+    # no stray temp files after release either
+    assert not list(Path(t.path).glob("_WRITER_LOCK.*"))
+
+
+def test_writer_lock_release_spares_foreign_reclaim(spark, store):
+    """Ownership-verified release (ADVICE r06): if our lock was broken
+    and re-claimed by another writer mid-hold, release must NOT delete
+    the new holder's lock (inode comparison, not blind unlink)."""
+    from pathlib import Path
+
+    d = date(2024, 1, 1)
+    t = FeatureTable(spark, "lk4", ["household_key", "day"], store)
+    t.create(_frame(spark, d, [1], 1.0))
+    lock = Path(t.path) / "_WRITER_LOCK"
+    with t._writer_lock():
+        # simulate a breaker stealing + re-claiming the lock mid-hold
+        lock.unlink()
+        lock.write_text("424242")
+    assert lock.exists() and lock.read_text() == "424242"
+    lock.unlink()
+
+
+def test_writer_lock_stale_break_leaves_no_tombstone(spark, store):
+    """Stale-break goes through a unique rename (single winner) and the
+    tombstone is removed — repeated breaks can't accumulate debris or
+    double-unlink a re-claimed lock."""
+    import subprocess
+    from pathlib import Path
+
+    d = date(2024, 1, 1)
+    t = FeatureTable(spark, "lk5", ["household_key", "day"], store)
+    t.create(_frame(spark, d, [1], 1.0))
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    lock = Path(t.path) / "_WRITER_LOCK"
+    lock.write_text(str(proc.pid))
+    assert t.merge(_frame(spark, d, [2], 2.0)) is not None
+    assert not lock.exists()
+    assert not list(Path(t.path).glob("_WRITER_LOCK.*"))

@@ -744,4 +744,6 @@ def test_dsir_model_is_single_pass_over_feature_stream(spark, sf_dir):
 
     plan = plan_of(q_dsir_select(spark, sf_dir))
     scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
-    assert len(scan_ids) <= 2, plan[:2000]
+    # exactly two, not <= 2: a collapse to ONE scan would mean an
+    # accidental cache or a broken scoring join, and must fail too.
+    assert len(scan_ids) == 2, plan[:2000]
