@@ -1,0 +1,66 @@
+"""The gate tooling is itself load-bearing (the r06 lesson: a
+canonicalizer strictly weaker than the driver's shipped two hash-red
+rounds), so its behavior is pinned here — pure-python, no Spark.
+"""
+
+from __future__ import annotations
+
+import math
+
+from tools.gate_lint import count_negzero
+from tools.local_verify import canon, table_hash
+
+
+def test_canon_distinguishes_signed_zero():
+    """The driver renders floats at fixed precision, where -0.000000 !=
+    0.000000 — canon() must keep the distinction (r06: collapsing both
+    to "0" made the local gate blind to the driver's failure class)."""
+    assert canon(0.0) == "0"
+    assert canon(-0.0) == "-0"
+    assert canon(0.0) != canon(-0.0)
+
+
+def test_canon_integer_collapse_and_precision():
+    assert canon(2.0) == "2"
+    assert canon(-2.0) == "-2"
+    assert canon(2.5) == "2.500000"
+    assert canon(float("nan")) == "NaN"
+    assert canon(None) == "NULL"
+    assert canon(True) == "1"
+    # huge exact doubles stay in the %.6f branch (int() would lose
+    # nothing here, but the 1e15 cutoff guards float->int surprises)
+    assert canon(1e16) == f"{1e16:.6f}"
+
+
+def test_table_hash_order_insensitive_but_zero_sign_sensitive():
+    cols = ["a", "b"]
+    rows1 = [(1, 0.0), (2, 3.5)]
+    rows2 = [(2, 3.5), (1, 0.0)]  # row order must not matter
+    assert table_hash(cols, rows1) == table_hash(cols, rows2)
+    rows3 = [(1, -0.0), (2, 3.5)]  # zero sign MUST matter
+    assert table_hash(cols, rows1) != table_hash(cols, rows3)
+    # column order must not matter either (sorted by name)
+    assert table_hash(["b", "a"], [(0.0, 1), (3.5, 2)]) == table_hash(
+        cols, rows1
+    )
+
+
+def test_count_negzero_finds_only_negative_zero_floats():
+    rows = [
+        (1, 0.0, -0.0),
+        (2, -0.0, 1.5),
+        (3, None, -0.0),
+        (4, 0, False),  # ints/bools are not float cells
+    ]
+    hits = count_negzero(rows)
+    assert hits == {1: 1, 2: 2}
+
+
+def test_negzero_normalizer_identity():
+    """`x + 0.0` is the prescribed fix (GATE_CONTRACT rule 7): a no-op
+    for every float except -0.0 -> +0.0."""
+    assert math.copysign(1.0, -0.0 + 0.0) > 0
+    for v in (0.0, -1.25, 7.5, -0.005, 1e300, -1e-300):
+        assert v + 0.0 == v and math.copysign(1.0, v + 0.0) == math.copysign(
+            1.0, v
+        )
