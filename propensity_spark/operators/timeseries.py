@@ -1212,43 +1212,54 @@ def q_mix_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rev", F.expr("rev_c / 100.0D"))
         .withColumn("price", F.round(F.col("rev") / F.col("units") + 1e-9, 6))
+        # price in exact integer MICRO-dollars: price is a 6-dp decimal
+        # (correctly-rounded double), so price*1e6 is within ulp of an
+        # integer and the round is exact in both engines. The effect
+        # products then stay in BIGINT micro-dollars end-to-end: at sf1
+        # magnitudes (~5e6 dollars) ulp(double) ~ 1e-9 equals the epsilon
+        # nudge, so round(du*price_p + 1e-9, 2) ties were UNRESOLVABLE
+        # in float (the sf1 one-cent mismatch this replaced).
+        .withColumn(
+            "price_u", F.expr("cast(round(price * 1000000, 0) as bigint)")
+        )
     )
     w = Window.partitionBy("brand").orderBy("week_num")
     d = weekly.select(
         "brand",
         F.col("week_num").cast("int").alias("week_num"),
         "rev_c",
-        "rev",
         "units",
-        "price",
         F.lag("rev_c").over(w).alias("rev_c_p"),
         F.lag("units").over(w).alias("units_p"),
-        F.lag("price").over(w).alias("price_p"),
+        F.lag("price_u").over(w).alias("price_u_p"),
+        (F.col("price_u") - F.lag("price_u").over(w)).alias("dpu"),
     ).where(F.col("rev_c_p").isNotNull())
-    du = F.col("units") - F.col("units_p")
-    dp = F.col("price") - F.col("price_p")
-    # delta_rev: exact integer cent difference over 100 — no round, no
-    # signed-zero hazard (0 / 100.0 is +0.0 in IEEE). The effect columns
-    # CAN round to a negative zero (DuckDB's round preserves -0.0,
-    # Spark's BigDecimal path does not, and the driver's fixed-precision
-    # canonicalizer distinguishes them — the r06 mix_decomposition red),
-    # so each carries the `+ 0.0` normalizer: a no-op except -0.0 -> +0.0.
+
+    # Half-up cents from a signed micro-dollar BIGINT, in pure integer
+    # arithmetic portable across engines: n = m + 5000, subtract the
+    # POSITIVE mod (((n % 10000) + 10000) % 10000 — both engines' % is
+    # truncated/dividend-signed) to get an exact multiple, then integer-
+    # divide (Spark `div` truncation == floor on an exact multiple).
+    # Integer / 100.0D also cannot produce -0.0 (rule 7 by construction).
+    def cents(m: str) -> str:
+        n = f"({m} + 5000)"
+        return (
+            f"((({n}) - ((({n}) % 10000) + 10000) % 10000) div 10000)"
+            " / 100.0D"
+        )
+
+    vol = "(units - units_p) * price_u_p"
+    prc = "units_p * dpu"
+    crs = "(units - units_p) * dpu"
+    res = f"(rev_c - rev_c_p) * 10000 - ({vol} + {prc} + {crs})"
     return d.select(
         "brand",
         "week_num",
         F.expr("(rev_c - rev_c_p) / 100.0D").alias("delta_rev"),
-        (F.round(du * F.col("price_p") + 1e-9, 2) + 0.0).alias("volume_effect"),
-        (F.round(F.col("units_p") * dp + 1e-9, 2) + 0.0).alias("price_effect"),
-        (F.round(du * dp + 1e-9, 2) + 0.0).alias("cross_effect"),
-        (
-            F.round(
-                F.expr("(rev_c - rev_c_p) / 100.0D")
-                - (du * F.col("price_p") + F.col("units_p") * dp + du * dp)
-                + 1e-9,
-                2,
-            )
-            + 0.0
-        ).alias("residual"),
+        F.expr(cents(vol)).alias("volume_effect"),
+        F.expr(cents(prc)).alias("price_effect"),
+        F.expr(cents(crs)).alias("cross_effect"),
+        F.expr(cents(res)).alias("residual"),
     )
 
 
@@ -1266,28 +1277,29 @@ MIX_DECOMPOSITION_SQL = """
     priced AS (
         SELECT brand, week_num,
                CAST(floor((r4 + 50) / 100.0) AS BIGINT) AS rev_c, units,
-               round(CAST(floor((r4 + 50) / 100.0) AS BIGINT) / 100.0 / units
-                     + 1e-9, 6) AS price
+               CAST(round(round(CAST(floor((r4 + 50) / 100.0) AS BIGINT)
+                                / 100.0 / units + 1e-9, 6)
+                          * 1000000, 0) AS BIGINT) AS price_u
         FROM weekly
     ),
     lagged AS (
-        SELECT brand, CAST(week_num AS INT) AS week_num, rev_c, units, price,
+        SELECT brand, CAST(week_num AS INT) AS week_num, rev_c, units,
                lag(rev_c) OVER w AS rev_c_p,
                lag(units) OVER w AS units_p,
-               lag(price) OVER w AS price_p
+               lag(price_u) OVER w AS price_u_p,
+               price_u - lag(price_u) OVER w AS dpu
         FROM priced
         WINDOW w AS (PARTITION BY brand ORDER BY week_num)
     )
+    -- effects in exact BIGINT micro-dollars; half-up cents via positive
+    -- mod + integer division (both engines' % is dividend-signed, and
+    -- // / div agree on the exact multiple). Matches the Spark cents().
     SELECT brand, week_num,
            (rev_c - rev_c_p) / 100.0 AS delta_rev,
-           round((units - units_p) * price_p + 1e-9, 2) + 0.0 AS volume_effect,
-           round(units_p * (price - price_p) + 1e-9, 2) + 0.0 AS price_effect,
-           round((units - units_p) * (price - price_p) + 1e-9, 2) + 0.0
-               AS cross_effect,
-           round((rev_c - rev_c_p) / 100.0 - ((units - units_p) * price_p
-                 + units_p * (price - price_p)
-                 + (units - units_p) * (price - price_p)) + 1e-9, 2) + 0.0
-               AS residual
+           (((((units - units_p) * price_u_p + 5000)) - (((((units - units_p) * price_u_p + 5000)) % 10000) + 10000) % 10000) // 10000) / 100.0 AS volume_effect,
+           ((((units_p * dpu + 5000)) - ((((units_p * dpu + 5000)) % 10000) + 10000) % 10000) // 10000) / 100.0 AS price_effect,
+           (((((units - units_p) * dpu + 5000)) - (((((units - units_p) * dpu + 5000)) % 10000) + 10000) % 10000) // 10000) / 100.0 AS cross_effect,
+           (((((rev_c - rev_c_p) * 10000 - ((units - units_p) * price_u_p + units_p * dpu + (units - units_p) * dpu) + 5000)) - (((((rev_c - rev_c_p) * 10000 - ((units - units_p) * price_u_p + units_p * dpu + (units - units_p) * dpu) + 5000)) % 10000) + 10000) % 10000) // 10000) / 100.0 AS residual
     FROM lagged WHERE rev_c_p IS NOT NULL
 """
 
