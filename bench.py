@@ -164,11 +164,13 @@ def main() -> None:
     # Hard guard: if a future query addition grows this line past the
     # driver's ~2000-char tail window, fail LOUDLY here instead of
     # shipping a silently unparseable BENCH record (the r05 failure).
-    assert len(contract_line) <= 1900, (
-        f"bench contract line is {len(contract_line)} chars (> 1900): "
-        "trim BENCH_QUERIES or shorten keys so the driver's 2000-char "
-        "tail window can still parse the final JSON line"
-    )
+    # Not an `assert` — that would be compiled away under `python -O`.
+    if len(contract_line) > 1900:
+        raise SystemExit(
+            f"bench contract line is {len(contract_line)} chars (> 1900): "
+            "trim BENCH_QUERIES or shorten keys so the driver's 2000-char "
+            "tail window can still parse the final JSON line"
+        )
     print(contract_line)
 
 

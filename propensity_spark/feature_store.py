@@ -142,7 +142,11 @@ class FeatureTable:
                         break
                     except FileExistsError:
                         try:
-                            pid = int(lock.read_text().strip() or "0")
+                            # one consistent snapshot of the lock via an
+                            # open fd (the path's target can change under
+                            # us, the fd's cannot)
+                            with open(lock, "r") as fh:
+                                pid = int(fh.read().strip() or "0")
                         except (FileNotFoundError, ValueError):
                             # holder released (or a breaker won) between
                             # the failed link and the read — retry link;
@@ -171,9 +175,30 @@ class FeatureTable:
                         )
                         try:
                             os.rename(lock, tomb)
-                            tomb.unlink(missing_ok=True)
                         except FileNotFoundError:
-                            pass  # another breaker won; retry the link
+                            continue  # another breaker won; retry the link
+                        # rename moves whatever the PATH holds NOW — which
+                        # may be a LIVE lock re-claimed after our read.
+                        # Destroy the tombstone only if it still carries
+                        # the pid we just verified dead (content, not
+                        # inode: the filesystem can REUSE the freed inode
+                        # number for the re-claimed lock, so st_ino can
+                        # false-positive). Otherwise put the SAME inode
+                        # back (link preserves st_ino, so the displaced
+                        # holder's inode-checked release still matches)
+                        # and retry from scratch.
+                        try:
+                            tomb_pid = int(tomb.read_text().strip() or "0")
+                        except ValueError:
+                            tomb_pid = -1
+                        if tomb_pid == pid:
+                            tomb.unlink(missing_ok=True)
+                        else:
+                            try:
+                                os.link(tomb, lock)
+                            except FileExistsError:
+                                pass  # path re-claimed meanwhile
+                            tomb.unlink(missing_ok=True)
                 if own_ino is None:
                     raise RuntimeError(f"could not claim writer lock {lock}")
                 try:

@@ -1263,7 +1263,17 @@ def q_mix_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MIX_DECOMPOSITION_SQL = """
+def _mix_cents_sql(m: str) -> str:
+    """Half-up cents from a signed micro-dollar BIGINT, DuckDB syntax
+    (`//` floor-division; exact-multiple, so it agrees with Spark's
+    truncating `div`) — the textual twin of the Spark ``cents()`` in
+    q_mix_decomposition, kept as ONE definition so the Laspeyres
+    decomposition can't drift between per-column copies."""
+    n = f"({m} + 5000)"
+    return f"((({n}) - ((({n}) % 10000) + 10000) % 10000) // 10000) / 100.0"
+
+
+MIX_DECOMPOSITION_SQL = f"""
     WITH weekly AS (
         SELECT p_brand AS brand,
                CAST(date_diff('day', DATE '1992-01-01',
@@ -1290,17 +1300,27 @@ MIX_DECOMPOSITION_SQL = """
                price_u - lag(price_u) OVER w AS dpu
         FROM priced
         WINDOW w AS (PARTITION BY brand ORDER BY week_num)
+    ),
+    effects AS (
+        -- each micro-dollar effect computed ONCE (the residual reuses
+        -- them), mirroring the Spark side's vol/prc/crs expressions
+        SELECT brand, week_num, rev_c, rev_c_p,
+               (units - units_p) * price_u_p AS vol_u,
+               units_p * dpu AS prc_u,
+               (units - units_p) * dpu AS crs_u
+        FROM lagged WHERE rev_c_p IS NOT NULL
     )
     -- effects in exact BIGINT micro-dollars; half-up cents via positive
     -- mod + integer division (both engines' % is dividend-signed, and
     -- // / div agree on the exact multiple). Matches the Spark cents().
     SELECT brand, week_num,
            (rev_c - rev_c_p) / 100.0 AS delta_rev,
-           (((((units - units_p) * price_u_p + 5000)) - (((((units - units_p) * price_u_p + 5000)) % 10000) + 10000) % 10000) // 10000) / 100.0 AS volume_effect,
-           ((((units_p * dpu + 5000)) - ((((units_p * dpu + 5000)) % 10000) + 10000) % 10000) // 10000) / 100.0 AS price_effect,
-           (((((units - units_p) * dpu + 5000)) - (((((units - units_p) * dpu + 5000)) % 10000) + 10000) % 10000) // 10000) / 100.0 AS cross_effect,
-           (((((rev_c - rev_c_p) * 10000 - ((units - units_p) * price_u_p + units_p * dpu + (units - units_p) * dpu) + 5000)) - (((((rev_c - rev_c_p) * 10000 - ((units - units_p) * price_u_p + units_p * dpu + (units - units_p) * dpu) + 5000)) % 10000) + 10000) % 10000) // 10000) / 100.0 AS residual
-    FROM lagged WHERE rev_c_p IS NOT NULL
+           {_mix_cents_sql('vol_u')} AS volume_effect,
+           {_mix_cents_sql('prc_u')} AS price_effect,
+           {_mix_cents_sql('crs_u')} AS cross_effect,
+           {_mix_cents_sql('(rev_c - rev_c_p) * 10000 - (vol_u + prc_u + crs_u)')}
+               AS residual
+    FROM effects
 """
 
 

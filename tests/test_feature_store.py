@@ -859,6 +859,49 @@ def test_writer_lock_release_spares_foreign_reclaim(spark, store):
     lock.unlink()
 
 
+def test_writer_lock_break_restores_displaced_live_lock(spark, store, monkeypatch):
+    """Inode-verified stale break (r07 review): between reading a DEAD
+    holder pid and the tombstone rename, the lock path can be re-claimed
+    by a LIVE writer (another breaker won the race). The rename then
+    displaces the LIVE lock — so the breaker must verify the tombstone
+    still carries the pid it saw dead (content, not inode: the freed
+    inode number can be REUSED by the re-claimed lock), and on mismatch
+    restore the SAME inode via os.link (preserving the displaced
+    holder's inode-checked release) and retry, which re-reads the live
+    pid and raises."""
+    import os
+    import subprocess
+    from pathlib import Path
+
+    d = date(2024, 1, 1)
+    t = FeatureTable(spark, "lk6", ["household_key", "day"], store)
+    t.create(_frame(spark, d, [1], 1.0))
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    lock = Path(t.path) / "_WRITER_LOCK"
+    lock.write_text(str(proc.pid))  # dead holder — break path engages
+    live_pid = str(os.getpid())
+    real_rename = os.rename
+
+    def racing_rename(src, dst):
+        # simulate the race: just before OUR rename lands, another
+        # breaker removes the stale lock and claims the path itself
+        if "_WRITER_LOCK.stale" in str(dst) and Path(src) == lock:
+            lock.unlink()
+            lock.write_text(live_pid)  # the re-claimed LIVE lock
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        t.merge(_frame(spark, d, [2], 2.0))
+    monkeypatch.undo()
+    # the displaced live lock was restored, not destroyed
+    assert lock.exists() and lock.read_text().strip() == live_pid
+    assert not list(Path(t.path).glob("_WRITER_LOCK.stale*"))
+    lock.unlink()
+    assert t.merge(_frame(spark, d, [2], 2.0)) is not None
+
+
 def test_writer_lock_stale_break_leaves_no_tombstone(spark, store):
     """Stale-break goes through a unique rename (single winner) and the
     tombstone is removed — repeated breaks can't accumulate debris or

@@ -57,6 +57,16 @@ def count_negzero(rows) -> dict[int, int]:
     return hits
 
 
+def sweep_spark_negzero(name: str, sdf, problems: list[str]) -> None:
+    """Collect the Spark result and record any -0.0 cells (rule 7)."""
+    srows = [tuple(r) for r in sdf.collect()]
+    for i, n in count_negzero(srows).items():
+        problems.append(
+            f"{name}: spark column {sdf.columns[i]} emits "
+            f"{n} -0.0 cell(s) — rule 7 (add `+ 0.0`)"
+        )
+
+
 def main() -> int:
     import __spark_entry__ as e
     from propensity_spark.session import get_spark
@@ -65,6 +75,12 @@ def main() -> int:
     con = duckdb.connect()
     make_duck_views(con, SF_DIR)
     qs, oracles = e.queries(), e.oracle_sql()
+    unknown = ONLY - set(qs)
+    if unknown:
+        # a typo'd name silently verifying nothing is how a green gate
+        # ships a regression — fail loudly instead.
+        print(f"LINT  unknown query name(s): {sorted(unknown)}")
+        return 1
     problems: list[str] = []
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
@@ -85,12 +101,7 @@ def main() -> int:
             # the Spark output still participates in the -0.0 sweep.
             if NEGZERO:
                 try:
-                    srows = [tuple(r) for r in sdf.collect()]
-                    for i, n in count_negzero(srows).items():
-                        problems.append(
-                            f"{name}: spark column {sdf.columns[i]} emits "
-                            f"{n} -0.0 cell(s) — rule 7 (add `+ 0.0`)"
-                        )
+                    sweep_spark_negzero(name, sdf, problems)
                 except Exception as ex:
                     problems.append(f"{name}: -0.0 sweep error: {ex}")
             continue
@@ -115,12 +126,7 @@ def main() -> int:
                 )
         if NEGZERO:
             try:
-                srows = [tuple(r) for r in sdf.collect()]
-                for i, n in count_negzero(srows).items():
-                    problems.append(
-                        f"{name}: spark column {sdf.columns[i]} emits "
-                        f"{n} -0.0 cell(s) — rule 7 (add `+ 0.0`)"
-                    )
+                sweep_spark_negzero(name, sdf, problems)
                 res = con.execute(oracles[name])
                 ocols = [d[0] for d in res.description]
                 for i, n in count_negzero(res.fetchall()).items():

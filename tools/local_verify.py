@@ -88,6 +88,12 @@ def main() -> int:
     make_duck_views(con, SF_DIR)
 
     qs, oracles = e.queries(), e.oracle_sql()
+    unknown = ONLY - set(qs)
+    if unknown:
+        # a typo'd name silently running n-1 of n queries and printing
+        # "passed" is a fake-green gate — fail loudly instead.
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+        return 1
     names = [n for n in qs if not ONLY or n in ONLY]
     failures = 0
     for name in names:

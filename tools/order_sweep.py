@@ -54,6 +54,11 @@ def main() -> int:
 
     spark = get_spark("order_sweep")
     qs, oracles = e.queries(), e.oracle_sql()
+    unknown = ONLY - set(qs)
+    if unknown:
+        # a typo'd name must not yield a green "0/0 order-stable" run
+        print(f"SWEEP unknown query name(s): {sorted(unknown)}")
+        return 1
     names = [n for n in qs if not ONLY or n in ONLY]
     failures = 0
     for name in names:
