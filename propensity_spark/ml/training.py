@@ -260,6 +260,12 @@ def make_pipeline(
     return tvs
 
 
+_MANIFEST_SCHEMA = (
+    "commodity_desc string, commodity_clean string, model_path string, "
+    "metric_aupr double, stage string, n_trials int, error string"
+)
+
+
 def train_commodity_models(
     spark: SparkSession,
     sf_dir: str,
@@ -314,6 +320,12 @@ def train_commodity_models(
 
     evaluator = BinaryClassificationEvaluator(labelCol="purchased", metricName="areaUnderPR")
     manifest_rows = []
+    if not commodities:
+        # empty commodity list (sparse fixture day, or an explicit []):
+        # an empty manifest with the stable schema, not the
+        # ZeroDivisionError the `parts` sizing below would raise — one
+        # bad day must not kill the weekly job.
+        return spark.createDataFrame([], _MANIFEST_SCHEMA)
     n_train = ts.count()  # flat parquet scan; cheap
     # Right-size the per-category slice: iterative fits pay per-task
     # overhead x partitions, so a 10^3-row slice on 32 partitions
@@ -336,24 +348,45 @@ def train_commodity_models(
             model = est.fit(train)
             pipeline_model = model.bestModel if tune else model
             scored_test = pipeline_model.transform(test)
+            if eval_tables:
+                # 3 actions read this frame (AUPR + two eval tables);
+                # uncached, each would re-run the scan/split/transform
+                scored_test = scored_test.persist()
             aupr = float(evaluator.evaluate(scored_test))
             path = str(Path(models_base) / clean)
             pipeline_model.write().overwrite().save(path)
+            eval_err = None
             if eval_tables:
                 from pyspark.ml.functions import vector_to_array
 
-                st = scored_test.select(
-                    "purchased",
-                    vector_to_array("probability")[1].alias("prediction"),
-                )
-                decile_lift(st).write.mode("overwrite").parquet(
-                    str(Path(f"{path}__eval") / "lift")
-                )
-                reliability_table(st).write.mode("overwrite").parquet(
-                    str(Path(f"{path}__eval") / "reliability")
-                )
+                # The eval tables are DIAGNOSTICS: a failure writing
+                # them must not mark the already-saved healthy model
+                # "failed" (which would make the scorer skip it) — it
+                # is recorded in the error column instead, stage intact.
+                try:
+                    st = scored_test.select(
+                        # household_key gives decile_lift's ntile a
+                        # deterministic tie-break: GBT emits finitely
+                        # many distinct leaf probabilities, so score
+                        # ties are common and order-by-score-alone
+                        # would bin them by partition layout.
+                        "household_key",
+                        "purchased",
+                        vector_to_array("probability")[1].alias("prediction"),
+                    )
+                    decile_lift(st).write.mode("overwrite").parquet(
+                        str(Path(f"{path}__eval") / "lift")
+                    )
+                    reliability_table(st).write.mode("overwrite").parquet(
+                        str(Path(f"{path}__eval") / "reliability")
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    eval_err = f"eval_tables: {type(exc).__name__}: {exc}"[:500]
+                finally:
+                    scored_test.unpersist()
             manifest_rows.append(
-                (commodity, clean, path, aupr, "Production", est.n_search_trials, None)
+                (commodity, clean, path, aupr, "Production",
+                 est.n_search_trials, eval_err)
             )
         except Exception as exc:  # noqa: BLE001 — isolation: one bad category
             # must not kill the weekly job (04b:400-417); the failure
@@ -363,11 +396,7 @@ def train_commodity_models(
                 (commodity, clean, None, None, "failed",
                  0, f"{type(exc).__name__}: {exc}"[:500])
             )
-    return spark.createDataFrame(
-        manifest_rows, "commodity_desc string, commodity_clean string, "
-        "model_path string, metric_aupr double, stage string, n_trials int, "
-        "error string"
-    )
+    return spark.createDataFrame(manifest_rows, _MANIFEST_SCHEMA)
 
 
 def score_batch(
@@ -853,7 +882,17 @@ def negative_sample(
     matching how the draw behaves at refresh time). Map-side explode +
     one broadcast index join + one user-keyed anti join; no RNG state,
     so daily rebuilds are append-stable (the split_by_hash property).
-    Returns (user, item, label) with positives at label 1."""
+    Returns (user, item, label) with positives at label 1.
+
+    Append-stability is with respect to FACT-side appends under a
+    FROZEN catalog: the dense-ranked index and the hash modulus both
+    depend on the catalog, so adding one item reshuffles the draws of
+    every user. Pin the catalog snapshot per training run when
+    cross-run stability matters."""
+    if k < 1:
+        # sequence(0, k-1) counts DOWNWARD for k <= 0 (sequence(0, -1)
+        # = [0, -1]), silently producing two draw slots instead of none
+        raise ValueError(f"negative_sample: k must be >= 1, got {k}")
     items = (
         catalog.select(F.col(catalog.columns[0]).alias("item"))
         .distinct()
@@ -863,6 +902,11 @@ def negative_sample(
         )
     )
     n_items = items.count()
+    if n_items == 0:
+        # `% 0` is a silent NULL in Spark (the join would match nothing
+        # and the output would be positives-only, a single-class
+        # training set) but an error in DuckDB — fail loudly instead
+        raise ValueError("negative_sample: empty item catalog")
     pos = positives.select(
         F.col(positives.columns[0]).alias("user"),
         F.col(positives.columns[1]).alias("item"),

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from propensity_spark.feature_store import DEFAULT_STORE, FeatureTable
 from propensity_spark.ml.training import build_training_set, score_batch, train_commodity_models
-from propensity_spark.operators.relational import BRANDS_CLEAN, top_commodities
+from propensity_spark.operators.relational import top_commodities
 
 
 class Pipeline:

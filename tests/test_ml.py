@@ -536,6 +536,20 @@ def test_reliability_table_calibrated_vs_miscalibrated(spark):
     assert edge[0]["bin"] == 9
 
 
+def test_train_commodity_models_empty_commodities(spark, sf_dir, tmp_path):
+    """r07 review: an empty commodity list returns an empty manifest
+    with the stable schema instead of ZeroDivisionError in the
+    partition sizing — one bad day must not kill the weekly job."""
+    manifest = M.train_commodity_models(
+        spark, sf_dir, commodities=[], store_base=str(tmp_path / "store")
+    )
+    assert manifest.count() == 0
+    assert manifest.columns == [
+        "commodity_desc", "commodity_clean", "model_path",
+        "metric_aupr", "stage", "n_trials", "error",
+    ]
+
+
 def test_train_commodity_models_eval_tables(spark, sf_dir, tmp_path):
     """eval_tables=True writes lift + reliability parquet next to each
     shipped model; the tables are well-formed (bins partition the test

@@ -2293,6 +2293,24 @@ def test_negative_sample_stable_and_leak_free(spark):
     assert out2 == {(r.user, r.item, r.label) for r in out}
 
 
+def test_negative_sample_degenerate_inputs_raise(spark):
+    """r07 review: k <= 0 must not silently emit sequence(0,-1)'s two
+    draw slots, and an empty catalog must not turn `% 0` into all-NULL
+    idx (positives-only output in Spark, an error in the oracle) —
+    both fail loudly instead."""
+    import pytest as _pytest
+
+    from propensity_spark.ml.training import negative_sample
+
+    pos = spark.createDataFrame([(1, "a")], ["user", "item"])
+    cat = spark.createDataFrame([("a",)], ["item"])
+    with _pytest.raises(ValueError, match="k must be >= 1"):
+        negative_sample(pos, cat, k=0)
+    empty_cat = cat.where("item IS NULL")
+    with _pytest.raises(ValueError, match="empty item catalog"):
+        negative_sample(pos, empty_cat, k=3)
+
+
 def test_shapley_attribution_efficiency_and_known_case(spark, tmp_path):
     """Shapley credits must satisfy efficiency: sum over channels =
     v(full) - v(empty); and a channel whose presence never changes
