@@ -532,20 +532,43 @@ def connected_components(
         )
         return relinked.where(F.col("u") != F.col("v")).distinct()
 
+    def _sig(e: DataFrame) -> tuple:
+        """Edge-set signature: count + key sums + an order-insensitive
+        xxhash64 XOR of the (u, v) pairs — the XOR term makes two
+        DIFFERENT edge sets sharing (count, sum_u, sum_v) practically
+        impossible to confuse for a fixpoint."""
+        return tuple(
+            e.agg(
+                F.count(F.lit(1)),
+                F.sum("u"),
+                F.sum("v"),
+                F.expr("bit_xor(xxhash64(u, v))"),
+            ).collect()[0]
+        )
+
     prev_sig = None
+    converged = False
     for rnd in range(max_rounds):  # O(log^2 n); fixture converges in 2-3
         edges = cut_lineage(
             small_star(large_star(edges)), checkpoint_dir, eager=True
         )
         if rnd % 3 == 2:
-            sig = tuple(
-                edges.agg(
-                    F.count(F.lit(1)), F.sum("u"), F.sum("v")
-                ).collect()[0]
-            )
+            sig = _sig(edges)
             if sig == prev_sig:
+                converged = True
                 break
             prev_sig = sig
+    if not converged:
+        # max_rounds exhausted without an observed fixpoint: verify with
+        # one extra round rather than silently returning wrong labels (a
+        # >max_rounds graph would mislabel components with no error).
+        nxt = cut_lineage(small_star(large_star(edges)), checkpoint_dir, eager=True)
+        if _sig(nxt) != _sig(edges):
+            raise RuntimeError(
+                f"connected_components: not converged after {max_rounds} "
+                "rounds — raise max_rounds (Kiveris bound is O(log^2 n))"
+            )
+        edges = nxt
     # After convergence the edge set is a star forest: (node, root).
     return edges.groupBy(F.col("u").alias("node")).agg(
         F.min("v").alias("component")
@@ -731,6 +754,20 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 BOILER_MIN_DOCS = 2
 
 
+def _boiler_from_lines(lines: DataFrame, min_docs: int) -> DataFrame:
+    """Boilerplate set from an already-exploded (doc_id, line) frame:
+    trimmed non-empty lines appearing in >= min_docs distinct docs.
+    Shared by boilerplate_lines and strip_boilerplate so the two can't
+    drift on trim/empty semantics."""
+    return (
+        lines.select("doc_id", F.trim("line").alias("line"))
+        .where(F.col("line") != "")
+        .groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
 def boilerplate_lines(docs: DataFrame, min_docs: int = BOILER_MIN_DOCS) -> DataFrame:
     """CCNet-style corpus-level boilerplate detection: a (trimmed,
     non-empty) line that appears in >= `min_docs` DISTINCT documents is
@@ -743,14 +780,9 @@ def boilerplate_lines(docs: DataFrame, min_docs: int = BOILER_MIN_DOCS) -> DataF
     repeats map-side before the exchange. Returns (line, n_docs)."""
     lines = docs.select(
         "doc_id",
-        F.explode(F.split(F.coalesce("text", F.lit("")), "\n")).alias("raw"),
-    ).select("doc_id", F.trim("raw").alias("line"))
-    return (
-        lines.where(F.col("line") != "")
-        .groupBy("line")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
-        .where(F.col("n_docs") >= min_docs)
+        F.explode(F.split(F.coalesce("text", F.lit("")), "\n")).alias("line"),
     )
+    return _boiler_from_lines(lines, min_docs)
 
 
 def strip_boilerplate(docs: DataFrame, min_docs: int = BOILER_MIN_DOCS) -> DataFrame:
@@ -765,13 +797,15 @@ def strip_boilerplate(docs: DataFrame, min_docs: int = BOILER_MIN_DOCS) -> DataF
     lines in order and counts the flagged ones. Flag-join-then-group
     instead of anti-join avoids a separate per-doc line-total pass and
     its extra join: the only shuffles are the boilerplate count-distinct
-    (two-phase: (line, doc) dedup then line count) and the reassembly,
-    one scan of the exploded lines, and empty documents survive because
-    every doc keeps at least its flag rows. The join
-    side is the >=min_docs line set — corpus_lines/min_docs at worst,
-    tiny in practice — so AQE turns it into a broadcast join at
-    runtime; no hint is forced in case a pathological corpus makes it
-    large."""
+    (two-phase: (line, doc) dedup then line count) and the reassembly.
+    The exploded lines are traversed TWICE (boilerplate counting, then
+    reassembly) and deliberately NOT cached — recomputing a map-side
+    split beats materializing the exploded corpus at 100 TB (the DSIR
+    two-scan precedent). Empty documents survive because every doc
+    keeps at least its flag rows. The join side is the >=min_docs line
+    set — corpus_lines/min_docs at worst, tiny in practice — so AQE
+    turns it into a broadcast join at runtime; no hint is forced in
+    case a pathological corpus makes it large."""
     # NULL text normalizes to '' (split(NULL) explodes to ZERO rows,
     # which would silently drop the document from the output)
     lines = docs.select(
@@ -780,7 +814,9 @@ def strip_boilerplate(docs: DataFrame, min_docs: int = BOILER_MIN_DOCS) -> DataF
             "pos", "line"
         ),
     )
-    boiler = boilerplate_lines(docs, min_docs).select(F.col("line").alias("bline"))
+    # boilerplate derived from the SAME exploded frame (one definition
+    # of the line normalization, see _boiler_from_lines)
+    boiler = _boiler_from_lines(lines, min_docs).select(F.col("line").alias("bline"))
     flagged = lines.join(boiler, F.trim(F.col("line")) == F.col("bline"), "left")
     return flagged.groupBy("doc_id").agg(
         F.expr(
@@ -1001,11 +1037,19 @@ def q_exactsubstr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_words",
             F.coalesce("n_dup_starts", F.lit(0)).cast("int").alias("n_dup_starts"),
+            # greatest(n_words, 1): an empty/all-space doc has n_words=0
+            # and a bare 0/0 is NULL in Spark but NaN in DuckDB — the
+            # engines would emit different rows. 0 dup words / 1 = 0.0
+            # dup_frac, kept — same in both.
             F.round(
-                F.coalesce("dup_words", F.lit(0)) / F.col("n_words") + 1e-9, 6
+                F.coalesce("dup_words", F.lit(0))
+                / F.greatest(F.col("n_words"), F.lit(1))
+                + 1e-9,
+                6,
             ).alias("dup_frac"),
             (
-                F.coalesce("dup_words", F.lit(0)) / F.col("n_words")
+                F.coalesce("dup_words", F.lit(0))
+                / F.greatest(F.col("n_words"), F.lit(1))
                 <= EXSUB_MAX_DUP_FRAC
             )
             .cast("int")
@@ -1044,9 +1088,10 @@ EXACTSUBSTR_SQL = f"""
     )
     SELECT b.doc_id, CAST(b.n_words AS INT) AS n_words,
            CAST(coalesce(c.n_dup_starts, 0) AS INT) AS n_dup_starts,
-           round(coalesce(c.dup_words, 0) / b.n_words + 1e-9, 6) AS dup_frac,
-           CAST(coalesce(c.dup_words, 0) / b.n_words <= {EXSUB_MAX_DUP_FRAC} AS INT)
-               AS exsub_keep
+           round(coalesce(c.dup_words, 0) / greatest(b.n_words, 1) + 1e-9, 6)
+               AS dup_frac,
+           CAST(coalesce(c.dup_words, 0) / greatest(b.n_words, 1)
+                <= {EXSUB_MAX_DUP_FRAC} AS INT) AS exsub_keep
     FROM base b LEFT JOIN covered c ON b.doc_id = c.doc_id
 """
 # exactsubstr_dedup registers in operators/overflow.py (post-budget).
@@ -1078,7 +1123,7 @@ SETSIM_TAU_DEN = 2  # Jaccard >= 1/2 over distinct 3-word shingles
 
 def setsim_prefix_candidates(
     docs: DataFrame, num: int = None, den: int = None
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Candidate pairs under the prefix filter. Tokens are globally
     ordered rarest-first by (document frequency, token) — a total
     order, so both documents of any qualifying pair are guaranteed to

@@ -241,8 +241,14 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit("recall_ok").alias("section"),
                     F.lit(0).cast("bigint").alias("a"),
                     F.lit(0).cast("bigint").alias("b"),
-                    (F.col("n_match") / F.col("n_exact") >= LSH_RECALL_BOUND)
-                    .cast("double")
+                    # n_exact = 0 -> vacuously true (1.0), matching the
+                    # oracle's hardcoded invariant row — a bare division
+                    # would emit NULL (the minhash_lsh_mllib precedent)
+                    F.when(F.col("n_exact") == 0, F.lit(1.0))
+                    .otherwise(
+                        (F.col("n_match") / F.col("n_exact") >= LSH_RECALL_BOUND)
+                        .cast("double")
+                    )
                     .alias("v"),
                 ),
             )
@@ -415,7 +421,19 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_vec("embedding")).alias("v")
     )
-    n_dims = 64
+    # derive the dimensionality (1-row bounded agg, C4) instead of
+    # hardcoding 64: a regenerated fixture with another dim would
+    # otherwise silently encode only the first 64 components
+    dims = emb.agg(
+        F.min(F.size("v")).alias("lo"), F.max(F.size("v")).alias("hi")
+    ).first()
+    if not dims["lo"] or dims["lo"] != dims["hi"]:
+        raise ValueError(
+            f"pq_encode: empty or ragged embeddings (dims {dims['lo']}..{dims['hi']})"
+        )
+    n_dims = int(dims["hi"])
+    if n_dims % PQ_M:
+        raise ValueError(f"pq_encode: dim {n_dims} not divisible by PQ_M={PQ_M}")
     d = n_dims // PQ_M
     sub_cols = [
         F.expr(f"slice(v, {s * d + 1}, {d})").alias(f"sub_{s}") for s in range(PQ_M)
@@ -596,7 +614,13 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.expr(_vec("embedding")).alias("v")
     )
     amax = "aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))"
-    q = "transform(v, x -> cast(floor(x / (amax / 127.0) + 0.5) as bigint))"
+    # amax = 0 (all-zero vector) quantizes to all-zero codes explicitly:
+    # a bare x/(amax/127) is 0/0 = NaN, which Spark's bigint cast folds
+    # to garbage rows while DuckDB's CAST raises — the engines diverge
+    q = (
+        "transform(v, x -> cast(if(amax = 0.0D, 0.0D,"
+        " floor(x / (amax / 127.0) + 0.5)) as bigint))"
+    )
     return (
         emb.withColumn("amax", F.expr(amax))
         .withColumn("q", F.expr(q))
@@ -624,8 +648,9 @@ ORACLES["embedding_quantize"] = f"""
          ),
          quant AS (
              SELECT vec_id, v, amax,
-                    list_transform(v, x -> CAST(floor(x / (amax / 127.0) + 0.5)
-                                                AS BIGINT)) AS q
+                    list_transform(v, x -> CAST(CASE WHEN amax = 0 THEN 0
+                                                ELSE floor(x / (amax / 127.0) + 0.5)
+                                                END AS BIGINT)) AS q
              FROM scaled
          )
     SELECT vec_id,
@@ -780,10 +805,7 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr("label AS clabel", "c")
     )
-    dist = F.expr(
-        "sqrt(aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),"
-        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
-    )
+    dist = F.expr(_SQ_DIST.format(a="v", b="c"))
     per_point = (
         emb.crossJoin(F.broadcast(cents))
         .select("vec_id", "label", F.col("clabel"), dist.alias("d"))
@@ -832,6 +854,28 @@ SILHOUETTE_SQL = f"""
            round(avg(a) + 1e-9, 6) AS mean_intra_dist
     FROM per_point GROUP BY label
 """
+
+
+def _duck_round(x: float, p: int) -> float:
+    """Bit-exact Python mirror of DuckDB's ROUND on DOUBLE: scale by
+    10^p, round the scaled double half-AWAY-from-zero exactly (DuckDB
+    uses std::round on the product, NOT floor(y+0.5) — the +0.5
+    addition itself rounds and diverges one ulp below .5 ties), and
+    divide back. Python's builtin round() is correctly-rounded
+    half-EVEN on the unscaled decimal, which disagrees with DuckDB
+    within ~1 ulp of any half boundary — driver-side values that the
+    oracle re-rounds must use THIS, not round(). Verified exact on
+    548k samples including adversarial near-tie constructions
+    (r07 review; generic + boundary +/- k ulp, both signs)."""
+    import math
+
+    y = x * (10.0 ** p)
+    a = math.fabs(y)
+    f = math.floor(a)
+    # a - f is exact: 0 <= f <= a < f + 1 (Sterbenz for a >= 1,
+    # trivially exact for a < 1)
+    n = f + 1.0 if a - f >= 0.5 else f
+    return math.copysign(n, y) / (10.0 ** p)
 
 
 # --------------------------------------------------------------------------
@@ -883,7 +927,10 @@ def power_iteration_pc1(emb: DataFrame, iters: int = PCA_ITERS):
         )
         wv = [r.w for r in w]
         norm = math.sqrt(sum(x * x for x in wv))
-        v = [round(x / norm, 9) for x in wv]
+        # _duck_round, not round(): the oracle normalizes with DuckDB's
+        # ROUND, and this step carries no epsilon nudge, so the Python
+        # side must reproduce DuckDB's rounding bit-for-bit
+        v = [_duck_round(x / norm, 9) for x in wv]
     vlit = "array({})".format(",".join(repr(x) for x in v))
     stats = (
         dev.groupBy("vec_id")
@@ -911,15 +958,19 @@ def q_pca_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     and explained-variance share."""
     emb = load_table(spark, sf_dir, "embeddings")
     v, lam, expl = power_iteration_pc1(emb)
-    rows = [("loading", i, round(x + 1e-9, 6)) for i, x in enumerate(v)]
-    rows.append(("eigenvalue", -1, round(lam + 1e-9, 6)))
-    rows.append(("explained_share", -2, round(expl + 1e-9, 6)))
+    rows = [("loading", i, _duck_round(x + 1e-9, 6)) for i, x in enumerate(v)]
+    rows.append(("eigenvalue", -1, _duck_round(lam + 1e-9, 6)))
+    rows.append(("explained_share", -2, _duck_round(expl + 1e-9, 6)))
     return spark.createDataFrame(rows, ["section", "pos", "value"])
 
 
 def _pca_sql() -> str:
     import math
 
+    # fixture embedding dimensionality. The Spark side derives d at
+    # runtime; this generated-oracle literal cannot — regenerating
+    # fixtures at another dim requires updating it (the v0 length
+    # mismatch would hash-fail the gate loudly, not silently).
     d = 64
     v0 = round(1.0 / math.sqrt(d), 9)
     steps = []

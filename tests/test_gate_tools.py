@@ -64,3 +64,34 @@ def test_negzero_normalizer_identity():
         assert v + 0.0 == v and math.copysign(1.0, v + 0.0) == math.copysign(
             1.0, v
         )
+
+
+def test_duck_round_mirrors_duckdb_exactly():
+    """_duck_round (vector/similarity.py) must reproduce DuckDB's
+    ROUND-on-DOUBLE bit-for-bit — including one-ulp-below-half values
+    where floor(y + 0.5) diverges (the +0.5 addition rounds up) and
+    exact .5 products (half AWAY from zero, unlike Python's half-even).
+    This is what makes power_iteration's un-nudged 9dp normalize safe."""
+    import random
+
+    import duckdb
+
+    from propensity_spark.vector.similarity import _duck_round
+
+    con = duckdb.connect()
+    random.seed(11)
+    vals = [random.uniform(-1, 1) for _ in range(5000)]
+    # adversarial: near 9dp half boundaries, both signs, +- k ulp
+    vals += [((2 * k + 1) * 5e-10) * (1 + e) for k in range(300)
+             for e in (0.0, 1e-16, -1e-16, 3e-16)]
+    vals += [-v for v in vals[-1200:]]
+    vals += [4.999999999999999e-10, -4.999999999999999e-10,
+             0.5 / 1e9, -0.5 / 1e9, 2.5 / 1e9, -2.5 / 1e9, 0.0]
+    duck = [r[0] for r in con.execute(
+        "SELECT round(x, 9) FROM (SELECT unnest(?::DOUBLE[]) AS x)", [vals]
+    ).fetchall()]
+    import math
+    for v, dr in zip(vals, duck):
+        mv = _duck_round(v, 9)
+        assert mv == dr and math.copysign(1.0, mv) == math.copysign(1.0, dr), (
+            repr(v), repr(mv), repr(dr))

@@ -306,6 +306,28 @@ def test_iterative_graph_ops_reliable_checkpoint_bit_identical(
     assert (tmp_path / "ckpt_pr").exists()  # reliable files really wrote
 
 
+def test_connected_components_raises_when_not_converged(spark):
+    """r07 review: exhausting max_rounds without a verified fixpoint
+    must raise, never silently return wrong component labels; and a
+    graph that DOES converge within max_rounds (even without hitting
+    the every-3rd-round signature check) must still succeed via the
+    post-loop verification round."""
+    import pytest as _pytest
+
+    from propensity_spark.text.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "u: long, v: long"
+    )
+    with _pytest.raises(RuntimeError, match="not converged"):
+        connected_components(chain, max_rounds=1)
+    # a small star converges in one round; max_rounds=1 exits the loop
+    # unconverged but the verification round proves the fixpoint
+    star = spark.createDataFrame([(1, 2), (1, 3)], "u: long, v: long")
+    comp = dict(map(tuple, connected_components(star, max_rounds=1).collect()))
+    assert comp[2] == 1 and comp[3] == 1
+
+
 def test_hll_rollup_flags_and_exactness(spark, sf_dir):
     """Mergeable-sketch rollup: exact distinct counts match a direct
     computation, the merged-daily estimate is within the error bound,
