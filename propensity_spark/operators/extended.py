@@ -2056,6 +2056,18 @@ def _bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()  # reused by stats, the bitset build, and the truth join
     )
+    try:
+        return _bloom_semijoin_body(spark, lineitem, keys)
+    finally:
+        # every action on `keys` happens inside the body (the result is
+        # a literal-row frame) — release the cache instead of leaking
+        # the key set into executor storage for the rest of the session
+        keys.unpersist()
+
+
+def _bloom_semijoin_body(
+    spark: SparkSession, lineitem: DataFrame, keys: DataFrame
+) -> DataFrame:
     stats = keys.agg(
         F.count(F.lit(1)).alias("n_keys"),
         (62 * F.ceil(F.count(F.lit(1)) * BLOOM_BITS_PER_KEY / 62)).alias("m"),

@@ -53,8 +53,12 @@ def q_chi_square_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_w = Window.partitionBy("segment")
     col_w = Window.partitionBy("priority")
     all_w = Window.partitionBy()
+    # row marginal promoted to DOUBLE before the product, mirroring the
+    # oracle's `* 1.0`: BIGINT*BIGINT marginals wrap silently past 2^63
+    # at ~1e11-row scale (the double product is correctly rounded and
+    # value-identical below 2^53)
     expected = (
-        F.sum("observed").over(row_w)
+        F.sum("observed").over(row_w).cast("double")
         * F.sum("observed").over(col_w)
         / F.sum("observed").over(all_w)
     )
@@ -438,7 +442,7 @@ def scale_features(
     span = F.nullif(F.col("__hi") - F.col("__lo"), F.lit(0.0))
     return df.crossJoin(F.broadcast(stats)).select(
         *[c for c in df.columns],
-        F.round((v - F.col("__mu")) / sd + 1e-9, 6).alias("zscore"),
+        (F.round((v - F.col("__mu")) / sd + 1e-9, 6) + 0.0).alias("zscore"),  # rule 7
         F.round((v - F.col("__lo")) / span + 1e-9, 6).alias("minmax"),
         F.round(
             F.least(F.greatest(v, F.col("__p01")), F.col("__p99")) + 1e-9, 4
@@ -466,7 +470,7 @@ FEATURE_SCALING_SQL = f"""
         FROM customer
     )
     SELECT c_custkey, c_acctbal AS acctbal,
-           round((c_acctbal - mu) / nullif(sd, 0.0) + 1e-9, 6) AS zscore,
+           round((c_acctbal - mu) / nullif(sd, 0.0) + 1e-9, 6) + 0.0 AS zscore,
            round((c_acctbal - lo) / nullif(hi - lo, 0.0) + 1e-9, 6) AS minmax,
            round(least(greatest(c_acctbal, p01), p99) + 1e-9, 4) AS winsorized
     FROM customer CROSS JOIN stats
@@ -576,20 +580,28 @@ def mutual_information(
         "y",
         F.col("c").alias("n_xy"),
         F.round(F.col("c") / F.col("n") + 1e-9, 6).alias("p_xy"),
+        # counts promoted to DOUBLE before multiplying (BIGINT*BIGINT
+        # wraps silently past 2^63 at ~1e11-row scale while the oracle
+        # errors; correctly-rounded & value-identical below 2^53), and
+        # mi_contrib — negative for anti-correlated cells — carries the
+        # rule-7 `+ 0.0` signed-zero normalizer in both engines.
         F.round(
-            (F.col("c") * F.col("n"))
-            / (F.col("px_n") * F.col("py_n")).cast("double")
+            (F.col("c").cast("double") * F.col("n"))
+            / (F.col("px_n").cast("double") * F.col("py_n"))
             + 1e-9,
             6,
         ).alias("lift"),
-        F.round(
-            (F.col("c") / F.col("n"))
-            * F.log(
-                (F.col("c") * F.col("n"))
-                / (F.col("px_n") * F.col("py_n")).cast("double")
+        (
+            F.round(
+                (F.col("c") / F.col("n"))
+                * F.log(
+                    (F.col("c").cast("double") * F.col("n"))
+                    / (F.col("px_n").cast("double") * F.col("py_n"))
+                )
+                + 1e-9,
+                6,
             )
-            + 1e-9,
-            6,
+            + 0.0
         ).alias("mi_contrib"),
     )
 
@@ -611,9 +623,9 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MI_CELL_SQL = """
     SELECT '{label}' AS pair, x, y, n_xy,
            round(n_xy * 1.0 / n + 1e-9, 6) AS p_xy,
-           round((n_xy * n) * 1.0 / (px_n * py_n) + 1e-9, 6) AS lift,
+           round((n_xy * 1.0 * n) / (px_n * 1.0 * py_n) + 1e-9, 6) AS lift,
            round((n_xy * 1.0 / n)
-                 * ln((n_xy * n) * 1.0 / (px_n * py_n)) + 1e-9, 6)
+                 * ln((n_xy * 1.0 * n) / (px_n * 1.0 * py_n)) + 1e-9, 6) + 0.0
                AS mi_contrib
     FROM (
         SELECT x, y, c AS n_xy,
@@ -690,7 +702,11 @@ def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(1.0) / F.col("n_b").cast("double")
         )
     )
-    z = (p_a - p_b) / se
+    # nullif: a degenerate arm (pooled rate 0 or 1, or an empty arm)
+    # yields NULL z in both engines rather than engine-specific 0/0
+    # behavior (rule 4); + 0.0 normalizes a tiny-negative z's signed
+    # zero at the 4dp round (rule 7)
+    z = (p_a - p_b) / F.nullif(se, F.lit(0.0))
     return g.select(
         "n_a",
         "conv_a",
@@ -698,7 +714,7 @@ def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         "conv_b",
         F.round(p_b + 1e-9, 6).alias("rate_b"),
-        F.round(z + 1e-9, 4).alias("z_score"),
+        (F.round(z + 1e-9, 4) + 0.0).alias("z_score"),
         F.when(F.abs(z) > AB_SIG_Z, 1).otherwise(0).alias("significant"),
     )
 
@@ -725,13 +741,14 @@ AB_TEST_SQL = f"""
     SELECT n_a, conv_a, round(conv_a * 1.0 / n_a + 1e-9, 6) AS rate_a,
            n_b, conv_b, round(conv_b * 1.0 / n_b + 1e-9, 6) AS rate_b,
            round((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
-                 / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                 / nullif(sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
                         * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
-                        * (1.0 / n_a + 1.0 / n_b)) + 1e-9, 4) AS z_score,
+                        * (1.0 / n_a + 1.0 / n_b)), 0.0) + 1e-9, 4) + 0.0
+               AS z_score,
            CASE WHEN abs((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
-                 / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                 / nullif(sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
                         * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
-                        * (1.0 / n_a + 1.0 / n_b))) > {AB_SIG_Z}
+                        * (1.0 / n_a + 1.0 / n_b)), 0.0)) > {AB_SIG_Z}
                 THEN 1 ELSE 0 END AS significant
     FROM g
 """
@@ -756,10 +773,14 @@ def hill_alpha(
         F.lit(label).alias("dist"),
         F.lit(xmin).cast("int").alias("xmin"),
         F.count(F.lit(1)).alias("n_tail"),
+        # nullif: all tail counts exactly at xmin make the ln-sum 0;
+        # NULL alpha in both engines beats engine-specific 0/0 (rule 4)
         F.round(
             F.lit(1.0)
             + F.count(F.lit(1))
-            / F.sum(F.ln(F.col("x") / F.lit(float(xmin))))
+            / F.nullif(
+                F.sum(F.ln(F.col("x") / F.lit(float(xmin)))), F.lit(0.0)
+            )
             + 1e-9,
             4,
         ).alias("alpha"),
@@ -785,14 +806,14 @@ HILL_SQL = f"""
     )
     SELECT 'lineitem_per_part' AS dist, {HILL_XMIN} AS xmin,
            CAST(count(*) AS BIGINT) AS n_tail,
-           round(1.0 + count(*) / sum(ln(x * 1.0 / {HILL_XMIN})) + 1e-9, 4)
-               AS alpha
+           round(1.0 + count(*) / nullif(sum(ln(x * 1.0 / {HILL_XMIN})), 0.0)
+                 + 1e-9, 4) AS alpha
     FROM pc WHERE x >= {HILL_XMIN}
     UNION ALL
     SELECT 'orders_per_customer' AS dist, {HILL_XMIN} AS xmin,
            CAST(count(*) AS BIGINT) AS n_tail,
-           round(1.0 + count(*) / sum(ln(x * 1.0 / {HILL_XMIN})) + 1e-9, 4)
-               AS alpha
+           round(1.0 + count(*) / nullif(sum(ln(x * 1.0 / {HILL_XMIN})), 0.0)
+                 + 1e-9, 4) AS alpha
     FROM oc WHERE x >= {HILL_XMIN}
 """
 
@@ -860,10 +881,13 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KS_SQL = f"""
     WITH u AS (
+        -- IS NOT NULL mirrors the Spark side, whose two date filters
+        -- both evaluate NULL (excluded) for a NULL o_orderdate; a bare
+        -- CASE ELSE would bucket such rows into 'b' here only
         SELECT o_totalprice AS x,
                CASE WHEN CAST(o_orderdate AS DATE) < DATE '{KS_CUTOFF}'
                     THEN 'a' ELSE 'b' END AS src
-        FROM orders
+        FROM orders WHERE o_orderdate IS NOT NULL
     ),
     per_x AS (
         SELECT x,
@@ -925,12 +949,21 @@ def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.round(F.avg("pre") + 1e-9, 4).alias("mean_pre"),
         F.round(F.avg("post") + 1e-9, 4).alias("mean_post"),
-        F.round(
-            F.covar_pop("pre", "post") / F.var_pop("pre") + 1e-9, 6
+        # nullif: a constant pre-metric (var_pop = 0) yields NULL theta
+        # in both engines, not Spark-NULL-vs-oracle-divergence (rule 4);
+        # + 0.0 normalizes the signed zero of a tiny-negative covariance
+        (
+            F.round(
+                F.covar_pop("pre", "post")
+                / F.nullif(F.var_pop("pre"), F.lit(0.0))
+                + 1e-9,
+                6,
+            )
+            + 0.0
         ).alias("theta"),
         F.round(
             F.pow(F.covar_pop("pre", "post"), 2)
-            / (F.var_pop("pre") * F.var_pop("post"))
+            / F.nullif(F.var_pop("pre") * F.var_pop("post"), F.lit(0.0))
             + 1e-9,
             6,
         ).alias("variance_reduction"),
@@ -951,9 +984,10 @@ CUPED_SQL = f"""
     SELECT CAST(count(*) AS BIGINT) AS n_users,
            round(avg(pre) + 1e-9, 4) AS mean_pre,
            round(avg(post) + 1e-9, 4) AS mean_post,
-           round(covar_pop(pre, post) / var_pop(pre) + 1e-9, 6) AS theta,
+           round(covar_pop(pre, post) / nullif(var_pop(pre), 0.0) + 1e-9, 6)
+               + 0.0 AS theta,
            round(pow(covar_pop(pre, post), 2)
-                 / (var_pop(pre) * var_pop(post)) + 1e-9, 6)
+                 / nullif(var_pop(pre) * var_pop(post), 0.0) + 1e-9, 6)
                AS variance_reduction
     FROM users
 """
@@ -1002,15 +1036,24 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("na_i").alias("n_a"),
         F.sum(F.col("t_i") - F.col("na_i")).alias("n_b"),
         F.sum(F.col("na_i") * F.col("avg_rank")).alias("r_a"),
+        # tie addends computed in DOUBLE: t*(t^2-1) wraps BIGINT past
+        # 2^63 for a ~2e6-row tie block at web scale (silent in Spark,
+        # an error in DuckDB). Each addend and every partial sum is an
+        # exact integer while < 2^53, so the double sum stays
+        # order-independent at any feasible gate scale.
         F.sum(
-            F.col("t_i") * (F.col("t_i") * F.col("t_i") - 1)
+            F.col("t_i").cast("double")
+            * (F.col("t_i").cast("double") * F.col("t_i") - 1)
         ).alias("tie_term"),
     )
     n = (F.col("n_a") + F.col("n_b")).cast("double")
-    u = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / F.lit(2.0)
-    mu = F.col("n_a") * F.col("n_b") / F.lit(2.0)
+    # n_a promoted before the products: n_a*n_b and n_a*(n_a+1) wrap
+    # BIGINT past ~3e9-row arms (oracle mirrors with `* 1.0`)
+    n_a_d = F.col("n_a").cast("double")
+    u = F.col("r_a") - n_a_d * (F.col("n_a") + 1) / F.lit(2.0)
+    mu = n_a_d * F.col("n_b") / F.lit(2.0)
     var = (
-        F.col("n_a")
+        n_a_d
         * F.col("n_b")
         / F.lit(12.0)
         * ((n + 1) - F.col("tie_term") / (n * (n - 1)))
@@ -1019,7 +1062,13 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
         F.round(u + 1e-9, 2).alias("u_stat"),
-        F.round((u - mu) / F.sqrt(var) + 1e-9, 4).alias("z_score"),
+        # nullif: all-tied metrics make var 0 (rule 4); + 0.0: rule 7
+        (
+            F.round(
+                (u - mu) / F.nullif(F.sqrt(var), F.lit(0.0)) + 1e-9, 4
+            )
+            + 0.0
+        ).alias("z_score"),
     )
 
 
@@ -1050,17 +1099,17 @@ MANN_WHITNEY_SQL = """
         SELECT CAST(sum(na_i) AS BIGINT) AS n_a,
                CAST(sum(t_i - na_i) AS BIGINT) AS n_b,
                sum(na_i * avg_rank) AS r_a,
-               CAST(sum(t_i * (t_i * t_i - 1)) AS BIGINT) AS tie_term
+               sum((t_i * 1.0) * ((t_i * 1.0) * t_i - 1)) AS tie_term
         FROM ranked
     )
     SELECT n_a, n_b,
-           round(r_a - n_a * (n_a + 1) / 2.0 + 1e-9, 2) AS u_stat,
-           round((r_a - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
-                 / sqrt(n_a * n_b / 12.0
+           round(r_a - n_a * 1.0 * (n_a + 1) / 2.0 + 1e-9, 2) AS u_stat,
+           round((r_a - n_a * 1.0 * (n_a + 1) / 2.0 - n_a * 1.0 * n_b / 2.0)
+                 / nullif(sqrt(n_a * 1.0 * n_b / 12.0
                         * ((n_a + n_b + 1)
-                           - tie_term * 1.0
-                             / ((n_a + n_b) * (n_a + n_b - 1))))
-                 + 1e-9, 4) AS z_score
+                           - tie_term
+                             / ((n_a + n_b) * 1.0 * (n_a + n_b - 1)))), 0.0)
+                 + 1e-9, 4) + 0.0 AS z_score
     FROM g
 """
 
@@ -1153,17 +1202,23 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = F.col("pos") / F.col("tot_pos").cast("double")
     fn = F.col("neg") / F.col("tot_neg").cast("double")
-    woe = F.log(
-        (F.col("pos") * F.col("tot_neg"))
-        / (F.col("neg") * F.col("tot_pos")).cast("double")
+    # counts promoted to DOUBLE BEFORE multiplying: a BIGINT*BIGINT
+    # marginal product overflows 2^63 at ~1e11-row scale (silent wrap
+    # in Spark, a hard error in DuckDB); the double product is
+    # correctly rounded and value-identical below 2^53. nullif kills
+    # the ln(0) case identically in both engines (a zero-positive
+    # bucket hard-errors DuckDB's ln but is NULL in Spark's log).
+    ratio = (F.col("pos").cast("double") * F.col("tot_neg")) / (
+        F.col("neg").cast("double") * F.col("tot_pos")
     )
+    woe = F.log(F.nullif(ratio, F.lit(0.0)))
     return g.select(
         "cat",
         "pos",
         "neg",
         F.round(fp + 1e-9, 6).alias("frac_pos"),
         F.round(fn + 1e-9, 6).alias("frac_neg"),
-        F.round(woe + 1e-9, 6).alias("woe"),
+        (F.round(woe + 1e-9, 6) + 0.0).alias("woe"),  # rule 7
         F.round((fp - fn) * woe + 1e-9, 6).alias("iv_contrib"),
     )
 
@@ -1186,11 +1241,11 @@ WOE_IV_SQL = """
     SELECT cat, pos, neg,
            round(pos * 1.0 / tot_pos + 1e-9, 6) AS frac_pos,
            round(neg * 1.0 / tot_neg + 1e-9, 6) AS frac_neg,
-           round(ln((pos * tot_neg) * 1.0 / (neg * tot_pos)) + 1e-9, 6)
-               AS woe,
+           round(ln(nullif((pos * 1.0 * tot_neg) / (neg * 1.0 * tot_pos), 0.0))
+                 + 1e-9, 6) + 0.0 AS woe,
            round((pos * 1.0 / tot_pos - neg * 1.0 / tot_neg)
-                 * ln((pos * tot_neg) * 1.0 / (neg * tot_pos)) + 1e-9, 6)
-               AS iv_contrib
+                 * ln(nullif((pos * 1.0 * tot_neg) / (neg * 1.0 * tot_pos), 0.0))
+                 + 1e-9, 6) AS iv_contrib
     FROM w
 """
 
@@ -1622,8 +1677,12 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic normalization TABLE (join it back to facts to apply;
     same shape as a learned preprocessing artifact)."""
     events = load_table(spark, sf_dir, "events")
+    # +1e-9 nudge on the GRAIN KEY round (the file-wide half-boundary
+    # convention): without it a value one ulp below a .xxxx5 boundary
+    # rounds up under Spark's BigDecimal HALF_UP but down under
+    # DuckDB's binary-double rounding, splitting/merging grain rows
     grains = events.groupBy(
-        "event_type", F.round(F.col("value"), 4).alias("value")
+        "event_type", F.round(F.col("value") + 1e-9, 4).alias("value")
     ).agg(F.count(F.lit(1)).alias("n_rows"))
     # ECDF over the raw distribution = weighted ranks over the grains:
     # cume = running sum of counts / total, pct_rank uses the count of
@@ -1653,7 +1712,7 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUANTILE_NORMALIZE_SQL = """
     WITH grains AS (
-        SELECT event_type, round(value, 4) AS value, count(*) AS n_rows
+        SELECT event_type, round(value + 1e-9, 4) AS value, count(*) AS n_rows
         FROM events GROUP BY 1, 2
     )
     SELECT event_type, value, CAST(n_rows AS BIGINT) AS n_rows,
@@ -1788,7 +1847,13 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     obs = (
-        li.where((F.col("l_discount") > 0) & (F.col("l_quantity") > 0))
+        # l_discount < 1: a 100% discount has undefined log-price —
+        # and ln(0) is NULL in Spark but a hard ERROR in DuckDB
+        li.where(
+            (F.col("l_discount") > 0)
+            & (F.col("l_discount") < 1)
+            & (F.col("l_quantity") > 0)
+        )
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select(
             F.col("p_brand").alias("brand"),
@@ -1816,7 +1881,7 @@ PRICE_ELASTICITY_SQL = """
                ln(l.l_quantity) AS lq,
                ln(1.0 - l.l_discount) AS lp
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        WHERE l.l_discount > 0 AND l.l_quantity > 0
+        WHERE l.l_discount > 0 AND l.l_discount < 1 AND l.l_quantity > 0
     )
     SELECT brand, CAST(count(*) AS BIGINT) AS n_obs,
            round(regr_slope(lq, lp) + 1e-9, 6) AS elasticity,
@@ -1933,8 +1998,15 @@ def threshold_sweep(scored: DataFrame, score_col: str, label_col: str) -> DataFr
     stacked = one.select(
         F.explode(F.expr("array({})".format(",".join(rows)))).alias("r")
     ).select("r.*")
-    prec = F.col("tp") / (F.col("tp") + F.col("fp"))
-    rec = F.col("tp") / (F.col("tp") + F.col("fn"))
+    # nullif guards (rule 4): a threshold that passes zero rows (tp+fp
+    # = 0) or catches zero positives either way (prec = rec = 0) gets
+    # NULL, identically in both engines, instead of engine-specific 0/0
+    prec = F.col("tp") / F.nullif(
+        (F.col("tp") + F.col("fp")).cast("double"), F.lit(0.0)
+    )
+    rec = F.col("tp") / F.nullif(
+        (F.col("tp") + F.col("fn")).cast("double"), F.lit(0.0)
+    )
     return stacked.select(
         "threshold",
         "tp",
@@ -1943,7 +2015,9 @@ def threshold_sweep(scored: DataFrame, score_col: str, label_col: str) -> DataFr
         "tn",
         F.round(prec + 1e-9, 6).alias("precision"),
         F.round(rec + 1e-9, 6).alias("recall"),
-        F.round(2 * prec * rec / (prec + rec) + 1e-9, 6).alias("f1"),
+        F.round(
+            2 * prec * rec / F.nullif(prec + rec, F.lit(0.0)) + 1e-9, 6
+        ).alias("f1"),
     )
 
 
@@ -1985,10 +2059,13 @@ def _threshold_sql() -> str:
     ),
     grid AS ({union})
     SELECT threshold, tp, fp, fn, tn,
-           round(tp * 1.0 / (tp + fp) + 1e-9, 6) AS precision,
-           round(tp * 1.0 / (tp + fn) + 1e-9, 6) AS recall,
-           round(2.0 * (tp * 1.0 / (tp + fp)) * (tp * 1.0 / (tp + fn))
-                 / (tp * 1.0 / (tp + fp) + tp * 1.0 / (tp + fn)) + 1e-9, 6) AS f1
+           round(tp * 1.0 / nullif(tp + fp, 0) + 1e-9, 6) AS precision,
+           round(tp * 1.0 / nullif(tp + fn, 0) + 1e-9, 6) AS recall,
+           round(2.0 * (tp * 1.0 / nullif(tp + fp, 0))
+                     * (tp * 1.0 / nullif(tp + fn, 0))
+                 / nullif(tp * 1.0 / nullif(tp + fp, 0)
+                          + tp * 1.0 / nullif(tp + fn, 0), 0.0)
+                 + 1e-9, 6) AS f1
     FROM grid
 """
 
