@@ -24,70 +24,68 @@ SF_SMOKE = "/root/testdata/sf0.001"
 EXPECTED_MIN_QUERIES = 162
 
 # The driver's CORRECTNESS report records the FIRST 50 registered entries;
-# `tools/local_verify.py` checks the whole registry regardless. Round-7
-# rotation (ledger: COVERAGE.md): slots 1-3 re-verify the r06 signed-zero
-# reds on the FIXED code (anomaly_mad, mix_decomposition driver-red;
-# dsir_select latent at sf0.1 — all three now normalize -0.0 -> +0.0 in
-# both engines and the -0.0 lint in tools/gate_lint.py is registry-wide);
-# slots 4-17 are the LAST 14 never-driver-checked diagnostics (completing
-# driver coverage of all 162 entries); slots 18-50 refresh the 33 oldest
-# driver rows — the SURVEY.md §2 core anchors plus the dedup/ANN/streaming
-# heads, all last driver-checked in r04 on a codebase three rounds old.
-# The 17 remaining r04-last entries rotate in r08 (listed in COVERAGE.md).
+# `tools/local_verify.py` checks the whole registry regardless. Round-8
+# rotation (ledger: COVERAGE.md): after r07, all 162 entries have at least
+# one driver-verified row; 17 were last checked in r04 and 47 in r05.
+# Slots 1-17 are the 17 r04-last entries (embedding/ANN tail, media,
+# streaming-stateful, TPC-H suites — the oldest driver evidence anywhere
+# in the registry); slots 18-50 refresh the first 33 of the 47 r05-last
+# entries in registry order. The remaining 14 r05-last entries
+# (hierarchy_rollup .. open_orders_daily) rotate in r09 and stay covered
+# by tools/local_verify.py at sf0.01 meanwhile.
 DRIVER_GATE_PRIORITY = [
-    # -- r06 signed-zero class, fixed this round: re-verify first --
-    "anomaly_mad",
-    "mix_decomposition",
-    "dsir_select",
-    # -- final 14 never-driver-checked diagnostics --
-    "readability",
-    "activity_heatmap",
-    "char_entropy",
-    "column_histogram",
-    "seasonality_dow",
-    "benford_audit",
-    "cat_entropy",
-    "period_growth",
-    "new_vs_returning",
-    "active_users",
-    "cv_fold_audit",
-    "zipf_fit",
-    "durbin_watson",
-    "gini_coefficient",
-    # -- 33 oldest driver rows (last checked r04): SURVEY §2 core first --
-    "topk_commodities",
-    "household_commodity_features",
-    "pipeline_e2e",
-    "feature_store_roundtrip",
-    "train_score_propensity",
-    "silver_projection",
-    "date_bounds_suite",
-    "household_agg_suite",
-    "cross_universe",
-    "left_join_fillna",
-    "labels",
-    "class_ratios",
-    "set_ops_suite",
-    "pivot_unpivot_scores",
-    "date_functions",
-    "window_topk_per_group",
-    "tpch_q1",
-    "household_features",
-    "commodity_features",
-    "dedup_exact",
-    "minhash_signatures",
-    "minhash_band_pairs",
-    "minhash_lsh_mllib",
-    "dedup_components",
-    "neardup_suite",
-    "ann_cosine_topk",
-    "asof_join",
-    "ingest_roundtrip",
-    "range_join",
-    "batch_windows",
-    "stream_ops_suite",
-    "doc_profile",
-    "sampling_suite",
+    # -- 17 r04-last entries: the stalest driver rows in the registry --
+    "embedding_dup_pairs",
+    "label_centroids",
+    "ann_lsh",
+    "ann_ivf",
+    "embedding_quantize",
+    "stream_stateful",
+    "media_pipeline",
+    "media_bridge",
+    "pii_scrub",
+    "chunk_documents",
+    "tfidf_keywords",
+    "percentiles",
+    "grouping_analytics",
+    "approx_stats",
+    "salted_agg",
+    "tpch_mini_suite",
+    "tpch_join_suite",
+    # -- first 33 of the 47 r05-last entries (registry order) --
+    "basket_affinity",
+    "basket_affinity_3",
+    "vocab_heavy_hitters",
+    "perplexity_filter",
+    "bm25_search",
+    "semdedup",
+    "bloom_semijoin",
+    "repetition_signals",
+    "exactsubstr_dedup",
+    "doc_embed",
+    "pagerank_affinity",
+    "hll_rollup",
+    "scd2_history",
+    "funnel_conversion",
+    "cohort_retention",
+    "rfm_segments",
+    "gapfill_revenue",
+    "attribution_last_touch",
+    "table_profile",
+    "record_linkage",
+    "cdc_apply",
+    "chi_square_assoc",
+    "quantile_bucket",
+    "key_skew",
+    "path_analysis",
+    "stratified_sample",
+    "triangle_count",
+    "moving_average",
+    "ri_check",
+    "incremental_agg",
+    "table_fingerprint_suite",
+    "salted_join",
+    "sessionize",
 ]
 
 
@@ -113,9 +111,16 @@ def _registry():
         "propensity_spark.text.analysis",
         "propensity_spark.pipeline",
         "propensity_spark.operators.extended",
-        # LAST: post-budget entries (driver checks the first 50; these
-        # are hash-verified by tools/local_verify.py instead)
-        "propensity_spark.operators.overflow",
+        # Post-budget operator families (the driver checks the first 50
+        # per DRIVER_GATE_PRIORITY; everything else is hash-verified by
+        # tools/local_verify.py). Each module registers its own entries
+        # in a QUERIES/ORACLES pair next to the operator code.
+        "propensity_spark.operators.stats",
+        "propensity_spark.operators.behavior",
+        "propensity_spark.operators.profiling",
+        "propensity_spark.operators.timeseries",
+        "propensity_spark.operators.maintenance",
+        "propensity_spark.operators.graph",
     ):
         try:
             module = __import__(optional, fromlist=["QUERIES", "ORACLES"])

@@ -197,7 +197,21 @@ class FeatureTable:
                             try:
                                 os.link(tomb, lock)
                             except FileExistsError:
-                                pass  # path re-claimed meanwhile
+                                # We displaced a LIVE holder's lock AND a
+                                # third claimant took the path before we
+                                # could put it back: the tombstone is now
+                                # the displaced holder's ONLY inode.
+                                # Unlinking it here would leave that
+                                # writer mutating with no lock while the
+                                # new claimant also proceeds — surface
+                                # the double-writer race loudly instead
+                                # and leave the tombstone as evidence.
+                                raise RuntimeError(
+                                    f"writer-lock race on {lock}: displaced a "
+                                    f"live holder (pid {tomb_pid}) and the path "
+                                    f"was re-claimed before restore; displaced "
+                                    f"lock preserved at {tomb} — resolve manually"
+                                ) from None
                             tomb.unlink(missing_ok=True)
                 if own_ino is None:
                     raise RuntimeError(f"could not claim writer lock {lock}")

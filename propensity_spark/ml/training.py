@@ -352,37 +352,44 @@ def train_commodity_models(
                 # 3 actions read this frame (AUPR + two eval tables);
                 # uncached, each would re-run the scan/split/transform
                 scored_test = scored_test.persist()
-            aupr = float(evaluator.evaluate(scored_test))
-            path = str(Path(models_base) / clean)
-            pipeline_model.write().overwrite().save(path)
-            eval_err = None
-            if eval_tables:
-                from pyspark.ml.functions import vector_to_array
+            # unpersist must cover the WHOLE evaluate->save->eval-tables
+            # sequence: if evaluate or the model save throws, the outer
+            # per-category except would otherwise leave the persisted
+            # frame registered in executor storage for the rest of the
+            # weekly job (one leak per failed category).
+            try:
+                aupr = float(evaluator.evaluate(scored_test))
+                path = str(Path(models_base) / clean)
+                pipeline_model.write().overwrite().save(path)
+                eval_err = None
+                if eval_tables:
+                    from pyspark.ml.functions import vector_to_array
 
-                # The eval tables are DIAGNOSTICS: a failure writing
-                # them must not mark the already-saved healthy model
-                # "failed" (which would make the scorer skip it) — it
-                # is recorded in the error column instead, stage intact.
-                try:
-                    st = scored_test.select(
-                        # household_key gives decile_lift's ntile a
-                        # deterministic tie-break: GBT emits finitely
-                        # many distinct leaf probabilities, so score
-                        # ties are common and order-by-score-alone
-                        # would bin them by partition layout.
-                        "household_key",
-                        "purchased",
-                        vector_to_array("probability")[1].alias("prediction"),
-                    )
-                    decile_lift(st).write.mode("overwrite").parquet(
-                        str(Path(f"{path}__eval") / "lift")
-                    )
-                    reliability_table(st).write.mode("overwrite").parquet(
-                        str(Path(f"{path}__eval") / "reliability")
-                    )
-                except Exception as exc:  # noqa: BLE001
-                    eval_err = f"eval_tables: {type(exc).__name__}: {exc}"[:500]
-                finally:
+                    # The eval tables are DIAGNOSTICS: a failure writing
+                    # them must not mark the already-saved healthy model
+                    # "failed" (which would make the scorer skip it) — it
+                    # is recorded in the error column instead, stage intact.
+                    try:
+                        st = scored_test.select(
+                            # household_key gives decile_lift's ntile a
+                            # deterministic tie-break: GBT emits finitely
+                            # many distinct leaf probabilities, so score
+                            # ties are common and order-by-score-alone
+                            # would bin them by partition layout.
+                            "household_key",
+                            "purchased",
+                            vector_to_array("probability")[1].alias("prediction"),
+                        )
+                        decile_lift(st).write.mode("overwrite").parquet(
+                            str(Path(f"{path}__eval") / "lift")
+                        )
+                        reliability_table(st).write.mode("overwrite").parquet(
+                            str(Path(f"{path}__eval") / "reliability")
+                        )
+                    except Exception as exc:  # noqa: BLE001
+                        eval_err = f"eval_tables: {type(exc).__name__}: {exc}"[:500]
+            finally:
+                if eval_tables:
                     scored_test.unpersist()
             manifest_rows.append(
                 (commodity, clean, path, aupr, "Production",
@@ -985,3 +992,16 @@ NEGATIVE_SAMPLE_SQL = f"""
     UNION ALL
     SELECT "user", item, 0 FROM negs
 """
+
+
+# --- gate registration (moved from the retired operators/overflow.py shim) ---
+# Entries past the driver's 50-row budget register here, next to their
+# operators; __spark_entry__ merges every module's QUERIES/ORACLES and
+# DRIVER_GATE_PRIORITY decides what the driver sees.
+QUERIES.update({
+    "negative_sample": q_negative_sample,
+})
+
+ORACLES.update({
+    "negative_sample": NEGATIVE_SAMPLE_SQL,
+})

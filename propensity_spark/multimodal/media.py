@@ -39,12 +39,70 @@ def _decode_stub(payload: bytes) -> tuple[int, int, int]:
     return 16 + n % 624, 16 + (n * 7) % 464, 1 + n % 24
 
 
-def decode_image(payload: bytes):  # pragma: no cover - real decoder absent
-    try:
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Serialize raw RGB bytes as a binary P6 PPM (netpbm spec:
+    magic, ASCII dims/maxval separated by whitespace, then the raw
+    width*height*3 pixel buffer)."""
+    if len(pixels) != 3 * width * height:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes; {width}x{height} RGB needs "
+            f"{3 * width * height}"
+        )
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Real stdlib P6 PPM parser -> (width, height, maxval, pixels).
+
+    Handles the full header grammar (whitespace runs, `#` comments)
+    and validates the pixel buffer length — this is the genuine byte
+    path, not the arithmetic stub."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6 magic missing)")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError("malformed PPM header")
+        vals.append(int(payload[start:pos]))
+    width, height, maxval = vals
+    pos += 1  # exactly one whitespace byte separates maxval from pixels
+    pixels = payload[pos : pos + 3 * width * height]
+    if len(pixels) != 3 * width * height:
+        raise ValueError("truncated PPM pixel buffer")
+    return width, height, maxval, pixels
+
+
+def resize_rgb_nearest(pixels: bytes, w: int, h: int, out_w: int, out_h: int) -> bytes:
+    """Real nearest-neighbor resample of a raw RGB buffer (the classic
+    floor(target*src/out) index map), vectorized with numpy."""
+    import numpy as np
+
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return img[rows][:, cols].tobytes()
+
+
+def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an image payload -> (width, height, maxval, pixels).
+    PPM decodes with the real stdlib parser above; compressed formats
+    need PIL, which this container does not ship."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    try:  # pragma: no cover - PIL absent in this container
         from PIL import Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "image decoding requires PIL; container ships none (stub via _decode_stub)"
+            "non-PPM image decoding requires PIL; container ships none"
         ) from exc
 
 
@@ -98,18 +156,138 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Synthetic PPM geometry: w in [4, 63], h in [4, 47] keeps per-doc pixel
+# volume bounded (<9 KiB) while exercising non-square dims and multi-digit
+# header widths. RESIZE_SMALL is the thumbnail edge for the resize leg.
+PPM_W_MOD, PPM_H_MOD = 60, 44
+RESIZE_SMALL = 8
+PPM_META_SCHEMA = (
+    "doc_id bigint, byte_len bigint, width int, height int, "
+    "px_sum bigint, r8_sum bigint, n_frames int"
+)
+
+
+def synth_ppm_payload(text_bytes: bytes) -> bytes:
+    """Deterministic real PPM payload from a document's UTF-8 bytes:
+    dims derive from the byte length, the pixel buffer is the text
+    bytes tiled to fill width*height*3 — so a DuckDB oracle can verify
+    the DECODED pixels with pure byte arithmetic."""
+    n_bytes = len(text_bytes)
+    width = 4 + n_bytes % PPM_W_MOD
+    height = 4 + (n_bytes * 7) % PPM_H_MOD
+    need = 3 * width * height
+    if n_bytes == 0:
+        pixels = b"\x00" * need
+    else:
+        pixels = (text_bytes * (need // n_bytes + 1))[:need]
+    return encode_ppm(width, height, pixels)
+
+
+def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, payload BINARY, mime): real P6 PPM
+    payloads built in an Arrow-batched worker. Map-only."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synth_ppm_payload((t or "").encode("utf-8")) for t in pdf["text"]
+                    ],
+                    "mime": "image/x-portable-pixmap",
+                }
+            )
+
+    return docs.mapInPandas(synth, schema="doc_id bigint, payload binary, mime string")
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """(doc_id, payload) -> decoded metadata via the REAL PPM parser:
+    header parse, pixel-buffer validation, pixel checksum, plus an
+    8x8 nearest-neighbor thumbnail re-decoded for its checksum. All
+    pixel math happens on actual decoded buffers inside the Arrow
+    worker; map-only, no shuffle at any scale."""
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "byte_len", "width", "height", "px_sum", "r8_sum"
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _maxval, px = decode_image(bytes(payload))
+                small = resize_rgb_nearest(px, w, h, RESIZE_SMALL, RESIZE_SMALL)
+                _sw, _sh, _sm, spx = decode_ppm(
+                    encode_ppm(RESIZE_SMALL, RESIZE_SMALL, small)
+                )
+                out["doc_id"].append(doc_id)
+                out["byte_len"].append(len(payload))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_sum"].append(int(np.frombuffer(px, np.uint8).sum()))
+                out["r8_sum"].append(int(np.frombuffer(spx, np.uint8).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        decode,
+        schema=(
+            "doc_id bigint, byte_len bigint, width int, height int, "
+            "px_sum bigint, r8_sum bigint"
+        ),
+    )
+
+
 def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full multimodal plumbing in one gate entry: binary payload
-    construction -> Arrow-batched mapInPandas metadata decode -> frame
-    sampling explode, at per-frame grain with the metadata columns
-    carried along. Map-only end to end — no shuffle at any scale."""
-    meta = q_media_metadata(spark, sf_dir)
+    """The full multimodal path on REAL pixel bytes, one gate entry:
+    synthesize a genuine binary P6 PPM per document -> parse it with
+    the real decoder (header grammar + pixel-buffer validation) ->
+    nearest-neighbor resize to an 8x8 thumbnail -> re-encode/re-decode
+    the thumbnail -> emit decoded width/height and pixel checksums of
+    BOTH buffers, then the frame-sampling explode. One Arrow-batched
+    mapInPandas over the documents scan — map-only end to end, no
+    shuffle at any scale. The DuckDB oracle re-derives every decoded
+    value from byte arithmetic over the same parquet, so the pixel
+    path (encode -> decode -> resample -> decode) is value-checked,
+    not just shape-checked."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # empty docs are excluded on BOTH sides: the oracle's byte CTE has
+    # no rows for them (the fixtures ship none; the guard is for scale)
+    docs = docs.where(F.octet_length("text") > 0)
+
+    def pipeline(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "byte_len", "width", "height", "px_sum", "r8_sum", "n_frames"
+            )}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                tb = text.encode("utf-8")
+                payload = synth_ppm_payload(tb)
+                w, h, _maxval, px = decode_image(payload)  # REAL parse
+                small = resize_rgb_nearest(px, w, h, RESIZE_SMALL, RESIZE_SMALL)
+                _sw, _sh, _sm, spx = decode_ppm(
+                    encode_ppm(RESIZE_SMALL, RESIZE_SMALL, small)
+                )
+                out["doc_id"].append(doc_id)
+                out["byte_len"].append(len(payload))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_sum"].append(int(np.frombuffer(px, np.uint8).sum()))
+                out["r8_sum"].append(int(np.frombuffer(spx, np.uint8).sum()))
+                out["n_frames"].append(1 + len(tb) % 24)
+            yield pd.DataFrame(out)
+
+    meta = docs.mapInPandas(pipeline, schema=PPM_META_SCHEMA)
     return meta.select(
         "doc_id",
-        "mime",
+        F.lit("image/x-portable-pixmap").alias("mime"),
         "byte_len",
         "width",
         "height",
+        "px_sum",
+        "r8_sum",
         "n_frames",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(5))).alias("frame_idx"),
     )
@@ -183,21 +361,70 @@ def extract_embeddings(media: DataFrame) -> DataFrame:
 
 
 ORACLES = {
-    "media_pipeline": """
-        WITH meta AS (
-            SELECT doc_id,
-                   CASE WHEN source = 'web' THEN 'image/jpeg'
-                        WHEN source = 'api' THEN 'audio/wav'
-                        ELSE 'video/mp4' END AS mime,
-                   octet_length(encode(text)) AS byte_len,
-                   CAST(16 + octet_length(encode(text)) % 624 AS INT) AS width,
-                   CAST(16 + (octet_length(encode(text)) * 7) % 464 AS INT) AS height,
-                   CAST(1 + octet_length(encode(text)) % 24 AS INT) AS n_frames
-            FROM documents
+    # Byte-arithmetic twin of the REAL pixel path: the engine builds a
+    # genuine P6 PPM per document, parses it back, NN-resizes, and
+    # checksums decoded buffers; the oracle re-derives each decoded
+    # value from the same parquet bytes. Pixel byte j of a w*h image is
+    # text_byte[j % L] (the synth tiles the text), so
+    #   px_sum = (3wh // L) * sum(bytes) + prefix_sum(3wh % L)
+    # and the 8x8 nearest-neighbor thumbnail sum joins each target
+    # (row, col, channel) back to its source byte via the floor index
+    # map — exactly what resize_rgb_nearest computes on real buffers.
+    "media_pipeline": f"""
+        WITH b AS (
+            SELECT doc_id, i,
+                   (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i-1, 1)) - 1) * 16
+                   + strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i, 1)) - 1 AS bv
+            FROM (SELECT doc_id, text,
+                         unnest(range(1, octet_length(encode(text)) + 1)) AS i
+                  FROM documents) t
+        ),
+        agg AS (
+            SELECT doc_id, count(*) AS L, CAST(sum(bv) AS BIGINT) AS S
+            FROM b GROUP BY doc_id
+        ),
+        pref AS (
+            SELECT doc_id, i,
+                   CAST(sum(bv) OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS ps
+            FROM b
+        ),
+        meta AS (
+            SELECT doc_id, L, S,
+                   4 + L % {PPM_W_MOD} AS w,
+                   4 + (L * 7) % {PPM_H_MOD} AS h,
+                   3 * (4 + L % {PPM_W_MOD}) * (4 + (L * 7) % {PPM_H_MOD}) AS n,
+                   1 + L % 24 AS n_frames
+            FROM agg
+        ),
+        pxs AS (
+            SELECT m.doc_id,
+                   (m.n // m.L) * m.S + COALESCE(p.ps, 0) AS px_sum
+            FROM meta m
+            LEFT JOIN pref p ON p.doc_id = m.doc_id AND p.i = m.n % m.L
+        ),
+        r8 AS (
+            SELECT m.doc_id, CAST(sum(bb.bv) AS BIGINT) AS r8_sum
+            FROM meta m
+            CROSS JOIN (SELECT unnest(range(0, {RESIZE_SMALL})) AS r) rr
+            CROSS JOIN (SELECT unnest(range(0, {RESIZE_SMALL})) AS c) cc
+            CROSS JOIN (SELECT unnest(range(0, 3)) AS ch) chh
+            JOIN b bb ON bb.doc_id = m.doc_id
+               AND bb.i = (((rr.r * m.h) // {RESIZE_SMALL} * m.w
+                            + (cc.c * m.w) // {RESIZE_SMALL}) * 3 + chh.ch) % m.L + 1
+            GROUP BY m.doc_id
         )
-        SELECT doc_id, mime, byte_len, width, height, n_frames,
-               CAST(unnest(range(0, n_frames, 5)) AS INT) AS frame_idx
-        FROM meta
+        SELECT m.doc_id, 'image/x-portable-pixmap' AS mime,
+               -- header "P6", LF, w, space, h, LF, "255", LF = 9 fixed
+               -- bytes + the dims' digit counts, then the raw pixel buffer
+               CAST(9 + length(CAST(m.w AS VARCHAR)) + length(CAST(m.h AS VARCHAR))
+                    + m.n AS BIGINT) AS byte_len,
+               CAST(m.w AS INT) AS width, CAST(m.h AS INT) AS height,
+               p.px_sum, r.r8_sum,
+               CAST(m.n_frames AS INT) AS n_frames,
+               CAST(unnest(range(0, m.n_frames, 5)) AS INT) AS frame_idx
+        FROM meta m
+        JOIN pxs p USING (doc_id)
+        JOIN r8 r USING (doc_id)
     """,
 }
 

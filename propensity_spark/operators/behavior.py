@@ -1626,3 +1626,52 @@ GINI_SQL = """
                  - (count(*) + 1) * 1.0 / count(*) + 1e-9, 6) AS gini
     FROM ranked
 """
+
+
+# --- gate registration (moved from the retired operators/overflow.py shim) ---
+# Entries past the driver's 50-row budget register here, next to their
+# operators; __spark_entry__ merges every module's QUERIES/ORACLES and
+# DRIVER_GATE_PRIORITY decides what the driver sees.
+QUERIES = {
+    "funnel_conversion": q_funnel_conversion,
+    "cohort_retention": q_cohort_retention,
+    "rfm_segments": q_rfm_segments,
+    "path_analysis": q_path_analysis,
+    "event_transitions": q_event_transitions,
+    "active_users": q_active_users,
+    "sessionize": q_sessionize,
+    "attribution_multi_touch": q_attribution_multi_touch,
+    "km_retention": q_km_retention,
+    "cohort_ltv": q_cohort_ltv,
+    "active_users_hll": q_active_users_hll,
+    "item_cf": q_item_cf,
+    "time_to_convert": q_time_to_convert,
+    "new_vs_returning": q_new_vs_returning,
+    "revenue_concentration": q_revenue_concentration,
+    "window_funnel": q_window_funnel,
+    "shapley_attribution": q_shapley_attribution,
+    "activity_heatmap": q_activity_heatmap,
+    "gini_coefficient": q_gini_coefficient,
+}
+
+ORACLES = {
+    "funnel_conversion": FUNNEL_SQL,
+    "cohort_retention": COHORT_SQL,
+    "rfm_segments": RFM_SQL,
+    "path_analysis": PATH_SQL,
+    "event_transitions": TRANSITIONS_SQL,
+    "active_users": ACTIVE_USERS_SQL,
+    "sessionize": SESSIONIZE_SQL,
+    "attribution_multi_touch": MULTI_TOUCH_SQL,
+    "km_retention": KM_SQL,
+    "cohort_ltv": COHORT_LTV_SQL,
+    "active_users_hll": ACTIVE_USERS_HLL_SQL,
+    "item_cf": ITEM_CF_SQL,
+    "time_to_convert": TIME_TO_CONVERT_SQL,
+    "new_vs_returning": NEW_VS_RETURNING_SQL,
+    "revenue_concentration": REVENUE_CONCENTRATION_SQL,
+    "window_funnel": WINDOW_FUNNEL_SQL,
+    "shapley_attribution": SHAPLEY_SQL,
+    "activity_heatmap": ACTIVITY_HEATMAP_SQL,
+    "gini_coefficient": GINI_SQL,
+}

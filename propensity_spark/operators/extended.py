@@ -2794,3 +2794,44 @@ AUDIENCE_OVERLAP_SQL = """
     JOIN sizes sa ON e.seg_a = sa.event_type
     JOIN sizes sb ON e.seg_b = sb.event_type
 """
+
+
+# --- gate registration (moved from the retired operators/overflow.py shim) ---
+# Entries past the driver's 50-row budget register here, next to their
+# operators; __spark_entry__ merges every module's QUERIES/ORACLES and
+# DRIVER_GATE_PRIORITY decides what the driver sees.
+from propensity_spark.operators.relational import SILVER_SQL
+
+QUERIES.update({
+    "basket_affinity": q_basket_affinity,
+    "basket_affinity_3": q_basket_affinity_3,
+    "bloom_semijoin": q_bloom_semijoin,
+    "hll_rollup": q_hll_rollup,
+    "scd2_history": q_scd2_history,
+    "cdc_apply": q_cdc_apply,
+    "salted_join": q_salted_join,
+    "variant_extract": q_variant_extract,
+    "pareto_frontier": q_pareto_frontier,
+    "scd2_lookup": q_scd2_lookup,
+    "rank_aggregation": q_rank_aggregation,
+    "audience_overlap": q_audience_overlap,
+})
+
+ORACLES.update({
+    "basket_affinity": _BASKET_AFFINITY_SQL.format(
+        silver=SILVER_SQL, minsup=MIN_SUPPORT, max_items=MAX_BASKET_ITEMS
+    ),
+    "basket_affinity_3": _BASKET3_SQL.format(
+        silver=SILVER_SQL, minsup=TRIPLE_MIN_SUPPORT, max_items=MAX_BASKET_ITEMS
+    ),
+    "bloom_semijoin": BLOOM_SEMIJOIN_SQL,
+    "hll_rollup": HLL_ROLLUP_SQL,
+    "scd2_history": SCD2_SQL,
+    "cdc_apply": CDC_APPLY_SQL,
+    "salted_join": SALTED_JOIN_SQL,
+    "variant_extract": VARIANT_SQL,
+    "pareto_frontier": PARETO_SQL,
+    "scd2_lookup": SCD2_LOOKUP_SQL,
+    "rank_aggregation": RANK_AGG_SQL,
+    "audience_overlap": AUDIENCE_OVERLAP_SQL,
+})

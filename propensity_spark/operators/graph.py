@@ -938,3 +938,28 @@ def _ppr_sql() -> str:
 
 PPR_SQL = _ppr_sql()
 # personalized_pagerank registers in operators/overflow.py (post-budget).
+
+
+# --- gate registration (moved from the retired operators/overflow.py shim) ---
+# Entries past the driver's 50-row budget register here, next to their
+# operators; __spark_entry__ merges every module's QUERIES/ORACLES and
+# DRIVER_GATE_PRIORITY decides what the driver sees.
+QUERIES = {
+    "pagerank_affinity": q_pagerank_affinity,
+    "triangle_count": q_triangle_count,
+    "hierarchy_rollup": q_hierarchy_rollup,
+    "kcore_parts": q_kcore,
+    "bfs_hops": q_bfs_hops,
+    "graph_stats": q_graph_stats,
+    "ppr_affinity": q_personalized_pagerank,
+}
+
+ORACLES = {
+    "pagerank_affinity": PAGERANK_SQL,
+    "triangle_count": TRIANGLE_SQL,
+    "hierarchy_rollup": HIERARCHY_SQL,
+    "kcore_parts": KCORE_SQL,
+    "bfs_hops": BFS_SQL,
+    "graph_stats": GRAPH_STATS_SQL,
+    "ppr_affinity": PPR_SQL,
+}

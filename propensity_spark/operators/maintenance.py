@@ -251,3 +251,20 @@ INCREMENTAL_JOIN_SQL = f"""
                 ELSE c_mktsegment END AS c_mktsegment
     FROM orders JOIN customer ON o_custkey = c_custkey
 """
+
+
+# --- gate registration (moved from the retired operators/overflow.py shim) ---
+# Entries past the driver's 50-row budget register here, next to their
+# operators; __spark_entry__ merges every module's QUERIES/ORACLES and
+# DRIVER_GATE_PRIORITY decides what the driver sees.
+QUERIES = {
+    "incremental_agg": q_incremental_agg,
+    "table_fingerprint_suite": q_table_fingerprint,
+    "incremental_join": q_incremental_join,
+}
+
+ORACLES = {
+    "incremental_agg": INCREMENTAL_AGG_SQL,
+    "table_fingerprint_suite": FINGERPRINT_SQL,
+    "incremental_join": INCREMENTAL_JOIN_SQL,
+}

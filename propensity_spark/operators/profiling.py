@@ -598,3 +598,26 @@ ENTITY_RESOLUTION_SQL = f"""
     SELECT m.name, m.canonical, r.cluster_size, r.cluster_rows
     FROM members m JOIN rollup r ON m.canonical = r.canonical
 """
+
+
+# --- gate registration (moved from the retired operators/overflow.py shim) ---
+# Entries past the driver's 50-row budget register here, next to their
+# operators; __spark_entry__ merges every module's QUERIES/ORACLES and
+# DRIVER_GATE_PRIORITY decides what the driver sees.
+QUERIES = {
+    "table_profile": q_table_profile,
+    "record_linkage": q_record_linkage,
+    "ri_check": q_ri_check,
+    "column_histogram": q_column_histogram,
+    "corr_matrix": q_corr_matrix,
+    "entity_resolution": q_entity_resolution,
+}
+
+ORACLES = {
+    "table_profile": PROFILE_SQL,
+    "record_linkage": LINKAGE_SQL,
+    "ri_check": RI_CHECK_SQL,
+    "column_histogram": HISTOGRAM_SQL,
+    "corr_matrix": CORR_SQL,
+    "entity_resolution": ENTITY_RESOLUTION_SQL,
+}

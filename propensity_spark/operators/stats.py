@@ -2262,3 +2262,68 @@ IPW_SQL = f"""
            CAST(sum(b.t) AS BIGINT) AS n_treated
     FROM bucketed b JOIN e ON b.bucket = e.bucket
 """
+
+
+# --- gate registration (moved from the retired operators/overflow.py shim) ---
+# Entries past the driver's 50-row budget register here, next to their
+# operators; __spark_entry__ merges every module's QUERIES/ORACLES and
+# DRIVER_GATE_PRIORITY decides what the driver sees.
+QUERIES = {
+    "chi_square_assoc": q_chi_square_assoc,
+    "quantile_bucket": q_quantile_bucket,
+    "key_skew": q_key_skew,
+    "stratified_sample": q_stratified_sample,
+    "anomaly_mad": q_anomaly_mad,
+    "cv_fold_audit": q_cv_fold_audit,
+    "feature_scaling": q_feature_scaling,
+    "benford_audit": q_benford_audit,
+    "mutual_information": q_mutual_information,
+    "ab_test_ztest": q_ab_test_ztest,
+    "hill_tail_index": q_hill_tail_index,
+    "ks_drift": q_ks_drift,
+    "cuped_adjustment": q_cuped_adjustment,
+    "mann_whitney": q_mann_whitney,
+    "target_encode": q_target_encode,
+    "woe_iv": q_woe_iv,
+    "psm_match": q_psm_match,
+    "diff_in_diff": q_diff_in_diff,
+    "qini_uplift": q_qini_uplift,
+    "cat_entropy": q_cat_entropy,
+    "quantile_normalize": q_quantile_normalize,
+    "sprt_monitor": q_sprt_monitor,
+    "price_elasticity": q_price_elasticity,
+    "weighted_median": q_weighted_median,
+    "threshold_sweep": q_threshold_sweep,
+    "bootstrap_ci": q_bootstrap_ci,
+    "ipw_ate": q_ipw_ate,
+}
+
+ORACLES = {
+    "chi_square_assoc": CHI_SQUARE_SQL,
+    "quantile_bucket": QUANTILE_BUCKET_SQL,
+    "key_skew": KEY_SKEW_SQL,
+    "stratified_sample": STRATIFIED_SQL,
+    "anomaly_mad": ANOMALY_SQL,
+    "cv_fold_audit": CV_FOLDS_SQL,
+    "feature_scaling": FEATURE_SCALING_SQL,
+    "benford_audit": BENFORD_SQL,
+    "mutual_information": MUTUAL_INFO_SQL,
+    "ab_test_ztest": AB_TEST_SQL,
+    "hill_tail_index": HILL_SQL,
+    "ks_drift": KS_SQL,
+    "cuped_adjustment": CUPED_SQL,
+    "mann_whitney": MANN_WHITNEY_SQL,
+    "target_encode": TARGET_ENCODE_SQL,
+    "woe_iv": WOE_IV_SQL,
+    "psm_match": PSM_SQL,
+    "diff_in_diff": DID_SQL,
+    "qini_uplift": QINI_SQL,
+    "cat_entropy": CAT_ENTROPY_SQL,
+    "quantile_normalize": QUANTILE_NORMALIZE_SQL,
+    "sprt_monitor": SPRT_SQL,
+    "price_elasticity": PRICE_ELASTICITY_SQL,
+    "weighted_median": WEIGHTED_MEDIAN_SQL,
+    "threshold_sweep": THRESHOLD_SWEEP_SQL,
+    "bootstrap_ci": BOOTSTRAP_SQL,
+    "ipw_ate": IPW_SQL,
+}

@@ -1836,3 +1836,54 @@ DURBIN_WATSON_SQL = """
            round(sum((e - ep) * (e - ep)) / sum(e * e) + 1e-9, 4) AS dw
     FROM lagged GROUP BY brand
 """
+
+
+# --- gate registration (moved from the retired operators/overflow.py shim) ---
+# Entries past the driver's 50-row budget register here, next to their
+# operators; __spark_entry__ merges every module's QUERIES/ORACLES and
+# DRIVER_GATE_PRIORITY decides what the driver sees.
+QUERIES = {
+    "gapfill_revenue": q_gapfill_revenue,
+    "attribution_last_touch": q_attribution_last_touch,
+    "moving_average": q_moving_average,
+    "ewma_revenue": q_ewma_revenue,
+    "seasonality_dow": q_seasonality_dow,
+    "trend_fit": q_trend_fit,
+    "changepoint_cusum": q_changepoint_cusum,
+    "forecast_linear": q_forecast_linear,
+    "autocorrelation": q_autocorrelation,
+    "period_growth": q_period_growth,
+    "open_orders_daily": q_open_orders_daily,
+    "cross_correlation": q_cross_correlation,
+    "seasonal_anomaly": q_seasonal_anomaly,
+    "forecast_backtest": q_forecast_backtest,
+    "mix_decomposition": q_mix_decomposition,
+    "cumulative_distinct": q_cumulative_distinct,
+    "conformal_interval": q_conformal_interval,
+    "theil_sen": q_theil_sen,
+    "huber_trend": q_huber_trend,
+    "durbin_watson": q_durbin_watson,
+}
+
+ORACLES = {
+    "gapfill_revenue": GAPFILL_SQL,
+    "attribution_last_touch": ATTRIBUTION_SQL,
+    "moving_average": MOVING_AVG_SQL,
+    "ewma_revenue": EWMA_SQL,
+    "seasonality_dow": SEASONALITY_SQL,
+    "trend_fit": TREND_SQL,
+    "changepoint_cusum": CUSUM_SQL,
+    "forecast_linear": FORECAST_SQL,
+    "autocorrelation": ACF_SQL,
+    "period_growth": PERIOD_GROWTH_SQL,
+    "open_orders_daily": OPEN_ORDERS_SQL,
+    "cross_correlation": CCF_SQL,
+    "seasonal_anomaly": SEASONAL_ANOMALY_SQL,
+    "forecast_backtest": FORECAST_BACKTEST_SQL,
+    "mix_decomposition": MIX_DECOMPOSITION_SQL,
+    "cumulative_distinct": CUMULATIVE_DISTINCT_SQL,
+    "conformal_interval": CONFORMAL_SQL,
+    "theil_sen": THEIL_SEN_SQL,
+    "huber_trend": HUBER_SQL,
+    "durbin_watson": DURBIN_WATSON_SQL,
+}

@@ -1805,3 +1805,38 @@ READABILITY_SQL = """
                  + 1e-9, 4) AS flesch_score
     FROM documents
 """
+
+
+# --- gate registration (moved from the retired operators/overflow.py shim) ---
+# Entries past the driver's 50-row budget register here, next to their
+# operators; __spark_entry__ merges every module's QUERIES/ORACLES and
+# DRIVER_GATE_PRIORITY decides what the driver sees.
+QUERIES.update({
+    "vocab_heavy_hitters": q_vocab_heavy_hitters,
+    "perplexity_filter": q_perplexity_filter,
+    "bm25_search": q_bm25_search,
+    "repetition_signals": q_repetition_signals,
+    "dsir_select": q_dsir_select,
+    "doc_embed": q_doc_embed,
+    "weighted_sample": q_weighted_sample,
+    "char_entropy": q_char_entropy,
+    "llm_dataprep": q_llm_dataprep,
+    "build_postings": q_build_postings,
+    "zipf_fit": q_zipf_fit,
+    "readability": q_readability,
+})
+
+ORACLES.update({
+    "vocab_heavy_hitters": VOCAB_HEAVY_HITTERS_SQL,
+    "perplexity_filter": PERPLEXITY_SQL,
+    "bm25_search": BM25_SQL,
+    "repetition_signals": REPETITION_SQL,
+    "dsir_select": DSIR_SQL,
+    "doc_embed": DOC_EMBED_SQL,
+    "weighted_sample": WEIGHTED_SAMPLE_SQL,
+    "char_entropy": CHAR_ENTROPY_SQL,
+    "llm_dataprep": _dataprep_sql(),
+    "build_postings": POSTINGS_SQL,
+    "zipf_fit": ZIPF_SQL,
+    "readability": READABILITY_SQL,
+})

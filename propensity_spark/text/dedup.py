@@ -1262,3 +1262,18 @@ SETSIM_SQL = f"""
           >= {SETSIM_TAU_NUM} * (sa.n + sb.n)
 """
 # setsim_join registers in operators/overflow.py (post-budget).
+
+
+# --- gate registration (moved from the retired operators/overflow.py shim) ---
+# Entries past the driver's 50-row budget register here, next to their
+# operators; __spark_entry__ merges every module's QUERIES/ORACLES and
+# DRIVER_GATE_PRIORITY decides what the driver sees.
+QUERIES.update({
+    "exactsubstr_dedup": q_exactsubstr_dedup,
+    "setsim_join": q_setsim_join,
+})
+
+ORACLES.update({
+    "exactsubstr_dedup": EXACTSUBSTR_SQL,
+    "setsim_join": SETSIM_SQL,
+})

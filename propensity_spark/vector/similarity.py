@@ -1030,3 +1030,20 @@ def _pca_sql() -> str:
 
 
 PCA_SQL = _pca_sql()
+
+
+# --- gate registration (moved from the retired operators/overflow.py shim) ---
+# Entries past the driver's 50-row budget register here, next to their
+# operators; __spark_entry__ merges every module's QUERIES/ORACLES and
+# DRIVER_GATE_PRIORITY decides what the driver sees.
+QUERIES.update({
+    "semdedup": q_semdedup,
+    "silhouette": q_silhouette,
+    "pca_pc1": q_pca_pc1,
+})
+
+ORACLES.update({
+    "semdedup": SEMDEDUP_SQL,
+    "silhouette": SILHOUETTE_SQL,
+    "pca_pc1": PCA_SQL,
+})

@@ -89,6 +89,77 @@ def test_decode_stub_deterministic():
     assert (w, h, f) == (16 + 1000 % 624, 16 + 7000 % 464, 1 + 1000 % 24)
 
 
+def test_ppm_codec_roundtrip_and_real_decode():
+    """The PPM path is a REAL byte codec: encode -> decode is identity,
+    the parser handles comments and multi-digit dims per the netpbm
+    grammar, and corrupt buffers fail loudly."""
+    import pytest
+
+    from propensity_spark.multimodal.media import (
+        decode_image,
+        decode_ppm,
+        encode_ppm,
+        synth_ppm_payload,
+    )
+
+    px = bytes(range(256)) * 3  # 16x16 RGB
+    payload = encode_ppm(16, 16, px)
+    assert decode_ppm(payload) == (16, 16, 255, px)
+    assert decode_image(payload) == (16, 16, 255, px)  # dispatches to PPM
+    # header comments per spec
+    commented = b"P6\n# synthetic fixture\n16 16\n255\n" + px
+    assert decode_ppm(commented) == (16, 16, 255, px)
+    with pytest.raises(ValueError):
+        decode_ppm(payload[:-1])  # truncated pixel buffer
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")  # wrong magic
+    # synth payloads tile the text bytes to fill the buffer
+    w, h, _, spx = decode_ppm(synth_ppm_payload(b"abc"))
+    assert spx == (b"abc" * (3 * w * h // 3 + 1))[: 3 * w * h]
+
+
+def test_resize_rgb_nearest_known_values():
+    """Nearest-neighbor resample uses the floor index map: a 2x2 image
+    upscaled to 4x4 replicates each source pixel into a 2x2 block, and
+    downscale picks the exact floor-mapped pixels."""
+    import numpy as np
+
+    from propensity_spark.multimodal.media import resize_rgb_nearest
+
+    # 2x2: pixels A B / C D (each a distinct RGB triple)
+    a, b, c, d = (1, 1, 1), (2, 2, 2), (3, 3, 3), (4, 4, 4)
+    src = bytes(v for p in (a, b, c, d) for v in p)
+    up = np.frombuffer(
+        resize_rgb_nearest(src, 2, 2, 4, 4), np.uint8
+    ).reshape(4, 4, 3)
+    assert tuple(up[0, 0]) == a and tuple(up[0, 3]) == b
+    assert tuple(up[3, 0]) == c and tuple(up[3, 3]) == d
+    # identity resize is a no-op
+    assert resize_rgb_nearest(src, 2, 2, 2, 2) == src
+
+
+def test_decode_media_matches_fused_pipeline(spark, sf_dir):
+    """The staged operators (synthesize_ppm_media -> decode_media)
+    produce the same decoded metadata as the fused q_media_pipeline
+    worker — the gate's fused hot path and the composable surface
+    cannot drift."""
+    from propensity_spark.io import load_table
+    from propensity_spark.multimodal.media import (
+        decode_media,
+        q_media_pipeline,
+        synthesize_ppm_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = decode_media(synthesize_ppm_media(docs))
+    fused = (
+        q_media_pipeline(spark, sf_dir)
+        .select("doc_id", "byte_len", "width", "height", "px_sum", "r8_sum")
+        .distinct()
+    )
+    assert {tuple(r) for r in staged.collect()} == {tuple(r) for r in fused.collect()}
+
+
 def test_media_metadata_schema_and_batch(spark, sf_dir):
     from propensity_spark.multimodal.media import q_media_metadata
 

@@ -18,7 +18,14 @@ sign, and the driver's fixed-precision canonicalizer renders them as
 hash reds. Any -0.0 in EITHER engine's output is a violation: the fix
 is `round(...) + 0.0` at the producing site in both engines.
 
-Usage: python tools/gate_lint.py [sf_dir] [--negzero] [query ...]
+With ``--rotation``, instead runs the rotation-debt audit (no Spark
+session): every registry entry must have at least one driver row in some
+``CORRECTNESS_r*.json``, and any entry whose newest driver row is >= 3
+rounds older than the latest recorded round must be scheduled in the
+current ``DRIVER_GATE_PRIORITY`` — so stale driver evidence can never
+silently re-accumulate the way the 17 r04-last entries did through r07.
+
+Usage: python tools/gate_lint.py [sf_dir] [--negzero|--rotation] [query ...]
 Exit 1 on any violation. tools/local_verify.py remains the value-level
 check; this is the cheap shape-level pre-flight.
 """
@@ -33,10 +40,52 @@ import duckdb
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-ARGS = [a for a in sys.argv[1:] if a != "--negzero"]
+FLAGS = {"--negzero", "--rotation"}
+ARGS = [a for a in sys.argv[1:] if a not in FLAGS]
 NEGZERO = "--negzero" in sys.argv[1:]
+ROTATION = "--rotation" in sys.argv[1:]
 SF_DIR = ARGS[0] if ARGS else "/root/testdata/sf0.001"
 ONLY = set(ARGS[1:])
+
+# An entry this many rounds (or more) behind the newest CORRECTNESS file
+# must be in the CURRENT gate rotation or the lint fails.
+STALENESS_BUDGET = 3
+
+
+def rotation_audit() -> int:
+    import json
+
+    import __spark_entry__ as e
+
+    repo = Path(__file__).resolve().parents[1]
+    latest: dict[str, int] = {}
+    newest_round = 0
+    for f in sorted(repo.glob("CORRECTNESS_r*.json")):
+        rnd = int(f.stem.split("_r")[1])
+        newest_round = max(newest_round, rnd)
+        for name in json.loads(f.read_text()):
+            latest[name] = max(latest.get(name, 0), rnd)
+    names = list(e.queries())
+    scheduled = set(e.DRIVER_GATE_PRIORITY)
+    problems: list[str] = []
+    for n in names:
+        if n not in latest:
+            if n not in scheduled:
+                problems.append(f"{n}: NO driver row in any CORRECTNESS_r*.json and not in the current rotation")
+            continue
+        age = newest_round - latest[n]
+        if age >= STALENESS_BUDGET and n not in scheduled:
+            problems.append(
+                f"{n}: last driver-verified r{latest[n]:02d} "
+                f"({age} rounds stale) and not in DRIVER_GATE_PRIORITY"
+            )
+    for p in problems:
+        print(f"ROTATION  {p}")
+    print(
+        f"\nrotation audit: {len(names)} entries, newest round r{newest_round:02d}, "
+        f"{len(problems)} violation(s)"
+    )
+    return 1 if problems else 0
 
 from tools.local_verify import make_duck_views  # noqa: E402 — shared table bootstrap
 
@@ -68,6 +117,8 @@ def sweep_spark_negzero(name: str, sdf, problems: list[str]) -> None:
 
 
 def main() -> int:
+    if ROTATION:
+        return rotation_audit()
     import __spark_entry__ as e
     from propensity_spark.session import get_spark
 
