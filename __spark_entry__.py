@@ -21,7 +21,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # Guard against an optional module silently dropping out of the gate
 # (e.g. a transitive import typo): the registry must never shrink below
 # the committed surface.
-EXPECTED_MIN_QUERIES = 162
+EXPECTED_MIN_QUERIES = 163
 
 # The driver's CORRECTNESS report records the FIRST 50 registered entries;
 # `tools/local_verify.py` checks the whole registry regardless. Round-8
@@ -31,7 +31,7 @@ EXPECTED_MIN_QUERIES = 162
 # streaming-stateful, TPC-H suites — the oldest driver evidence anywhere
 # in the registry); slots 18-50 refresh the first 33 of the 47 r05-last
 # entries in registry order. The remaining 14 r05-last entries
-# (hierarchy_rollup .. open_orders_daily) rotate in r09 and stay covered
+# (sessionize, hierarchy_rollup .. open_orders_daily) rotate in r09 and stay covered
 # by tools/local_verify.py at sf0.01 meanwhile.
 DRIVER_GATE_PRIORITY = [
     # -- 17 r04-last entries: the stalest driver rows in the registry --
@@ -85,7 +85,10 @@ DRIVER_GATE_PRIORITY = [
     "incremental_agg",
     "table_fingerprint_suite",
     "salted_join",
-    "sessionize",
+    # sessionize (r05-last) yields its slot to the NEW quality_filter
+    # entry (never driver-checked, which outranks a staleness refresh);
+    # sessionize joins the r09 rotation with the other 14 r05-last.
+    "quality_filter",
 ]
 
 
@@ -107,6 +110,7 @@ def _registry():
         "propensity_spark.streaming.stateful",
         "propensity_spark.multimodal.media",
         "propensity_spark.ml.training",
+        "propensity_spark.ml.quality",
         "propensity_spark.feature_store",
         "propensity_spark.text.analysis",
         "propensity_spark.pipeline",

@@ -293,6 +293,58 @@ def test_basket_affinity_3_matches_mllib_fpgrowth(spark, sf_dir):
     assert got == fp
 
 
+def test_quality_classifier_learns_planted_signal_on_fixture_docs(spark, sf_dir):
+    """Separable signal planted in the REAL documents fixture: half the
+    docs (by doc_id parity) get a marker token appended; the hashed-TF
+    LogisticRegression must recover the split on held-out docs — the
+    end-to-end evidence that the learned filter can pick up a
+    document-level signal from fixture text, not just the synthetic
+    two-sentence corpus."""
+    from propensity_spark.io import load_table
+    from propensity_spark.ml.quality import (
+        evaluate_quality_classifier,
+        train_quality_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(" refmarker"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        ((F.col("doc_id") % 2) == 0).cast("double").alias("label"),
+    )
+    train = docs.where("doc_id % 5 != 0")
+    test = docs.where("doc_id % 5 = 0")
+    model = train_quality_classifier(train)
+    metrics = evaluate_quality_classifier(model, test)
+    assert metrics["auc"] > 0.95, metrics
+
+
+def test_quality_filter_gate_matches_float_solve(spark, sf_dir):
+    """The exact-integer Cramer decision in q_quality_filter agrees
+    with an independent float least-squares solve (numpy lstsq) on the
+    same features — the integer path is the same model, just computed
+    without rounding hazards."""
+    import numpy as np
+
+    from propensity_spark.ml.quality import q_quality_filter
+
+    rows = q_quality_filter(spark, sf_dir).collect()
+    X = np.array([[1.0, r["n_words"], r["n_long_words"]] for r in rows])
+    y = np.array([float(r["label"]) for r in rows])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    scores = X @ beta
+    for r, s in zip(rows, scores):
+        # stay clear of the decision boundary: float and exact-integer
+        # paths may disagree only within solver tolerance of 0.5
+        if abs(s - 0.5) > 1e-6:
+            assert r["quality_keep"] == int(s > 0.5), (r, s)
+    kept = sum(r["quality_keep"] for r in rows)
+    assert 0 < kept < len(rows)  # the filter actually filters
+
+
 def test_quality_classifier_separates_reference_from_noise(spark):
     """fastText-style quality filter on a separable corpus: train on
     weak labels (reference vocab vs noise vocab), verify held-out
