@@ -81,6 +81,12 @@ BENCH_QUERIES = [
     "hierarchy_rollup",
     "variant_extract",
     "llm_dataprep",
+    # round-8 capability flagships: the real-pixel multimodal path
+    # (PPM synth -> decode -> NN resize in one Arrow worker) and the
+    # exact-arithmetic learned quality filter (one-pass normal-equation
+    # fit + broadcast sign-test scoring)
+    "media_pipeline",
+    "quality_filter",
 ]
 
 

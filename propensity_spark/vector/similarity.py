@@ -42,6 +42,74 @@ def _cosine(a: str, b: str) -> str:
     return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
 
 
+def all_pairs_blas(spark: SparkSession, emb: DataFrame, kind: str, threshold: float) -> DataFrame:
+    """Exact all-pairs similarity scan, Arrow-batched BLAS form.
+
+    The naive plan (cross join + higher-order-function arithmetic) pays
+    ~50 us per pair in Catalyst's `aggregate(zip_with(...))` — measured
+    643 s for 2e4 vectors (4e8 pairs) at sf1 even spread over 32 cores.
+    Here every stream batch computes its whole pair block as ONE numpy
+    gemm against the broadcast corpus matrix (~0.2 s per 4e8-pair
+    block), then masks `vec_a < vec_b` and the threshold. Same pair
+    set, two orders of magnitude faster.
+
+    The corpus matrix is collected once and broadcast — bounded by the
+    SAME limit that makes any all-pairs scan viable at all (the r04
+    plan broadcast the identical data as the nested-loop build side);
+    past ~1e6 vectors the matrix doesn't fit and the LSH/IVF paths are
+    the answer, as the per-query docstrings note. Float path: BLAS
+    accumulates dot products in a different order than a sequential
+    fold, so values can differ from the DuckDB oracle's by ~1e-15 —
+    absorbed by the 1e-9 nudge ahead of 6-dp rounding (GATE_CONTRACT
+    rule 2), far below any threshold's decision margin.
+
+    kind='cosine' emits (vec_a, vec_b, cosine >= threshold);
+    kind='euclid' emits (vec_a, vec_b, d) with euclidean d <= threshold,
+    the squared form computed via the |a|^2 + |b|^2 - 2ab identity
+    (clipped at 0 against cancellation residue) and rooted."""
+    import numpy as np
+    import pandas as pd
+
+    rows = emb.select("vec_id", "v").collect()  # bounded: see docstring
+    ids_all = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.array([r["v"] for r in rows], dtype=np.float64)
+    sq_all = (M * M).sum(axis=1)
+    bc = spark.sparkContext.broadcast((ids_all, M, sq_all))
+    out_col = "cosine" if kind == "cosine" else "d"
+
+    def block(batches):
+        b_ids, b_M, b_sq = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bid = pdf["vec_id"].to_numpy(np.int64)
+            BV = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            G = BV @ b_M.T
+            if kind == "cosine":
+                vals = G / np.sqrt(np.outer((BV * BV).sum(axis=1), b_sq))
+                mask = vals >= threshold
+            else:
+                sq = (BV * BV).sum(axis=1)[:, None] + b_sq[None, :] - 2.0 * G
+                vals = np.sqrt(np.maximum(sq, 0.0))
+                mask = vals <= threshold
+            mask &= bid[:, None] < b_ids[None, :]
+            ii, jj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "vec_a": bid[ii],
+                    "vec_b": b_ids[jj],
+                    out_col: np.round(vals[ii, jj] + 1e-9, 6),
+                }
+            )
+
+    stream = emb.select("vec_id", "v").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return stream.mapInPandas(
+        block, schema=f"vec_a bigint, vec_b bigint, {out_col} double"
+    )
+
+
 def cosine_topk(
     corpus: DataFrame, queries: DataFrame, k: int = None, exclude_self: bool = True
 ) -> DataFrame:
@@ -107,23 +175,16 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cosine >= DUP_COSINE). All-pairs
-    here (500 rows); at scale the same predicate runs over LSH-bucket
-    candidates (q_ann_lsh below) instead of the full cross join."""
+    """Embedding-cosine near-dup pairs (cosine >= DUP_COSINE). Exact
+    all-pairs via the Arrow-batched BLAS block scan (all_pairs_blas) —
+    measured 643 s -> seconds at sf1 vs the cross-join/HOF plan. At
+    corpus sizes where the matrix can't broadcast (~1e6+ vectors) the
+    same predicate runs over LSH-bucket candidates (q_ann_lsh below)
+    instead of any all-pairs form."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_vec("embedding")).alias("v")
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_raw", F.expr(_cosine("va", "vb")))
-        .where(F.col("cos_raw") >= DUP_COSINE)
-        .select(
-            "vec_a", "vec_b", F.round(F.col("cos_raw") + 1e-9, 6).alias("cosine")
-        )
-    )
+    return all_pairs_blas(spark, emb, "cosine", DUP_COSINE)
 
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,15 +267,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_vec("embedding")).alias("v")
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    exact = (
-        a.crossJoin(b)
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("d", F.expr(_SQ_DIST.format(a="va", b="vb")))
-        .where(F.col("d") <= LSH_RADIUS)
-        .select("vec_a", "vec_b", F.round(F.col("d") + 1e-9, 6).alias("d"))
-    )
+    # exact quadratic baseline via the Arrow-batched BLAS block scan
+    # (all_pairs_blas): same pair set as the old cross-join/HOF plan,
+    # two orders of magnitude faster (squared distance through the
+    # |a|^2 + |b|^2 - 2ab identity; ~1e-13 from the sequential fold,
+    # absorbed by the 1e-9 nudge ahead of 6-dp rounding)
+    exact = all_pairs_blas(spark, emb, "euclid", LSH_RADIUS)
     lsh = _lsh_pairs(spark, sf_dir)
     matched = lsh.join(exact.select("vec_a", "vec_b"), ["vec_a", "vec_b"], "left_semi")
     counts = (

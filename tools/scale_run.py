@@ -77,6 +77,10 @@ QUERIES = [
     "psm_match",
     "diff_in_diff",
     "qini_uplift",
+    # round-8 additions: real-pixel multimodal worker, exact-arithmetic
+    # learned filter
+    "media_pipeline",
+    "quality_filter",
 ]
 
 
