@@ -348,13 +348,21 @@ ORACLES = {
                round(cos_raw + 1e-9, 6) AS cosine
         FROM ranked WHERE rank <= {TOP_K}
     """,
+    # fixed-size ARRAY form: array_cosine_similarity is SIMD-vectorized
+    # (measured 32x faster than the list-lambda fold at sf0.1; the
+    # list form made the 4e8-pair sf1 oracle a ~50-minute single scan).
+    # Accumulation-order ulps vs the Spark BLAS path are absorbed by
+    # the 1e-9 nudge before 6-dp rounding.
     "embedding_dup_pairs": f"""
-        WITH emb AS ({_EMB})
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round({_cosine_duck('a.v', 'b.v')} + 1e-9, 6) AS cosine
-        FROM emb a CROSS JOIN emb b
-        WHERE a.vec_id < b.vec_id
-          AND {_cosine_duck('a.v', 'b.v')} >= {DUP_COSINE}
+        WITH arr AS (SELECT vec_id, CAST(embedding AS DOUBLE[64]) AS av
+                     FROM embeddings),
+             scored AS (
+                 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                        array_cosine_similarity(a.av, b.av) AS cos_raw
+                 FROM arr a JOIN arr b ON a.vec_id < b.vec_id
+             )
+        SELECT vec_a, vec_b, round(cos_raw + 1e-9, 6) AS cosine
+        FROM scored WHERE cos_raw >= {DUP_COSINE}
     """,
     "label_centroids": f"""
         WITH emb AS ({_EMB}),
@@ -379,13 +387,18 @@ ORACLES = {
 }
 
 ORACLES["ann_lsh"] = f"""
-    WITH emb AS ({_EMB})
-    SELECT 'exact_pair' AS section, a.vec_id AS a, b.vec_id AS b,
-           round(sqrt(list_sum(list_transform(list_zip(a.v, b.v),
-                 t -> (t[1] - t[2]) * (t[1] - t[2])))) + 1e-9, 6) AS v
-    FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-    WHERE sqrt(list_sum(list_transform(list_zip(a.v, b.v),
-          t -> (t[1] - t[2]) * (t[1] - t[2])))) <= {LSH_RADIUS}
+    WITH arr AS (SELECT vec_id, CAST(embedding AS DOUBLE[64]) AS av
+                 FROM embeddings),
+         dists AS (
+             SELECT a.vec_id AS a, b.vec_id AS b,
+                    array_distance(a.av, b.av) AS dist
+             FROM arr a JOIN arr b ON a.vec_id < b.vec_id
+         )
+    -- SIMD array form (single distance evaluation): see
+    -- embedding_dup_pairs note — the list-lambda fold made this 4e8-pair
+    -- scan the sf1 sweep's bottleneck
+    SELECT 'exact_pair' AS section, a, b, round(dist + 1e-9, 6) AS v
+    FROM dists WHERE dist <= {LSH_RADIUS}
     UNION ALL
     SELECT 'false_pos', 0, 0, 0.0
     UNION ALL
