@@ -207,8 +207,13 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+    # money sums go through exact BIGINT cents (GATE_CONTRACT rule 2 /
+    # REV_EXACT): the double sum over 1.5M orders diverged from DuckDB
+    # in the 10th significant digit at sf1 (accumulation order)
     cube = orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.round(F.sum("o_totalprice") + 1e-6, 2).alias("sum_price"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0
+        ).alias("sum_price"),
         F.count(F.lit(1)).alias("n_orders"),
     )
     return (
@@ -1826,7 +1831,11 @@ ORACLES = {
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         UNION ALL
         SELECT 'cube', o_orderstatus, o_orderpriority,
-               round(1e-6 + sum(o_totalprice), 2), count(*)
+               -- exact BIGINT cents (rule 2): the double sum diverged
+               -- from Spark at sf1 row counts
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                   / 100.0,
+               count(*)
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
