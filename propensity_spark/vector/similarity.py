@@ -42,7 +42,13 @@ def _cosine(a: str, b: str) -> str:
     return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
 
 
-def all_pairs_blas(spark: SparkSession, emb: DataFrame, kind: str, threshold: float) -> DataFrame:
+def all_pairs_blas(
+    spark: SparkSession,
+    emb: DataFrame,
+    kind: str,
+    threshold: float,
+    group_col: str | None = None,
+) -> DataFrame:
     """Exact all-pairs similarity scan, Arrow-batched BLAS form.
 
     The naive plan (cross join + higher-order-function arithmetic) pays
@@ -66,19 +72,27 @@ def all_pairs_blas(spark: SparkSession, emb: DataFrame, kind: str, threshold: fl
     kind='cosine' emits (vec_a, vec_b, cosine >= threshold);
     kind='euclid' emits (vec_a, vec_b, d) with euclidean d <= threshold,
     the squared form computed via the |a|^2 + |b|^2 - 2ab identity
-    (clipped at 0 against cancellation residue) and rooted."""
+    (clipped at 0 against cancellation residue) and rooted.
+
+    ``group_col`` names an integer column of `emb`: pairs are then
+    restricted to rows sharing that value (the SemDeDup cluster-scoped
+    scan) via the same vectorized mask — no per-group Python loop."""
     import numpy as np
     import pandas as pd
 
-    rows = emb.select("vec_id", "v").collect()  # bounded: see docstring
+    cols = ["vec_id", "v"] + ([group_col] if group_col else [])
+    rows = emb.select(*cols).collect()  # bounded: see docstring
     ids_all = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     M = np.array([r["v"] for r in rows], dtype=np.float64)
+    grp_all = (
+        np.array([r[group_col] for r in rows], dtype=np.int64) if group_col else None
+    )
     sq_all = (M * M).sum(axis=1)
-    bc = spark.sparkContext.broadcast((ids_all, M, sq_all))
+    bc = spark.sparkContext.broadcast((ids_all, M, sq_all, grp_all))
     out_col = "cosine" if kind == "cosine" else "d"
 
     def block(batches):
-        b_ids, b_M, b_sq = bc.value
+        b_ids, b_M, b_sq, b_grp = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -93,6 +107,9 @@ def all_pairs_blas(spark: SparkSession, emb: DataFrame, kind: str, threshold: fl
                 vals = np.sqrt(np.maximum(sq, 0.0))
                 mask = vals <= threshold
             mask &= bid[:, None] < b_ids[None, :]
+            if b_grp is not None:
+                sg = pdf[group_col].to_numpy(np.int64)
+                mask &= sg[:, None] == b_grp[None, :]
             ii, jj = np.nonzero(mask)
             yield pd.DataFrame(
                 {
@@ -102,9 +119,7 @@ def all_pairs_blas(spark: SparkSession, emb: DataFrame, kind: str, threshold: fl
                 }
             )
 
-    stream = emb.select("vec_id", "v").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    stream = emb.select(*cols).repartition(spark.sparkContext.defaultParallelism)
     return stream.mapInPandas(
         block, schema=f"vec_a bigint, vec_b bigint, {out_col} double"
     )
@@ -796,16 +811,11 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for h, p in enumerate(planes)
     ]
     assigned = emb.withColumn("cluster", sum(bits).cast("int"))
-    a = assigned.select(
-        F.col("cluster"), F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
-    )
-    b = assigned.select(
-        F.col("cluster"), F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
-    )
-    dup_pairs = (
-        a.join(b, "cluster")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .where(F.expr(_cosine("va", "vb")) >= SEMDEDUP_TAU)
+    # cluster-scoped pairwise via the BLAS block scan (group mask keeps
+    # pairs inside one cluster): the cluster-keyed equi-join + HOF
+    # cosine took 516 s at sf1 (1.25e7 pairs x ~50 us); this is seconds
+    dup_pairs = all_pairs_blas(
+        spark, assigned, "cosine", SEMDEDUP_TAU, group_col="cluster"
     )
     drops = dup_pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
         F.min("vec_a").alias("dropped_for")
@@ -830,12 +840,15 @@ def _semdedup_sql() -> str:
     )
     return f"""
     WITH emb AS ({_EMB}),
-         assigned AS (SELECT vec_id, v, CAST({bits} AS INT) AS cluster FROM emb),
+         assigned AS (SELECT vec_id, v, CAST(v AS DOUBLE[64]) AS av,
+                             CAST({bits} AS INT) AS cluster FROM emb),
          drops AS (
+             -- SIMD array cosine (see embedding_dup_pairs note): the
+             -- list-lambda form dominated the sf1 sweep at 1.25e7 pairs
              SELECT b.vec_id AS vec_id, min(a.vec_id) AS dropped_for
              FROM assigned a JOIN assigned b ON a.cluster = b.cluster
              WHERE a.vec_id < b.vec_id
-               AND {_cosine_duck('a.v', 'b.v')} >= {SEMDEDUP_TAU}
+               AND array_cosine_similarity(a.av, b.av) >= {SEMDEDUP_TAU}
              GROUP BY b.vec_id
          )
     SELECT e.vec_id, e.cluster,
