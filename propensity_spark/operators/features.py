@@ -86,7 +86,21 @@ def _base_metrics(inw: str) -> list[tuple[str, str]]:
         ("products", f"count(CASE WHEN {inw} THEN product_id END)"),
         ("line_items", f"sum(CASE WHEN {inw} THEN 1 END)"),
     ]
-    m += [(c, f"sum(CASE WHEN {inw} THEN {c} END)") for c in _MONEY]
+    # GATE_CONTRACT rule 2: the money sums are the one SF-growing float
+    # reduction in the engine — at sf1 the commodity grain sums ~240k
+    # rows to ~1.7e9 and the cross-order float error (ulp 2.4e-7 at that
+    # magnitude, x addends) crosses 2dp half-cent boundaries (observed:
+    # one cent of divergence in the r08 sf1 sweep). Every silver money
+    # column is an exact multiple of 1e-6 per row (price 2dp x tax/2 3dp
+    # or x tax/4 4dp), so sum exact BIGINT micro-dollars instead:
+    # bit-identical regardless of summation order or engine. Bounds:
+    # ~1.8e15 per group at sf1, 50x headroom to 2^63 at sf100; past
+    # that, promote the accumulator to DECIMAL (Spark BIGINT sum wraps
+    # silently with ANSI off).
+    m += [
+        (c, f"sum(CASE WHEN {inw} THEN CAST(round({c} * 1000000, 0) AS BIGINT) END)")
+        for c in _MONEY
+    ]
     for kind in _KINDS:
         m += [
             (
@@ -123,12 +137,18 @@ def _ratio_metrics(sfx: str, days_in_window: int) -> list[tuple[str, str]]:
     out: list[tuple[str, str]] = []
     for m in _MONEY:
         mc = f"{m}_{sfx}"
+        # The inner money aggregates are exact BIGINT micro-dollars
+        # (see _base_metrics); count-denominator ratios scale the
+        # numerator back to dollars (one double division, identical in
+        # both engines), while money/money shares divide micro by micro
+        # directly — the units cancel and no precision is spent.
+        dollars = f"({mc} / 1000000.0)"
         out += [
-            (f"{m}_per_day_{sfx}", f"{mc} / days_{sfx}"),
-            (f"{m}_per_days_in_set_{sfx}", f"{mc} / {days_in_window}"),
-            (f"{m}_per_basket_{sfx}", f"{mc} / baskets_{sfx}"),
-            (f"{m}_per_product_{sfx}", f"{mc} / products_{sfx}"),
-            (f"{m}_per_line_item_{sfx}", f"{mc} / line_items_{sfx}"),
+            (f"{m}_per_day_{sfx}", f"{dollars} / days_{sfx}"),
+            (f"{m}_per_days_in_set_{sfx}", f"{dollars} / {days_in_window}"),
+            (f"{m}_per_basket_{sfx}", f"{dollars} / baskets_{sfx}"),
+            (f"{m}_per_product_{sfx}", f"{dollars} / products_{sfx}"),
+            (f"{m}_per_line_item_{sfx}", f"{dollars} / line_items_{sfx}"),
         ]
         if m != "amount_list":
             out.append((f"{m}_share_{sfx}", f"{mc} / {a}"))
@@ -186,9 +206,11 @@ def _plan(dialect: str, keys: list[str]) -> tuple[list[str], list[str]]:
     if dialect == "spark":
         cutoff = lambda w: f"date_sub(max_day, {w - 1})"  # noqa: E731
         diff = lambda end, start: f"datediff({end}, {start})"  # noqa: E731
+        idiv = "div"
     else:
         cutoff = lambda w: f"max_day - {w - 1}"  # noqa: E731
         diff = lambda end, start: f"date_diff('day', {start}, {end})"  # noqa: E731
+        idiv = "//"
 
     inner: list[str] = list(keys)
     outer: list[str] = list(keys)
@@ -198,7 +220,12 @@ def _plan(dialect: str, keys: list[str]) -> tuple[list[str], list[str]]:
             col = f"{name}_{sfx}"
             inner.append(f"{agg} AS {col}")
             if name in _MONEY:
-                expr = f"round(1e-6 + {col}, 2)"
+                # Half-up cents from the exact micro-dollar BIGINT sum
+                # via pure integer arithmetic — round() on the float
+                # quotient would reintroduce the scaled-double boundary
+                # hazard this conversion exists to kill (money is
+                # non-negative here, so floor division IS half-up).
+                expr = f"(({col} + 5000) {idiv} 10000) / 100.0"
             else:
                 expr = col
             outer.append(f"coalesce(CAST({expr} AS DOUBLE), 0.0) AS {col}")

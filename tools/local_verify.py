@@ -89,7 +89,7 @@ def main() -> int:
     # oracle (~1000 agg states x 1.5M groups at sf1) otherwise grows
     # the in-memory hash table past physical RAM and the OOM killer
     # takes the whole sweep down (observed r08: 112 GB RSS, 3 GB free).
-    con.execute("SET memory_limit='48GB'")
+    con.execute("SET memory_limit='36GB'")
     con.execute("SET temp_directory='/tmp/duck_spill'")
     make_duck_views(con, SF_DIR)
 
