@@ -754,11 +754,35 @@ def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _graph_stats_sql() -> str:
+def _graph_stats_sql(rounds: int = 32) -> str:
     from propensity_spark.operators.extended import MAX_BASKET_ITEMS
 
+    # Component labels via UNROLLED min-label propagation, the same
+    # bounded-oracle idiom as bfs_hops/kcore/ppr: each round is one
+    # node-grain table (n + e input rows, grouped back to n), so DuckDB
+    # memory stays flat and spillable. The previous reachability
+    # recursive CTE materialized the full transitive closure —
+    # O(n x component size) pairs — which at sf1 grew past physical RAM
+    # (87 GB RSS, OOM-killed; recursive-CTE working tables also dodge
+    # duckdb's memory_limit). `rounds` bounds the label travel distance;
+    # co-purchase graphs are small-world (diameter << 32), and the
+    # final SELECT returns ZERO rows if round R != R-1 (unconverged), so
+    # an undersized unroll fails the gate loudly instead of mislabeling.
+    lbl_chain = []
+    for k in range(1, rounds + 1):
+        lbl_chain.append(f"""
+    l{k} AS MATERIALIZED (
+        SELECT node, min(lab) AS lab FROM (
+            SELECT node, lab FROM l{k - 1}
+            UNION ALL
+            SELECT e.dst AS node, l.lab FROM l{k - 1} l JOIN e0 e ON e.src = l.node
+        ) GROUP BY node
+    )""")
+    chain = ",".join(lbl_chain)
+    last, prev = f"l{rounds}", f"l{rounds - 1}"
+
     return f"""
-    WITH RECURSIVE bi_all AS (
+    WITH bi_all AS (
         SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
     ),
     bi AS MATERIALIZED (
@@ -786,12 +810,13 @@ def _graph_stats_sql() -> str:
         JOIN deg du ON e0.src = du.src
         JOIN deg dv ON e0.dst = dv.src
     ),
-    reach(src, dst) AS (
-        SELECT src, src FROM deg
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN e0 e ON r.dst = e.src
+    l0 AS MATERIALIZED (SELECT src AS node, src AS lab FROM deg),
+    {chain},
+    unconverged AS (
+        SELECT count(*) AS c FROM {last} a JOIN {prev} b
+        ON a.node = b.node AND a.lab <> b.lab
     ),
-    comp AS (SELECT src, min(dst) AS component FROM reach GROUP BY src),
+    comp AS (SELECT node AS src, lab AS component FROM {last}),
     sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component),
     cstats AS (
         SELECT CAST(count(*) AS BIGINT) AS n_components,
@@ -803,6 +828,7 @@ def _graph_stats_sql() -> str:
            b.n_edges, b.mean_degree, b.assortativity,
            c.n_components, c.giant_share
     FROM basic b CROSS JOIN cstats c
+    WHERE (SELECT c FROM unconverged) = 0
 """
 
 

@@ -122,7 +122,9 @@ def main() -> int:
     import __spark_entry__ as e
     from propensity_spark.session import get_spark
 
-    spark = get_spark("gate_lint")
+    spark = get_spark(
+        "gate_lint", extra_conf={"spark.driver.maxResultSize": "16g"}
+    )
     con = duckdb.connect()
     make_duck_views(con, SF_DIR)
     qs, oracles = e.queries(), e.oracle_sql()

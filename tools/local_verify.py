@@ -83,7 +83,13 @@ def main() -> int:
     import __spark_entry__ as e
     from propensity_spark.session import get_spark
 
-    spark = get_spark("local_verify")
+    # The gate collects FULL results to hash them (the driver does the
+    # same); at sf1 the widest suites serialize >2 GiB of rows and trip
+    # Spark's default 1g driver.maxResultSize — a harness limit, not an
+    # engine one, so raise it here rather than in the production session.
+    spark = get_spark(
+        "local_verify", extra_conf={"spark.driver.maxResultSize": "16g"}
+    )
     con = duckdb.connect()
     # Cap DuckDB and give it a spill dir: the widest-grain feature
     # oracle (~1000 agg states x 1.5M groups at sf1) otherwise grows

@@ -52,7 +52,9 @@ def main() -> int:
     import __spark_entry__ as e
     from propensity_spark.session import get_spark
 
-    spark = get_spark("order_sweep")
+    spark = get_spark(
+        "order_sweep", extra_conf={"spark.driver.maxResultSize": "16g"}
+    )
     qs, oracles = e.queries(), e.oracle_sql()
     unknown = ONLY - set(qs)
     if unknown:
