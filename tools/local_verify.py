@@ -69,14 +69,40 @@ def canon(v):
     return str(v)
 
 
-def table_hash(cols: list[str], rows: list[tuple]) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+def hash_lines(lines: list[str]) -> str:
     h = hashlib.sha256()
-    for line in lines:
+    for line in sorted(lines):
         h.update(line.encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
+
+
+def table_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return hash_lines(["|".join(canon(r[i]) for i in order) for r in rows])
+
+
+def spark_canon_lines(sdf) -> list[str]:
+    """Stream the result through toLocalIterator and keep only the
+    canonicalized pipe-joined line per row. A plain collect() of the
+    widest sf1 suite (1.45M rows x ~370 feature columns) materializes
+    ~87 GB of Python tuples and gets OOM-killed (observed r08); the
+    canon lines for the same result are ~6 GB."""
+    order = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+    return [
+        "|".join(canon(r[i]) for i in order) for r in sdf.toLocalIterator()
+    ]
+
+
+def duck_canon_lines(res, cols: list[str]) -> list[str]:
+    """fetchmany-batched twin of spark_canon_lines for the oracle side."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines: list[str] = []
+    while True:
+        batch = res.fetchmany(50_000)
+        if not batch:
+            return lines
+        lines.extend("|".join(canon(r[i]) for i in order) for r in batch)
 
 
 def main() -> int:
@@ -113,32 +139,31 @@ def main() -> int:
         try:
             sdf = qs[name](spark, SF_DIR)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            s_lines = spark_canon_lines(sdf)
         except Exception:
             print(f"FAIL  {name}: spark error")
             traceback.print_exc(limit=3)
             failures += 1
             continue
         if name not in oracles:
-            print(f"ROWS  {name}: {len(srows)} rows (no oracle)  [{time.time()-t0:.1f}s]")
+            print(f"ROWS  {name}: {len(s_lines)} rows (no oracle)  [{time.time()-t0:.1f}s]")
             continue
         try:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            d_lines = duck_canon_lines(res, dcols)
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {ex}")
             failures += 1
             continue
         problems = []
-        if len(srows) != len(drows):
-            problems.append(f"rows {len(srows)} vs {len(drows)}")
+        if len(s_lines) != len(d_lines):
+            problems.append(f"rows {len(s_lines)} vs {len(d_lines)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols {sorted(scols)} vs {sorted(dcols)}")
-        elif table_hash(scols, srows) != table_hash(dcols, drows):
+        elif hash_lines(s_lines) != hash_lines(d_lines):
             problems.append("value hash mismatch")
-            sset = {tuple(canon(r[i]) for i in sorted(range(len(scols)), key=lambda i: scols[i])) for r in srows}
-            dset = {tuple(canon(r[i]) for i in sorted(range(len(dcols)), key=lambda i: dcols[i])) for r in drows}
+            sset, dset = set(s_lines), set(d_lines)
             for extra in list(sset - dset)[:2]:
                 problems.append(f"  spark-only: {extra}")
             for extra in list(dset - sset)[:2]:
@@ -147,7 +172,7 @@ def main() -> int:
             print(f"FAIL  {name}: " + "; ".join(problems) + f"  [{time.time()-t0:.1f}s]")
             failures += 1
         else:
-            print(f"OK    {name}: {len(srows)} rows  [{time.time()-t0:.1f}s]")
+            print(f"OK    {name}: {len(s_lines)} rows  [{time.time()-t0:.1f}s]")
     print(f"\n{len(names) - failures}/{len(names)} passed")
     return 1 if failures else 0
 
