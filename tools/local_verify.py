@@ -83,15 +83,23 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def spark_canon_lines(sdf) -> list[str]:
-    """Stream the result through toLocalIterator and keep only the
-    canonicalized pipe-joined line per row. A plain collect() of the
-    widest sf1 suite (1.45M rows x ~370 feature columns) materializes
-    ~87 GB of Python tuples and gets OOM-killed (observed r08); the
-    canon lines for the same result are ~6 GB."""
-    order = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
-    return [
-        "|".join(canon(r[i]) for i in order) for r in sdf.toLocalIterator()
-    ]
+    """Fetch the result as Arrow and keep only the canonicalized
+    pipe-joined line per row. A plain collect() of the widest sf1 suite
+    (1.45M rows x ~370 feature columns) materializes ~87 GB of Python
+    tuples and gets OOM-killed (observed r08); the Arrow table for the
+    same result is ~4 GB and the canon lines ~6 GB. (toLocalIterator is
+    NOT the answer: it fetches partitions sequentially through Java
+    object serialization — observed >30 min on one AQE-coalesced
+    partition that Arrow moves in seconds.) Batch-wise to_pylist keeps
+    the Python-object working set bounded."""
+    cols = sdf.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    tbl = sdf.toArrow()
+    lines: list[str] = []
+    for batch in tbl.to_batches(max_chunksize=65536):
+        col_vals = [batch.column(i).to_pylist() for i in order]
+        lines.extend("|".join(canon(v) for v in row) for row in zip(*col_vals))
+    return lines
 
 
 def duck_canon_lines(res, cols: list[str]) -> list[str]:
