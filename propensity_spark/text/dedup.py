@@ -708,16 +708,50 @@ def simhash_near_dup_pairs(
             ),
         ),
     )
-    a, b = blocks.alias("a"), blocks.alias("b")
+    # Triangle-partitioned self-join. A bucket with B members emits
+    # ~B^2/2 candidate pairs from ONE task under a plain equi-self-join:
+    # massive dup cliques (identical simhash => all blocks shared) turn
+    # into single-task stragglers that AQE's skew split cannot see —
+    # its heuristics watch shuffle INPUT sizes, and the bucket input is
+    # tiny while the join OUTPUT explodes (observed r08 at sf1: two
+    # straggler tasks carrying most of 7.7e8 pairs for ~25 min).
+    # Standard fix (the "triangle" join): hash members of oversized
+    # buckets into g = ceil(B / cap) groups, enumerate the g*(g+1)/2
+    # group-pair cells as join keys, so no task emits more than ~cap^2
+    # pairs. Cell (i, j), i < j holds only orientation (member-of-i,
+    # member-of-j), so pairs are normalized with least/greatest;
+    # within-cell (i, i) both orientations appear and the existing
+    # distinct (needed anyway — a pair can share several blocks)
+    # collapses them. For B <= cap this degenerates to the plain join
+    # (g = 1, one cell) at 2x input inflation — negligible, the input
+    # side is the cheap side by construction.
+    cap = 512
+    sizes = blocks.groupBy("block_idx", "block_val").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    mem = (
+        blocks.join(sizes, ["block_idx", "block_val"])
+        .withColumn("__g", F.expr(f"CAST(ceil(__bn / {cap}) AS INT)"))
+        .withColumn("__gid", F.expr("CAST(pmod(xxhash64(doc_id), __g) AS INT)"))
+    )
+    left = mem.selectExpr(
+        "block_idx", "block_val", "doc_id", "simhash",
+        "__gid AS __i", "explode(sequence(__gid, __g - 1)) AS __j",
+    )
+    right = mem.selectExpr(
+        "block_idx", "block_val", "doc_id", "simhash",
+        "explode(sequence(0, __gid)) AS __i", "__gid AS __j",
+    )
+    a, b = left.alias("a"), right.alias("b")
     return (
-        a.join(b, ["block_idx", "block_val"])
-        .where(F.expr("a.doc_id < b.doc_id"))
+        a.join(b, ["block_idx", "block_val", "__i", "__j"])
+        .where(F.expr("a.doc_id <> b.doc_id"))
         .select(
-            F.expr("a.doc_id").alias("doc_a"),
-            F.expr("b.doc_id").alias("doc_b"),
+            F.expr("least(a.doc_id, b.doc_id)").alias("doc_a"),
+            F.expr("greatest(a.doc_id, b.doc_id)").alias("doc_b"),
             F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
-        .distinct()  # a pair can share several blocks
+        .distinct()  # a pair can share several blocks (and cell (i,i) both ways)
         .where(F.col("hamming") <= max_hamming)
     )
 
