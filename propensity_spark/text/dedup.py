@@ -742,9 +742,18 @@ def simhash_near_dup_pairs(
         "block_idx", "block_val", "doc_id", "simhash",
         "explode(sequence(0, __gid)) AS __i", "__gid AS __j",
     )
-    a, b = left.alias("a"), right.alias("b")
+    # Pin the pair stage's parallelism: AQE coalesces the join's shuffle
+    # from INPUT sizes (a few MB here), which would merge the triangle
+    # cells right back into 1-2 tasks — observed live at sf1. An
+    # explicit numPartitions repartition is user-specified partitioning,
+    # which AQE does not coalesce, and the join reuses both exchanges
+    # (same keys), so this adds no extra shuffle.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cell_keys = ["block_idx", "block_val", "__i", "__j"]
+    a = left.repartition(n_part, *cell_keys).alias("a")
+    b = right.repartition(n_part, *cell_keys).alias("b")
     return (
-        a.join(b, ["block_idx", "block_val", "__i", "__j"])
+        a.join(b, cell_keys)
         .where(F.expr("a.doc_id <> b.doc_id"))
         .select(
             F.expr("least(a.doc_id, b.doc_id)").alias("doc_a"),
