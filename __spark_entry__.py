@@ -24,73 +24,71 @@ SF_SMOKE = "/root/testdata/sf0.001"
 EXPECTED_MIN_QUERIES = 163
 
 # The driver's CORRECTNESS report records the FIRST 50 registered entries;
-# `tools/local_verify.py` checks the whole registry regardless. Round-8
-# rotation (ledger: COVERAGE.md): after r07, all 162 entries have at least
-# one driver-verified row; 17 were last checked in r04 and 47 in r05.
-# Slots 1-17 are the 17 r04-last entries (embedding/ANN tail, media,
-# streaming-stateful, TPC-H suites — the oldest driver evidence anywhere
-# in the registry); slots 18-50 refresh the first 33 of the 47 r05-last
-# entries in registry order. The remaining 14 r05-last entries
-# (sessionize, hierarchy_rollup .. open_orders_daily) rotate in r09 and stay covered
-# by tools/local_verify.py at sf0.01 meanwhile.
+# `tools/local_verify.py` checks the whole registry regardless. The gate is
+# a deterministic OLDEST-FIRST rotation: rank every registry entry by its
+# newest driver-verified round across the CORRECTNESS_r*.json files that
+# existed when the rotation was built (rounds < GATE_ROTATION_ROUND), ties
+# broken by registry order, and take the first 50. With 163 entries and 50
+# slots every entry is re-verified at least every ceil(163/50) = 4 rounds,
+# which is also the lint's STALENESS_BUDGET (tools/gate_lint.py) — the
+# tightest bound any 50-slot schedule can sustain. Regenerate each round
+# with `python tools/gate_lint.py --propose`; the committed list is pinned
+# against that computation by tests/test_entry_contract.py. Ledger:
+# COVERAGE.md. r09 cohort: the 15 r05-last entries plus the first 35
+# r06-last entries in registry order.
+GATE_ROTATION_ROUND = 9
 DRIVER_GATE_PRIORITY = [
-    # -- 17 r04-last entries: the stalest driver rows in the registry --
-    "embedding_dup_pairs",
-    "label_centroids",
-    "ann_lsh",
-    "ann_ivf",
-    "embedding_quantize",
-    "stream_stateful",
-    "media_pipeline",
-    "media_bridge",
-    "pii_scrub",
-    "chunk_documents",
-    "tfidf_keywords",
-    "percentiles",
-    "grouping_analytics",
-    "approx_stats",
-    "salted_agg",
-    "tpch_mini_suite",
-    "tpch_join_suite",
-    # -- first 33 of the 47 r05-last entries (registry order) --
-    "basket_affinity",
-    "basket_affinity_3",
-    "vocab_heavy_hitters",
-    "perplexity_filter",
-    "bm25_search",
-    "semdedup",
-    "bloom_semijoin",
-    "repetition_signals",
-    "exactsubstr_dedup",
-    "doc_embed",
-    "pagerank_affinity",
-    "hll_rollup",
-    "scd2_history",
-    "funnel_conversion",
-    "cohort_retention",
-    "rfm_segments",
-    "gapfill_revenue",
-    "attribution_last_touch",
-    "table_profile",
-    "record_linkage",
-    "cdc_apply",
-    "chi_square_assoc",
-    "quantile_bucket",
-    "key_skew",
-    "path_analysis",
-    "stratified_sample",
-    "triangle_count",
-    "moving_average",
-    "ri_check",
-    "incremental_agg",
-    "table_fingerprint_suite",
-    "salted_join",
-    # sessionize (r05-last) yields its slot to the NEW quality_filter
-    # entry (never driver-checked, which outranks a staleness refresh);
-    # sessionize joins the r09 rotation with the other 14 r05-last.
-    "quality_filter",
+    "setsim_join",
+    "llm_dataprep",
+    "variant_extract",
+    "target_encode",
+    "psm_match",
+    "qini_uplift",
+    "sprt_monitor",
+    "sessionize",
+    "attribution_multi_touch",
+    "km_retention",
+    "item_cf",
+    "autocorrelation",
+    "open_orders_daily",
+    "hierarchy_rollup",
+    "kcore_parts",
+    "silhouette",
+    "pca_pc1",
+    "negative_sample",
+    "weighted_sample",
+    "build_postings",
+    "pareto_frontier",
+    "scd2_lookup",
+    "rank_aggregation",
+    "audience_overlap",
+    "feature_scaling",
+    "mutual_information",
+    "ab_test_ztest",
+    "hill_tail_index",
+    "ks_drift",
+    "cuped_adjustment",
+    "mann_whitney",
+    "woe_iv",
+    "diff_in_diff",
+    "quantile_normalize",
+    "price_elasticity",
+    "weighted_median",
+    "threshold_sweep",
+    "bootstrap_ci",
+    "ipw_ate",
+    "event_transitions",
+    "cohort_ltv",
+    "active_users_hll",
+    "time_to_convert",
+    "revenue_concentration",
+    "window_funnel",
+    "shapley_attribution",
+    "corr_matrix",
+    "entity_resolution",
+    "ewma_revenue",
+    "trend_fit",
 ]
-
 
 def _registry():
     from propensity_spark.operators import relational

@@ -214,6 +214,25 @@ def _plan(dialect: str, keys: list[str]) -> tuple[list[str], list[str]]:
 
     inner: list[str] = list(keys)
     outer: list[str] = list(keys)
+    if dialect == "spark":
+        # Overflow guard for the BIGINT micro-dollar accumulators (r08
+        # ADVICE): DuckDB widens sum(BIGINT) to HUGEINT but Spark's stays
+        # BIGINT and, with ANSI off, wraps SILENTLY — at ~1.8e15 per group
+        # at sf1 (growing linearly with SF) the documented bound crosses
+        # 2^63 around sf5000, and a skewed 100 TB deployment could cross
+        # far sooner. Enforce it: per group, |sum(micro)| and every
+        # partial sum are bounded by max(|row micro|) * n_rows, so guard
+        # that product (in DOUBLE — the product itself could overflow
+        # BIGINT) against 2^62 for 2x headroom. Two extra agg states
+        # (max + count, both non-distinct, map-side combined) and the
+        # check rides the first money output column so Catalyst cannot
+        # prune it. The oracle side needs no guard.
+        abs_micros = ", ".join(
+            f"abs(CAST(round({c} * 1000000, 0) AS BIGINT))" for c in _MONEY
+        )
+        inner.append(f"max(greatest({abs_micros})) AS __money_abs_max")
+        inner.append("count(*) AS __money_rows")
+    guard_armed = dialect == "spark"
     for sfx, w in WINDOWS:
         inw = f"day >= {cutoff(w)}"
         for name, agg in _base_metrics(inw):
@@ -226,6 +245,16 @@ def _plan(dialect: str, keys: list[str]) -> tuple[list[str], list[str]]:
                 # hazard this conversion exists to kill (money is
                 # non-negative here, so floor division IS half-up).
                 expr = f"(({col} + 5000) {idiv} 10000) / 100.0"
+                if guard_armed:
+                    expr = (
+                        "IF(CAST(__money_abs_max AS DOUBLE) * __money_rows"
+                        f" >= 4.6e18, CAST(raise_error('money BIGINT"
+                        " accumulator within 2x of 2^63 overflow — promote"
+                        " the micro-dollar sums to DECIMAL(38,0) in BOTH"
+                        " engines (operators/features.py _base_metrics)')"
+                        f" AS DOUBLE), {expr})"
+                    )
+                    guard_armed = False
             else:
                 expr = col
             outer.append(f"coalesce(CAST({expr} AS DOUBLE), 0.0) AS {col}")

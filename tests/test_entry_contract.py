@@ -36,3 +36,21 @@ def test_oracles_parse_in_duckdb():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     for name, sql in e.oracle_sql().items():
         con.execute(sql).fetchall()  # raises on dialect errors
+
+
+def test_gate_rotation_is_oldest_first_and_debt_free():
+    """r08 VERDICT tasks 1+7: the committed DRIVER_GATE_PRIORITY must be
+    the deterministic oldest-first schedule computed from the CORRECTNESS
+    files that existed when it was built (rounds < GATE_ROTATION_ROUND),
+    and the staleness audit itself must pass — so a round that forgets to
+    rotate goes red in `pytest tests/` instead of waiting for the judge."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from gate_lint import compute_rotation, rotation_audit
+
+    names = list(e.queries())
+    expected = compute_rotation(names, upto_round=e.GATE_ROTATION_ROUND)
+    assert e.DRIVER_GATE_PRIORITY == expected
+    assert rotation_audit() == 0

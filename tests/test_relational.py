@@ -2,6 +2,7 @@
 hash-compare in tools/local_verify.py is the value-level gate; these
 pin semantics that a hash can't explain when it breaks)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from propensity_spark.operators import relational as R
@@ -2369,3 +2370,39 @@ def test_shapley_attribution_efficiency_and_known_case(spark, tmp_path):
     assert abs(total - (any_row.v_full - any_row.v_empty)) < 1e-4
     assert abs(out["error"].shapley_credit) < 1e-6
     assert out["click"].shapley_credit > 0.3
+
+
+def test_money_overflow_guard_fires(spark):
+    """r08 ADVICE: the BIGINT micro-dollar accumulator bound must be
+    ENFORCED, not just documented. A group whose max(|row micro|) x
+    row-count crosses 2^62 must raise, not silently wrap."""
+    from pyspark.sql import functions as F
+
+    from propensity_spark.operators.features import _spark_features
+
+    base = {
+        "household_key": 1,
+        "basket_id": 1,
+        "product_id": 1,
+        "instore_discount": 0.0,
+        "campaign_coupon_discount": 0.0,
+        "manuf_coupon_discount": 0.0,
+        "manuf_coupon_match_discount": 0.0,
+        "total_coupon_discount": 0.0,
+    }
+    # ~9.2e12 dollars/row -> 9.2e18 micro ~= 2^63: one row puts
+    # max_abs * n_rows past the 2^62 guard line.
+    hot = [
+        dict(base, day="2024-01-0%d" % (i + 1), amount_list=9.2e12,
+             amount_paid=9.2e12)
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(hot).withColumn("day", F.col("day").cast("date"))
+    with pytest.raises(Exception, match="DECIMAL"):
+        _spark_features(df, ["household_key"]).collect()
+    # and a sane frame still aggregates (guard quiet)
+    ok = spark.createDataFrame(
+        [dict(base, day="2024-01-01", amount_list=12.34, amount_paid=10.0)]
+    ).withColumn("day", F.col("day").cast("date"))
+    rows = _spark_features(ok, ["household_key"]).collect()
+    assert len(rows) == 1 and abs(rows[0]["amount_list_1yr"] - 12.34) < 1e-9

@@ -40,24 +40,33 @@ import duckdb
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-FLAGS = {"--negzero", "--rotation"}
+FLAGS = {"--negzero", "--rotation", "--propose"}
 ARGS = [a for a in sys.argv[1:] if a not in FLAGS]
 NEGZERO = "--negzero" in sys.argv[1:]
 ROTATION = "--rotation" in sys.argv[1:]
+PROPOSE = "--propose" in sys.argv[1:]
 SF_DIR = ARGS[0] if ARGS else "/root/testdata/sf0.001"
 ONLY = set(ARGS[1:])
 
+GATE_SLOTS = 50
+
 # An entry this many rounds (or more) behind the newest CORRECTNESS file
-# must be in the CURRENT gate rotation or the lint fails.
-STALENESS_BUDGET = 3
+# must be in the CURRENT gate rotation or the lint fails. 4 is the
+# tightest sustainable bound: 163 registry entries over 50 driver slots
+# means an oldest-first rotation re-verifies every entry exactly every
+# ceil(163/50) = 4 rounds, so the moment a round's CORRECTNESS file
+# lands, the stalest UNSCHEDULED entry is 3 rounds old. A budget of 3
+# (the pre-r09 value) was unsatisfiable in steady state — each round 50
+# entries age into violation while only 50 slots exist, leaving a
+# permanent 13-entry deficit — so it flagged the *schedule's* arithmetic,
+# not neglect. Budget 4 goes red exactly when a round fails to rotate.
+STALENESS_BUDGET = 4
 
 
-def rotation_audit() -> int:
+def driver_history(repo: Path) -> tuple[dict[str, int], int]:
+    """Newest driver-verified round per entry, and the newest round seen."""
     import json
 
-    import __spark_entry__ as e
-
-    repo = Path(__file__).resolve().parents[1]
     latest: dict[str, int] = {}
     newest_round = 0
     for f in sorted(repo.glob("CORRECTNESS_r*.json")):
@@ -65,6 +74,34 @@ def rotation_audit() -> int:
         newest_round = max(newest_round, rnd)
         for name in json.loads(f.read_text()):
             latest[name] = max(latest.get(name, 0), rnd)
+    return latest, newest_round
+
+
+def compute_rotation(names: list[str], upto_round: int | None = None) -> list[str]:
+    """Deterministic oldest-first gate: rank by newest driver-verified
+    round (ignoring CORRECTNESS files >= upto_round, so a committed gate
+    stays reproducible after later rounds land), ties by registry order,
+    and take the first GATE_SLOTS entries."""
+    import json
+
+    repo = Path(__file__).resolve().parents[1]
+    latest: dict[str, int] = {}
+    for f in sorted(repo.glob("CORRECTNESS_r*.json")):
+        rnd = int(f.stem.split("_r")[1])
+        if upto_round is not None and rnd >= upto_round:
+            continue
+        for name in json.loads(f.read_text()):
+            latest[name] = max(latest.get(name, 0), rnd)
+    order = {n: i for i, n in enumerate(names)}
+    ranked = sorted(names, key=lambda n: (latest.get(n, 0), order[n]))
+    return ranked[:GATE_SLOTS]
+
+
+def rotation_audit() -> int:
+    import __spark_entry__ as e
+
+    repo = Path(__file__).resolve().parents[1]
+    latest, newest_round = driver_history(repo)
     names = list(e.queries())
     scheduled = set(e.DRIVER_GATE_PRIORITY)
     problems: list[str] = []
@@ -116,7 +153,25 @@ def sweep_spark_negzero(name: str, sdf, problems: list[str]) -> None:
         )
 
 
+def propose_rotation() -> int:
+    """Print the next round's oldest-first DRIVER_GATE_PRIORITY."""
+    import __spark_entry__ as e
+
+    repo = Path(__file__).resolve().parents[1]
+    latest, newest_round = driver_history(repo)
+    names = list(e.queries())
+    gate = compute_rotation(names, upto_round=newest_round + 1)
+    print(f"# GATE_ROTATION_ROUND = {newest_round + 1}")
+    print("DRIVER_GATE_PRIORITY = [")
+    for n in gate:
+        print(f'    "{n}",  # last driver-verified r{latest.get(n, 0):02d}')
+    print("]")
+    return 0
+
+
 def main() -> int:
+    if PROPOSE:
+        return propose_rotation()
     if ROTATION:
         return rotation_audit()
     import __spark_entry__ as e

@@ -15,7 +15,7 @@ import math
 import sys
 import time
 import traceback
-from datetime import date, datetime
+from datetime import date, datetime, timezone
 from pathlib import Path
 
 import duckdb
@@ -59,6 +59,12 @@ def canon(v):
             return str(int(v))
         return f"{v:.6f}"
     if isinstance(v, datetime):
+        # toArrow() yields tz-aware UTC datetimes while DuckDB yields
+        # naive ones; normalize tz-aware values to UTC and drop tzinfo so
+        # both sides render identically on any host TZ (they only agreed
+        # before because this machine's TZ happens to be UTC).
+        if v.tzinfo is not None:
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
         return v.strftime("%Y-%m-%d %H:%M:%S")
     if isinstance(v, date):
         return v.isoformat()

@@ -40,15 +40,22 @@ from tools.local_verify import make_duck_views  # noqa: E402
 P1 = 9223372036854775783  # largest prime < 2^63
 P2 = 9223372036854775643  # next prime down
 
-EXACT_PREFIXES = (
-    "string", "varchar", "bigint", "int", "smallint", "tinyint",
-    "long", "boolean", "date",
-)
+# Exact Spark simpleString() type names (no prefixes: "int" as a prefix
+# would also admit "interval ...", which is not exact-rendered).
+EXACT_TYPES = {
+    "string", "bigint", "int", "smallint", "tinyint", "boolean", "date",
+}
 
 
 def _checksum_sql(cols: list[str], rel: str) -> str:
+    # Escape each value so the column separator cannot be forged by data:
+    # backslashes double, literal '|' becomes '\|', and SQL NULL gets the
+    # sentinel '\N' (a REAL two-char "\N" value escapes to "\\N", so the
+    # sentinel is unambiguous). Without this, a VARCHAR containing '|' or
+    # equal to the old literal 'NULL' could alias another row's encoding.
     canon = " || '|' || ".join(
-        f"coalesce(CAST({c} AS VARCHAR), 'NULL')"
+        "coalesce(replace(replace(CAST({c} AS VARCHAR),"
+        " '\\', '\\\\'), '|', '\\|'), '\\N')".format(c=c)
         for c in sorted(cols)
     )
     return f"""
@@ -74,7 +81,7 @@ def main() -> int:
     sdf = qs[name](spark, sf_dir)
     bad = [
         f.name for f in sdf.schema.fields
-        if not f.dataType.simpleString().startswith(EXACT_PREFIXES)
+        if f.dataType.simpleString() not in EXACT_TYPES
     ]
     if bad:
         print(f"FAIL  {name}: non-exact columns {bad} — use the main harness")
@@ -88,6 +95,16 @@ def main() -> int:
     con.execute("SET temp_directory='/tmp/duck_spill'")
     make_duck_views(con, sf_dir)
 
+    # Schema gate first: an oracle carrying extra/renamed columns is a
+    # drift the main harness would flag — projecting only the Spark
+    # columns out of it would silently ignore that here.
+    o_cols = [
+        r[0] for r in con.execute(f"DESCRIBE SELECT * FROM ({oracles[name]})").fetchall()
+    ]
+    if sorted(o_cols) != sorted(cols):
+        print(f"FAIL  {name}: schema mismatch spark={sorted(cols)} oracle={sorted(o_cols)}")
+        return 1
+
     t1 = time.time()
     s_row = con.execute(
         _checksum_sql(cols, f"read_parquet('{workdir}/*.parquet')")
@@ -98,11 +115,14 @@ def main() -> int:
         _checksum_sql(cols, f"({oracles[name]})")
     ).fetchone()
     print(f"duck side reduced:  {d_row}  [{time.time() - t2:.1f}s]", flush=True)
-    shutil.rmtree(workdir, ignore_errors=True)
 
     if s_row != d_row:
+        # Keep the staged parquet: diagnosing a divergence without it
+        # means recomputing the (very expensive) Spark result.
         print(f"FAIL  {name}: count/checksum mismatch {s_row} vs {d_row}")
+        print(f"      staged spark parquet kept at {workdir} for diagnosis")
         return 1
+    shutil.rmtree(workdir, ignore_errors=True)
     print(f"OK    {name}: {s_row[0]} rows  [{time.time() - t0:.1f}s total]")
     return 0
 
