@@ -81,6 +81,165 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
     return width, height, maxval, pixels
 
 
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG spec Paeth predictor (left, up, up-left)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(width: int, height: int, pixels: bytes) -> bytes:
+    """Real stdlib PNG encoder: 8-bit truecolor (color type 2), one
+    IDAT, zlib level 0 (stored deflate blocks — DETERMINISTIC length,
+    so a byte-arithmetic oracle can pin the payload size: raw scanline
+    bytes h*(1+3w) compress to exactly raw+11 below one stored block).
+    Each scanline is filtered with filter type (row % 5), so a decoder
+    must genuinely reverse None/Sub/Up/Average/Paeth to recover the
+    buffer — round-trip equality proves the defilter math."""
+    import struct
+    import zlib
+
+    if len(pixels) != 3 * width * height:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes; {width}x{height} RGB needs "
+            f"{3 * width * height}"
+        )
+    stride = 3 * width
+    raw_len = height * (1 + stride)
+    if raw_len >= 65535:
+        # Larger images need the multi-stored-block length formula in the
+        # oracle too — fail loudly rather than silently breaking the pin.
+        raise ValueError(
+            f"filtered stream is {raw_len} bytes (>= one stored deflate "
+            "block): extend encode_png AND the media_pipeline oracle's "
+            "byte_len formula together"
+        )
+    filtered = bytearray(raw_len)
+    prior = bytes(stride)
+    pos = 0
+    for row in range(height):
+        line = pixels[row * stride : (row + 1) * stride]
+        f = row % 5
+        filtered[pos] = f
+        pos += 1
+        for x in range(stride):
+            left = line[x - 3] if x >= 3 else 0
+            up = prior[x]
+            ul = prior[x - 3] if x >= 3 else 0
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = line[x] - left
+            elif f == 2:
+                v = line[x] - up
+            elif f == 3:
+                v = line[x] - ((left + up) >> 1)
+            else:
+                v = line[x] - _paeth(left, up, ul)
+            filtered[pos] = v & 0xFF
+            pos += 1
+        prior = line
+    comp = zlib.compress(bytes(filtered), 0)
+    if len(comp) != raw_len + 11:  # the invariant the oracle relies on
+        raise AssertionError(
+            f"stored-deflate length {len(comp)} != raw+11 ({raw_len + 11})"
+        )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", comp)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Real stdlib PNG decoder -> (width, height, maxval, pixels).
+
+    Critical chunks only (IHDR/IDAT/IEND, ancillary chunks skipped),
+    per-chunk CRC32 validation, zlib inflate of the concatenated IDAT
+    stream, and full scanline defiltering for filter types 0-4 —
+    8-bit truecolor, non-interlaced (the honest subset; other color
+    types/depths raise)."""
+    import struct
+    import zlib
+
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG (signature missing)")
+    pos, width, height, idat = 8, None, None, bytearray()
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated PNG chunk header")
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk body")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit truecolor non-interlaced PNG is supported "
+                    f"(got depth={depth} color={ctype} interlace={interlace})"
+                )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = 3 * width
+    if len(raw) != height * (1 + stride):
+        raise ValueError("PNG filtered stream length mismatch")
+    out = bytearray(height * stride)
+    prior = bytes(stride)
+    for row in range(height):
+        f = raw[row * (1 + stride)]
+        line = raw[row * (1 + stride) + 1 : (row + 1) * (1 + stride)]
+        recon = bytearray(stride)
+        for x in range(stride):
+            left = recon[x - 3] if x >= 3 else 0
+            up = prior[x]
+            ul = prior[x - 3] if x >= 3 else 0
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = line[x] + left
+            elif f == 2:
+                v = line[x] + up
+            elif f == 3:
+                v = line[x] + ((left + up) >> 1)
+            elif f == 4:
+                v = line[x] + _paeth(left, up, ul)
+            else:
+                raise ValueError(f"PNG filter type {f} is invalid")
+            recon[x] = v & 0xFF
+        out[row * stride : (row + 1) * stride] = recon
+        prior = bytes(recon)
+    return width, height, 255, bytes(out)
+
+
 def resize_rgb_nearest(pixels: bytes, w: int, h: int, out_w: int, out_h: int) -> bytes:
     """Real nearest-neighbor resample of a raw RGB buffer (the classic
     floor(target*src/out) index map), vectorized with numpy."""
@@ -94,15 +253,18 @@ def resize_rgb_nearest(pixels: bytes, w: int, h: int, out_w: int, out_h: int) ->
 
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode an image payload -> (width, height, maxval, pixels).
-    PPM decodes with the real stdlib parser above; compressed formats
-    need PIL, which this container does not ship."""
+    PPM and PNG decode with the real stdlib parsers above; other
+    compressed formats (JPEG/WebP) need PIL, which this container does
+    not ship."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
+    if payload.startswith(b"\x89PNG"):
+        return decode_png(payload)
     try:  # pragma: no cover - PIL absent in this container
         from PIL import Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "non-PPM image decoding requires PIL; container ships none"
+            "JPEG/WebP image decoding requires PIL; container ships none"
         ) from exc
 
 
@@ -167,11 +329,12 @@ PPM_META_SCHEMA = (
 )
 
 
-def synth_ppm_payload(text_bytes: bytes) -> bytes:
-    """Deterministic real PPM payload from a document's UTF-8 bytes:
+def synth_pixels(text_bytes: bytes) -> tuple[int, int, bytes]:
+    """Deterministic raw RGB buffer from a document's UTF-8 bytes:
     dims derive from the byte length, the pixel buffer is the text
     bytes tiled to fill width*height*3 — so a DuckDB oracle can verify
-    the DECODED pixels with pure byte arithmetic."""
+    the DECODED pixels with pure byte arithmetic, whatever container
+    format (PPM or PNG) wraps them."""
     n_bytes = len(text_bytes)
     width = 4 + n_bytes % PPM_W_MOD
     height = 4 + (n_bytes * 7) % PPM_H_MOD
@@ -180,7 +343,12 @@ def synth_ppm_payload(text_bytes: bytes) -> bytes:
         pixels = b"\x00" * need
     else:
         pixels = (text_bytes * (need // n_bytes + 1))[:need]
-    return encode_ppm(width, height, pixels)
+    return width, height, pixels
+
+
+def synth_ppm_payload(text_bytes: bytes) -> bytes:
+    """Deterministic real PPM payload (see synth_pixels)."""
+    return encode_ppm(*synth_pixels(text_bytes))
 
 
 def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
@@ -264,7 +432,16 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 tb = text.encode("utf-8")
-                payload = synth_ppm_payload(tb)
+                # odd doc_ids take the PNG leg: zlib container, CRC'd
+                # chunks, per-row filters 0-4 that the decoder must
+                # genuinely reverse; even doc_ids take the PPM leg.
+                # Same deterministic pixel buffer either way, so the
+                # oracle's pixel arithmetic covers both paths and only
+                # byte_len/mime differ by container.
+                if doc_id % 2 == 1:
+                    payload = encode_png(*synth_pixels(tb))
+                else:
+                    payload = synth_ppm_payload(tb)
                 w, h, _maxval, px = decode_image(payload)  # REAL parse
                 small = resize_rgb_nearest(px, w, h, RESIZE_SMALL, RESIZE_SMALL)
                 _sw, _sh, _sm, spx = decode_ppm(
@@ -282,7 +459,9 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = docs.mapInPandas(pipeline, schema=PPM_META_SCHEMA)
     return meta.select(
         "doc_id",
-        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.when(F.col("doc_id") % 2 == 1, "image/png")
+        .otherwise("image/x-portable-pixmap")
+        .alias("mime"),
         "byte_len",
         "width",
         "height",
@@ -413,11 +592,20 @@ ORACLES = {
                             + (cc.c * m.w) // {RESIZE_SMALL}) * 3 + chh.ch) % m.L + 1
             GROUP BY m.doc_id
         )
-        SELECT m.doc_id, 'image/x-portable-pixmap' AS mime,
-               -- header "P6", LF, w, space, h, LF, "255", LF = 9 fixed
-               -- bytes + the dims' digit counts, then the raw pixel buffer
-               CAST(9 + length(CAST(m.w AS VARCHAR)) + length(CAST(m.h AS VARCHAR))
-                    + m.n AS BIGINT) AS byte_len,
+        SELECT m.doc_id,
+               CASE WHEN m.doc_id % 2 = 1 THEN 'image/png'
+                    ELSE 'image/x-portable-pixmap' END AS mime,
+               -- PPM: header "P6", LF, w, space, h, LF, "255", LF = 9
+               -- fixed bytes + the dims' digit counts + the raw buffer.
+               -- PNG: 8 sig + 25 IHDR + 12 IEND + 12 IDAT framing + the
+               -- zlib stored stream (2 hdr + 5 block + 4 adler) around
+               -- h*(1+3w) filtered bytes = 68 + h + n exactly (encoder
+               -- asserts the single-stored-block invariant).
+               CASE WHEN m.doc_id % 2 = 1
+                    THEN CAST(68 + m.h + m.n AS BIGINT)
+                    ELSE CAST(9 + length(CAST(m.w AS VARCHAR))
+                              + length(CAST(m.h AS VARCHAR)) + m.n AS BIGINT)
+               END AS byte_len,
                CAST(m.w AS INT) AS width, CAST(m.h AS INT) AS height,
                p.px_sum, r.r8_sum,
                CAST(m.n_frames AS INT) AS n_frames,

@@ -95,3 +95,45 @@ def test_duck_round_mirrors_duckdb_exactly():
         mv = _duck_round(v, 9)
         assert mv == dr and math.copysign(1.0, mv) == math.copysign(1.0, dr), (
             repr(v), repr(mv), repr(dr))
+
+
+def test_verify_sf1_special_paths_cover_registry_entries():
+    """tools/verify_sf1.py is the one-command sf1 gate: its special-path
+    list must name real registry entries (drift = an entry silently
+    losing its only feasible sf1 verifier), and the plain set plus the
+    special set must cover the registry exactly."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import __spark_entry__ as e
+    from verify_sf1 import SPECIAL
+
+    names = set(e.queries())
+    assert set(SPECIAL) <= names
+    for build in SPECIAL.values():
+        argv = build("/tmp/x")
+        assert Path(argv[1]).exists()  # the verifier script itself
+
+
+def test_bigresult_canon_escapes_separator_and_null():
+    """r08 ADVICE: the checksum's canonical line must be injective —
+    '|' in values, literal 'NULL'/'\\N' strings, and SQL NULL all encode
+    distinctly."""
+    import sys
+    from pathlib import Path
+
+    import duckdb
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from verify_bigresult import _checksum_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(a VARCHAR, b VARCHAR)")
+    con.execute(
+        r"INSERT INTO t VALUES ('x|y','z'), ('x','y|z'), (NULL,'\N'), "
+        r"('\N',NULL), ('NULL','q')"
+    )
+    sql = _checksum_sql(["a", "b"], "t")
+    inner = sql.split("FROM (", 1)[1].rsplit(")", 1)[0]
+    assert con.execute(f"SELECT count(DISTINCT line) FROM ({inner})").fetchone()[0] == 5
