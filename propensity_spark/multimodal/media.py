@@ -3,13 +3,16 @@ image/audio/video as opaque BINARY payloads + typed metadata, with
 decode / feature-extract / resize / frame-sample implemented as
 Arrow-batched Pandas functions over ``mapInPandas``.
 
-The container ships no image/audio libraries, so the actual byte
-decoding is STUBBED: ``_decode_stub`` derives deterministic fake
-dimensions from the payload bytes (documented below), and the real
-decoders raise NotImplementedError behind an import-try. Everything
-Spark-side is real and tested: the binary column construction, the
-mapInPandas batch iterator signature, the output schema, and the
-partition-preserving plan (map-only — no shuffle at any scale).
+Two REAL stdlib codecs carry the pixel path: a full P6 PPM parser
+(header grammar incl. comments, buffer validation) and a PNG
+encoder/decoder (8-bit truecolor, chunk CRC32 validation, zlib
+inflate, scanline defiltering for filter types 0-4). Only formats
+that genuinely need an external library (JPEG/WebP) raise
+NotImplementedError behind an import-try; ``_decode_stub`` remains
+for the metadata-plumbing demo only. Everything Spark-side is real
+and tested: the binary column construction, the mapInPandas batch
+iterator signature, the output schema, and the partition-preserving
+plan (map-only — no shuffle at any scale).
 
 The fixtures carry no binary columns, so payloads are synthesized from
 `documents.text` (utf-8 bytes) — which also makes the whole pipeline
