@@ -21,7 +21,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # Guard against an optional module silently dropping out of the gate
 # (e.g. a transitive import typo): the registry must never shrink below
 # the committed surface.
-EXPECTED_MIN_QUERIES = 163
+EXPECTED_MIN_QUERIES = 164
 
 # The driver's CORRECTNESS report records the FIRST 50 registered entries;
 # `tools/local_verify.py` checks the whole registry regardless. The gate is
@@ -34,10 +34,12 @@ EXPECTED_MIN_QUERIES = 163
 # tightest bound any 50-slot schedule can sustain. Regenerate each round
 # with `python tools/gate_lint.py --propose`; the committed list is pinned
 # against that computation by tests/test_entry_contract.py. Ledger:
-# COVERAGE.md. r09 cohort: the 15 r05-last entries plus the first 35
-# r06-last entries in registry order.
+# COVERAGE.md. r09 cohort: the NEW never-driver-checked paragraph_dedup
+# (rank 0 outranks any staleness refresh), the 15 r05-last entries,
+# then the first 34 r06-last entries in registry order.
 GATE_ROTATION_ROUND = 9
 DRIVER_GATE_PRIORITY = [
+    "paragraph_dedup",
     "setsim_join",
     "llm_dataprep",
     "variant_extract",
@@ -87,7 +89,6 @@ DRIVER_GATE_PRIORITY = [
     "corr_matrix",
     "entity_resolution",
     "ewma_revenue",
-    "trend_fit",
 ]
 
 def _registry():

@@ -373,6 +373,30 @@ def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
     return docs.mapInPandas(synth, schema="doc_id bigint, payload binary, mime string")
 
 
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, payload BINARY, mime): the staged twin
+    of the fused gate pipeline's format split — odd doc_ids get a real
+    PNG container, even doc_ids a real P6 PPM, same deterministic pixel
+    buffer either way. Map-only."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, mimes = [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                tb = (t or "").encode("utf-8")
+                if doc_id % 2 == 1:
+                    payloads.append(encode_png(*synth_pixels(tb)))
+                    mimes.append("image/png")
+                else:
+                    payloads.append(synth_ppm_payload(tb))
+                    mimes.append("image/x-portable-pixmap")
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "mime": mimes}
+            )
+
+    return docs.mapInPandas(synth, schema="doc_id bigint, payload binary, mime string")
+
+
 def decode_media(media: DataFrame) -> DataFrame:
     """(doc_id, payload) -> decoded metadata via the REAL PPM parser:
     header parse, pixel-buffer validation, pixel checksum, plus an

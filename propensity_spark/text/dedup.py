@@ -1320,3 +1320,116 @@ ORACLES.update({
     "exactsubstr_dedup": EXACTSUBSTR_SQL,
     "setsim_join": SETSIM_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level corpus dedup (r09). Dolma / RefinedWeb prep dedups at
+# SUB-document granularity: repeated spans (boilerplate, quoted blocks,
+# syndicated paragraphs) are dropped corpus-wide while the surrounding
+# unique text survives — document-level dedup (exact or near) cannot
+# express this. The corpus has no paragraph markers, so the span unit is
+# the non-overlapping PARA_WORDS-word window (the same definition either
+# engine can derive from raw text with integer arithmetic).
+# ---------------------------------------------------------------------------
+
+PARA_WORDS = 16
+
+
+def paragraph_dedup(docs: DataFrame) -> DataFrame:
+    """Corpus-wide first-occurrence dedup of PARA_WORDS-word spans.
+
+    Keeper of a span fingerprint is the (min doc_id, min span_idx)
+    occurrence — deterministic, order-independent. Returns one row per
+    doc: span counts, kept fraction, and an order-sensitive digest of
+    the KEPT span fingerprints (md5 of their concatenation in span
+    order) that pins the exact reassembled document, without shipping
+    megabyte text rows through the gate.
+
+    Plan: map-side span split (one HOF, no word explode), posexplode at
+    span grain (~n_words/16 rows per doc), ONE shuffle on the span
+    fingerprint for the global min (window), one doc-grain aggregation
+    for reassembly. At 100 TB both shuffles are the minimum the
+    semantics admit: first-occurrence is a global decision per
+    fingerprint, reassembly is per-doc."""
+    from pyspark.sql import Window
+
+    spans = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, CAST(ceil(size(ws) / {PARA_WORDS}.0) AS INT) - 1),"
+                    f" i -> md5(concat_ws(' ', slice(ws, i * {PARA_WORDS} + 1, {PARA_WORDS}))))"
+                )
+            ).alias("span_idx", "fp"),
+        )
+    )
+    w = Window.partitionBy("fp")
+    marked = spans.withColumn(
+        "kept",
+        F.min(F.struct("doc_id", "span_idx")).over(w)
+        == F.struct("doc_id", "span_idx"),
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.expr("CASE WHEN kept THEN 1 ELSE 0 END")).alias("kept_spans"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.expr(
+                        "transform(sort_array(collect_list(CASE WHEN kept THEN"
+                        " struct(span_idx, fp) END)), x -> x.fp)"
+                    ),
+                )
+            ).alias("kept_digest"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_spans").cast("int").alias("n_spans"),
+            F.col("kept_spans").cast("int").alias("kept_spans"),
+            F.round(F.expr("kept_spans / CAST(n_spans AS DOUBLE)") + 1e-9, 6).alias(
+                "kept_frac"
+            ),
+            "kept_digest",
+        )
+    )
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: paragraph-grain corpus dedup over documents."""
+    return paragraph_dedup(load_table(spark, sf_dir, "documents"))
+
+
+PARAGRAPH_DEDUP_SQL = f"""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, i AS span_idx,
+               md5(array_to_string(
+                   ws[(i * {PARA_WORDS} + 1):((i + 1) * {PARA_WORDS})], ' '
+               )) AS fp
+        FROM words,
+             LATERAL unnest(range(0, CAST(ceil(len(ws) / {PARA_WORDS}.0) AS INT))) AS t(i)
+    ),
+    marked AS (
+        SELECT doc_id, span_idx, fp,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id, span_idx) = 1 AS kept
+        FROM spans
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_spans,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS INT) AS kept_spans,
+           round(sum(CASE WHEN kept THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)
+                 + 1e-9, 6) AS kept_frac,
+           md5(coalesce(string_agg(CASE WHEN kept THEN fp END, ''
+                                   ORDER BY span_idx), '')) AS kept_digest
+    FROM marked
+    GROUP BY doc_id
+"""
+
+QUERIES["paragraph_dedup"] = q_paragraph_dedup
+ORACLES["paragraph_dedup"] = PARAGRAPH_DEDUP_SQL

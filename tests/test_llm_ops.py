@@ -139,19 +139,19 @@ def test_resize_rgb_nearest_known_values():
 
 
 def test_decode_media_matches_fused_pipeline(spark, sf_dir):
-    """The staged operators (synthesize_ppm_media -> decode_media)
-    produce the same decoded metadata as the fused q_media_pipeline
-    worker — the gate's fused hot path and the composable surface
-    cannot drift."""
+    """The staged operators (synthesize_media -> decode_media) produce
+    the same decoded metadata as the fused q_media_pipeline worker —
+    the gate's fused hot path and the composable surface cannot drift.
+    Covers BOTH container legs (PNG for odd doc_ids, PPM for even)."""
     from propensity_spark.io import load_table
     from propensity_spark.multimodal.media import (
         decode_media,
         q_media_pipeline,
-        synthesize_ppm_media,
+        synthesize_media,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    staged = decode_media(synthesize_ppm_media(docs))
+    staged = decode_media(synthesize_media(docs))
     fused = (
         q_media_pipeline(spark, sf_dir)
         .select("doc_id", "byte_len", "width", "height", "px_sum", "r8_sum")
@@ -1279,3 +1279,32 @@ def test_png_codec_roundtrip_filters_and_crc():
     )
     with pytest.raises(NotImplementedError):
         decode_png(gray)
+
+
+def test_paragraph_dedup_drops_repeated_spans_keeps_unique(spark):
+    """Corpus-wide first occurrence of a 16-word span survives; every
+    later repetition (same doc or other docs) is dropped; unique spans
+    are untouched. The digest pins reassembly order."""
+    from propensity_spark.text.dedup import PARA_WORDS, paragraph_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(PARA_WORDS))
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(PARA_WORDS))  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {uniq('x')}"),          # boiler first seen here
+            (2, f"{uniq('y')} {boiler}"),          # repeated across docs
+            (3, f"{boiler} {boiler}"),             # repeated within a doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert out[1]["n_spans"] == 2 and out[1]["kept_spans"] == 2
+    assert out[2]["n_spans"] == 2 and out[2]["kept_spans"] == 1
+    assert out[3]["n_spans"] == 2 and out[3]["kept_spans"] == 0
+    assert abs(out[2]["kept_frac"] - 0.5) < 1e-9
+    # doc 3 keeps nothing -> digest of the empty concatenation
+    import hashlib
+
+    assert out[3]["kept_digest"] == hashlib.md5(b"").hexdigest()
+    # digests are order-sensitive over kept spans: doc 1 != doc 2
+    assert out[1]["kept_digest"] != out[2]["kept_digest"]
