@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     # fit + broadcast sign-test scoring)
     "media_pipeline",
     "quality_filter",
+    # round-9 addition: sub-document span dedup (one fingerprint shuffle
+    # + one doc-grain reassembly agg)
+    "paragraph_dedup",
 ]
 
 

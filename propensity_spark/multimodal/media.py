@@ -131,31 +131,33 @@ def encode_png(width: int, height: int, pixels: bytes) -> bytes:
             "block): extend encode_png AND the media_pipeline oracle's "
             "byte_len formula together"
         )
+    # Vectorized per scanline: every filter is a pure function of the
+    # CURRENT raw line and the PRIOR raw line (no sequential dependency
+    # on the encode side), so each row is one numpy expression — the
+    # per-byte Python loop cost 6x on the sf0.1 bench.
+    import numpy as np
+
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, stride).astype(np.int16)
+    left = np.zeros_like(img)
+    left[:, 3:] = img[:, :-3]
+    up = np.zeros_like(img)
+    up[1:] = img[:-1]
+    ul = np.zeros_like(img)
+    ul[1:, 3:] = img[:-1, :-3]
+    p = left + up - ul
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    paeth = np.where(
+        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+    )
+    preds = (np.zeros_like(img), left, up, (left + up) >> 1, paeth)
     filtered = bytearray(raw_len)
-    prior = bytes(stride)
-    pos = 0
     for row in range(height):
-        line = pixels[row * stride : (row + 1) * stride]
         f = row % 5
+        pos = row * (1 + stride)
         filtered[pos] = f
-        pos += 1
-        for x in range(stride):
-            left = line[x - 3] if x >= 3 else 0
-            up = prior[x]
-            ul = prior[x - 3] if x >= 3 else 0
-            if f == 0:
-                v = line[x]
-            elif f == 1:
-                v = line[x] - left
-            elif f == 2:
-                v = line[x] - up
-            elif f == 3:
-                v = line[x] - ((left + up) >> 1)
-            else:
-                v = line[x] - _paeth(left, up, ul)
-            filtered[pos] = v & 0xFF
-            pos += 1
-        prior = line
+        filtered[pos + 1 : pos + 1 + stride] = (
+            (img[row] - preds[f][row]) & 0xFF
+        ).astype(np.uint8).tobytes()
     comp = zlib.compress(bytes(filtered), 0)
     if len(comp) != raw_len + 11:  # the invariant the oracle relies on
         raise AssertionError(
@@ -215,32 +217,47 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     stride = 3 * width
     if len(raw) != height * (1 + stride):
         raise ValueError("PNG filtered stream length mismatch")
-    out = bytearray(height * stride)
-    prior = bytes(stride)
+    # Defilter vectorized per scanline: None/Up are one numpy expression,
+    # Sub is a per-channel running sum (cumsum mod 256 — the recurrence
+    # recon[x] = filt[x] + recon[x-3] telescopes), Average/Paeth keep
+    # their inherent left-to-right dependency but step per PIXEL
+    # (3-wide vector ops), not per byte.
+    import numpy as np
+
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, 1 + stride)
     for row in range(height):
-        f = raw[row * (1 + stride)]
-        line = raw[row * (1 + stride) + 1 : (row + 1) * (1 + stride)]
-        recon = bytearray(stride)
-        for x in range(stride):
-            left = recon[x - 3] if x >= 3 else 0
-            up = prior[x]
-            ul = prior[x - 3] if x >= 3 else 0
-            if f == 0:
-                v = line[x]
-            elif f == 1:
-                v = line[x] + left
-            elif f == 2:
-                v = line[x] + up
-            elif f == 3:
-                v = line[x] + ((left + up) >> 1)
-            elif f == 4:
-                v = line[x] + _paeth(left, up, ul)
-            else:
-                raise ValueError(f"PNG filter type {f} is invalid")
-            recon[x] = v & 0xFF
-        out[row * stride : (row + 1) * stride] = recon
-        prior = bytes(recon)
-    return width, height, 255, bytes(out)
+        f = int(arr[row, 0])
+        line = arr[row, 1:].astype(np.int32)
+        if f == 0:
+            recon = line
+        elif f == 1:
+            recon = np.cumsum(line.reshape(-1, 3), axis=0).reshape(-1) % 256
+        elif f == 2:
+            recon = (line + prior) % 256
+        elif f in (3, 4):
+            # Left-to-right recurrence: plain int math beats 3-element
+            # numpy ops by ~10x (array-creation overhead dominates at
+            # width 3).
+            lf = line.tolist()
+            pr = prior.tolist()
+            rec = [0] * stride
+            for x in range(stride):
+                a = rec[x - 3] if x >= 3 else 0
+                b = pr[x]
+                if f == 3:
+                    px = (a + b) >> 1
+                else:
+                    c = pr[x - 3] if x >= 3 else 0
+                    px = _paeth(a, b, c)
+                rec[x] = (lf[x] + px) & 0xFF
+            recon = np.asarray(rec, dtype=np.int32)
+        else:
+            raise ValueError(f"PNG filter type {f} is invalid")
+        out[row] = recon
+        prior = recon
+    return width, height, 255, out.tobytes()
 
 
 def resize_rgb_nearest(pixels: bytes, w: int, h: int, out_w: int, out_h: int) -> bytes:
@@ -451,6 +468,14 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty docs are excluded on BOTH sides: the oracle's byte CTE has
     # no rows for them (the fixtures ship none; the guard is for scale)
     docs = docs.where(F.octet_length("text") > 0)
+    # Decouple decode parallelism from scan splits: the codec work is
+    # ~10^3x the payload bytes, so a small corpus in one parquet file
+    # would otherwise pin the whole pixel path to ONE task (observed:
+    # 7s single-task at sf0.1 vs sub-second spread). The shuffle moves
+    # only (doc_id, text) — negligible next to the per-row compute at
+    # every scale; at 100 TB the scan already has enough splits and
+    # this becomes a cheap rebalance.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
 
     def pipeline(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
