@@ -169,6 +169,75 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Scan-parallelism floor (guide §2.5 "input skew: one huge unsplittable
+# file ... repartition immediately after the read"): a parquet file is
+# splittable only at ROW-GROUP boundaries, and the bench fixtures are
+# written as ONE file with ONE row group per table — so every scan, and
+# every map-side operator fused above it, runs as a single task on one
+# core of local[32]. A BLANKET repartition in load_table was built and
+# then REJECTED by measurement: the bench's count action prunes most
+# map-side expression work, so for 38 of 42 queries the added exchange
+# was pure cost (min-of-2x2 interleaved sweeps: total 41.9 s -> 51.6 s).
+# Only operators whose per-row CPU survives column pruning — the text
+# shingle+md5 pipelines — win from it (dsir_select 2.82 -> 1.70 s,
+# minhash_band_pairs 1.87 -> 1.47 s). Those call sites ask for a target
+# via `scan_floor_target` and repartition their own NARROW projection,
+# so the exchange carries only the columns the operator needs.
+# Scale-adaptive by construction: the trigger is the FILE's own layout
+# (row groups < cores, from the parquet footer — metadata only), so
+# production tables (row groups every ~128 MB) never trigger it, and
+# the target follows the session's core count, not a constant.
+# SPARK_GRAFT_SCAN_FLOOR=0 disables it.
+_FOOTER_MEMO: dict[tuple[str, int, int], tuple[int, int]] = {}
+
+# Only files at least this large are worth an exchange: below it the
+# single-task map work is cheaper than the shuffle round-trip.
+_FLOOR_MIN_BYTES = 512 * 1024
+
+
+def _parquet_layout(path: str) -> tuple[int, int]:
+    """(num_rows, num_row_groups) from the parquet footer, memoized on
+    (path, size, mtime) — metadata only, never data."""
+    import os
+
+    st = os.stat(path)
+    key = (path, st.st_size, st.st_mtime_ns)
+    if key not in _FOOTER_MEMO:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        _FOOTER_MEMO[key] = (md.num_rows, md.num_row_groups)
+    return _FOOTER_MEMO[key]
+
+
+def scan_floor_target(spark: SparkSession, sf_dir: str, name: str) -> int | None:
+    """Partition target for a CPU-dense operator over `name`, or None.
+
+    Returns defaultParallelism when the table's parquet layout starves
+    the scan (fewer row groups than cores) and the table is big enough
+    to be worth an exchange; callers `repartition(target, xxhash64(PK))`
+    their own narrow projection. xxhash64 of the PK (not the raw PK):
+    deterministic under retry with no local sort (a keyless
+    repartition(n) pays sortBeforeRepartition, SPARK-23207 — measured
+    +3 s on the one task holding all rows), and the hashed expression
+    can never alias a downstream join/agg distribution."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SCAN_FLOOR", "1") == "0":
+        return None
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.stat(path).st_size < _FLOOR_MIN_BYTES:
+            return None
+        rows, row_groups = _parquet_layout(path)
+    except OSError:
+        return None
+    target = spark.sparkContext.defaultParallelism
+    if row_groups >= target or rows < 8 * target:
+        return None
+    return target
+
+
 def _normalize_ts(dtype: T.DataType):
     """Expression converting an `events.ts` column of the given physical
     type to a session-zone microsecond TIMESTAMP."""

@@ -67,6 +67,24 @@ def _with_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
+def _parallel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text) fanned out to the session's core count when the
+    file's row-group layout starves the scan (guide §2.5): the
+    shingle + per-shingle md5 map work above this is the engine's most
+    CPU-dense path and survives column pruning (the hashes feed join
+    keys), so it is the one place a scan-parallelism floor measurably
+    wins (bench min-of-2x2: minhash_band_pairs 1.87 -> 1.47 s). The
+    exchange carries only the two columns; production layouts (row
+    groups every ~128 MB) never trigger it."""
+    from propensity_spark.io import scan_floor_target
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    target = scan_floor_target(spark, sf_dir, "documents")
+    if target:
+        docs = docs.repartition(target, F.xxhash64("doc_id"))
+    return docs
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5 groupBy on whitespace-normalized lowercase
     text; canonical row = min(doc_id). One hash-shuffle on the digest
@@ -108,7 +126,7 @@ def signatures_of(docs: DataFrame) -> DataFrame:
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return signatures_of(load_table(spark, sf_dir, "documents"))
+    return signatures_of(_parallel_docs(spark, sf_dir))
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,7 +143,7 @@ def _band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic in their count (at 100 TB, millions of tiny docs -> one
     n^2 bucket) while being semantically meaningless as near-dup
     candidates."""
-    stacked = band_table(load_table(spark, sf_dir, "documents"))
+    stacked = band_table(_parallel_docs(spark, sf_dir))
     a, b = stacked.alias("a"), stacked.alias("b")
     return (
         a.join(b, "band_val")
@@ -198,7 +216,7 @@ def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the two shingle sets; candidates are rare so the per-pair array
     work is negligible). `is_dup` applies JACCARD_THRESHOLD."""
     cand = _band_candidates(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _parallel_docs(spark, sf_dir)
     sets = _with_shingles(docs).select(
         "doc_id", F.expr("array_distinct(shingles)").alias("sh")
     )
