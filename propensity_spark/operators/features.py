@@ -32,9 +32,10 @@ per-window/per-kind existence flags (`max(CASE WHEN inw AND kind>0
 THEN 1 END)`), then `sum(flag)` at the keys grain. `count(DISTINCT x)`
 == number of distinct-entity rows whose flag fired, so values are
 bit-identical to the DuckDB oracle's DISTINCT form, but the plan has
-NO Expand: three pruned-column passes with map-side partial
-aggregation, whose second stages and final joins all share the keys
-hash-partitioning (zero extra exchanges after the pre-aggs).
+NO Catalyst Expand: since r09, ONE explode(0,1,2)-tagged pre-agg pass
+covers all three entity grains at once (20 narrow flag states), joined
+to the non-distinct base pass on the shared keys hash-partitioning —
+2 scans and 1 join instead of r08's 4 and 3 (see _feature_core).
 
 Both the Spark plan and the DuckDB oracle are generated from ONE metric
 spec below, so engine and oracle cannot drift.
@@ -268,11 +269,22 @@ def _plan(dialect: str, keys: list[str]) -> tuple[list[str], list[str]]:
     return inner, outer
 
 
-def _spark_features(df: DataFrame, keys: list[str]) -> DataFrame:
+def _spark_features(
+    df: DataFrame, keys: list[str], floor: int | None = None
+) -> DataFrame:
     """Run the plan on a silver-shaped DataFrame: one non-distinct
-    aggregation pass + three Expand-free distinct decompositions (see
-    module docstring), joined on the shared keys partitioning."""
+    aggregation pass + one exploded distinct decomposition (see module
+    docstring), joined on the shared keys partitioning.
+
+    `floor` (scan_floor_target) fans the aggregation input out to that
+    many partitions. The bounds agg is computed from the UN-floored
+    frame: it needs only min/max(day) — a map-side-combined 1-row agg —
+    and hanging it below the repartition would make every broadcast
+    build pay the full exchange (measured: +3s on the commodity grains
+    at sf0.1)."""
     bounds = df.agg(F.min("day").alias("min_day"), F.max("day").alias("max_day"))
+    if floor:
+        df = df.repartition(floor, F.xxhash64("basket_id", "product_id"))
     return _feature_core(df.join(F.broadcast(bounds)), keys)
 
 
@@ -335,43 +347,68 @@ def _feature_core(src: DataFrame, keys: list[str]) -> DataFrame:
     non_distinct = [F.expr(e) for e in inner[len(keys):] if "DISTINCT" not in e]
     base = src.groupBy(*keys).agg(*non_distinct)
 
-    # Passes 2-4 — the distinct families, decomposed per entity.
+    # Pass 2 — ALL distinct families in ONE branch (r09, guide §2.4).
     # count(DISTINCT CASE WHEN inw [AND kind>0] THEN entity END)
     #   == sum over distinct-entity rows of max(CASE ... THEN 1 END):
     # the pre-agg dedupes the entity, the flag records whether ANY line
     # of that entity fired for the (window, kind) cell.
+    #
+    # r08 ran this decomposition as THREE branches (day / basket_id /
+    # product_id), each re-scanning the silver join — Catalyst does not
+    # dedupe common subtrees, so with the base pass the physical plan
+    # re-scanned the facts 4x and merged through 3 keys-grain SMJs
+    # (plans/r09/household_commodity_features_before.txt: 48 Scan
+    # nodes). Here each source row explodes into the three entity
+    # grains with a __gid tag and ONE narrow pre-agg computes the 20
+    # per-(window, kind) existence flags for every grain at once —
+    # `inw` and `kind > 0` read row values, not grouping columns, so
+    # one flag set serves all three grains and the keys-grain fold
+    # picks each family from its grain by gid. 2 scans and 1 join
+    # instead of 4 and 3; the 3x explode multiplies only the flag
+    # branch's map-side CPU (20 tinyint states), which measured far
+    # cheaper than the extra scans+joins. (The tempting next step —
+    # folding the ~70 non-distinct partials into the same exploded agg
+    # for a true single-scan plan — was built, oracle-verified, and
+    # REJECTED on measurement: ~90 states per exploded row and ~750B
+    # mostly-NULL shuffle rows made the widest grain 2.4x slower; see
+    # OPTIMIZATION_r09.md.)
     def in_window(sfx: str) -> str:
         w = dict(WINDOWS)[sfx]
         return f"day >= date_sub(max_day, {w - 1})"
 
-    def entity_counts(entity: str, with_plain: bool) -> DataFrame:
-        flags, counts = [], []
-        for sfx, _ in WINDOWS:
-            inw = in_window(sfx)
-            cells = [(f"__any_{sfx}", inw)] if with_plain else []
-            cells += [
-                (f"__{kind}_{sfx}", f"{inw} AND {kind} > 0") for kind in _KINDS
-            ]
-            for col, cond in cells:
-                flags.append(F.expr(f"max(CASE WHEN {cond} THEN 1 END)").alias(col))
-        pre = src.groupBy(*keys, entity).agg(*flags)
-        name = {"day": "days", "basket_id": "baskets", "product_id": "products"}[entity]
-        for sfx, _ in WINDOWS:
-            if with_plain:
-                counts.append(F.sum(f"__any_{sfx}").alias(f"{name}_{sfx}"))
-            counts += [
-                F.sum(f"__{kind}_{sfx}").alias(f"{name}_with_{kind}_{sfx}")
-                for kind in _KINDS
-            ]
-        return pre.groupBy(*keys).agg(*counts)
-
-    aggregated = (
-        base.join(entity_counts("day", with_plain=True), keys)
-        .join(entity_counts("basket_id", with_plain=True), keys)
-        # plain `products_*` is a non-distinct count (04a:205) — only the
-        # per-kind distinct grid needs the product-grain pass.
-        .join(entity_counts("product_id", with_plain=False), keys)
+    expanded = src.withColumn(
+        "__gid", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2)))
+    ).withColumn(
+        "__ent",
+        F.expr(
+            "CASE __gid WHEN 0 THEN unix_date(day) WHEN 1 THEN basket_id "
+            "ELSE product_id END"
+        ),
     )
+    fam = {0: "days", 1: "baskets", 2: "products"}
+    flags, counts = [], []
+    for sfx, _ in WINDOWS:
+        inw = in_window(sfx)
+        cells = [("any", inw)] + [(k, f"{inw} AND {k} > 0") for k in _KINDS]
+        for cell, cond in cells:
+            flag = f"__f_{cell}_{sfx}"
+            flags.append(F.expr(f"max(CASE WHEN {cond} THEN 1 END)").alias(flag))
+            for gid, name in fam.items():
+                if cell == "any" and gid == 2:
+                    # plain `products_*` is a non-distinct count
+                    # (04a:205) computed in the base pass.
+                    continue
+                out_col = (
+                    f"{name}_{sfx}" if cell == "any" else f"{name}_with_{cell}_{sfx}"
+                )
+                counts.append(
+                    F.expr(f"sum(CASE WHEN __gid = {gid} THEN {flag} END)").alias(
+                        out_col
+                    )
+                )
+    pre = expanded.groupBy(*keys, "__gid", "__ent").agg(*flags)
+    distincts = pre.groupBy(*keys).agg(*counts)
+    aggregated = base.join(distincts, keys)
     return aggregated.selectExpr(*outer)
 
 
@@ -400,6 +437,19 @@ _COMMODITY_SRC_SQL = f"""
 """
 
 
+def _feature_floor(spark: SparkSession, sf_dir: str) -> int | None:
+    """Targeted scan-parallelism floor for the feature engine
+    (io.scan_floor_target, guide §2.5 "input skew: one huge
+    unsplittable file"): the engine is the most CPU-dense consumer of
+    silver (~6-8 s of aggregation at sf0.1 over a one-row-group file =
+    one core of local[32]), so when the parquet layout starves the
+    scan, fan the aggregation input out once. Production layouts (row
+    groups every ~128 MB) never trigger it."""
+    from propensity_spark.io import scan_floor_target
+
+    return scan_floor_target(spark, sf_dir, "lineitem")
+
+
 def _with_commodity(spark: SparkSession, sf_dir: str) -> DataFrame:
     silver = silver_transactions(spark, sf_dir)
     return silver.join(F.broadcast(brand_dim(spark, sf_dir)), "product_id", "inner")
@@ -408,12 +458,20 @@ def _with_commodity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_household_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Household-grain feature table (04a:573-595): PK household_key
     (+ day stamp at write time, §2.1 S7)."""
-    return _spark_features(silver_transactions(spark, sf_dir), ["household_key"])
+    return _spark_features(
+        silver_transactions(spark, sf_dir),
+        ["household_key"],
+        floor=_feature_floor(spark, sf_dir),
+    )
 
 
 def q_commodity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Commodity-grain feature table (04a:655-677)."""
-    return _spark_features(_with_commodity(spark, sf_dir), ["commodity_desc"])
+    return _spark_features(
+        _with_commodity(spark, sf_dir),
+        ["commodity_desc"],
+        floor=_feature_floor(spark, sf_dir),
+    )
 
 
 def q_household_commodity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,7 +479,9 @@ def q_household_commodity_features(spark: SparkSession, sf_dir: str) -> DataFram
     at 100 TB this shuffle is the big one, and it is the ONLY shuffle
     this plan performs per grain (the reference performs 8)."""
     return _spark_features(
-        _with_commodity(spark, sf_dir), ["household_key", "commodity_desc"]
+        _with_commodity(spark, sf_dir),
+        ["household_key", "commodity_desc"],
+        floor=_feature_floor(spark, sf_dir),
     )
 
 
