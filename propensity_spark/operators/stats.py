@@ -253,12 +253,13 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group outlier detection: modified z-scores
     (Iglewicz-Hoaglin 1993) of daily brand revenue against the brand's
     median and MAD — median/MAD instead of mean/stddev so the outliers
-    being hunted cannot mask themselves. Two group-grain exact
-    `percentile` aggs (bounded: one value per brand) broadcast back
-    onto the daily frame; a zero MAD (constant series) yields NULL z
-    and no flag in both engines via nullif. At 100 TB swap
-    `percentile` for `percentile_approx` — the brand grain and plan
-    shape are unchanged (same trade documented in quantile_bucket)."""
+    being hunted cannot mask themselves. med2/mad4 are whole-partition
+    window `percentile`s over the one daily aggregate (r09: was three
+    recomputations of `daily` merged by broadcast joins); a zero MAD
+    (constant series) yields NULL z and no flag in both engines via
+    nullif. At 100 TB swap `percentile` for `percentile_approx` — the
+    brand grain and plan shape are unchanged (same trade documented in
+    quantile_bucket)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     # Bit-determinism across engines (GATE_CONTRACT.md): revenue is summed
@@ -290,17 +291,25 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r2")
         )
     )
-    meds = daily.groupBy("brand").agg(
-        F.expr("cast(percentile(r2, 0.5D) as bigint)").alias("med2")
-    )
-    mads = (
-        daily.join(F.broadcast(meds), "brand")
-        .groupBy("brand")
-        .agg(
-            F.expr(
-                "cast(percentile(2 * abs(r2 - med2), 0.5D) as bigint)"
-            ).alias("mad4")
-        )
+    # r09 (guide §2.4 "remove shuffles outright"): med2/mad4 were separate
+    # groupBy aggregates broadcast-joined back onto `daily` — Catalyst does
+    # not dedupe the shared subtree, so the physical plan recomputed the
+    # lineitem⋈part daily aggregation THREE times (16 scans / 28 exchanges,
+    # plans/r09/anomaly_mad_before.txt). Whole-partition windows compute
+    # the same exact percentiles over the same multiset (no ORDER BY -> the
+    # frame is the full partition, order-insensitive) from ONE daily pass,
+    # and both windows share the brand hash-partitioning: 2 scans / 2
+    # exchanges total. Values are bit-identical: same `percentile` exact
+    # interpolation over the same BIGINT inputs.
+    with_stats = daily.withColumn(
+        "med2",
+        F.expr("cast(percentile(r2, 0.5D) over (partition by brand) as bigint)"),
+    ).withColumn(
+        "mad4",
+        F.expr(
+            "cast(percentile(2 * abs(r2 - med2), 0.5D)"
+            " over (partition by brand) as bigint)"
+        ),
     )
     # `+ 0.0` after the round normalizes IEEE signed zero: DuckDB's
     # round() preserves -0.0 (e.g. round(-3e-5, 4)) while Spark's goes
@@ -312,8 +321,7 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / nullif(cast(mad4 as double), 0.0) + 1e-9, 4) + 0.0"
     )
     return (
-        daily.join(F.broadcast(meds), "brand")
-        .join(F.broadcast(mads), "brand")
+        with_stats
         .select(
             "brand",
             "day",
