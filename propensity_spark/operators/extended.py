@@ -599,30 +599,50 @@ def q_basket_affinity_3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_set("commodity_desc")).alias("items"))
         .where(F.size("items") <= MAX_BASKET_ITEMS)
     )
-    nb = baskets.agg(F.count(F.lit(1)).alias("nb"))
-    triples = (
-        baskets.where(F.size("items") >= 3)
-        .select(
-            F.explode(
-                F.expr(
-                    """
+    # ONE pass over `baskets` for both the candidate triples AND the
+    # basket denominator (r09, guide §2.4): Catalyst does not dedupe
+    # common subtrees, so the old `baskets.agg(count)` broadcast branch
+    # re-ran the whole silver join + collect_set agg a second time.
+    # Each basket now also emits one all-NULL sentinel struct; the
+    # sentinel group's count in the SAME triple aggregation is nb
+    # (commodity_desc is never NULL — inner join on part — so no real
+    # triple can collide with the sentinel). nb then reaches every row
+    # via a whole-partition window over the AGGREGATED frame, whose
+    # grain is catalog-bounded (distinct brand triples, ~C(|brands|,3)),
+    # not data-bounded — the anomaly_mad precedent, safe at any SF.
+    triples = baskets.select(
+        F.explode(
+            F.expr(
+                """
+                concat(
+                    array(named_struct(
+                        'ia', CAST(NULL AS STRING),
+                        'ib', CAST(NULL AS STRING),
+                        'ic', CAST(NULL AS STRING))),
+                    CASE WHEN size(items) >= 3 THEN
                     flatten(flatten(transform(sequence(0, size(items) - 3), i ->
                         transform(sequence(i + 1, size(items) - 2), j ->
                             transform(sequence(j + 1, size(items) - 1), k ->
                                 struct(items[i] AS ia, items[j] AS ib,
                                        items[k] AS ic))))))
-                    """
-                )
-            ).alias("t")
-        )
-        .select("t.ia", "t.ib", "t.ic")
-    )
+                    ELSE CAST(array() AS ARRAY<STRUCT<
+                        ia: STRING, ib: STRING, ic: STRING>>) END)
+                """
+            )
+        ).alias("t")
+    ).select("t.ia", "t.ib", "t.ic")
     counted = triples.groupBy("ia", "ib", "ic").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    counted = counted.withColumn(
+        "nb", F.max(F.when(F.col("ia").isNull(), F.col("cnt"))).over(Window.partitionBy())
+    )
     return (
-        counted.crossJoin(F.broadcast(nb))
-        .where(F.col("cnt") / F.col("nb") >= TRIPLE_MIN_SUPPORT)
+        counted
+        .where(
+            F.col("ia").isNotNull()
+            & (F.col("cnt") / F.col("nb") >= TRIPLE_MIN_SUPPORT)
+        )
         .select(
             F.col("ia").alias("item_a"),
             F.col("ib").alias("item_b"),
@@ -2132,6 +2152,12 @@ def _bloom_semijoin_body(
         )
         return F.element_at(bf_lit, word_pos).bitwiseAND(mask) != 0
 
+    # Scan-parallelism floor on this 2-column projection tried and
+    # REJECTED (r09, guide §1): count 3.21 -> 4.07 s (min-of-4
+    # interleaved). The probe's BLOOM_K hashes are cheap mul/mods and
+    # the query's wall time is dominated by its two sequential driver
+    # actions (bitset build, flag agg), so the added exchange was pure
+    # overhead. See OPTIMIZATION_r09.md.
     probed = lineitem.select(
         "l_orderkey",
         "l_returnflag",

@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from propensity_spark.operators.relational import (
     SILVER_SQL,
     brand_dim,
+    fact_days,
     silver_transactions,
 )
 
@@ -270,7 +271,10 @@ def _plan(dialect: str, keys: list[str]) -> tuple[list[str], list[str]]:
 
 
 def _spark_features(
-    df: DataFrame, keys: list[str], floor: int | None = None
+    df: DataFrame,
+    keys: list[str],
+    floor: int | None = None,
+    bounds: DataFrame | None = None,
 ) -> DataFrame:
     """Run the plan on a silver-shaped DataFrame: one non-distinct
     aggregation pass + one exploded distinct decomposition (see module
@@ -281,8 +285,13 @@ def _spark_features(
     frame: it needs only min/max(day) — a map-side-combined 1-row agg —
     and hanging it below the repartition would make every broadcast
     build pay the full exchange (measured: +3s on the commodity grains
-    at sf0.1)."""
-    bounds = df.agg(F.min("day").alias("min_day"), F.max("day").alias("max_day"))
+    at sf0.1). Callers that know a cheaper equivalent source for the
+    global day bounds (the q_* grains: fact_days under the
+    lineitem→orders FK, a one-column scan instead of re-running the
+    silver join Catalyst cannot dedupe) pass it via `bounds` — a 1-row
+    (min_day, max_day) frame."""
+    if bounds is None:
+        bounds = df.agg(F.min("day").alias("min_day"), F.max("day").alias("max_day"))
     if floor:
         df = df.repartition(floor, F.xxhash64("basket_id", "product_id"))
     return _feature_core(df.join(F.broadcast(bounds)), keys)
@@ -450,6 +459,15 @@ def _feature_floor(spark: SparkSession, sf_dir: str) -> int | None:
     return scan_floor_target(spark, sf_dir, "lineitem")
 
 
+def _fact_day_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row (min_day, max_day) for the q_* grains, from the bare
+    lineitem scan (fact_days: FK join elimination — identical values,
+    one-column scan instead of a second silver join)."""
+    return fact_days(spark, sf_dir).agg(
+        F.min("day").alias("min_day"), F.max("day").alias("max_day")
+    )
+
+
 def _with_commodity(spark: SparkSession, sf_dir: str) -> DataFrame:
     silver = silver_transactions(spark, sf_dir)
     return silver.join(F.broadcast(brand_dim(spark, sf_dir)), "product_id", "inner")
@@ -462,6 +480,7 @@ def q_household_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         silver_transactions(spark, sf_dir),
         ["household_key"],
         floor=_feature_floor(spark, sf_dir),
+        bounds=_fact_day_bounds(spark, sf_dir),
     )
 
 
@@ -471,6 +490,7 @@ def q_commodity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         _with_commodity(spark, sf_dir),
         ["commodity_desc"],
         floor=_feature_floor(spark, sf_dir),
+        bounds=_fact_day_bounds(spark, sf_dir),
     )
 
 
@@ -482,6 +502,7 @@ def q_household_commodity_features(spark: SparkSession, sf_dir: str) -> DataFram
         _with_commodity(spark, sf_dir),
         ["household_key", "commodity_desc"],
         floor=_feature_floor(spark, sf_dir),
+        bounds=_fact_day_bounds(spark, sf_dir),
     )
 
 

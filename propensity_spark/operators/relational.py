@@ -90,6 +90,25 @@ def silver_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.selectExpr(*_SILVER_COLS)
 
 
+def fact_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The silver frame's `day` column from the bare lineitem scan —
+    for global, multiplicity-insensitive day aggregates (min / max /
+    countDistinct) only.
+
+    FK-constraint join elimination (the top_commodities argument):
+    `day` is CAST(l_shipdate AS DATE) from lineitem, and the orders
+    side of the silver join is existence-only — vacuous under the
+    lineitem→orders FK — so min/max/distinct of silver.day equal the
+    same aggregates over lineitem alone. Catalyst cannot dedupe the
+    common subtree, so every `silver.agg(...)` bounds branch used to
+    re-run the fact-to-fact join just to read one column (guide §2.4);
+    this frame costs a one-column parquet scan. The DuckDB oracles
+    keep aggregating over the full silver join, pinning equality."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(l_shipdate AS DATE)").alias("day")
+    )
+
+
 def brand_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """products-dimension equivalent: product_id -> commodity label
     (J1's broadcast side, 04a_Task__Feature_Engineering.py:77-81)."""
@@ -197,7 +216,7 @@ def q_date_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     own max day (reference computes them driver-side, C4; we keep the
     whole thing in-plan via a broadcast scalar join)."""
     silver = silver_transactions(spark, sf_dir)
-    bounds = silver.agg(
+    bounds = fact_days(spark, sf_dir).agg(
         F.date_sub(F.max("day"), 89).alias("w_start"), F.max("day").alias("w_end")
     )
     return (
@@ -214,8 +233,7 @@ def q_date_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_minmax_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: global no-key min/max of the dataset day span
     (04a_Task__Feature_Engineering.py:138-146)."""
-    silver = silver_transactions(spark, sf_dir)
-    return silver.agg(
+    return fact_days(spark, sf_dir).agg(
         F.min("day").alias("min_day"),
         F.max("day").alias("max_day"),
         F.countDistinct("day").alias("n_days"),
@@ -268,7 +286,9 @@ def q_household_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     hazard; the approx escape hatch is `exact_distinct=False` in
     operators/features.py for the wide-grid twin of this query."""
     silver = silver_transactions(spark, sf_dir)
-    bounds = silver.agg(F.min("day").alias("min_day"), F.max("day").alias("max_day"))
+    bounds = fact_days(spark, sf_dir).agg(
+        F.min("day").alias("min_day"), F.max("day").alias("max_day")
+    )
     with_b = silver.join(F.broadcast(bounds))
     has_instore = F.col("instore_discount") > 0
     has_coupon = F.col("total_coupon_discount") > 0
@@ -393,7 +413,9 @@ def q_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     silver = silver_transactions(spark, sf_dir)
     dim = brand_dim(spark, sf_dir)
     commodities = commodities_control(spark, sf_dir).select("commodity_desc")
-    bounds = silver.agg(F.date_sub(F.max("day"), 29).alias("label_start"))
+    bounds = fact_days(spark, sf_dir).agg(
+        F.date_sub(F.max("day"), 29).alias("label_start")
+    )
     dim_topk = dim.join(F.broadcast(commodities), "commodity_desc", "left_semi")
     per_hh = (
         silver.join(F.broadcast(bounds))

@@ -849,9 +849,18 @@ BM25_TOP_K = 20
 
 
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from propensity_spark.io import scan_floor_target
+
     docs = load_table(spark, sf_dir, "documents")
     terms = list(BM25_QUERY)
-    toked = docs.select(
+    src = docs.select("doc_id", "text")
+    target = scan_floor_target(spark, sf_dir, "documents")
+    if target:
+        # Row-group-starved layout: tokenization (split + one filter
+        # per query term) is the CPU and would otherwise run fused
+        # above a one-row-group scan on a single core (guide §2.5).
+        src = src.repartition(target, F.xxhash64("doc_id"))
+    toked = src.select(
         "doc_id",
         F.expr(
             "filter(split(lower(text), ' '), w -> length(w) >= 1)"
@@ -862,6 +871,16 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, t in enumerate(terms)
     ]
     pertf = toked.select("doc_id", F.size("__ws").alias("dl"), *tf_cols)
+    if target:
+        # Reuse point (guide §2.4 "two operations keyed the same way
+        # can share one exchange"): `pertf` feeds BOTH the corpus-stats
+        # agg and the scored projection, and Catalyst does not dedupe
+        # common subtrees — without this exchange the whole tokenize
+        # chain runs twice (once under the broadcast build, once under
+        # the probe). An identical Exchange node in both branches is
+        # deduped by ReuseExchange, so tokenization happens ONCE and
+        # the exchange carries only (doc_id, dl, tf0..tfN) ints.
+        pertf = pertf.repartition(target, F.xxhash64("doc_id"))
     stats = pertf.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("dl").alias("avgdl"),
@@ -1528,6 +1547,12 @@ def q_llm_dataprep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # Scan-parallelism floor tried and REJECTED here (r09, guide §1):
+    # fanning (doc_id, text, lang) out before the normalize/md5 chain
+    # measured 1.28 -> 1.80 s (count, min-of-4 interleaved) — this
+    # pipeline's per-row CPU is one regex+md5, too light to amortize
+    # the exchange + 32-task scheduling that dsir_select's per-token
+    # scoring does amortize. See OPTIMIZATION_r09.md.
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
