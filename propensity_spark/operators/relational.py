@@ -132,9 +132,18 @@ def top_commodities(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFra
     itself; this is the rewrite a constraint-aware planner would make,
     and the DuckDB oracle still runs the full silver join, pinning
     result equality."""
+    from propensity_spark.io import scan_floor_target
+
     fact = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("product_id"), F.col("l_orderkey").alias("basket_id")
     )
+    floor = scan_floor_target(spark, sf_dir, "lineitem")
+    if floor:
+        # Row-group-starved layout (guide §2.5): the partial
+        # distinct-pair aggregation otherwise runs fused above a
+        # one-row-group scan on a single core; the exchange carries
+        # only the two join/agg keys.
+        fact = fact.repartition(floor, F.xxhash64("basket_id"))
     dim = brand_dim(spark, sf_dir)
     return (
         fact.join(F.broadcast(dim), "product_id", "inner")
@@ -295,10 +304,9 @@ def q_household_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     since = lambda cond: F.min(  # noqa: E731
         F.datediff(F.col("max_day"), F.when(cond, F.col("day")).otherwise(F.col("min_day")))
     )
-    agg = with_b.groupBy("household_key").agg(
+    # Non-distinct aggregates: plain hash agg, map-side combine, no Expand.
+    base = with_b.groupBy("household_key").agg(
         # A2-A4 summary block (raw sums kept for the ratio algebra below)
-        F.countDistinct("day").alias("days"),
-        F.countDistinct("basket_id").alias("baskets"),
         F.count("product_id").alias("products"),
         F.count(F.lit(1)).alias("line_items"),
         F.sum("amount_list").alias("_amount_list"),
@@ -307,12 +315,6 @@ def q_household_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("manuf_coupon_discount").alias("_manuf_coupon_discount"),
         F.sum("total_coupon_discount").alias("_total_coupon_discount"),
         F.sum("amount_paid").alias("_amount_paid"),
-        # A5/A6 conditional block
-        F.countDistinct(F.when(has_instore, F.col("day"))).alias("days_with_instore_discount"),
-        F.countDistinct(F.when(has_instore, F.col("basket_id"))).alias(
-            "baskets_with_instore_discount"
-        ),
-        F.countDistinct(F.when(has_coupon, F.col("day"))).alias("days_with_coupon_discount"),
         F.sum(F.when(has_instore, 1)).alias("line_items_with_instore_discount"),
         F.sum(F.when(has_coupon, 1)).alias("line_items_with_coupon_discount"),
         # A7 days-since block
@@ -320,6 +322,52 @@ def q_household_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         since(has_instore).alias("days_since_instore_discount"),
         since(has_coupon).alias("days_since_coupon_discount"),
     )
+    # The five DISTINCT families (A2 days/baskets + the A5/A6
+    # conditional distincts) used to ride the same groupBy as 5
+    # count(DISTINCT ...) exprs — Catalyst plans that as an Expand that
+    # multiplies every input row 6x before the first shuffle (the
+    # SURVEY §7 hazard; noop-measured 5.3 s of the query's cost at
+    # sf0.1). r09: the feature engine's exact decomposition instead —
+    # explode each row into its two entity grains (gid 0 = day,
+    # 1 = basket_id), pre-aggregate per-(hh, gid, entity) existence
+    # flags (2 tinyint states/row vs the 21-column 6x Expand), then
+    # fold per household: count(DISTINCT CASE WHEN c THEN e END) ==
+    # sum over distinct-e rows of max(CASE WHEN c THEN 1 END).
+    # Bit-identical values, no Expand anywhere in the plan.
+    exp = (
+        silver.select(
+            "household_key",
+            "day",
+            "basket_id",
+            has_instore.alias("__hi"),
+            has_coupon.alias("__hc"),
+        )
+        .withColumn("__gid", F.explode(F.array(F.lit(0), F.lit(1))))
+        .withColumn(
+            "__ent",
+            F.expr("CASE __gid WHEN 0 THEN unix_date(day) ELSE basket_id END"),
+        )
+    )
+    pre = exp.groupBy("household_key", "__gid", "__ent").agg(
+        F.max(F.when(F.col("__hi"), 1)).alias("__fi"),
+        F.max(F.when(F.col("__hc"), 1)).alias("__fc"),
+    )
+    dist = pre.groupBy("household_key").agg(
+        F.sum(F.when(F.col("__gid") == 0, 1)).alias("days"),
+        F.sum(F.when(F.col("__gid") == 1, 1)).alias("baskets"),
+        F.coalesce(
+            F.sum(F.when(F.col("__gid") == 0, F.col("__fi"))), F.lit(0)
+        ).alias("days_with_instore_discount"),
+        F.coalesce(
+            F.sum(F.when(F.col("__gid") == 1, F.col("__fi"))), F.lit(0)
+        ).alias("baskets_with_instore_discount"),
+        F.coalesce(
+            F.sum(F.when(F.col("__gid") == 0, F.col("__fc"))), F.lit(0)
+        ).alias("days_with_coupon_discount"),
+    )
+    # Both aggs are hash-partitioned on household_key, so the merge
+    # join reuses the partitioning — no extra exchange.
+    agg = base.join(dist, "household_key")
     out = agg.select(
         "household_key",
         "days",
@@ -545,6 +593,11 @@ def q_pivot_unpivot_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     __UNPIVOTED table shape, 04c:274-282). Keeping the padded zeros in
     the melt makes the oracle check BOTH the pivot's fill semantics and
     the unpivot values."""
+    # Scan-parallelism floor tried and REJECTED here (r09, guide §1):
+    # noop 1.19 -> 1.50 s, count 1.57 -> 1.81 s (min-of-8,
+    # order-alternated). The pivot's partial aggregation sits ABOVE the
+    # silver shuffle join, so it is already distributed; the floor
+    # exchange was pure overhead. See OPTIMIZATION_r09.md.
     pivoted = (
         _scored_spend(spark, sf_dir)
         .groupBy("household_key")
