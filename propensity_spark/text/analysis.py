@@ -1004,10 +1004,25 @@ def _grams_spark(n: int) -> str:
 
 
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Staged so the one O(|distinct| x L) counting pass per n runs
-    ONCE: grams -> per-distinct-gram (cnt, gg) structs -> signals as
-    single-reference projections -> keep from the aliased columns."""
-    docs = load_table(spark, sf_dir, "documents")
+    """Per-gram counts via run-length over array_sort (r09): the old
+    shape counted each distinct gram with its own filter() pass —
+    O(|distinct| x L) per document per n, noop-measured 13.3 s at
+    sf0.1 (the bench's count() hid it behind aggregate pruning). A
+    sorted array yields every count as a run length in one O(L log L)
+    pass, and the lexicographic order makes the Gopher tie-break (most
+    frequent gram, ties to smallest) fall out of a strictly-greater
+    update. Counts are identical — run length over sorted == count —
+    so values are bit-identical to the unchanged DuckDB oracle."""
+    from propensity_spark.io import scan_floor_target
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "text"
+    )
+    target = scan_floor_target(spark, sf_dir, "documents")
+    if target:
+        # Row-group-starved layout (guide §2.5): this is the engine's
+        # most CPU-dense per-row text path (8 n-gram families per doc).
+        docs = docs.repartition(target, F.xxhash64("doc_id"))
     staged = docs.select(
         "doc_id",
         "n_chars",
@@ -1015,39 +1030,49 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "n_chars",
-        *[F.expr(_grams_spark(n)).alias(f"__g{n}") for n in _GOPHER_NS],
-    )
-    # one counting pass per n: (cnt, gg) per distinct gram
-    counted = staged.select(
-        "doc_id",
-        "n_chars",
-        *[
-            F.expr(
-                f"transform(array_distinct(__g{n}),"
-                f" gg -> struct(size(filter(__g{n}, x -> x = gg)) AS cnt, gg))"
-            ).alias(f"__c{n}")
-            for n in _GOPHER_NS
-        ],
+        *[F.expr(f"array_sort({_grams_spark(n)})").alias(f"__g{n}") for n in _GOPHER_NS],
     )
     sel = [F.col("doc_id"), F.col("n_chars")]
     for n in GOPHER_TOP_NGRAM:
-        # min over (-cnt, gg) structs = max count, ties to smallest gram
+        # scan the sorted grams once: run = current run length, (bc,
+        # bg) = best count and its gram. `>` (not `>=`) keeps the
+        # FIRST gram reaching a count, i.e. the lexicographically
+        # smallest — exactly array_min over (-cnt, gg). Empty array
+        # falls through to the init struct -> (nc=0, gg='').
         sel.append(
             F.expr(
-                f"CASE WHEN size(__c{n}) = 0 THEN struct(CAST(0 AS INT) AS nc, '' AS gg)"
-                f" ELSE array_min(transform(__c{n}, s -> struct(-s.cnt AS nc, s.gg AS gg)))"
-                " END"
+                f"aggregate(__g{n},"
+                " struct('' AS prev, CAST(0 AS INT) AS run, CAST(0 AS INT) AS bc, '' AS bg),"
+                " (a, x) -> struct("
+                "   x AS prev,"
+                "   IF(x = a.prev, a.run + 1, 1) AS run,"
+                "   IF(IF(x = a.prev, a.run + 1, 1) > a.bc,"
+                "      IF(x = a.prev, a.run + 1, 1), a.bc) AS bc,"
+                "   IF(IF(x = a.prev, a.run + 1, 1) > a.bc, x, a.bg) AS bg),"
+                " a -> struct(-a.bc AS nc, a.bg AS gg))"
             ).alias(f"__t{n}")
         )
     for n in GOPHER_DUP_NGRAM:
+        # same sorted scan; a run is folded into (dup, tot) when the
+        # gram changes, and the finish lambda folds the last run. The
+        # init's prev='' run-0 folds to +0, so empty arrays yield
+        # (0, 0) like the old empty-list aggregate.
         sel.append(
             F.expr(
-                f"aggregate(__c{n}, struct(CAST(0 AS BIGINT) AS dup, CAST(0 AS BIGINT) AS tot),"
-                " (a, s) -> struct(a.dup + IF(s.cnt >= 2, s.cnt * length(s.gg), CAST(0 AS BIGINT)) AS dup,"
-                " a.tot + s.cnt * length(s.gg) AS tot))"
+                f"aggregate(__g{n},"
+                " struct('' AS prev, CAST(0 AS BIGINT) AS run,"
+                "        CAST(0 AS BIGINT) AS dup, CAST(0 AS BIGINT) AS tot),"
+                " (a, x) -> IF(x = a.prev,"
+                "   struct(x AS prev, a.run + 1 AS run, a.dup AS dup, a.tot AS tot),"
+                "   struct(x AS prev, CAST(1 AS BIGINT) AS run,"
+                "          a.dup + IF(a.run >= 2, a.run * length(a.prev), CAST(0 AS BIGINT)) AS dup,"
+                "          a.tot + a.run * length(a.prev) AS tot)),"
+                " a -> struct("
+                "   a.dup + IF(a.run >= 2, a.run * length(a.prev), CAST(0 AS BIGINT)) AS dup,"
+                "   a.tot + a.run * length(a.prev) AS tot))"
             ).alias(f"__d{n}")
         )
-    reduced = counted.select(*sel)
+    reduced = staged.select(*sel)
     fracs = reduced.select(
         "doc_id",
         *[
