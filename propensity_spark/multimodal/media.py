@@ -730,6 +730,10 @@ RESIZE_W, RESIZE_H = 64, 32  # stub target length = 64*32/8 = 256 bytes
 def q_media_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    # r09: a scan floor before the two mapInPandas branches was tried
+    # and measured SLOWER (noop 3.49 -> 4.02 s, min-of-4 interleaved):
+    # spinning 32 Python workers per branch costs more than the serial
+    # decode of these small payloads. See OPTIMIZATION_r09.md.
     docs = load_table(spark, sf_dir, "documents")
     media = with_media_columns(docs)
 

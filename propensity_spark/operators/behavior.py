@@ -997,6 +997,14 @@ def item_cf(ub: DataFrame, top_k: int = ITEM_CF_TOP_K) -> DataFrame:
     so dot products and squared norms are EXACT; cosine is rounded to
     6dp before the rank window so cross-engine float drift can never
     flip a tie."""
+    # REUSE POINT (r09, guide §2.4): the incoming (user, item, cnt)
+    # chain is consumed by the sizes agg AND the capped join side, and
+    # the capped frame again by norms and both self-join aliases —
+    # without a shared exchange Catalyst re-executes the upstream
+    # fact aggregation under every branch. hash(user) is what the
+    # sizes agg, the cap join, and the a⋈b self-join all need, so the
+    # exchanges dedupe via ReuseExchange and the chain runs once.
+    ub = ub.repartition("user")
     sizes = ub.groupBy("user").agg(F.count(F.lit(1)).alias("__ni"))
     ub = ub.join(
         sizes.where(F.col("__ni") <= ITEM_CF_MAX_USER_ITEMS), "user"

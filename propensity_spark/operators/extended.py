@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from propensity_spark.io import SCHEMAS, load_table, read_csv
+from propensity_spark.io import SCHEMAS, load_table, read_csv, scan_floor_target
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,6 +129,9 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from propensity_spark.ml.monitoring import score_psi
 
     customer = load_table(spark, sf_dir, "customer")
+    # r09: a scan floor on the orders side measured SLOWER (noop
+    # 0.79 -> 0.84 s; the 150k-row percentile buffers are too cheap to
+    # amortize the exchange — unlike approx_stats' 6-state build).
     orders = load_table(spark, sf_dir, "orders")
     joined = orders.join(
         F.broadcast(customer.select("c_custkey", "c_mktsegment")),
@@ -238,7 +241,20 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative error, percentile_approx(accuracy=10000) inside the exact
     [p49, p51] value window (rank error 1/10000 << 0.01). A sketch
     regression flips a flag and hash-fails the gate."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_extendedprice"
+    )
+    floor = scan_floor_target(spark, sf_dir, "lineitem")
+    if floor:
+        # Row-group-starved layout (guide §2.5): with only 3 groups,
+        # the partial-aggregation map side — six states per row,
+        # including three exact-percentile buffers and the KLL/HLL
+        # sketch updates — is the ENTIRE query and otherwise runs on
+        # one core (noop-measured 45 s at sf0.1, the registry's
+        # single largest hidden cost). All six aggregates have
+        # mergeable partials, so fanning the 3-column projection out
+        # parallelizes the buffer builds and merges tiny finals.
+        lineitem = lineitem.repartition(floor, F.xxhash64("l_orderkey"))
     agg = lineitem.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),

@@ -696,6 +696,13 @@ def acf(daily: DataFrame, key_col: str, order_col: str, value_col: str,
     Shape: one per-key agg for (mean, ss), one explode to max_lag
     rows per observation, one self-equi-join on (key, t+k) — every
     step partitions on the key, no global barrier anywhere."""
+    # REUSE POINT (r09, guide §2.4): `daily` is consumed by four
+    # branches (stats, ss, lagged, fut) and Catalyst re-executes the
+    # whole upstream aggregate chain per branch. One hash(key)
+    # exchange — the distribution stats/ss need anyway, and one a
+    # broadcast join preserves — is deduped by ReuseExchange, so the
+    # chain runs once and stats/ss plan no further shuffle.
+    daily = daily.repartition(key_col)
     stats = daily.groupBy(key_col).agg(
         F.round(F.avg(value_col) + 1e-9, 4).alias("__mu"),
     )

@@ -1706,6 +1706,9 @@ def build_postings(docs: DataFrame) -> DataFrame:
 
 def q_build_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate entry: the documents inverted index (df >= 3 tokens)."""
+    # r09: a scan floor here measured SLOWER (noop 0.51 -> 0.78 s) —
+    # a bare token explode is too light to amortize the exchange
+    # (the llm_dataprep lesson). See OPTIMIZATION_r09.md.
     return build_postings(load_table(spark, sf_dir, "documents"))
 
 

@@ -267,8 +267,21 @@ def exact_jaccard_pairs(docs: DataFrame, min_jaccard: float) -> DataFrame:
     this is EXACT without an all-pairs cross join — but a hot shingle
     shared by k docs still yields k^2 pair rows, so at 100 TB this runs
     only on band candidates (q_minhash_band_pairs above)."""
-    sh = _with_shingles(docs).select(
-        "doc_id", F.explode(F.expr("array_distinct(shingles)")).alias("shingle")
+    # One early hash(shingle) exchange = the plan's REUSE POINT (r09,
+    # guide §2.4): the pair self-join needs both sides shuffled by
+    # shingle anyway, and `sizes` is consumed twice (sa/sb) — without
+    # this exchange Catalyst re-executes the scan+shingle+explode chain
+    # under all four branches (it does not dedupe common subtrees, but
+    # ReuseExchange DOES dedupe identical Exchange nodes). With it the
+    # chain runs once; the join adds no further exchange (already
+    # hash(shingle)-partitioned), and the two sizes branches reuse one
+    # Exchange(doc_id). Deterministic under retry (hash of a real
+    # column, not round-robin); a hot shingle lands one heavy task,
+    # but the join's own exchange would have had the same skew.
+    sh = (
+        _with_shingles(docs)
+        .select("doc_id", F.explode(F.expr("array_distinct(shingles)")).alias("shingle"))
+        .repartition("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -293,7 +306,7 @@ def exact_jaccard_pairs(docs: DataFrame, min_jaccard: float) -> DataFrame:
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs at the dedup threshold."""
-    return exact_jaccard_pairs(load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
+    return exact_jaccard_pairs(_parallel_docs(spark, sf_dir), JACCARD_THRESHOLD)
 
 
 MLLIB_EXACT_JACCARD = 0.5  # ground-truth pair threshold for the check
@@ -316,7 +329,10 @@ def q_minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
                    with wide margin; a recall regression hash-fails."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    docs = load_table(spark, sf_dir, "documents")
+    # _parallel_docs: scan floor for both the LSH feature build and the
+    # exact ground-truth side — the shingle/HashingTF map chain is CPU
+    # and otherwise runs on one core over the one-row-group fixture.
+    docs = _parallel_docs(spark, sf_dir)
     with_sh = _with_shingles(docs).where(F.size("shingles") > 0)
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
     feats = tf.transform(with_sh)
@@ -1300,6 +1316,11 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — identical output proves the prefix filter lossless on real
     data, the same way minhash_band_pairs' oracle proves the banding
     recall."""
+    # r09: _parallel_docs floor + a hash(token) reuse-point exchange were
+    # both tried here and measured NEUTRAL (noop 2.46 -> 2.63 s,
+    # count 2.68 -> 2.65, min-of-4 interleaved) — the prefix-filter
+    # pipeline is exchange-bound, not scan-bound, at this fixture.
+    # Reverted to the plain scan; see OPTIMIZATION_r09.md.
     return setsim_join(load_table(spark, sf_dir, "documents"))
 
 

@@ -287,6 +287,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two orders of magnitude faster (squared distance through the
     # |a|^2 + |b|^2 - 2ab identity; ~1e-13 from the sequential fold,
     # absorbed by the 1e-9 nudge ahead of 6-dp rounding)
+    # r09: pair-keyed reuse-point exchanges on `exact`/`lsh` were tried
+    # and measured SLOWER (noop 3.42 -> 3.61 s) — the BLAS scan's
+    # heavy input is a driver-broadcast matrix, so re-executing the
+    # map stage is cheaper than shuffling the pair set. Reverted.
     exact = all_pairs_blas(spark, emb, "euclid", LSH_RADIUS)
     lsh = _lsh_pairs(spark, sf_dir)
     matched = lsh.join(exact.select("vec_a", "vec_b"), ["vec_a", "vec_b"], "left_semi")
