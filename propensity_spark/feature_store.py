@@ -982,6 +982,13 @@ def q_feature_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = DEFAULT_STORE / f"roundtrip_{uuid.uuid4().hex[:8]}"
     feats = q_household_features(spark, sf_dir)
+    # Persisting d1 for the four downstream consumers was tried and
+    # REJECTED by measurement (r09, tools/ab_overlap.py, min-of-3
+    # interleaved in one warm session: 27.2 -> 31.3 s): only create()
+    # needs all ~90 feature columns — the merge-update derivation and
+    # the as-of key set are narrow, so the cache materializes the wide
+    # frame where recomputation reads pruned parquet subtrees. Same
+    # lesson as the rejected single-scan feature rewrite (guide §1.1).
     d1 = feats.withColumn("day", F.lit("2024-01-01").cast("date"))
     table = FeatureTable(spark, "household_features", ["household_key", "day"], str(base))
     try:

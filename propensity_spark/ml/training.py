@@ -23,6 +23,7 @@ distributed fit."""
 
 from __future__ import annotations
 
+import os
 import shutil
 import uuid
 from pathlib import Path
@@ -70,9 +71,38 @@ def build_training_set(
     )
     if materialize or not stage.exists():
         if materialize or not hc.exists():
-            hh.create(q_household_features(spark, sf_dir).withColumn("day", day))
-            cm.create(q_commodity_features(spark, sf_dir).withColumn("day", day))
-            hc.create(q_household_commodity_features(spark, sf_dir).withColumn("day", day))
+            # Overlap the three independent grain builds (guide §2.6):
+            # each grain's partial-aggregation map side is scan-fused
+            # above the facts (a serial segment on row-group-starved
+            # layouts), so sequential creates leave the session idle
+            # through each other's tails. The tables are distinct paths
+            # with per-table writer locks — no shared state, results
+            # unchanged.
+            from concurrent.futures import ThreadPoolExecutor
+
+            grain_jobs = int(os.environ.get("SPARK_GRAFT_GRAIN_JOBS", "3")) or 3
+            with ThreadPoolExecutor(max_workers=grain_jobs) as pool:
+                builds = [
+                    pool.submit(
+                        lambda: hh.create(
+                            q_household_features(spark, sf_dir).withColumn("day", day)
+                        )
+                    ),
+                    pool.submit(
+                        lambda: cm.create(
+                            q_commodity_features(spark, sf_dir).withColumn("day", day)
+                        )
+                    ),
+                    pool.submit(
+                        lambda: hc.create(
+                            q_household_commodity_features(spark, sf_dir).withColumn(
+                                "day", day
+                            )
+                        )
+                    ),
+                ]
+                for b in builds:
+                    b.result()
 
         labels = q_labels(spark, sf_dir).withColumn("day", day)
         ts = hh.lookup(labels, "household")
@@ -318,8 +348,6 @@ def train_commodity_models(
             :commodities
         ]
 
-    evaluator = BinaryClassificationEvaluator(labelCol="purchased", metricName="areaUnderPR")
-    manifest_rows = []
     if not commodities:
         # empty commodity list (sparse fixture day, or an explicit []):
         # an empty manifest with the stable schema, not the
@@ -337,8 +365,15 @@ def train_commodity_models(
     parts = max(1, min(32, n_train // (len(commodities) * 50_000) + 1))
     if model_type == "gbt":
         parts = max(parts, 8)
-    for commodity in sorted(commodities):
+    def _train_one(commodity: str) -> tuple:
         clean = commodity.replace("#", "_")
+        # Per-thread evaluator: params live on the Python object, so
+        # sharing one across concurrent fits would be a (benign but
+        # pointless) cross-thread dependency.
+        evaluator = BinaryClassificationEvaluator(
+            labelCol="purchased", metricName="areaUnderPR"
+        )
+        spark.sparkContext.setJobDescription(f"train {commodity}")
         try:
             slice_df = ts.where(F.col("commodity_desc") == commodity).repartition(parts)  # P6
             train, test = slice_df.randomSplit([0.8, 0.2], seed=SEED)  # M2
@@ -391,18 +426,41 @@ def train_commodity_models(
             finally:
                 if eval_tables:
                     scored_test.unpersist()
-            manifest_rows.append(
-                (commodity, clean, path, aupr, "Production",
-                 est.n_search_trials, eval_err)
-            )
+            return (commodity, clean, path, aupr, "Production",
+                    est.n_search_trials, eval_err)
         except Exception as exc:  # noqa: BLE001 — isolation: one bad category
             # must not kill the weekly job (04b:400-417); the failure
             # is recorded WITH its cause so the scorer skips it and ops
             # can triage without re-running the job.
-            manifest_rows.append(
-                (commodity, clean, None, None, "failed",
-                 0, f"{type(exc).__name__}: {exc}"[:500])
-            )
+            return (commodity, clean, None, None, "failed",
+                    0, f"{type(exc).__name__}: {exc}"[:500])
+
+    # Overlap independent per-commodity fits (guide §2.6): each fit's
+    # stages run `parts` tasks, so on a session whose defaultParallelism
+    # far exceeds `parts` a sequential loop leaves most cores idle
+    # through every GBT iteration's tail. 2-3 fits in flight back-fill
+    # that. Results are unchanged: fits are per-commodity independent
+    # (disjoint slices, disjoint model paths), randomSplit/GBT are
+    # seeded per-DataFrame (concurrency does not change data or
+    # partitioning), and pool.map preserves the sorted manifest order.
+    # Worker count derives from session capacity — a lower-core session
+    # (the driver's scaling bench) degrades to the sequential loop.
+    workers = int(os.environ.get("SPARK_GRAFT_TRAIN_JOBS", "0")) or max(
+        1,
+        min(3, len(commodities), spark.sparkContext.defaultParallelism // parts),
+    )
+    ordered = sorted(commodities)
+    if workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            manifest_rows = list(pool.map(_train_one, ordered))
+    else:
+        manifest_rows = [_train_one(c) for c in ordered]
+    # job labels are thread-local: the pool threads took theirs with
+    # them, but the sequential path set the main thread's — clear it so
+    # the last commodity's label doesn't annotate unrelated later jobs.
+    spark.sparkContext.setJobDescription(None)
     return spark.createDataFrame(manifest_rows, _MANIFEST_SCHEMA)
 
 

@@ -95,18 +95,32 @@ class Pipeline:
         exactly once. `force=True` recomputes (source-data revision)."""
         from propensity_spark.operators.features import _spark_features
 
+        from concurrent.futures import ThreadPoolExecutor
+
         stamp = F.lit(day).cast("date")
-        self.last_validation = {}
-        for name, pk, src, keys in self._grain_specs(asof=F.col("day") <= stamp):
+
+        def _one(spec):
+            name, pk, src, keys = spec
             table = FeatureTable(self.spark, name, pk, self.store)
             if not force and table.has_day(day):
-                continue
+                return name, None
             table.merge(_spark_features(src, keys).withColumn("day", stamp))
             # post-merge expectations on the freshly written day only
             # (pruned read): a broken column is caught the run it lands
-            self.last_validation[name] = table.validate(
-                day, expectations=self.feature_expectations
-            )
+            return name, table.validate(day, expectations=self.feature_expectations)
+
+        # The three grains are independent tables (distinct paths,
+        # per-table writer locks): overlap their merge+validate rounds
+        # (guide §2.6) so one grain's scan-fused serial segments and
+        # write tails back-fill with the others' work. Validation dict
+        # order stays the grain-spec order (results gathered in order).
+        import os
+
+        specs = self._grain_specs(asof=F.col("day") <= stamp)
+        jobs = int(os.environ.get("SPARK_GRAFT_GRAIN_JOBS", "3")) or 3
+        with ThreadPoolExecutor(max_workers=jobs) as pool:
+            results = list(pool.map(_one, specs))
+        self.last_validation = {n: v for n, v in results if v is not None}
 
     def backfill(self, days, force: bool = False) -> None:
         """One-pass multi-anchor backfill of all three grains
@@ -117,13 +131,24 @@ class Pipeline:
         identical (pinned by the bit-exact equivalence test): each
         anchor sees only facts at-or-before it. Already-materialized
         days are skipped (same idempotency as the daily path)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         from propensity_spark.operators.features import multi_day_features
 
-        for name, pk, src, keys in self._grain_specs():
+        def _one(spec):
+            name, pk, src, keys = spec
             table = FeatureTable(self.spark, name, pk, self.store)
             todo = [d for d in days if force or not table.has_day(d)]
             if todo:
                 table.merge(multi_day_features(src, keys, todo))
+
+        # same §2.6 overlap as engineer_features: three independent
+        # grain tables, one multi-anchor merge each.
+        import os
+
+        jobs = int(os.environ.get("SPARK_GRAFT_GRAIN_JOBS", "3")) or 3
+        with ThreadPoolExecutor(max_workers=jobs) as pool:
+            list(pool.map(_one, self._grain_specs()))
 
     def score(self, manifest: DataFrame, day) -> DataFrame:
         """04c equivalent: universe x features -> per-model transform.
@@ -153,6 +178,17 @@ class Pipeline:
         # job itself — no second scan of the scores at any scale. The
         # daily job reads them after publish to alert on empty or
         # out-of-range outputs (self.last_publish_metrics).
+        # Three downstream passes consume `scores` (the commodity-list
+        # collect, the unpivoted promote, the pivoted promote) and each
+        # would re-run every model's transform over the feature join
+        # (guide §5 "reused AND expensive to recompute"). Persist for
+        # THIS publish only; released in `finally`.
+        # SPARK_GRAFT_QUERY_CACHE=0 disables (A/B knob).
+        import os
+
+        _cache = os.environ.get("SPARK_GRAFT_QUERY_CACHE", "1") != "0"
+        if _cache:
+            scores = scores.persist()
         obs = Observation("publish_metrics")
         unpivoted = scores.select(
             "household_key", "day", "commodity_desc", "prediction"
@@ -175,9 +211,13 @@ class Pipeline:
             .agg(F.first("prediction"))
         )
         paths = (str(self.out / "propensities_unpivoted"), str(self.out / "propensities_pivoted"))
-        for df, path in ((unpivoted, paths[0]), (pivoted, paths[1])):
-            self._promote(df, path)
-        self.last_publish_metrics = obs.get
+        try:
+            for df, path in ((unpivoted, paths[0]), (pivoted, paths[1])):
+                self._promote(df, path)
+            self.last_publish_metrics = obs.get
+        finally:
+            if _cache:
+                scores.unpersist()
         return paths
 
     def _promote(self, df: DataFrame, path: str) -> None:

@@ -490,68 +490,127 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from propensity_spark.streaming.feature_updates import stream_user_features
 
-    tumbling = q_stream_tumbling(spark, sf_dir).select(
-        F.lit("tumbling").alias("section"),
-        F.col("window_start").alias("k1"),
-        F.col("event_type").alias("k2"),
-        F.col("n_events").alias("n"),
-        F.col("sum_value").alias("v"),
-    )
-    dedup = stream_dedup(spark, sf_dir).select(
-        F.lit("dedup").alias("section"),
-        F.col("event_id").alias("k1"),
-        F.col("event_type").alias("k2"),
-        F.col("user_id").alias("n"),
-        F.lit(0.0).alias("v"),
-    )
-    ssj = stream_stream_join(spark, sf_dir, within=SSJ_WITHIN).select(
-        F.lit("ssjoin").alias("section"),
-        F.col("l_event").alias("k1"),
-        F.col("l_user").cast("string").alias("k2"),
-        F.col("r_event").alias("n"),
-        (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")).cast("double").alias("v"),
-    )
-    tmp = tempfile.mkdtemp(prefix="stream_ops_")
-    try:
-        table = stream_user_features(spark, sf_dir, tmp, FEAT_DAY)
-        feat_rows = (
-            table.read()
-            .select(
-                F.lit("feat").alias("section"),
-                F.col("user_id").alias("k1"),
-                F.lit(FEAT_DAY).alias("k2"),
-                F.col("n_events").alias("n"),
-                F.round(F.col("sum_value") + 1e-6, 2).alias("v"),
-            )
-            .collect()  # materialize before the store dir is removed
+    def _tumbling() -> DataFrame:
+        return q_stream_tumbling(spark, sf_dir).select(
+            F.lit("tumbling").alias("section"),
+            F.col("window_start").alias("k1"),
+            F.col("event_type").alias("k2"),
+            F.col("n_events").alias("n"),
+            F.col("sum_value").alias("v"),
         )
+
+    def _dedup() -> DataFrame:
+        return stream_dedup(spark, sf_dir).select(
+            F.lit("dedup").alias("section"),
+            F.col("event_id").alias("k1"),
+            F.col("event_type").alias("k2"),
+            F.col("user_id").alias("n"),
+            F.lit(0.0).alias("v"),
+        )
+
+    def _ssj() -> DataFrame:
+        return stream_stream_join(spark, sf_dir, within=SSJ_WITHIN).select(
+            F.lit("ssjoin").alias("section"),
+            F.col("l_event").alias("k1"),
+            F.col("l_user").cast("string").alias("k2"),
+            F.col("r_event").alias("n"),
+            (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts"))
+            .cast("double")
+            .alias("v"),
+        )
+
+    def _feat() -> DataFrame:
+        tmp = tempfile.mkdtemp(prefix="stream_ops_")
+        try:
+            table = stream_user_features(spark, sf_dir, tmp, FEAT_DAY)
+            # explicit k1/n/v types: the sequential version coerced its
+            # collected rows through tumbling.schema (bigint/bigint/
+            # double) — pin the same types here so the union schema is
+            # unchanged.
+            out = table.read().select(
+                F.lit("feat").alias("section"),
+                F.col("user_id").cast("bigint").alias("k1"),
+                F.lit(FEAT_DAY).alias("k2"),
+                F.col("n_events").cast("bigint").alias("n"),
+                F.round(F.col("sum_value") + 1e-6, 2).cast("double").alias("v"),
+            )
+            # materialize before the store dir is removed
+            return spark.createDataFrame(out.collect(), out.schema)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def _sliding() -> DataFrame:
+        return q_stream_sliding(spark, sf_dir).select(
+            F.lit("sliding").alias("section"),
+            F.col("window_start").alias("k1"),
+            F.col("event_type").alias("k2"),
+            F.col("n_events").alias("n"),
+            F.col("sum_value").alias("v"),
+        )
+
+    def _enrich() -> DataFrame:
+        return stream_static_join(spark, sf_dir).select(
+            F.lit("enrich").alias("section"),
+            F.col("window_start").alias("k1"),
+            F.col("c_mktsegment").alias("k2"),
+            F.col("n_events").alias("n"),
+            F.col("sum_value").alias("v"),
+        )
+
+    def _session() -> DataFrame:
+        return q_stream_session(spark, sf_dir).select(
+            F.lit("session").alias("section"),
+            F.col("session_start").alias("k1"),
+            F.col("user_id").cast("string").alias("k2"),
+            F.col("n_events").alias("n"),
+            F.col("sum_value").alias("v"),
+        )
+
+    # Overlap the independent streaming sections (guide §2.6): each
+    # drained stream pays 1-2 s of fixed machinery (source listing,
+    # state-store allocation, epoch commits) regardless of data volume,
+    # and a sequential suite is 7x that fixed cost. Sections are
+    # independent queries with unique memory-sink names, so they run
+    # concurrently with unchanged results. Two waves keep every
+    # section's shuffle-partition conf identical to a sequential run:
+    # wave 1 = sections that leave the conf alone (session default);
+    # wave 2 = the stateful window aggs, which each set/restore 8 — the
+    # suite pins 8 around the wave so their inner set/restore is a
+    # no-op (8 -> 8) instead of a leaky cross-thread race.
+    # SPARK_GRAFT_STREAM_JOBS=1 restores the sequential suite (A/B and
+    # debugging knob; >1 is the overlap width per wave).
+    import os
+
+    jobs = int(os.environ.get("SPARK_GRAFT_STREAM_JOBS", "4")) or 4
+    with ThreadPoolExecutor(max_workers=min(3, jobs)) as pool:
+        dedup_f, ssj_f, feat_f = (
+            pool.submit(_dedup),
+            pool.submit(_ssj),
+            pool.submit(_feat),
+        )
+        dedup, ssj, feat = dedup_f.result(), ssj_f.result(), feat_f.result()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with ThreadPoolExecutor(max_workers=min(4, jobs)) as pool:
+            tum_f, sli_f, enr_f, ses_f = (
+                pool.submit(_tumbling),
+                pool.submit(_sliding),
+                pool.submit(_enrich),
+                pool.submit(_session),
+            )
+            tumbling, sliding, enrich, session = (
+                tum_f.result(),
+                sli_f.result(),
+                enr_f.result(),
+                ses_f.result(),
+            )
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    feat = spark.createDataFrame(feat_rows, tumbling.schema)
-    sliding = q_stream_sliding(spark, sf_dir).select(
-        F.lit("sliding").alias("section"),
-        F.col("window_start").alias("k1"),
-        F.col("event_type").alias("k2"),
-        F.col("n_events").alias("n"),
-        F.col("sum_value").alias("v"),
-    )
-    enrich = stream_static_join(spark, sf_dir).select(
-        F.lit("enrich").alias("section"),
-        F.col("window_start").alias("k1"),
-        F.col("c_mktsegment").alias("k2"),
-        F.col("n_events").alias("n"),
-        F.col("sum_value").alias("v"),
-    )
-    session = q_stream_session(spark, sf_dir).select(
-        F.lit("session").alias("section"),
-        F.col("session_start").alias("k1"),
-        F.col("user_id").cast("string").alias("k2"),
-        F.col("n_events").alias("n"),
-        F.col("sum_value").alias("v"),
-    )
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         tumbling.unionByName(sliding)
         .unionByName(dedup)

@@ -623,3 +623,31 @@ def test_train_commodity_models_eval_tables(spark, sf_dir, tmp_path):
     if total_pos:
         assert abs(max(r["cum_gain"] for r in lift) - 1.0) < 1e-6
     assert sum(r["n"] for r in lift) == sum(r["n"] for r in rel)
+
+
+def test_concurrent_training_matches_sequential(spark, sf_dir, tmp_path, monkeypatch):
+    """r09 guide-§2.6 overlap: per-commodity fits run 2-3 jobs in flight
+    when the session has the headroom. Concurrency must not change the
+    models — fits are per-commodity independent and seeded — so the
+    manifest (order, stages, AUPR values) from a forced-concurrent run
+    is identical to the forced-sequential run on the same commodities,
+    with one training set built once and reused (materialize=False on
+    the second run reads the first run's store)."""
+    store = str(tmp_path / "store")
+    monkeypatch.setenv("SPARK_GRAFT_TRAIN_JOBS", "1")
+    seq = M.train_commodity_models(
+        spark, sf_dir, commodities=2, store_base=store, model_type="lr"
+    ).collect()
+    monkeypatch.setenv("SPARK_GRAFT_TRAIN_JOBS", "2")
+    conc = M.train_commodity_models(
+        spark, sf_dir, commodities=2, store_base=store,
+        materialize_features=False, model_type="lr",
+    ).collect()
+    assert [r["commodity_desc"] for r in seq] == sorted(
+        r["commodity_desc"] for r in seq
+    )
+    assert len(seq) == len(conc) == 2
+    for a, b in zip(seq, conc):
+        assert a["commodity_desc"] == b["commodity_desc"]
+        assert a["stage"] == b["stage"] == "Production"
+        assert a["metric_aupr"] == pytest.approx(b["metric_aupr"], abs=0.0)

@@ -542,3 +542,23 @@ def test_parameterized_sql_binding(spark, sf_dir):
         lo=0.0,
     ).collect()
     assert rows[0]["n"] > 0
+
+
+def test_stream_ops_suite_overlap_restores_conf_and_sections(spark, sf_dir):
+    """r09 guide-§2.6 overlap: the suite's seven independent streaming
+    sections run concurrently in two waves. The wave-2 conf pin
+    (shuffle partitions = 8 around the stateful window aggs) must
+    restore the session value afterwards, and every section must still
+    ship rows — the value-level parity with the batch SQL twin is owned
+    by the oracle gate."""
+    from propensity_spark.streaming.windows import q_stream_ops_suite
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    out = q_stream_ops_suite(spark, sf_dir)
+    sections = {r["section"]: r["n"] for r in out.groupBy("section").count()
+                .withColumnRenamed("count", "n").collect()}
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert set(sections) == {
+        "tumbling", "sliding", "dedup", "ssjoin", "feat", "session", "enrich"
+    }
+    assert all(n > 0 for n in sections.values())
