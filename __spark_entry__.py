@@ -25,70 +25,101 @@ EXPECTED_MIN_QUERIES = 164
 
 # The driver's CORRECTNESS report records the FIRST 50 registered entries;
 # `tools/local_verify.py` checks the whole registry regardless. The gate is
-# a deterministic OLDEST-FIRST rotation: rank every registry entry by its
-# newest driver-verified round across the CORRECTNESS_r*.json files that
-# existed when the rotation was built (rounds < GATE_ROTATION_ROUND), ties
-# broken by registry order, and take the first 50. With 163 entries and 50
-# slots every entry is re-verified at least every ceil(163/50) = 4 rounds,
-# which is also the lint's STALENESS_BUDGET (tools/gate_lint.py) — the
-# tightest bound any 50-slot schedule can sustain. Regenerate each round
+# a deterministic rotation: first GATE_PRIORITY_HEAD — the entries whose
+# execution path THIS round's optimizer changed (r09 VERDICT task 1:
+# touched code must be driver-verified before staleness refresh) — then
+# every remaining registry entry ranked by its newest driver-verified
+# round across the CORRECTNESS_r*.json files that existed when the
+# rotation was built (rounds < GATE_ROTATION_ROUND), ties broken by
+# registry order, taking the first 50 overall. With 164 entries and 50
+# slots the oldest-first tail re-verifies every entry at least every 4
+# rounds, the lint's STALENESS_BUDGET (tools/gate_lint.py). Regenerate
 # with `python tools/gate_lint.py --propose`; the committed list is pinned
 # against that computation by tests/test_entry_contract.py. Ledger:
-# COVERAGE.md. r09 cohort: the NEW never-driver-checked paragraph_dedup
-# (rank 0 outranks any staleness refresh), the 15 r05-last entries,
-# then the first 34 r06-last entries in registry order.
-GATE_ROTATION_ROUND = 9
-DRIVER_GATE_PRIORITY = [
-    "paragraph_dedup",
-    "setsim_join",
-    "llm_dataprep",
-    "variant_extract",
-    "target_encode",
-    "psm_match",
-    "qini_uplift",
-    "sprt_monitor",
-    "sessionize",
-    "attribution_multi_touch",
-    "km_retention",
-    "item_cf",
-    "autocorrelation",
-    "open_orders_daily",
+# COVERAGE.md. r10 cohort: the 20 r09-optimizer-touched entries with no
+# driver CORRECTNESS row for the new code (the r09 VERDICT's named list;
+# its 21st name `ngram_jaccard_pairs` is not a registry entry — that
+# path is the exact-jaccard side inside `minhash_lsh_mllib`), plus the
+# entries r10 touches, then oldest-first (r06-last entries).
+GATE_ROTATION_ROUND = 10
+GATE_PRIORITY_HEAD = [
+    # r09-touched, driver-unverified (VERDICT r09 "Next round" item 1)
+    "household_features",
+    "household_commodity_features",
+    "commodity_features",
+    "household_agg_suite",
+    "labels",
+    "date_bounds_suite",
+    "topk_commodities",
+    "anomaly_mad",
+    "basket_affinity_3",
+    "bm25_search",
+    "repetition_signals",
+    "dsir_select",
+    "minhash_signatures",
+    "minhash_band_pairs",
+    "dedup_components",
+    "minhash_lsh_mllib",
+    "approx_stats",
+    "stream_ops_suite",
+    "train_score_propensity",
+    "pipeline_e2e",
+    # r10-touched (this round's optimizer changes)
+    "tpch_join_suite",
     "hierarchy_rollup",
-    "kcore_parts",
-    "silhouette",
-    "pca_pc1",
-    "negative_sample",
-    "weighted_sample",
-    "build_postings",
-    "pareto_frontier",
-    "scd2_lookup",
-    "rank_aggregation",
-    "audience_overlap",
-    "feature_scaling",
-    "mutual_information",
-    "ab_test_ztest",
-    "hill_tail_index",
-    "ks_drift",
-    "cuped_adjustment",
-    "mann_whitney",
-    "woe_iv",
-    "diff_in_diff",
-    "quantile_normalize",
-    "price_elasticity",
-    "weighted_median",
-    "threshold_sweep",
-    "bootstrap_ci",
-    "ipw_ate",
-    "event_transitions",
-    "cohort_ltv",
-    "active_users_hll",
-    "time_to_convert",
-    "revenue_concentration",
-    "window_funnel",
-    "shapley_attribution",
-    "corr_matrix",
-    "entity_resolution",
-    "ewma_revenue",
+    "pagerank_affinity",
+]
+DRIVER_GATE_PRIORITY = [
+    "household_features",
+    "household_commodity_features",
+    "commodity_features",
+    "household_agg_suite",
+    "labels",
+    "date_bounds_suite",
+    "topk_commodities",
+    "anomaly_mad",
+    "basket_affinity_3",
+    "bm25_search",
+    "repetition_signals",
+    "dsir_select",
+    "minhash_signatures",
+    "minhash_band_pairs",
+    "dedup_components",
+    "minhash_lsh_mllib",
+    "approx_stats",
+    "stream_ops_suite",
+    "train_score_propensity",
+    "pipeline_e2e",
+    "tpch_join_suite",
+    "hierarchy_rollup",
+    "pagerank_affinity",
+    "trend_fit",
+    "changepoint_cusum",
+    "forecast_linear",
+    "cross_correlation",
+    "seasonal_anomaly",
+    "forecast_backtest",
+    "cumulative_distinct",
+    "conformal_interval",
+    "theil_sen",
+    "huber_trend",
+    "incremental_join",
+    "bfs_hops",
+    "graph_stats",
+    "ppr_affinity",
+    "silver_projection",
+    "cross_universe",
+    "left_join_fillna",
+    "class_ratios",
+    "set_ops_suite",
+    "pivot_unpivot_scores",
+    "date_functions",
+    "window_topk_per_group",
+    "tpch_q1",
+    "dedup_exact",
+    "neardup_suite",
+    "ann_cosine_topk",
+    "batch_windows",
 ]
 
 def _registry():

@@ -156,7 +156,20 @@ def main() -> None:
     # 39 duck per-query entries) and its head got clipped, breaking the
     # parse. Per-query DuckDB detail goes on its own earlier line;
     # the contract line stays compact and last.
-    print(json.dumps({"duckdb_queries": duck}, separators=(",", ":")))
+    # r09 VERDICT task 2: the driver's low-core run could not falsify
+    # "ignores $SPARK_GRAFT_CPUS" from the output alone. Record the
+    # session's EFFECTIVE parallelism and master here (sidecar line, not
+    # the size-guarded contract line, which stays byte-compatible).
+    print(
+        json.dumps(
+            {
+                "duckdb_queries": duck,
+                "cpus": spark.sparkContext.defaultParallelism,
+                "master": spark.sparkContext.master,
+            },
+            separators=(",", ":"),
+        )
+    )
     contract_line = json.dumps(
         {
             "metric": "headline_queries_total",

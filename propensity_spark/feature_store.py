@@ -370,14 +370,17 @@ class FeatureTable:
             raise ValueError(
                 "column name 'v' collides with the store's version partition"
             )
-        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            df.withColumn("v", F.lit(n)).write.mode("overwrite").partitionBy(
-                "day", "v"
-            ).parquet(self.path)
-        finally:
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # Per-write option, NOT a session-conf save/restore: the merges/
+        # creates of different tables run concurrently (pipeline grain
+        # pool, training-set builds), and a session-global set/restore
+        # races — one thread's finally-restore to 'static' can land
+        # before another thread's overwrite job captures the conf, and a
+        # STATIC partitioned overwrite truncates the whole table path
+        # (every previously committed day/version). The DataFrameWriter
+        # option is captured at write time and is thread-safe.
+        df.withColumn("v", F.lit(n)).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("day", "v").parquet(self.path)
 
     def _commit_version(self, n: int, replace_all: bool = False) -> list[str]:
         """Flip pointers for every day that received version `n`, then

@@ -449,6 +449,10 @@ def train_commodity_models(
         1,
         min(3, len(commodities), spark.sparkContext.defaultParallelism // parts),
     )
+    # Job descriptions (and inherited local properties) are per-thread
+    # only under PySpark's pinned-thread mode (PYSPARK_PIN_THREAD,
+    # default true since 3.2); with it disabled the labels bleed across
+    # the pooled threads — cosmetic (UI labels), never correctness.
     ordered = sorted(commodities)
     if workers > 1:
         from concurrent.futures import ThreadPoolExecutor

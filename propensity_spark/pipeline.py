@@ -118,6 +118,10 @@ class Pipeline:
 
         specs = self._grain_specs(asof=F.col("day") <= stamp)
         jobs = int(os.environ.get("SPARK_GRAFT_GRAIN_JOBS", "3")) or 3
+        # clear up-front (as the old sequential code did): if a grain's
+        # merge/validate raises, the attribute must not silently retain
+        # the PREVIOUS run's validation results.
+        self.last_validation = {}
         with ThreadPoolExecutor(max_workers=jobs) as pool:
             results = list(pool.map(_one, specs))
         self.last_validation = {n: v for n, v in results if v is not None}

@@ -39,11 +39,13 @@ def test_oracles_parse_in_duckdb():
 
 
 def test_gate_rotation_is_oldest_first_and_debt_free():
-    """r08 VERDICT tasks 1+7: the committed DRIVER_GATE_PRIORITY must be
-    the deterministic oldest-first schedule computed from the CORRECTNESS
-    files that existed when it was built (rounds < GATE_ROTATION_ROUND),
-    and the staleness audit itself must pass — so a round that forgets to
-    rotate goes red in `pytest tests/` instead of waiting for the judge."""
+    """r08/r09 VERDICT task 1: the committed DRIVER_GATE_PRIORITY must be
+    the deterministic schedule — this round's optimizer-touched entries
+    (GATE_PRIORITY_HEAD) first, then oldest-first — computed from the
+    CORRECTNESS files that existed when it was built (rounds <
+    GATE_ROTATION_ROUND), and the staleness audit itself must pass — so a
+    round that forgets to rotate goes red in `pytest tests/` instead of
+    waiting for the judge."""
     import sys
     from pathlib import Path
 
@@ -51,6 +53,11 @@ def test_gate_rotation_is_oldest_first_and_debt_free():
     from gate_lint import compute_rotation, rotation_audit
 
     names = list(e.queries())
-    expected = compute_rotation(names, upto_round=e.GATE_ROTATION_ROUND)
+    expected = compute_rotation(
+        names, upto_round=e.GATE_ROTATION_ROUND, head=e.GATE_PRIORITY_HEAD
+    )
     assert e.DRIVER_GATE_PRIORITY == expected
     assert rotation_audit() == 0
+    # every head entry must be a real registry name (a typo would silently
+    # shrink the verified-touched surface)
+    assert set(e.GATE_PRIORITY_HEAD) <= set(names)

@@ -10,6 +10,10 @@ change touches:
   grains  build_training_set(mat=True)  SPARK_GRAFT_GRAIN_JOBS  1/3
   train   train_commodity_models (gbt)  SPARK_GRAFT_TRAIN_JOBS  1/2
   publish Pipeline.score+publish        SPARK_GRAFT_QUERY_CACHE 0/1
+  creates the isolated grain-CREATE phase SPARK_GRAFT_GRAIN_JOBS 1/3
+          (the measurement OPTIMIZATION_r09.md §10 cites for the
+          grain-build win; heavier than `grains`, so opt-in only —
+          not in the no-args default set)
 
 Usage: python tools/ab_overlap.py [--rounds 3] [case ...]
 """

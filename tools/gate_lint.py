@@ -77,8 +77,15 @@ def driver_history(repo: Path) -> tuple[dict[str, int], int]:
     return latest, newest_round
 
 
-def compute_rotation(names: list[str], upto_round: int | None = None) -> list[str]:
-    """Deterministic oldest-first gate: rank by newest driver-verified
+def compute_rotation(
+    names: list[str],
+    upto_round: int | None = None,
+    head: tuple[str, ...] | list[str] = (),
+) -> list[str]:
+    """Deterministic gate: ``head`` entries first (in the given order —
+    the round's TOUCHED list, per the r09 VERDICT: entries whose
+    execution path the optimizer changed must be driver-verified before
+    staleness refresh), then rank the rest by newest driver-verified
     round (ignoring CORRECTNESS files >= upto_round, so a committed gate
     stays reproducible after later rounds land), ties by registry order,
     and take the first GATE_SLOTS entries."""
@@ -93,8 +100,13 @@ def compute_rotation(names: list[str], upto_round: int | None = None) -> list[st
         for name in json.loads(f.read_text()):
             latest[name] = max(latest.get(name, 0), rnd)
     order = {n: i for i, n in enumerate(names)}
-    ranked = sorted(names, key=lambda n: (latest.get(n, 0), order[n]))
-    return ranked[:GATE_SLOTS]
+    lead = [n for n in head if n in order]
+    taken = set(lead)
+    ranked = sorted(
+        (n for n in names if n not in taken),
+        key=lambda n: (latest.get(n, 0), order[n]),
+    )
+    return (lead + ranked)[:GATE_SLOTS]
 
 
 def rotation_audit() -> int:
@@ -154,13 +166,15 @@ def sweep_spark_negzero(name: str, sdf, problems: list[str]) -> None:
 
 
 def propose_rotation() -> int:
-    """Print the next round's oldest-first DRIVER_GATE_PRIORITY."""
+    """Print the next round's DRIVER_GATE_PRIORITY (current
+    GATE_PRIORITY_HEAD first, then oldest-first)."""
     import __spark_entry__ as e
 
     repo = Path(__file__).resolve().parents[1]
     latest, newest_round = driver_history(repo)
     names = list(e.queries())
-    gate = compute_rotation(names, upto_round=newest_round + 1)
+    head = getattr(e, "GATE_PRIORITY_HEAD", ())
+    gate = compute_rotation(names, upto_round=newest_round + 1, head=head)
     print(f"# GATE_ROTATION_ROUND = {newest_round + 1}")
     print("DRIVER_GATE_PRIORITY = [")
     for n in gate:
