@@ -48,6 +48,23 @@ def cut_lineage(
     return df.localCheckpoint(eager=eager)
 
 
+def cut_every() -> int:
+    """Lineage-cut stride for the iterative loops (r10, guide §1.2).
+    The per-round plans are linear in depth (each iteration references
+    the previous ranks exactly once), so cutting every k-th round is
+    semantically free — results are bit-identical at any stride; only
+    checkpoint frequency changes. MEASURED at sf0.1 (profile_split,
+    min-of-3, tpch_q1 control): stride 2 made pagerank_affinity WORSE
+    (build 4.9 -> 6.1 s) — each cut's AQE execution re-optimizes the
+    deeper two-round plan and the saved barrier does not pay for it —
+    so the default stays 1 (cut every round). SPARK_GRAFT_GRAPH_CUT
+    exposes the stride for clusters where the per-round barrier (not
+    the optimizer) dominates, e.g. high-latency driver-executor links."""
+    import os
+
+    return max(1, int(os.environ.get("SPARK_GRAFT_GRAPH_CUT", "1")))
+
+
 def pagerank(
     edges: DataFrame,
     d: float = PR_DAMPING,
@@ -68,17 +85,30 @@ def pagerank(
         # caller's whole edge derivation (for the co-purchase graph
         # that is a basket self-join — measured 6x recompute at sf0.1).
         # deg/verts get the same treatment: joined/rebuilt every round.
-        edges = cut_lineage(edges, checkpoint_dir, eager=False)
+        # r10: pre-partition the invariant edges by the per-iteration
+        # join key BEFORE the cut (guide §2.4 — localCheckpoint
+        # preserves outputPartitioning, so every iteration's edges⋈ranks
+        # join reuses this one exchange instead of re-shuffling |E|
+        # rows per round; at fixture scale AQE broadcasts the tiny
+        # ranks side and the exchange is moot but harmless).
+        edges = cut_lineage(
+            edges.repartition("src"), checkpoint_dir, eager=False
+        )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     verts = edges.select(F.col("src").alias("node")).distinct()
     if checkpoint:
         deg = cut_lineage(deg, checkpoint_dir, eager=False)
         verts = cut_lineage(verts, checkpoint_dir, eager=False)
     nn = verts.agg(F.count(F.lit(1)).alias("n"))
-    ranks = verts.crossJoin(F.broadcast(nn)).select(
+    # Built once and reused every iteration (r10): the loop used to
+    # rebuild verts.crossJoin(broadcast(nn)) per round, re-aggregating
+    # verts and re-broadcasting the 1-row count each time.
+    base = verts.crossJoin(F.broadcast(nn))
+    ranks = base.select(
         "node", "n", F.expr("round(cast(1.0 as double) / n, 12)").alias("rank")
     )
-    for _ in range(iters):
+    stride = cut_every()
+    for i in range(iters):
         contribs = (
             edges.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
             .join(deg, "src")
@@ -86,7 +116,7 @@ def pagerank(
             .agg(F.sum(F.expr("rank / out_deg")).alias("c"))
         )
         ranks = (
-            verts.crossJoin(F.broadcast(nn))
+            base
             .join(contribs, "node", "left")
             .select(
                 "node",
@@ -97,7 +127,7 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if checkpoint:
+        if checkpoint and (i + 1) % stride == 0:
             ranks = cut_lineage(ranks, checkpoint_dir, eager=False)
     return ranks.join(
         deg.select(F.col("src").alias("node"), "out_deg"), "node"
@@ -376,6 +406,13 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned. DuckDB runs the IDENTICAL recursive SQL as oracle."""
     from propensity_spark.io import load_table
 
+    # r10 REJECTED: pre-partitioning h_customer on the per-level join
+    # key (CAST(floor(c_custkey/10.0) AS BIGINT) — the guide §2.4
+    # reuse-point pattern the r09 VERDICT suggested) measured WORSE at
+    # sf0.1 (interleaved noop min-of-4: 1.24 -> 1.64 s, slower in every
+    # round pair): Spark 4's UnionLoop replays the loop-body plan per
+    # level and does NOT recognize the base relation's pre-established
+    # distribution across levels, so the upfront exchange is pure cost.
     load_table(spark, sf_dir, "customer").createOrReplaceTempView(
         "h_customer"
     )
@@ -635,7 +672,12 @@ def bfs_hops(edges_sym: DataFrame, sources: DataFrame,
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hop", F.lit(h))
         )
-        nxt = cut_lineage(nxt, checkpoint_dir, eager=True)
+        # eager=False (r10): the eager cut ran an extra count job per
+        # hop just to materialize the frontier; non-eager checkpoints on
+        # the frontier's FIRST consumption (the next hop's join), and the
+        # second consumer (the visited union) reads the checkpointed
+        # blocks — same single evaluation, one job fewer per hop.
+        nxt = cut_lineage(nxt, checkpoint_dir, eager=False)
         visited = visited.unionByName(nxt)
         visited = cut_lineage(visited, checkpoint_dir, eager=False)
         frontier = nxt
@@ -855,7 +897,12 @@ def personalized_pagerank(
     (vs pagerank's global centrality). Same one-shuffle-per-iteration
     profile, same 12dp per-step rounding for the unrolled-CTE oracle."""
     if checkpoint:
-        edges = cut_lineage(edges, checkpoint_dir, eager=False)
+        # same invariant-edges pre-partition + cut-stride treatment as
+        # pagerank() (r10): one edges exchange for the whole loop,
+        # lineage cut every cut_every()-th round.
+        edges = cut_lineage(
+            edges.repartition("src"), checkpoint_dir, eager=False
+        )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     verts = edges.select(F.col("src").alias("node")).distinct()
     if checkpoint:
@@ -863,7 +910,8 @@ def personalized_pagerank(
         verts = cut_lineage(verts, checkpoint_dir, eager=False)
     teleport = F.when(F.col("node") == source, F.lit(1.0)).otherwise(F.lit(0.0))
     ranks = verts.select("node", F.expr(f"round(cast(node = '{source}' as double), 12)").alias("rank"))
-    for _ in range(iters):
+    stride = cut_every()
+    for i in range(iters):
         contribs = (
             edges.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
             .join(deg, "src")
@@ -876,7 +924,7 @@ def personalized_pagerank(
                 (1 - d) * teleport + d * F.coalesce("c", F.lit(0.0)), 12
             ).alias("rank"),
         )
-        if checkpoint:
+        if checkpoint and (i + 1) % stride == 0:
             ranks = cut_lineage(ranks, checkpoint_dir, eager=False)
     return ranks
 

@@ -586,12 +586,18 @@ def connected_components(
         edges = cut_lineage(
             small_star(large_star(edges)), checkpoint_dir, eager=True
         )
-        if rnd % 3 == 2:
-            sig = _sig(edges)
-            if sig == prev_sig:
-                converged = True
-                break
-            prev_sig = sig
+        # r10: check the fixpoint EVERY round, not every 3rd. A star
+        # round is 2 aggs + 2 joins (plus the eager cut's job); the
+        # signature is one 1-row agg over the just-checkpointed edges —
+        # strictly cheaper than the star rounds the old cadence kept
+        # running past the fixpoint (a 2-round-converging graph ran 6
+        # rounds before the every-3rd check could observe equality).
+        # The fixpoint itself is unchanged, so labels are identical.
+        sig = _sig(edges)
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
     if not converged:
         # max_rounds exhausted without an observed fixpoint: verify with
         # one extra round rather than silently returning wrong labels (a
