@@ -85,15 +85,13 @@ def pagerank(
         # caller's whole edge derivation (for the co-purchase graph
         # that is a basket self-join — measured 6x recompute at sf0.1).
         # deg/verts get the same treatment: joined/rebuilt every round.
-        # r10: pre-partition the invariant edges by the per-iteration
-        # join key BEFORE the cut (guide §2.4 — localCheckpoint
-        # preserves outputPartitioning, so every iteration's edges⋈ranks
-        # join reuses this one exchange instead of re-shuffling |E|
-        # rows per round; at fixture scale AQE broadcasts the tiny
-        # ranks side and the exchange is moot but harmless).
-        edges = cut_lineage(
-            edges.repartition("src"), checkpoint_dir, eager=False
-        )
+        # r10 REJECTED: pre-partitioning edges by the per-iteration join
+        # key before this cut (guide §2.4 reuse-point) does NOT work —
+        # under AQE the checkpointed LogicalRDD records
+        # UnknownPartitioning(0) (plans/r10/pagerank_iteration_after.txt:
+        # every iteration re-exchanges regardless), so the upfront
+        # repartition is a pure extra |E| shuffle at any scale.
+        edges = cut_lineage(edges, checkpoint_dir, eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     verts = edges.select(F.col("src").alias("node")).distinct()
     if checkpoint:
@@ -897,12 +895,10 @@ def personalized_pagerank(
     (vs pagerank's global centrality). Same one-shuffle-per-iteration
     profile, same 12dp per-step rounding for the unrolled-CTE oracle."""
     if checkpoint:
-        # same invariant-edges pre-partition + cut-stride treatment as
-        # pagerank() (r10): one edges exchange for the whole loop,
-        # lineage cut every cut_every()-th round.
-        edges = cut_lineage(
-            edges.repartition("src"), checkpoint_dir, eager=False
-        )
+        # pre-partition rejected for the same reason as in pagerank():
+        # AQE checkpoints record UnknownPartitioning, so it cannot be
+        # reused by the per-iteration joins.
+        edges = cut_lineage(edges, checkpoint_dir, eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     verts = edges.select(F.col("src").alias("node")).distinct()
     if checkpoint:
