@@ -191,7 +191,15 @@ def triangle_count(pairs: DataFrame) -> DataFrame:
     pinned by the star-plus-clique pytest). Each triangle a ≺ b ≺ c
     is generated exactly once at its minimum vertex. Nodes in no
     triangle report 0."""
-    o = _oriented(pairs)
+    # r10: pairs is referenced SIX times in this plan (twice inside
+    # _oriented's degree union, twice in its e-joins, twice in verts)
+    # and the oriented edges THREE times (both wedge sides + the
+    # closing semi join) — without lineage cuts the caller's whole
+    # edge derivation (for the co-purchase graph a basket self-join)
+    # re-executes per reference, exactly the recompute pagerank()
+    # already cuts.
+    pairs = cut_lineage(pairs, eager=False)
+    o = cut_lineage(_oriented(pairs), eager=False)
     tris = _wedges(o).join(
         o.select(F.col("u").alias("b"), F.col("v").alias("c")),
         ["b", "c"],
