@@ -68,6 +68,11 @@ GATE_PRIORITY_HEAD = [
     "tpch_join_suite",
     "hierarchy_rollup",
     "pagerank_affinity",
+    "ppr_affinity",
+    "triangle_count",
+    "kcore_parts",
+    "bfs_hops",
+    "graph_stats",
 ]
 DRIVER_GATE_PRIORITY = [
     "household_features",
@@ -93,6 +98,11 @@ DRIVER_GATE_PRIORITY = [
     "tpch_join_suite",
     "hierarchy_rollup",
     "pagerank_affinity",
+    "ppr_affinity",
+    "triangle_count",
+    "kcore_parts",
+    "bfs_hops",
+    "graph_stats",
     "trend_fit",
     "changepoint_cusum",
     "forecast_linear",
@@ -104,9 +114,6 @@ DRIVER_GATE_PRIORITY = [
     "theil_sen",
     "huber_trend",
     "incremental_join",
-    "bfs_hops",
-    "graph_stats",
-    "ppr_affinity",
     "silver_projection",
     "cross_universe",
     "left_join_fillna",
@@ -118,8 +125,6 @@ DRIVER_GATE_PRIORITY = [
     "tpch_q1",
     "dedup_exact",
     "neardup_suite",
-    "ann_cosine_topk",
-    "batch_windows",
 ]
 
 def _registry():

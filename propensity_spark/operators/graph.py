@@ -481,6 +481,7 @@ def kcore(edges_sym: DataFrame, k: int = KCORE_K, iters: int = KCORE_ITERS,
     lineage cut per round stops plan doubling. Returns surviving
     (node, core_deg) — degree WITHIN the k-core, >= k by definition."""
     e = edges_sym
+    prev_cnt = None
     for _ in range(iters):
         keep = (
             e.groupBy("src")
@@ -492,6 +493,12 @@ def kcore(edges_sym: DataFrame, k: int = KCORE_K, iters: int = KCORE_ITERS,
             keep.withColumnRenamed("src", "dst"), "dst", "leftsemi"
         )
         e = cut_lineage(e, checkpoint_dir, eager=False)
+        # monotone edge set: equal counts <=> fixpoint; later rounds
+        # are no-ops (r10 early-stop, same argument as kcore_peel).
+        cnt = e.count()
+        if cnt == prev_cnt:
+            break
+        prev_cnt = cnt
     return e.groupBy("src").agg(F.count(F.lit(1)).alias("core_deg")).select(
         F.col("src").alias("node"), F.col("core_deg").cast("int").alias("core_deg")
     )
@@ -546,6 +553,17 @@ def kcore_peel(
     anti-joins."""
     e = edges_sym
     snapshots = [e.select("src").distinct()]
+    # r10: early-stop at the observed fixpoint. Peeling is MONOTONE (a
+    # removed edge never returns), so equal edge counts across a round
+    # imply the edge SETS are equal and every later round is a no-op —
+    # the count is a perfect fixpoint test here, cheaper than the CC
+    # signature. Output is identical to the full unroll: a node peeled
+    # in round j <= rounds_run keeps __pr = j, and survivors are present
+    # in all rounds_run+1 snapshots exactly as they would be in all
+    # iters+1 (the skipped rounds change neither membership nor
+    # degrees). The DuckDB oracle stays the fixed unrolled chain.
+    prev_cnt = None
+    rounds_run = 0
     for _ in range(iters):
         keep = (
             e.groupBy("src")
@@ -558,12 +576,17 @@ def kcore_peel(
         )
         e = cut_lineage(e, checkpoint_dir, eager=False)
         snapshots.append(e.select("src").distinct())
+        rounds_run += 1
+        cnt = e.count()
+        if cnt == prev_cnt:
+            break
+        prev_cnt = cnt
     present = snapshots[0]
     for s in snapshots[1:]:
         present = present.unionByName(s)
     present = present.groupBy("src").agg(F.count(F.lit(1)).alias("__pr"))
     core = e.groupBy("src").agg(F.count(F.lit(1)).alias("core_deg"))
-    survived = iters + 1
+    survived = rounds_run + 1
     return present.join(core, "src", "left").select(
         F.col("src").alias("node"),
         F.when(F.col("__pr") == survived, F.lit(None))
